@@ -1,0 +1,182 @@
+"""Golden-value ingest tests — the reference's integration suite,
+re-expressed (FIXTURES.md §3 / reference tests/integration.rs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests import wikidata_fixtures as fx
+from wikidata_to_surrealdb_spark.functions import (
+    first_claim_value,
+    has_claim,
+    link_join,
+    register_sql_functions,
+)
+from wikidata_to_surrealdb_spark.operators.ingest import load_dump
+
+
+@pytest.fixture(scope="module")
+def entity_tables(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("dump") / "Entity.json"
+    fx.write_fixture(str(path), fx.entity_fixture_lines(wrapper=True))
+    return load_dump(spark, str(path), "json", lang="en")
+
+
+def test_g1_black_clover_episodes(spark, entity_tables):
+    """G1 (integration.rs:25-54): episode count of 'Black Clover, season 1'
+    via claims path P1113 -> quantity.amount == 51.0."""
+    t = entity_tables
+    joined = link_join(t.entity, t.claims, broadcast_right=True)
+    got = (
+        joined.where(F.col("label") == "Black Clover, season 1")
+        .select(first_claim_value(t.claims["claims"], 1113, "quantity.amount").alias("episodes"))
+        .first()
+    )
+    assert got["episodes"] == 51.0
+
+
+def test_g1_via_sql(spark, entity_tables):
+    entity_tables.views(spark)
+    register_sql_functions(spark)
+    row = spark.sql(
+        """
+        SELECT element_at(
+                 wd_claims_where(c.claims, 'Property', 1113), 1
+               ).value.quantity.amount AS episodes
+        FROM Entity e JOIN Claims c ON e.claims = c.id
+        WHERE e.label = 'Black Clover, season 1'
+        """
+    ).first()
+    assert row["episodes"] == 51.0
+
+
+def test_g2_property_count(spark, tmp_path):
+    """G2 (integration.rs:77-100): count(Property) == 2."""
+    path = tmp_path / "Property.json"
+    fx.write_fixture(str(path), fx.property_fixture_lines())
+    t = load_dump(spark, str(path), "json", lang="en")
+    assert t.property.count() == 2
+    assert t.entity.count() == 0
+    # labels picked from en, description default behavior
+    labels = {r["label"] for r in t.property.collect()}
+    assert labels == {"title", "podcast"}
+
+
+def test_g3_bulkfilter(spark, tmp_path):
+    """G3 (integration.rs:56-75 + test_filter.surql): keep only entities
+    having a P1113 main claim -> count(Entity) == 3."""
+    path = tmp_path / "bench.json"
+    fx.write_fixture(str(path), fx.bench_fixture_lines(n=20, with_p1113=3))
+    filter_sql = """
+        SELECT e.* FROM Entity e JOIN Claims c ON e.claims = c.id
+        WHERE size(filter(c.claims, x -> x.id.tb = 'Property' AND x.id.id = 1113)) > 0
+    """
+    t = load_dump(spark, str(path), "json", filter_sql=filter_sql)
+    assert t.entity.count() == 3
+    # claims rows of dropped entities are deleted too
+    assert t.claims.count() == 3
+
+
+def test_qualifier_flattening(spark, entity_tables):
+    """Qualifiers become sibling claims tagged id.tb='Claims'
+    (tables.rs:86-94); P1476's P1810 string qualifier must be present and
+    NOT match a Property-table claim filter."""
+    t = entity_tables
+    row = (
+        t.claims.where(F.col("id.id") == 60746544)
+        .select(
+            F.size(F.expr(
+                "filter(claims, c -> c.id.tb = 'Claims' AND c.id.id = 1810)"
+            )).alias("as_qualifier"),
+            F.size(F.expr(
+                "filter(claims, c -> c.id.tb = 'Property' AND c.id.id = 1810)"
+            )).alias("as_main"),
+        )
+        .first()
+    )
+    assert row["as_qualifier"] == 1
+    assert row["as_main"] == 0
+    # qualifier follows its main claim in array order
+    flat = t.claims.where(F.col("id.id") == 60746544).select(
+        F.expr("transform(claims, c -> struct(c.id.tb AS tb, c.id.id AS id))").alias("ids")
+    ).first()["ids"]
+    seq = [(r["tb"], r["id"]) for r in flat]
+    main_idx = seq.index(("Property", 1476))
+    assert seq[main_idx + 1] == ("Claims", 1810)
+
+
+def test_variant_zoo_branches(spark, entity_tables):
+    """Every ClaimData variant decodes into its own branch with the right
+    kind tag (tables.rs:18-33 / wikidata crate ClaimValueData)."""
+    t = entity_tables
+    claims = (
+        t.claims.where(F.col("id.id") == 777)
+        .select(F.explode("claims").alias("c"))
+        .select(F.col("c.id.id").alias("pid"), F.col("c.value.*"))
+    )
+    rows = {r["pid"]: r for r in claims.collect()}
+    assert rows[2]["kind"] == "Thing" and rows[2]["thing"]["tb"] == "Property"
+    assert rows[3]["thing"] == ("Lexeme", 99)
+    assert rows[4]["kind"] == "String" and rows[4]["string"] == "plain string"
+    assert rows[5]["external_id"] == "EXT-123"
+    assert rows[6]["url"] == "https://example.org/x"
+    assert rows[7]["commons_media"] == "Foo.jpg"
+    assert rows[8]["math_expr"] == "E=mc^2"
+    assert rows[9]["geo_shape"] == "Data:Foo.map"
+    assert rows[10]["music_notation"] == "\\relative c'"
+    assert rows[11]["tabular_data"] == "Data:Foo.tab"
+    q = rows[12]["quantity"]
+    assert q["amount"] == 1.5 and q["lower_bound"] == 1.4 and q["upper_bound"] == 1.6
+    assert q["unit"] == ("Entity", 11574)
+    assert rows[13]["date_time"]["value"] == "+2017-10-03T00:00:00Z"
+    assert rows[13]["date_time"]["precision"] == 11
+    g = rows[14]["globe_coordinate"]
+    assert g["lat"] == 52.5 and g["lon"] == 13.4 and g["globe"] == ("Entity", 2)
+    assert rows[15]["kind"] == "NoValue" and rows[15]["no_value"] is True
+    assert rows[16]["kind"] == "UnknownValue"
+
+
+def test_empty_array_predicate(spark, entity_tables):
+    """B7: entity lacking P1113 -> claims_where == [] (test_filter.surql:1-2)."""
+    t = entity_tables
+    joined = link_join(t.entity, t.claims, broadcast_right=True)
+    without = joined.where(~has_claim(t.claims["claims"], "Property", 1113))
+    labels = {r["label"] for r in without.select("label").collect()}
+    assert labels == {"Towel Day", "variant zoo"}
+
+
+def test_id_collision_first_writer_wins(spark, tmp_path):
+    """Entity Q42 and Property P42 both map to Claims:42; exactly one
+    Claims row survives (SURVEY §1.3 first-writer-wins)."""
+    lines = fx._to_lines([fx.plain_item(42, "the answer")], wrapper=False)
+    lines = lines[:-1] + fx.property_fixture_lines()[1:]  # merge line lists
+    path = tmp_path / "collide.json"
+    fx.write_fixture(str(path), lines)
+    t = load_dump(spark, str(path), "json")
+    assert t.claims.where(F.col("id.id") == 42).count() == 1
+    assert t.entity.count() == 1 and t.property.count() == 2
+
+
+def test_bz2_roundtrip(spark, tmp_path):
+    """A2: bz2 dump reads identically (splittable codec does the work)."""
+    import bz2
+
+    raw = "\n".join(fx.bench_fixture_lines(n=5, with_p1113=2)) + "\n"
+    path = tmp_path / "dump.json.bz2"
+    path.write_bytes(bz2.compress(raw.encode()))
+    t = load_dump(spark, str(path), "bz2")
+    assert t.entity.count() == 5
+
+
+def test_strict_mode_raises(spark, tmp_path):
+    path = tmp_path / "bad.json"
+    path.write_text('[\n{"id": "Q1", "type": "item"},\nnot json at all,\n]\n')
+    from wikidata_to_surrealdb_spark.operators.ingest import parse_entities
+    from wikidata_to_surrealdb_spark.sources.dump_reader import read_dump_lines
+
+    lines = read_dump_lines(spark, str(path))
+    with pytest.raises(ValueError, match="strict"):
+        parse_entities(lines, strict=True)
+    # permissive: bad line skipped
+    assert parse_entities(lines, strict=False).count() == 1

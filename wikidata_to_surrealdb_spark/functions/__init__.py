@@ -1,0 +1,118 @@
+"""Query helper functions for the entity-graph path idioms.
+
+These hide the ClaimData union encoding and the SurrealQL path idioms
+behind plain Column functions, and register SQL-callable equivalents so
+``spark.sql`` queries read like the reference's documented queries
+(/root/reference/Useful queries.md).
+
+SurrealQL -> engine mapping (SURVEY §2B):
+- ``Property:1113``                      -> ``thing('Property', 1113)``
+- ``claims[WHERE id = Property:1113]``   -> ``claims_where(claims, 'Property', 1113)``
+- ``[...][0]``                           -> ``element_at(..., 1)`` (1-based)
+- ``.value.ClaimValueData.Quantity.amount`` -> ``.value.quantity.amount``
+- ``claims[...].value.Thing == []``      -> ``NOT has_claim(claims, 'Property', pid)``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def thing(tb: str | Column, id_: int | Column) -> Column:
+    """Record-id constructor: thing('Property', 1113) — SurrealDB's
+    ``Property:1113`` literal (reference Thing, README.md:84-89)."""
+    tb_col = F.lit(tb) if isinstance(tb, str) else tb
+    id_col = F.lit(id_) if isinstance(id_, int) else id_
+    return F.struct(tb_col.cast("string").alias("tb"), id_col.cast("bigint").alias("id"))
+
+
+def claims_where(claims: str | Column, tb: str, pid: int) -> Column:
+    """``claims[WHERE id = <tb>:<pid>]`` — array filter on the flat claims
+    array (SURVEY §2 B4). Comparison is on the full (tb, id) struct: main
+    claims live under tb='Property', flattened qualifiers under tb='Claims'
+    (reference tables.rs:81-94)."""
+    col = F.col(claims) if isinstance(claims, str) else claims
+    return F.filter(
+        col, lambda c: (c["id"]["tb"] == F.lit(tb)) & (c["id"]["id"] == F.lit(pid))
+    )
+
+
+def claim_values(claims: str | Column, pid: int, branch: str = "thing") -> Column:
+    """Values of main claims for a property: ``claims[WHERE id =
+    Property:<pid>].value.<Branch>`` — projects one union branch, dropping
+    claims of other variants (the reference's path semantics collect only
+    matching-variant values, SURVEY §2 B7 note)."""
+    return F.filter(
+        F.transform(claims_where(claims, "Property", pid), lambda c: c["value"][branch]),
+        lambda v: v.isNotNull(),
+    )
+
+
+def has_claim(claims: str | Column, tb: str, pid: int) -> Column:
+    """``claims[WHERE id = <tb>:<pid>] != []``."""
+    return F.size(claims_where(claims, tb, pid)) > 0
+
+
+def first_claim_value(claims: str | Column, pid: int, path: str) -> Column:
+    """``claims[WHERE id = Property:<pid>][0].value.<path>`` — the
+    reference's scalar claim lookup (integration.rs:27-33). ``path`` is a
+    dotted branch path like 'quantity.amount'."""
+    first = F.element_at(claims_where(claims, "Property", pid), 1)
+    col = first["value"]
+    for part in path.split("."):
+        col = col[part]
+    return col
+
+
+def link_join(
+    left: DataFrame,
+    right: DataFrame,
+    link_col: str = "claims",
+    right_id: str = "id",
+    how: str = "left",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Record-link traversal (SurrealQL implicit join, SURVEY §2 B3):
+    follow ``left.<link_col> -> right.<right_id>``. Equi-join on the
+    (tb, id) struct; broadcast the right side when it is filtered/small so
+    the traversal stays shuffle-free."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, left[link_col] == r[right_id], how)
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register SQL-callable helpers so spark.sql text can use the idioms:
+
+    - ``wd_thing(tb, id)``
+    - ``wd_claims_where(claims, tb, id)``
+    - ``wd_has_claim(claims, tb, id)``
+
+    Implemented as SQL scalar functions (pure Catalyst expressions, Spark
+    3.5+ ``CREATE FUNCTION ... RETURN``), not Python UDFs — they inline
+    into whole-stage codegen.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION wd_thing(tb STRING, id BIGINT) "
+        "RETURNS STRUCT<tb: STRING, id: BIGINT> "
+        "RETURN named_struct('tb', tb, 'id', id)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION wd_pid(pid STRING) "
+        "RETURNS BIGINT RETURN CAST(substring(pid, 2) AS BIGINT)"
+    )
+    from wikidata_to_surrealdb_spark import schemas
+
+    claims_ddl = f"ARRAY<{schemas.CLAIM.simpleString()}>"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION wd_claims_where("
+        f"claims {claims_ddl}, tb STRING, pid BIGINT) "
+        f"RETURNS {claims_ddl} "
+        f"RETURN filter(claims, c -> c.id.tb = tb AND c.id.id = pid)"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION wd_has_claim("
+        f"claims {claims_ddl}, tb STRING, pid BIGINT) "
+        f"RETURNS BOOLEAN "
+        f"RETURN size(filter(claims, c -> c.id.tb = tb AND c.id.id = pid)) > 0"
+    )
