@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"tpch_q1": sec, ...}, "sf": 0.1}
+
+The suite covers the scale-critical paths: TPC-H joins/aggs, the wikidata
+dump ingest (measured as a query, reported in entities/sec too), MinHash
+LSH dedup, FTS index build + search, sessionization, similarity scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wikidata_to_surrealdb_spark.plans.queries import QUERIES  # noqa: E402
+from wikidata_to_surrealdb_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "b14_fts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "events_window",
+    "events_sessionize",
+    "sim_bruteforce",
+]
+
+
+def _bench_ingest(spark, sf_dir: str, tmp_dir: str) -> tuple[float, int]:
+    """Wikidata-dump ingest throughput: synthesize a dump (one entity per
+    document row, JVM-side to_json — not timed), then time load_dump end
+    to end (parse -> transform -> 4 tables materialized)."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.operators.ingest import load_dump
+    from wikidata_to_surrealdb_spark.sources.tables import load_sf_dir
+
+    docs = load_sf_dir(spark, sf_dir, ("documents",))["documents"]
+    n = docs.count()
+    dump_path = os.path.join(tmp_dir, "bench_dump.json")
+    entity = F.to_json(
+        F.struct(
+            F.lit("item").alias("type"),
+            F.concat(F.lit("Q"), F.col("doc_id").cast("string")).alias("id"),
+            F.create_map(
+                F.lit("en"),
+                F.struct(
+                    F.lit("en").alias("language"),
+                    F.substring("text", 1, 32).alias("value"),
+                ),
+            ).alias("labels"),
+            F.create_map(
+                F.lit("en"),
+                F.struct(F.lit("en").alias("language"), F.col("source").alias("value")),
+            ).alias("descriptions"),
+            F.create_map(
+                F.lit("P1"),
+                F.array(
+                    F.struct(
+                        F.struct(
+                            F.lit("value").alias("snaktype"),
+                            F.lit("P1").alias("property"),
+                            F.lit("quantity").alias("datatype"),
+                            F.struct(
+                                F.lit("quantity").alias("type"),
+                                F.to_json(
+                                    F.struct(
+                                        F.concat(
+                                            F.lit("+"), F.col("n_chars").cast("string")
+                                        ).alias("amount"),
+                                        F.lit("1").alias("unit"),
+                                    )
+                                ).alias("value"),
+                            ).alias("datavalue"),
+                        ).alias("mainsnak"),
+                        F.lit("statement").alias("type"),
+                        F.lit("normal").alias("rank"),
+                    )
+                ),
+            ).alias("claims"),
+        )
+    )
+    docs.select(entity.alias("value")).write.mode("overwrite").text(dump_path)
+
+    t0 = time.perf_counter()
+    tables = load_dump(spark, dump_path, "json", lang="en")
+    out = os.path.join(tmp_dir, "bench_out")
+    from wikidata_to_surrealdb_spark.operators.ingest import write_tables
+
+    write_tables(tables, out)
+    dt = time.perf_counter() - t0
+    return dt, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import tempfile
+
+    timings: dict[str, float] = {}
+    with tempfile.TemporaryDirectory(prefix="wd_bench_") as tmp:
+        # warm the JVM/codegen path once with a trivial action
+        spark.range(1000).count()
+
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name].fn
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            del rows
+
+        ingest_sec, n_entities = _bench_ingest(spark, sf_dir, tmp)
+        timings["wd_ingest"] = round(ingest_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (10 queries + wikidata ingest)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "ingest_entities_per_sec": round(n_entities / ingest_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

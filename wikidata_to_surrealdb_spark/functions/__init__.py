@@ -19,6 +19,35 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fround(col: Column, decimals: int = 2) -> Column:
+    """Engine-portable rounding: floor(x * 10^d + 0.5) / 10^d.
+
+    Spark's ``round`` re-parses the double's *shortest decimal repr*
+    (BigDecimal.valueOf) while DuckDB rounds the binary value — at
+    .xx5 boundaries they disagree. floor() on the identical IEEE double
+    is bit-deterministic in both engines, so oracle hashes match.
+    """
+    f = 10**decimals
+    return F.floor(col * f + F.lit(0.5)) / f
+
+
+def fround_sql(expr: str, decimals: int = 2) -> str:
+    """SQL-text twin of :func:`fround` (same text runs in Spark & DuckDB)."""
+    f = 10**decimals
+    return f"floor(({expr}) * {f} + 0.5) / {f}"
+
+
+def dsum(col: Column, scale: int = 6) -> Column:
+    """Exact portable sum of a money/measure double column: cast each value
+    to DECIMAL (exact, since inputs carry <= `scale` decimals), sum
+    exactly (associative — immune to partition order), return DOUBLE."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 6) -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
 def thing(tb: str | Column, id_: int | Column) -> Column:
     """Record-id constructor: thing('Property', 1113) — SurrealDB's
     ``Property:1113`` literal (reference Thing, README.md:84-89)."""
@@ -58,7 +87,7 @@ def first_claim_value(claims: str | Column, pid: int, path: str) -> Column:
     """``claims[WHERE id = Property:<pid>][0].value.<path>`` — the
     reference's scalar claim lookup (integration.rs:27-33). ``path`` is a
     dotted branch path like 'quantity.amount'."""
-    first = F.element_at(claims_where(claims, "Property", pid), 1)
+    first = F.try_element_at(claims_where(claims, "Property", pid), F.lit(1))
     col = first["value"]
     for part in path.split("."):
         col = col[part]

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **brute-force cosine** — the correctness baseline. `F.zip_with` +
+  `F.aggregate` keep the dot product inside codegen; against a single
+  query vector this is a broadcast map-only scan: at 100 TB it is one
+  pass, no shuffle, and the top-k is a treeAggregate-style
+  `ORDER BY ... LIMIT k` that AQE turns into per-partition top-k + a
+  single-partition merge.
+- **sign-LSH bucketed ANN** — the scale path for pairwise/near-dup
+  workloads: bucket vectors by the sign pattern of a deterministic set of
+  dimensions (a degenerate but portable random-hyperplane LSH), then
+  search only within buckets. Bucket key is a tiny string → cheap
+  shuffle; recall/cost tunes via number of sign bits.
+
+Everything is deterministic and engine-portable, so DuckDB oracles
+reproduce the exact result sets (cosines rounded to 4 decimals;
+thresholds avoid top-k tie ambiguity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a: Column, b: Column, decimals: int = 4) -> Column:
+    from wikidata_to_surrealdb_spark.functions import fround
+
+    return fround(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+
+
+def brute_force_similar(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """All vectors with cosine(query, v) >= threshold. Map-only scan: the
+    query vector is a literal array baked into the plan (no join at all)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return embeddings.select(
+        F.col(id_col),
+        cosine_col(cast, q).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by cosine, ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        embeddings.select(F.col(id_col), cosine_col(cast, q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sign_bucket_expr(vec_col: str, sign_bits: int = 6) -> Column:
+    """Deterministic sign-LSH bucket key: '1'/'0' per leading dimension's
+    sign. A portable stand-in for random-hyperplane LSH (hyperplanes =
+    coordinate axes); swap in seeded hyperplanes for production recall."""
+    return F.expr(
+        f"concat_ws('', transform(slice({vec_col}, 1, {sign_bits}), "
+        f"x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+    )
+
+
+def ann_bucketed_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_bits: int = 6,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket by sign pattern, pair within
+    bucket, keep cosine >= threshold. The within-bucket self-join is the
+    only shuffle, keyed on the bucket string."""
+    with_bucket = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        sign_bucket_expr(vec_col, sign_bits).alias("bucket"),
+    )
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (literal centroid array, map-only). Downstream ANN probes only the
+    query's nearest cells — at scale, write the output partitioned by
+    ``cell`` so probes become partition pruning."""
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    with_v = embeddings.select(F.col(id_col), cast)
+    sims = F.transform(cents, lambda c: cosine_col(F.col("v"), c))
+    return with_v.select(
+        id_col,
+        (F.array_position(sims, F.array_max(sims)) - 1).alias("cell"),
+    )

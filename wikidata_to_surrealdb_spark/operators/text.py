@@ -1,0 +1,199 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+All hot-path logic is built-in JVM expressions (regexp, higher-order
+functions, md5) — no Python in the per-row path, so every operator here
+whole-stage-codegens and scales linearly with partitions. The md5-based
+hashing is deliberately engine-portable: the DuckDB oracles compute
+byte-identical values.
+
+Includes the FTS analyzer pipeline the reference defines
+(`DEFINE ANALYZER blank_english TOKENIZERS blank FILTERS lowercase,
+ascii, snowball(english)` — /root/reference/Useful queries.md:28):
+blank tokenizer, lowercase, ascii fold, and a suffix stemmer. The
+snowball(english) stemmer is approximated by an S-stemmer-style suffix
+rule chain (a full snowball implementation needs a Python UDF + external
+lib, gated behind try-import); the analyzer output feeds an inverted
+index table (term -> postings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny English stopword list shared verbatim with the DuckDB oracles.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def tokens_col(text: str | Column, lowercase: bool = True) -> Column:
+    """Blank-ish tokenizer: lowercase + split on non-alphanumeric runs,
+    drop empties. Mirrors TOKENIZERS blank + FILTERS lowercase,ascii."""
+    col = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        col = F.lower(col)
+    return F.filter(F.split(col, TOKEN_SPLIT_RE), lambda t: F.length(t) > 0)
+
+
+def ascii_fold(col: Column) -> Column:
+    """ASCII folding for the analyzer's `ascii` filter: strip the common
+    Latin-1/Latin-Extended diacritics (translate map, JVM-side)."""
+    src = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāēīōūąćęłńśźż"
+    dst = "aaaaaaceeeeiiiinooooouuuuyyaeiouacelnszz"
+    return F.translate(col, src, dst)
+
+
+def _stem_sql(tok: str) -> str:
+    """SQL fragment stemming token expr ``tok`` (shared rule chain)."""
+    return (
+        f"CASE "
+        f"WHEN length({tok}) > 5 AND {tok} LIKE '%ing' THEN substring({tok}, 1, length({tok}) - 3) "
+        f"WHEN length({tok}) > 4 AND {tok} LIKE '%ed' THEN substring({tok}, 1, length({tok}) - 2) "
+        f"WHEN length({tok}) > 3 AND {tok} LIKE '%es' THEN substring({tok}, 1, length({tok}) - 2) "
+        f"WHEN length({tok}) > 3 AND {tok} LIKE '%s' AND {tok} NOT LIKE '%ss' "
+        f"THEN substring({tok}, 1, length({tok}) - 1) "
+        f"ELSE {tok} END"
+    )
+
+
+def analyze_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """FTS analyzer (B14): doc -> exploded (id, term) rows, lowercased,
+    ascii-folded, stemmed. The downstream inverted index is a groupBy."""
+    toks = F.transform(tokens_col(text_col), ascii_fold)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("raw_term"))
+    return exploded.select(
+        id_col, F.expr(_stem_sql("raw_term")).alias("term")
+    ).where(F.length("term") > 0)
+
+
+def inverted_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """term -> postings (doc ids + term frequency). One shuffle on term —
+    the minimal possible for index construction; at 100 TB, partition the
+    output by term hash so lookups prune."""
+    return (
+        analyze_text(df, text_col, id_col)
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def fts_search(index: DataFrame, query_terms: list[str]) -> DataFrame:
+    """Look up analyzed terms in the inverted index, rank docs by summed
+    tf. The term filter prunes before the aggregation shuffles."""
+    return (
+        index.where(F.col("term").isin(query_terms))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("score"))
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting (whitespace + BPE-ish sub-token regex): per doc,
+    whitespace token count, regex-token count (word pieces + punctuation,
+    the way a BPE pre-tokenizer splits), char count."""
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0))
+    # BPE-ish pre-tokenization: alphanumeric runs OR single non-space
+    # punctuation — the same RE2-safe pattern the DuckDB oracle uses.
+    bpe = F.size(F.regexp_extract_all(F.lower(text_col), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+    return df.select(
+        id_col,
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars_computed"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality scoring: length, mean word length, stopword
+    ratio, alpha ratio, and a composite score. Pure column math — shared
+    rule-for-rule with the DuckDB oracle."""
+    from wikidata_to_surrealdb_spark.functions import fround
+
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(F.lower(text_col), r"[^a-z]", ""))
+    n_chars = F.length(text_col)
+    mean_wlen = fround(n_alpha / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4)
+    stop_ratio = fround(n_stop / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4)
+    alpha_ratio = fround(n_alpha / F.nullif(n_chars.cast("double"), F.lit(0.0)), 4)
+    score = fround(
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - stop_ratio) * alpha_ratio,
+        4,
+    )
+    return df.select(
+        id_col,
+        n_tok.cast("bigint").alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword heuristic language ID: score per language = hits of
+    that language's marker words; argmax with deterministic tie-break
+    (alphabetical). Marker lists shared with the oracle."""
+    markers = {
+        "de": ("der", "die", "das", "und", "ist", "nicht"),
+        "en": ("the", "and", "is", "of", "to", "a"),
+        "es": ("el", "la", "los", "que", "es", "y"),
+        "fr": ("le", "la", "les", "est", "et", "une"),
+    }
+    toks = tokens_col(text_col)
+
+    def marker_count(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = [
+        marker_count(words).alias(f"score_{lang}") for lang, words in markers.items()
+    ]
+    scored = df.select(id_col, *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in markers])
+    pred = F.lit(None).cast("string")
+    # alphabetical order => first max wins deterministically
+    for lang in sorted(markers):
+        pred = F.when(
+            pred.isNull() & (F.col(f"score_{lang}") == best) & (best > 0), lang
+        ).otherwise(pred)
+    return scored.select(
+        id_col, F.coalesce(pred, F.lit("und")).alias("pred_lang")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03):
+    hash every k-word shingle (rolling hash = md5, portable), take the min
+    hash in each sliding window of ``window`` positions, distinct. Output:
+    (doc_id, fingerprint). Array-local computation — zero shuffles until a
+    consumer aggregates. Tokens and shingle hashes are staged into their
+    own projections so nothing is re-evaluated per array position."""
+    toks_df = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+            lambda t: F.length(t) > 0,
+        ).alias("_toks"),
+    )
+    shingle_hashes = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)), "
+        f"i -> md5(concat_ws(' ', slice(_toks, i, {k}))))"
+    )
+    mins = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_sh) - {window - 1}, 1)), "
+        f"i -> array_min(slice(_sh, i, {window}))))"
+    )
+    return (
+        toks_df.select(F.col(id_col), shingle_hashes.alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select(id_col, F.explode(mins).alias("fingerprint"))
+        .dropDuplicates([id_col, "fingerprint"])
+    )

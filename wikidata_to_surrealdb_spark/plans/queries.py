@@ -1,0 +1,1099 @@
+"""Canonical query catalog: every SURVEY §2 operator as a (Spark
+callable, DuckDB oracle SQL) pair over the driver's testdata tables.
+
+Naming: ``b##_*`` = reference query-surface operators (SURVEY §2B),
+``tpch_*`` = headline bench queries, ``dedup_* / sim_* / text_* /
+events_* / mm_* / stream_*`` = the LLM-pipeline extensions, ``wd_*`` =
+wikidata-pipeline idioms exercised end-to-end.
+
+Contract (driver): each Spark callable takes (spark, sf_dir) and returns
+a DataFrame whose sorted-column value hash must equal the oracle's at
+sf0.01. Conventions keeping the hash stable across engines:
+- every computed column aliased identically on both sides;
+- counts CAST to BIGINT (DuckDB count is BIGINT, Spark size() is INT;
+  DuckDB sum(int) is HUGEINT — always cast);
+- floating results rounded via the *portable* floor-round
+  (functions.fround / fround_sql) — Spark's ROUND re-parses the double's
+  shortest decimal repr and disagrees with DuckDB at .xx5 boundaries;
+- double SUMs computed as exact DECIMAL sums then cast back
+  (functions.dsum) — double addition is order-sensitive and Spark's
+  partial aggregation order is nondeterministic;
+- "first element" semantics always under a *total* sort key
+  (l_linenumber alone is not unique in the testdata);
+- timestamps reduced to epoch micros / dates (ns-parquet truncates to
+  micros identically in both engines);
+- md5 as the only hash primitive (bit-identical in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikidata_to_surrealdb_spark.functions import dsum, dsum_sql, fround, fround_sql
+from wikidata_to_surrealdb_spark.operators import dedup, mutations, similarity, text
+from wikidata_to_surrealdb_spark.sources.tables import register_views
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: SparkQuery
+    oracle: str | None
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None, description: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, description=description, tags=tags)
+        return fn
+
+    return deco
+
+
+# shared SQL fragments (identical text runs in both engines where possible)
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+# ---------------------------------------------------------------------------
+# B-surface: the reference's query operators (SURVEY §2B)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b01_projection",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {fround_sql(_REVENUE, 2)} AS revenue,
+           {fround_sql(_CHARGE, 2)} AS charge,
+           CASE WHEN l_discount > 0.05 THEN 'deep' ELSE 'shallow' END AS discount_band
+    FROM lineitem
+    """,
+    "B1: projection + computed columns + alias",
+)
+def b01_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fround(rev, 2).alias("revenue"),
+        fround(rev * (1 + F.col("l_tax")), 2).alias("charge"),
+        F.when(F.col("l_discount") > 0.05, "deep").otherwise("shallow").alias("discount_band"),
+    )
+
+
+@_q(
+    "b02_scalar_filter",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    """,
+    "B2: scalar equi/range filter (pushes to parquet scan)",
+)
+def b02_scalar_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["orders"]
+        .where((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "b03_link_join",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 5000
+    """,
+    "B3: record-link traversal = equi-join, small side broadcast",
+)
+def b03_link_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    cust = t["customer"].where(F.col("c_acctbal") > 5000)
+    return t["orders"].join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_name", "c_mktsegment")
+
+
+# total sort key: l_linenumber is NOT unique per order in the testdata, so
+# "first element" is defined under (ln, qty, rf, pk) — lexicographic struct
+# sort in Spark == ORDER BY ln, qty, rf, pk in the oracle.
+def _order_lines_array(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-order array<struct> of its lineitems under a total order — the
+    claims-array shape (FIXTURES.md §4)."""
+    return (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").alias("qty"),
+                        F.col("l_returnflag").alias("rf"),
+                        F.col("l_partkey").alias("pk"),
+                    )
+                )
+            ).alias("lines")
+        )
+    )
+
+
+@_q(
+    "b04_array_filter",
+    """
+    SELECT l_orderkey AS o_key,
+           CAST(count(*) FILTER (WHERE l_quantity > 30) AS BIGINT) AS big_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    "B4: lambda filter on array<struct> column",
+)
+def b04_array_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    arr = _order_lines_array(t)
+    return arr.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.size(F.filter("lines", lambda x: x["qty"] > 30)).cast("bigint").alias("big_lines"),
+    )
+
+
+@_q(
+    "b05_element_at",
+    """
+    WITH rn AS (
+      SELECT l_orderkey, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_quantity, l_returnflag, l_partkey) AS rn
+      FROM lineitem
+    )
+    SELECT l_orderkey AS o_key, l_quantity AS first_qty FROM rn WHERE rn = 1
+    """,
+    "B5: array index / first element (1-based element_at, total sort key)",
+)
+def b05_element_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    arr = _order_lines_array(t)
+    return arr.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.element_at("lines", 1)["qty"].alias("first_qty"),
+    )
+
+
+@_q(
+    "b06_nested_field",
+    """
+    SELECT o_orderkey, o_orderpriority AS priority,
+           CAST(o_orderdate AS DATE) AS odate
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "B6: nested struct field projection",
+)
+def b06_nested_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    nested = t["orders"].select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderdate").cast("date").alias("odate"),
+            ).alias("meta"),
+        ).alias("info"),
+    )
+    return nested.where(F.col("info.status") == "F").select(
+        "o_orderkey",
+        F.col("info.meta.priority").alias("priority"),
+        F.col("info.meta.odate").alias("odate"),
+    )
+
+
+@_q(
+    "b07_empty_array_pred",
+    """
+    SELECT o.o_orderkey FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    """,
+    "B7: empty-array predicate (claims[WHERE ...] == [])",
+)
+def b07_empty_array_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    arr = _order_lines_array(t)
+    joined = t["orders"].join(
+        arr, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    )
+    empty = F.coalesce(
+        F.size(F.filter("lines", lambda x: x["rf"] == "R")), F.lit(0)
+    ) == 0
+    return joined.where(empty).select("o_orderkey")
+
+
+@_q(
+    "b08_count_agg",
+    """
+    SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customer,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitem
+    """,
+    "B8: count aggregation",
+)
+def b08_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customer,
+               CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitem
+        """
+    )
+
+
+_B09_SQL = """
+    WITH big AS (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    ), joined AS (
+      SELECT c.c_nationkey FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+    )
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS big_orders
+    FROM joined j JOIN nation n ON j.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@_q(
+    "b09_cte_chain",
+    _B09_SQL,
+    "B9/B10: let-binding multi-statement script -> CTE chain + subfield fan-out",
+)
+def b09_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_B09_SQL)
+
+
+@_q(
+    "b11_delete",
+    """
+    SELECT p_partkey, p_name, p_size FROM part
+    WHERE NOT (p_size < 15 AND p_brand = 'Brand#1')
+    """,
+    "B11: DELETE WHERE as functional rewrite (anti-filter)",
+)
+def b11_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    survivors = mutations.delete_where(
+        t["part"], (F.col("p_size") < 15) & (F.col("p_brand") == "Brand#1")
+    )
+    return survivors.select("p_partkey", "p_name", "p_size")
+
+
+@_q(
+    "b12_update",
+    f"""
+    SELECT p_partkey,
+           CASE WHEN p_brand = 'Brand#2' THEN {fround_sql("p_retailprice * 1.1", 2)}
+                ELSE p_retailprice END AS p_retailprice
+    FROM part
+    """,
+    "B12: UPDATE SET as when/otherwise rewrite",
+)
+def b12_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    updated = mutations.update_set(
+        t["part"],
+        F.col("p_brand") == "Brand#2",
+        p_retailprice=fround(F.col("p_retailprice") * 1.1, 2),
+    )
+    return updated.select("p_partkey", "p_retailprice")
+
+
+_B13_AVG = f"{fround_sql(dsum_sql('c_acctbal', 2) + ' / count(*)', 2)}"
+_B13_VIEW_SQL = f"""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           {_B13_AVG} AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+"""
+
+
+@_q(
+    "b13_view",
+    f"SELECT nation, n_customers, avg_bal FROM ({_B13_VIEW_SQL}) v WHERE region = 'ASIA'",
+    "B13: view definition (DEFINE TABLE ... AS SELECT) + query over it",
+)
+def b13_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    summary = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            fround(dsum(F.col("c_acctbal"), 2) / F.count("*"), 2).alias("avg_bal"),
+        )
+    )
+    summary.createOrReplaceTempView("customer_summary")
+    return spark.sql(
+        "SELECT nation, n_customers, avg_bal FROM customer_summary WHERE region = 'ASIA'"
+    )
+
+
+@_q(
+    "b14_fts",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS raw_term
+      FROM documents
+    ), stemmed AS (
+      SELECT doc_id,
+        CASE
+          WHEN length(raw_term) > 5 AND raw_term LIKE '%ing' THEN substring(raw_term, 1, length(raw_term) - 3)
+          WHEN length(raw_term) > 4 AND raw_term LIKE '%ed' THEN substring(raw_term, 1, length(raw_term) - 2)
+          WHEN length(raw_term) > 3 AND raw_term LIKE '%es' THEN substring(raw_term, 1, length(raw_term) - 2)
+          WHEN length(raw_term) > 3 AND raw_term LIKE '%s' AND raw_term NOT LIKE '%ss'
+            THEN substring(raw_term, 1, length(raw_term) - 1)
+          ELSE raw_term END AS term
+      FROM toks
+    ), index_t AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM stemmed
+      WHERE length(term) > 0 GROUP BY term, doc_id
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM index_t
+    WHERE term IN ('spark', 'query', 'tabl') GROUP BY doc_id
+    """,
+    "B14: FTS analyzer (tokenize/lowercase/fold/stem) + inverted index + search",
+)
+def b14_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    index = text.inverted_index(t["documents"])
+    return text.fts_search(index, ["spark", "query", "tabl"]).select(
+        "doc_id", F.col("score").cast("bigint").alias("score")
+    )
+
+
+@_q(
+    "b15_scalar",
+    f"SELECT {fround_sql(dsum_sql('o_totalprice', 2) + ' / count(*)', 2)} AS avg_price FROM orders",
+    "B15: typed scalar return",
+)
+def b15_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return t["orders"].agg(
+        fround(dsum(F.col("o_totalprice"), 2) / F.count("*"), 2).alias("avg_price")
+    )
+
+
+@_q(
+    "b16_param_binding",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderpriority = '2-HIGH' AND o_totalprice >= 250000
+    """,
+    "B16: parameterized SQL (named parameter binding)",
+)
+def b16_param_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderpriority = :prio AND o_totalprice >= :floor",
+        args={"prio": "2-HIGH", "floor": 250000},
+    )
+
+
+@_q(
+    "wd_claims_path",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber AS ln, l_partkey % 25 AS pid, l_quantity AS qty
+      FROM lineitem
+    ), agg AS (
+      SELECT l_orderkey AS o_key, CAST(count(*) AS BIGINT) AS n_claims,
+             CAST(count(*) FILTER (WHERE pid = 3) AS BIGINT) AS n_matching
+      FROM base GROUP BY l_orderkey
+    ), m AS (
+      SELECT l_orderkey, qty,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY ln, pid, qty) AS rn
+      FROM base WHERE pid = 3
+    )
+    SELECT a.o_key, a.n_claims, m.qty AS first_amount, a.n_matching
+    FROM agg a LEFT JOIN m ON a.o_key = m.l_orderkey AND m.rn = 1
+    """,
+    "B3-B7 composite in the wikidata claims-array shape: link join + array "
+    "filter + element_at + nested variant field + empty-pred, via the "
+    "claims helpers (claims_where / first_claim_value)",
+)
+def wd_claims_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emulates Entity->Claims traversal: per order, claims array of
+    (id=Thing('Property', partkey%25), value.quantity.amount=quantity),
+    then the G1-style path: first matching claim's quantity amount."""
+    from wikidata_to_surrealdb_spark.functions import claims_where, first_claim_value
+
+    t = register_views(spark, sf_dir)
+    claims = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        (F.col("l_partkey") % 25).cast("bigint").alias("pid"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                )
+            ).alias("sorted_lines")
+        )
+        .select(
+            F.col("l_orderkey").alias("o_key"),
+            F.transform(
+                "sorted_lines",
+                lambda x: F.struct(
+                    F.struct(
+                        F.lit("Property").alias("tb"), x["pid"].alias("id")
+                    ).alias("id"),
+                    F.struct(
+                        F.struct(x["qty"].alias("amount")).alias("quantity")
+                    ).alias("value"),
+                ),
+            ).alias("claims"),
+        )
+    )
+    return claims.select(
+        "o_key",
+        F.size("claims").cast("bigint").alias("n_claims"),
+        first_claim_value(F.col("claims"), 3, "quantity.amount").alias("first_amount"),
+        F.size(claims_where(F.col("claims"), "Property", 3)).cast("bigint").alias("n_matching"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H headline queries (bench + correctness)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {fround_sql(dsum_sql("l_quantity", 2), 2)} AS sum_qty,
+           {fround_sql(dsum_sql("l_extendedprice", 2), 2)} AS sum_base_price,
+           {fround_sql(dsum_sql(_REVENUE, 6), 2)} AS sum_disc_price,
+           {fround_sql(dsum_sql(_CHARGE, 8), 2)} AS sum_charge,
+           {fround_sql(dsum_sql("l_quantity", 2) + " / count(*)", 4)} AS avg_qty,
+           {fround_sql(dsum_sql("l_extendedprice", 2) + " / count(*)", 4)} AS avg_price,
+           {fround_sql(dsum_sql("l_discount", 2) + " / count(*)", 4)} AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 pricing summary: full-scan agg, map-side partial combine",
+    tags=("bench",),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fround(dsum(F.col("l_quantity"), 2), 2).alias("sum_qty"),
+            fround(dsum(F.col("l_extendedprice"), 2), 2).alias("sum_base_price"),
+            fround(dsum(disc, 6), 2).alias("sum_disc_price"),
+            fround(dsum(charge, 8), 2).alias("sum_charge"),
+            fround(dsum(F.col("l_quantity"), 2) / n, 4).alias("avg_qty"),
+            fround(dsum(F.col("l_extendedprice"), 2) / n, 4).alias("avg_price"),
+            fround(dsum(F.col("l_discount"), 2) / n, 4).alias("avg_disc"),
+            n.cast("bigint").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3",
+    f"""
+    SELECT l.l_orderkey,
+           {fround_sql(dsum_sql(_REVENUE, 6), 2)} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS odate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    """,
+    "TPC-H Q3 shipping priority: selective dim filter -> broadcast -> agg",
+    tags=("bench",),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("date")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].where(F.col("o_orderdate").cast("date") < cutoff)
+    li = t["lineitem"].where(F.col("l_shipdate").cast("date") > cutoff)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_orderpriority",
+        )
+        .agg(fround(dsum(rev, 6), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+    )
+
+
+@_q(
+    "tpch_q5",
+    f"""
+    SELECT n.n_name, {fround_sql(dsum_sql(_REVENUE, 6), 2)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5 local supplier volume: 6-way join, dims broadcast",
+    tags=("bench",),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    orders = t["orders"].where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nr = (
+        t["nation"]
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(fround(dsum(rev, 6), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication extensions
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS copies
+    FROM documents GROUP BY md5(text)
+    """,
+    "exact dedup: hash-groupBy, shuffle key is the 32-byte digest",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return dedup.exact_dedup(t["documents"])
+
+
+_JACCARD_DUCK = (
+    "len(list_filter({a}, v -> list_contains({b}, v))) / "
+    "(len({a}) + len({b}) - len(list_filter({a}, v -> list_contains({b}, v))))::DOUBLE"
+)
+
+_MINHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) > 0) AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+      FROM toks WHERE len(t) >= 3
+    ), sigs AS (
+      SELECT doc_id, list_transform(generate_series(0, 7),
+               s -> list_aggregate(list_transform(sh, g -> md5(s::VARCHAR || ':' || g)), 'min')) AS sig
+      FROM sh WHERE len(sh) > 0
+    ), bands AS (
+      SELECT doc_id, b AS band_id,
+             md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS band_hash
+      FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             {fround_sql(_JACCARD_DUCK.format(a="x.sh", b="y.sh"), 4)} AS jaccard
+      FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+    ) WHERE jaccard >= 0.1
+"""
+
+
+@_q(
+    "dedup_minhash_lsh",
+    _MINHASH_ORACLE,
+    "MinHash(8 md5 seeds) + LSH(4 bands x 2 rows) near-dup candidates, "
+    "verified by 3-gram Jaccard >= 0.1 — the scale path: pair explosion "
+    "confined to LSH buckets",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return dedup.minhash_dedup(
+        t["documents"], num_hashes=8, bands=4, k=3, threshold=0.1
+    )
+
+
+@_q(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) > 0) AS t
+      FROM documents
+    ), sims AS (
+      SELECT doc_id, array_to_string(list_transform(generate_series(0, 31), b ->
+        CASE WHEN list_sum(list_transform(t,
+          tok -> CASE WHEN substring(md5(tok || ':' || b::VARCHAR), 1, 1) < '8'
+                 THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS simhash
+      FROM toks
+    )
+    SELECT simhash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS copies
+    FROM sims GROUP BY simhash HAVING count(*) > 1
+    """,
+    "SimHash(32-bit md5 bit votes) dedup: identical-signature groups",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return dedup.simhash_dedup(t["documents"], bits=32)
+
+
+@_q(
+    "dedup_ngram_blocked",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS sh
+      FROM (SELECT doc_id, lang, list_filter(
+              regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS t
+            FROM documents) q
+      WHERE len(t) >= 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             {fround_sql(_JACCARD_DUCK.format(a="a.sh", b="b.sh"), 4)} AS jaccard
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang
+       AND list_aggregate(a.sh, 'min') = list_aggregate(b.sh, 'min')
+       AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.3
+    """,
+    "n-gram Jaccard near-dup with (lang, min-bigram) blocking — the "
+    "direct variant for modest cardinalities",
+)
+def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", "lang", F.expr(dedup.TOKENS_EXPR.format(text="text")).alias("toks")
+    )
+    sh = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 1, 0)), "
+        "i -> concat_ws(' ', slice(toks, i, 2))))"
+    )
+    docs_sh = toks.select("doc_id", "lang", sh.alias("sh")).where(F.size("sh") > 0)
+    a, b = docs_sh.alias("a"), docs_sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    jac = fround(inter / union.cast("double"), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.array_min("a.sh") == F.array_min("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search extensions
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@_q(
+    "sim_bruteforce",
+    f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    )
+    SELECT vec_id, cosine FROM (
+      SELECT e.vec_id,
+             {fround_sql(_COS_SQL.format(a="list_transform(e.embedding, x -> x::DOUBLE)", b="q.qv"), 4)} AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    ) WHERE cosine >= 0.3
+    """,
+    "brute-force cosine similarity vs a query vector (map-only scan); "
+    "threshold form avoids top-k tie ambiguity",
+)
+def sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    min_id = emb.agg(F.min("vec_id")).first()[0]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == min_id).first()["embedding"]]
+    return similarity.brute_force_similar(
+        emb.where(F.col("vec_id") != min_id), qv, threshold=0.3
+    )
+
+
+@_q(
+    "sim_ann_bucketed",
+    f"""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             array_to_string(list_transform(list_slice(embedding, 1, 6),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             {fround_sql(_COS_SQL.format(a="a.v", b="b2.v"), 4)} AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ) WHERE cosine >= 0.35
+    """,
+    "sign-LSH bucketed ANN pairs (the 100 TB path: within-bucket join only)",
+)
+def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return similarity.ann_bucketed_pairs(
+        t["embeddings"], sign_bits=6, threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis extensions
+# ---------------------------------------------------------------------------
+
+@_q(
+    "text_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    """,
+    "token counting: whitespace + BPE-ish regex pre-tokenization",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return text.token_stats(t["documents"])
+
+
+@_q(
+    "text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 t -> length(t) > 0)) AS n_tok,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 t -> list_contains({list(text.STOPWORDS)!r}, t))) AS n_stop,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           {fround_sql("n_alpha / NULLIF(n_tok, 0)::DOUBLE", 4)} AS mean_word_len,
+           {fround_sql("n_stop / NULLIF(n_tok, 0)::DOUBLE", 4)} AS stopword_ratio,
+           {fround_sql("n_alpha / NULLIF(n_chars, 0)::DOUBLE", 4)} AS alpha_ratio,
+           {fround_sql(
+               "least(1.0, n_tok / 100.0) * "
+               f"(1.0 - {fround_sql('n_stop / NULLIF(n_tok, 0)::DOUBLE', 4)}) * "
+               f"{fround_sql('n_alpha / NULLIF(n_chars, 0)::DOUBLE', 4)}",
+               4,
+           )} AS quality
+    FROM base
+    """,
+    "quality scoring: length / stopword / alpha ratios + composite",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return text.quality_score(t["documents"])
+
+
+_LANGID_MARKERS_SQL = {
+    "de": "['der', 'die', 'das', 'und', 'ist', 'nicht']",
+    "en": "['the', 'and', 'is', 'of', 'to', 'a']",
+    "es": "['el', 'la', 'los', 'que', 'es', 'y']",
+    "fr": "['le', 'la', 'les', 'est', 'et', 'une']",
+}
+
+
+@_q(
+    "text_langid",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) > 0) AS t
+      FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        {", ".join(f"len(list_filter(t, x -> list_contains({m}, x))) AS score_{lang}"
+                   for lang, m in _LANGID_MARKERS_SQL.items())}
+      FROM toks
+    )
+    SELECT doc_id,
+      CASE
+        WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+        WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+        WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+        WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+        ELSE 'fr' END AS pred_lang
+    FROM scores
+    """,
+    "language ID: stopword-marker heuristic, deterministic argmax",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return text.lang_id(t["documents"])
+
+
+@_q(
+    "text_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) > 0) AS t
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+               i -> md5(array_to_string(list_slice(t, i, i + 2), ' '))) AS h
+      FROM toks
+    )
+    SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(h) - 3, 1)),
+             i -> list_aggregate(list_slice(h, i, i + 3), 'min')))) AS fingerprint
+    FROM hashes WHERE len(h) > 0
+    """,
+    "document fingerprinting: winnowing (k=3 shingles, window=4, md5 "
+    "rolling hash) — array-local, shuffle-free",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return text.winnow_fingerprints(t["documents"], k=3, window=4)
+
+
+# ---------------------------------------------------------------------------
+# Events: windowing / sessionization / dedup (batch forms; streaming in
+# streaming/events.py shares the same logic)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_window",
+    f"""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {fround_sql(dsum_sql("value", 2), 2)} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "tumbling-window aggregation (1h) — streaming-equivalent batch form",
+)
+def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            fround(dsum(F.col("value"), 2), 2).alias("total_value"),
+        )
+    )
+
+
+_SESSION_GAP_SEC = 1800
+
+
+@_q(
+    "events_sessionize",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > {_SESSION_GAP_SEC} * 1000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, us, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_sec,
+           {fround_sql(dsum_sql("value", 2), 2)} AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    "sessionization: 30-min-gap sessions via lag + running sum (the batch "
+    "twin of a session-window stateful op)",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = register_views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("us")
+    flagged = t["events"].select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    ).withColumn(
+        "new_session",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > _SESSION_GAP_SEC * 1_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.floor((F.max("us") - F.min("us")) / 1_000_000).cast("bigint").alias("duration_sec"),
+        fround(dsum(F.col("value"), 2), 2).alias("session_value"),
+    )
+
+
+@_q(
+    "events_dedup",
+    """
+    SELECT user_id, event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           min(event_id) AS keep_event_id,
+           CAST(count(*) AS BIGINT) AS collapsed
+    FROM events GROUP BY 1, 2, 3
+    """,
+    "event dedup: at most one (user, type, hour) event survives, keep-first",
+)
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return t["events"].groupBy(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+    ).agg(
+        F.min("event_id").alias("keep_event_id"),
+        F.count("*").alias("collapsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns; decode is a deterministic fake —
+# real image/audio libs are not in this container)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS payload_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+    "multimodal: opaque binary payload column + typed metadata extraction "
+    "(byte length, content hash) — JVM-side over binary",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    with_payload = t["documents"].select(
+        "doc_id", "text", F.encode("text", "utf-8").alias("payload")
+    )
+    return with_payload.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("payload_bytes"),
+        F.md5("text").alias("content_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured streaming (real readStream; oracle = the batch-equivalent SQL)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "stream_window_counts",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    "Structured Streaming tumbling-window count over the events table "
+    "(readStream + watermark + availableNow), result == batch equivalent",
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.streaming.events import windowed_counts_streaming
+
+    return windowed_counts_streaming(spark, f"{sf_dir}/events.parquet")
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark's
+        # vectorized reader rejects; read as long and convert at the source
+        # (sources/tables.py) — truncation to micros matches DuckDB.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TPCH_TABLES = (
     "region",
@@ -32,7 +34,16 @@ def load_sf_dir(
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            df = spark.read.parquet(path)
+            # nanosecond timestamps arrive as long (nanosAsLong); convert
+            # to TIMESTAMP at microsecond precision — the same truncation
+            # DuckDB applies, so cross-engine results agree.
+            for f_ in df.schema.fields:
+                if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+            out[name] = df
     return out
 
 
