@@ -48,6 +48,25 @@ def dsum_sql(expr: str, scale: int = 6) -> str:
     return f"CAST(sum(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
 
 
+def respread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Re-spread a narrow input across the cluster before CPU-heavy per-row
+    expansion (shingling, per-token hashing, explode fan-out).
+
+    Single-row-group parquet files (like the driver testdata) cannot be
+    split by the scanner, so the map side of everything downstream runs as
+    ONE task. When the scan yields fewer partitions than the cluster has
+    slots, repartition round-robin; when the input is already as parallel
+    as the cluster (any real multi-split dataset — the 100 TB case), this
+    is a no-op, so the extra exchange does not survive a scale-up. Apply it
+    *after* scan-adjacent filters so parquet pushdown is unaffected.
+    """
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def thing(tb: str | Column, id_: int | Column) -> Column:
     """Record-id constructor: thing('Property', 1113) — SurrealDB's
     ``Property:1113`` literal (reference Thing, README.md:84-89)."""

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wikidata_to_surrealdb_spark.functions import fround
+from wikidata_to_surrealdb_spark.functions import fround, respread
 from wikidata_to_surrealdb_spark.operators.text import TOKEN_SPLIT_RE
 
 
@@ -64,6 +64,7 @@ def shingle_sets(
     *staged* projections (tokens, then shingles-from-tokens). Staging
     matters: inlining the tokenizer into the per-position lambda makes
     Catalyst re-split the text O(len^2) times per row."""
+    df = respread(df)
     toks = df.select(
         F.col(id_col), F.expr(TOKENS_EXPR.format(text=text_col)).alias("toks")
     )
@@ -203,7 +204,7 @@ def simhash_signatures(
     Tokenization is staged into its own projection so the per-bit
     aggregate folds over an already-materialized array (no re-split per
     bit); the bit votes themselves stay array-local — no shuffle."""
-    toks_df = df.select(
+    toks_df = respread(df).select(
         F.col(id_col), F.expr(TOKENS_EXPR.format(text=text_col)).alias("toks")
     )
     sim = F.expr(

@@ -97,7 +97,9 @@ def ann_bucketed_pairs(
     """Embedding near-duplicate pairs: bucket by sign pattern, pair within
     bucket, keep cosine >= threshold. The within-bucket self-join is the
     only shuffle, keyed on the bucket string."""
-    with_bucket = embeddings.select(
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    with_bucket = respread(embeddings).select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         sign_bucket_expr(vec_col, sign_bits).alias("bucket"),

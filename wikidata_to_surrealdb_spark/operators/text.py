@@ -60,8 +60,10 @@ def _stem_sql(tok: str) -> str:
 def analyze_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """FTS analyzer (B14): doc -> exploded (id, term) rows, lowercased,
     ascii-folded, stemmed. The downstream inverted index is a groupBy."""
+    from wikidata_to_surrealdb_spark.functions import respread
+
     toks = F.transform(tokens_col(text_col), ascii_fold)
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("raw_term"))
+    exploded = respread(df).select(F.col(id_col), F.explode(toks).alias("raw_term"))
     return exploded.select(
         id_col, F.expr(_stem_sql("raw_term")).alias("term")
     ).where(F.length("term") > 0)
@@ -176,7 +178,9 @@ def winnow_fingerprints(
     (doc_id, fingerprint). Array-local computation — zero shuffles until a
     consumer aggregates. Tokens and shingle hashes are staged into their
     own projections so nothing is re-evaluated per array position."""
-    toks_df = df.select(
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    toks_df = respread(df).select(
         F.col(id_col),
         F.filter(
             F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),

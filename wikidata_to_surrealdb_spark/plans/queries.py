@@ -506,8 +506,17 @@ def wd_claims_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("bench",),
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.functions import respread
+
     t = register_views(spark, sf_dir)
-    li = t["lineitem"].where(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
+    # respread AFTER the filter: pushdown reaches the scan, and the 8-way
+    # decimal aggregation's map side parallelizes even off an unsplittable
+    # single-row-group input (no-op when the scan is already parallel).
+    li = respread(
+        t["lineitem"].where(
+            F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date")
+        )
+    )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
     n = F.count("*")
