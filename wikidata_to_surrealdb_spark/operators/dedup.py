@@ -81,6 +81,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<string>) where sig[s] = min over shingles of
     md5('<s>:' || shingle).
@@ -90,8 +91,11 @@ def minhash_signatures(
     shuffle volume is ~ docs x seeds, independent of document length. The
     fully array-local alternative re-evaluates the tokenizer inside nested
     lambdas (no common-subexpression elimination across lambda scopes) and
-    is quadratic per row."""
-    sh = shingle_sets(df, text_col, id_col, k)
+    is quadratic per row.
+
+    ``shingles`` lets a caller share one (possibly persisted) shingle-set
+    DataFrame across the signature and verification stages."""
+    sh = shingles if shingles is not None else shingle_sets(df, text_col, id_col, k)
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("g"))
     seeded = exploded.select(
         id_col, "g", F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed")
@@ -154,11 +158,15 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs by exact k-gram Jaccard; keep >= threshold.
-    The shingle arrays are recomputed per side (cheaper than carrying them
-    through the candidate shuffle) and intersect array-locally."""
-    docs_sh = shingle_sets(docs, text_col, id_col, k)
+    Pass a persisted ``shingles`` DataFrame to avoid recomputing the
+    shingle arrays for each join side; the intersection itself is
+    array-local."""
+    docs_sh = (
+        shingles if shingles is not None else shingle_sets(docs, text_col, id_col, k)
+    )
     j = (
         pairs.join(docs_sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(docs_sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -184,10 +192,22 @@ def minhash_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
-    pairs -> Jaccard verification."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    pairs -> Jaccard verification.
+
+    The shingle sets feed three consumers (signatures + both verify join
+    sides), so they are computed once and persisted for the lifetime of
+    the plan — shingling is the single most expensive map stage in the
+    pipeline and re-deriving it 3x dominates runtime. MEMORY_AND_DISK so
+    a 100 TB corpus spills instead of OOMing; Spark evicts LRU once the
+    query finishes."""
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
-    return ngram_jaccard(pairs, df, text_col, id_col, k, threshold)
+    return ngram_jaccard(pairs, df, text_col, id_col, k, threshold, shingles=sh)
 
 
 def simhash_signatures(

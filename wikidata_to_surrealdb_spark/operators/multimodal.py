@@ -1,0 +1,211 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference's only multimodal surface is `CommonsMedia(String)` asset
+references (tables.rs / ClaimValueData) — a *pointer* to media, never the
+bytes. A training-data pipeline needs the bytes: this module treats
+image/audio/video as opaque ``binary`` columns with typed metadata and
+implements decode / feature-extract / frame-sample as Arrow-batched
+``mapInPandas`` operators.
+
+The real codec libraries (Pillow, torchaudio, av) are NOT in this
+container, so the decode step is pluggable: ``decoder="fake"`` is a
+deterministic byte-statistics decoder (fully tested, oracle-checkable);
+``decoder="pil"`` etc. raise ``NotImplementedError`` unless the lib
+imports. The Spark-side plumbing — schema, batch iteration, fan-out row
+counts, partitioning — is identical for both, which is the part that has
+to be right at 100 TB:
+
+- mapInPandas streams Arrow record batches: the full binary column never
+  materializes on the driver, and per-batch memory is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- payload bytes stay in the executor process; only extracted features
+  (tiny) cross the shuffle boundary afterwards;
+- frame sampling fans out 1 -> n_frames rows inside the iterator without
+  ever holding more than one input batch of payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
+        T.StructField("byte_min", T.IntegerType(), True),
+        T.StructField("byte_max", T.IntegerType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_hash", T.StringType(), True),
+        T.StructField("frame_bytes", T.LongType(), True),
+    ]
+)
+
+
+def documents_as_assets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stand-in asset table: encode each document's text as its binary
+    payload (the container has no real media files). All JVM-side — the
+    binary column is born on the executors, never on the driver."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("application/octet-stream").alias("mime"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+
+
+def _fake_decode(buf: bytes) -> dict:
+    """Deterministic byte-statistics 'decode' — the test/oracle path."""
+    return {
+        "n_bytes": len(buf),
+        "byte_sum": sum(buf),
+        "byte_min": min(buf) if buf else None,
+        "byte_max": max(buf) if buf else None,
+        "content_hash": hashlib.md5(buf).hexdigest(),
+    }
+
+
+def _pil_decode(buf: bytes) -> dict:
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - lib not in container
+        raise NotImplementedError(
+            "image decode requires Pillow, which is not installed in this "
+            "environment; use decoder='fake' for the deterministic "
+            "byte-statistics path"
+        ) from e
+    raise NotImplementedError("real image decode not wired up yet")
+
+
+_DECODERS = {"fake": _fake_decode, "pil": _pil_decode}
+
+
+def decode_features(
+    assets: DataFrame, decoder: str = "fake", batch_hint: int | None = None
+) -> DataFrame:
+    """payload -> per-asset feature row via Arrow-batched mapInPandas.
+
+    The iterator-of-batches form keeps peak memory at one Arrow batch of
+    payloads per task regardless of partition size; output rows are 1:1
+    with input rows, so no skew is introduced.
+
+    The decode closure is defined *inside* this function on purpose:
+    cloudpickle then ships it by value, so executors need neither this
+    package on their PYTHONPATH nor a matching working directory — the
+    deployment story for a 1000-executor cluster is "submit the job",
+    not "install the library everywhere".
+    """
+    if decoder not in _DECODERS:
+        raise ValueError(f"unknown decoder {decoder!r}; one of {sorted(_DECODERS)}")
+
+    if decoder == "fake":
+
+        def decode(buf: bytes) -> dict:
+            import hashlib as _hl
+
+            return {
+                "n_bytes": len(buf),
+                "byte_sum": sum(buf),
+                "byte_min": min(buf) if buf else None,
+                "byte_max": max(buf) if buf else None,
+                "content_hash": _hl.md5(buf).hexdigest(),
+            }
+
+    else:
+
+        def decode(buf: bytes) -> dict:
+            raise NotImplementedError(
+                "real image decode requires a codec lib (e.g. Pillow) not "
+                "installed in this environment; use decoder='fake'"
+            )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode(bytes(b)) for b in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return respread(assets).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(
+    assets: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Sample every ``stride``-th fixed-size frame from each payload —
+    the video-frame-sampling shape (1 row -> n_frames rows), done inside
+    the Arrow iterator so the fan-out never buffers a whole partition.
+
+    A real video pipeline swaps the byte-slicing for a container demuxer;
+    the Spark contract (schema, ordering, fan-out) is unchanged.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes, sizes = [], [], [], []
+            for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
+                buf = bytes(buf)
+                n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n_frames, stride):
+                    chunk = buf[k * frame_bytes : (k + 1) * frame_bytes]
+                    ids.append(asset_id)
+                    idxs.append(k)
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "frame_hash": hashes,
+                    "frame_bytes": sizes,
+                }
+            )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return respread(assets).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize placeholder: the real operator is mapInPandas with a
+    Pillow ``Image.resize`` per payload, same plumbing as decode_features.
+    Raises until an image codec is available in the environment."""
+    raise NotImplementedError(
+        "resize requires an image codec (Pillow) not present in this "
+        "container; plumbing-wise it is decode_features with a "
+        "bytes -> bytes transform"
+    )

@@ -619,6 +619,150 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "tpch_q6",
+    f"""
+    SELECT {fround_sql(dsum_sql("l_extendedprice * l_discount", 6), 2)} AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 forecasting revenue: pure scan + pushed predicates, scalar agg",
+    tags=("bench",),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        fround(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6), 2).alias("revenue")
+    )
+
+
+@_q(
+    "tpch_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {fround_sql(dsum_sql(_REVENUE, 6), 2)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-10-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 returned items: 4-way join + top-20 (deterministic "
+    "tie-break on rounded revenue, then custkey)",
+    tags=("bench",),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    orders = t["orders"].where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(fround(dsum(rev, 6), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "tpch_q14",
+    f"""
+    SELECT {fround_sql(
+        "100.0 * "
+        + dsum_sql("CASE WHEN p_type = 'PROMO' THEN " + _REVENUE + " ELSE 0 END", 6)
+        + " / " + dsum_sql(_REVENUE, 6),
+        4,
+    )} AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-10-01'
+    """,
+    "TPC-H Q14 promotion effect: fact filter + broadcast dim join + "
+    "conditional agg (p_type is a bare category in this testdata)",
+    tags=("bench",),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            fround(100.0 * dsum(promo, 6) / dsum(rev, 6), 4).alias("promo_revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q18",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING {dsum_sql("l_quantity", 2)} > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS odate, o.o_totalprice,
+           {fround_sql(dsum_sql("l.l_quantity", 2), 2)} AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE),
+             o.o_totalprice
+    """,
+    "TPC-H Q18 large-volume customers: self-aggregating semi-join "
+    "(HAVING subquery) then re-join + re-agg",
+    tags=("bench",),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("_sq"))
+        .where(F.col("_sq") > 300)
+        .select(F.col("l_orderkey").alias("_big_okey"))
+    )
+    return (
+        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("_big_okey"), "left_semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_totalprice",
+        )
+        .agg(fround(dsum(F.col("l_quantity"), 2), 2).alias("sum_qty"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication extensions
 # ---------------------------------------------------------------------------
@@ -766,6 +910,44 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@_q(
+    "dedup_embedding",
+    f"""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             array_to_string(list_transform(list_slice(embedding, 1, 4),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             {fround_sql(_EMB_COS.format(a="a.v", b="b2.v"), 4)} AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT id_b AS drop_id, min(id_a) AS keep_id FROM pairs
+    WHERE cosine >= 0.5 GROUP BY id_b
+    """,
+    "embedding-cosine near-dup: sign-LSH bucketed pairs at high threshold, "
+    "then keep-lowest-id per duplicate — the vector twin of MinHash dedup",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    pairs = similarity.ann_bucketed_pairs(
+        t["embeddings"], sign_bits=4, threshold=0.5
+    )
+    # every doc with a lower-id near-duplicate is dropped in favor of its
+    # lowest-id neighbor (deterministic single-pass survivorship; full
+    # transitive closure would need iterative connected components)
+    return pairs.groupBy(F.col("id_b").alias("drop_id")).agg(
+        F.min("id_a").alias("keep_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search extensions
 # ---------------------------------------------------------------------------
@@ -824,6 +1006,37 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return similarity.ann_bucketed_pairs(
         t["embeddings"], sign_bits=6, threshold=0.35
+    )
+
+
+@_q(
+    "sim_topk",
+    f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    )
+    SELECT vec_id, cosine FROM (
+      SELECT e.vec_id,
+             {fround_sql(_COS_SQL.format(a="list_transform(e.embedding, x -> x::DOUBLE)", b="q.qv"), 4)} AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    ) ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    "top-k cosine neighbors of a query vector (rounded-cosine then id "
+    "tie-break keeps the k-set deterministic); per-partition top-k merge "
+    "at scale, no full sort",
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    min_id = emb.agg(F.min("vec_id")).first()[0]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == min_id).first()["embedding"]]
+    cand = emb.where(F.col("vec_id") != min_id)
+    return (
+        similarity.brute_force_similar(cand, qv, threshold=-2.0)
+        .orderBy(F.desc("cosine"), F.col("vec_id"))
+        .limit(10)
     )
 
 
@@ -1050,6 +1263,31 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_props_json",
+    f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {fround_sql(dsum_sql("value", 2), 2)} AS total_value
+    FROM events GROUP BY 1
+    """,
+    "semi-structured JSON props extraction (get_json_object) + agg — the "
+    "schemaless-document idiom over a relational engine",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            fround(dsum(F.col("value"), 2), 2).alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns; decode is a deterministic fake —
 # real image/audio libs are not in this container)
@@ -1078,6 +1316,61 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "mm_decode_features",
+    """
+    WITH b AS (
+      SELECT doc_id AS asset_id, text,
+             list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+      FROM documents
+    )
+    SELECT asset_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+           CAST(list_min(bytes) AS INTEGER) AS byte_min,
+           CAST(list_max(bytes) AS INTEGER) AS byte_max,
+           md5(text) AS content_hash
+    FROM b
+    """,
+    "multimodal decode via Arrow-batched mapInPandas: binary payload -> "
+    "typed feature row (deterministic byte-stats decoder; oracle valid "
+    "because the testdata text is pure ASCII so chars == bytes)",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    t = register_views(spark, sf_dir)
+    assets = multimodal.documents_as_assets(t["documents"])
+    return multimodal.decode_features(assets, decoder="fake")
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    WITH b AS (
+      SELECT doc_id AS asset_id, text, length(text) AS n,
+             CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+      FROM documents
+    ), frames AS (
+      SELECT asset_id, unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx, text
+      FROM b
+    )
+    SELECT asset_id, frame_idx,
+           md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_hash,
+           CAST(length(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS frame_bytes
+    FROM frames
+    """,
+    "multimodal frame sampling: every 4th 64-byte frame per payload, "
+    "1 -> n fan-out inside the Arrow iterator (the video-frame shape)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    t = register_views(spark, sf_dir)
+    assets = multimodal.documents_as_assets(t["documents"])
+    return multimodal.frame_sample(assets, frame_bytes=64, stride=4)
+
+
 # ---------------------------------------------------------------------------
 # Structured streaming (real readStream; oracle = the batch-equivalent SQL)
 # ---------------------------------------------------------------------------
@@ -1096,6 +1389,43 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.streaming.events import windowed_counts_streaming
 
     return windowed_counts_streaming(spark, f"{sf_dir}/events.parquet")
+
+
+@_q(
+    "stream_sessionize_stateful",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > {_SESSION_GAP_SEC} * 1000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, us, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_sec,
+           {fround_sql(dsum_sql("value", 2), 2)} AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    "custom stateful streaming sessionization: applyInPandasWithState "
+    "keyed by user_id, state = (last event time, session ordinal); single "
+    "availableNow batch makes the emitted rows equal the batch "
+    "sessionization, so the same oracle applies",
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        sessionize_stateful_streaming,
+    )
+
+    return sessionize_stateful_streaming(
+        spark, f"{sf_dir}/events.parquet", gap_sec=_SESSION_GAP_SEC
+    )
 
 
 def queries() -> dict[str, SparkQuery]:

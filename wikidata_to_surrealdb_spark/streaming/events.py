@@ -50,6 +50,103 @@ def windowed_counts_stream_df(spark: SparkSession, events_path: str) -> DataFram
     )
 
 
+SESSION_SCHEMA = "user_id bigint, session_id bigint, n_events bigint, duration_sec bigint, session_value double"
+_STATE_SCHEMA = "last_us bigint, session_id bigint"
+
+
+def sessionize_stateful_stream_df(
+    spark: SparkSession, events_path: str, gap_sec: int = 1800
+) -> DataFrame:
+    """Custom stateful streaming operator: 30-min-gap sessionization via
+    ``applyInPandasWithState`` keyed by user_id.
+
+    State per user = (last event time, current session ordinal), so a later
+    micro-batch continues numbering where the previous one left off. Each
+    invocation sorts its batch's events, splits on the gap, and emits one
+    row per session *touched in this batch* (update semantics). When the
+    source delivers a single availableNow batch — the test/oracle setup —
+    the emitted rows are exactly the batch sessionization, so the
+    events_sessionize DuckDB oracle applies verbatim. At scale, state is
+    O(users), shuffle is the single hash-exchange on user_id, and Arrow
+    batches bound executor memory.
+    """
+    import os
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = stream.select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        last_us, session_id = state.get if state.exists else (None, 0)
+        rows = []
+        cur = None  # [n_events, min_us, max_us, value_cents]
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("us")
+            for us, value in zip(pdf["us"], pdf["value"]):
+                us = int(us)
+                if last_us is None or us - last_us > gap_sec * 1_000_000:
+                    if cur is not None:
+                        rows.append((user_id, session_id, *cur))
+                    session_id += 1
+                    cur = [0, us, us, 0]
+                cur[0] += 1
+                cur[2] = us
+                # exact cents so the decimal-sum oracle reproduces bit-for-bit
+                cur[3] += round(float(value) * 100)
+                last_us = us
+        if cur is not None:
+            rows.append((user_id, session_id, *cur))
+        state.update((last_us, session_id))
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_id": [r[1] for r in rows],
+                "n_events": [r[2] for r in rows],
+                "duration_sec": [(r[4] - r[3]) // 1_000_000 for r in rows],
+                "session_value": [r[5] / 100.0 for r in rows],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_stateful_streaming(
+    spark: SparkSession, events_path: str, gap_sec: int = 1800
+) -> DataFrame:
+    """Run the stateful sessionizer to completion (availableNow, single
+    batch) into a memory sink and return the materialized sessions."""
+    table = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stateful_stream_df(spark, events_path, gap_sec)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def windowed_counts_streaming(spark: SparkSession, events_path: str) -> DataFrame:
     """Run the stream to completion (availableNow) into a memory sink and
     return the materialized result — batch-equivalent by construction, so
