@@ -1,0 +1,109 @@
+"""Structured Streaming: stateful sessionization across micro-batches.
+
+The single-batch case is oracle-checked via the catalog
+(stream_sessionize_stateful). What this file pins down is the *stateful*
+part: a session spanning micro-batches must resume its running aggregates
+from the state store, and the last emission per (user, session) must equal
+the batch sessionization of the full data.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+GAP_SEC = 1800
+
+
+def _expected_sessions(rows):
+    """Reference sessionization in plain Python over (user_id, us, value)."""
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["value"]))
+    out = {}
+    for user, evs in by_user.items():
+        evs.sort()
+        sid, last, cur = 0, None, None
+        for us, value in evs:
+            if last is None or us - last > GAP_SEC * 1_000_000:
+                if cur is not None:
+                    out[(user, sid)] = tuple(cur)
+                sid += 1
+                cur = [0, us, us, 0]
+            cur[0] += 1
+            cur[2] = us
+            cur[3] += round(float(value) * 100)
+            last = us
+        out[(user, sid)] = tuple(cur)
+    return {
+        k: (v[0], (v[2] - v[1]) // 1_000_000, v[3] / 100.0)
+        for k, v in out.items()
+    }
+
+
+def test_state_resumes_across_batches(spark, tmp_path):
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        sessionize_stateful_stream_df,
+    )
+
+    events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", F.unix_micros("ts").alias("us"), "value")
+        .collect()
+    )
+    # 3 time-sliced files with increasing mtimes: the file source replays
+    # them as 3 chronological micro-batches (maxFilesPerTrigger=1), so
+    # most sessions span batch boundaries.
+    events.sort(key=lambda r: r["us"])
+    cuts = [len(events) // 3, 2 * len(events) // 3, len(events)]
+    src = tmp_path / "stream_src"
+    lo = 0
+    for i, hi in enumerate(cuts):
+        chunk = spark.createDataFrame(events[lo:hi])
+        chunk.coalesce(1).write.parquet(str(src / f"slice={i}"))
+        t = time.time() + i  # strictly increasing per slice
+        for root, _, files in os.walk(src / f"slice={i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        lo = hi
+
+    stream = (
+        spark.readStream.schema("user_id bigint, us bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    import wikidata_to_surrealdb_spark.streaming.events as ev
+
+    sessions_df = ev.apply_sessionize(stream, gap_sec=GAP_SEC)
+
+    table = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(table).collect()
+
+    # progress: at least one session must have been emitted more than once
+    # (i.e. extended across a batch boundary)
+    from collections import Counter
+
+    emissions = Counter((r["user_id"], r["session_id"]) for r in emitted)
+    assert max(emissions.values()) > 1, "no session spanned a batch boundary"
+
+    # last emission per (user, session) == batch sessionization
+    final: dict = {}
+    for r in emitted:
+        key = (r["user_id"], r["session_id"])
+        if key not in final or r["n_events"] > final[key][0]:
+            final[key] = (r["n_events"], r["duration_sec"], r["session_value"])
+    assert final == _expected_sessions(events)

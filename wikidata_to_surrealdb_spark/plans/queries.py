@@ -1040,6 +1040,47 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K = 4
+
+
+@_q(
+    "sim_ivf",
+    f"""
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), scored AS (
+      SELECT v.vec_id, c.cell,
+             {fround_sql(_COS_SQL.format(a="v.v", b="c.cv"), 4)} AS cos
+      FROM v CROSS JOIN c
+    ), ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+      FROM scored
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM ranked WHERE rn = 1
+    """,
+    "IVF coarse quantization: nearest-centroid assignment (centroids = "
+    "4 lowest-id vectors, a deterministic stand-in for trained k-means); "
+    "map-only with literal centroids — at scale the output partitions by "
+    "cell so probes become partition pruning",
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(_IVF_K).collect()
+    ]
+    return similarity.ivf_assign(emb, cents).select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extensions
 # ---------------------------------------------------------------------------

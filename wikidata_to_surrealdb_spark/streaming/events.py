@@ -51,7 +51,10 @@ def windowed_counts_stream_df(spark: SparkSession, events_path: str) -> DataFram
 
 
 SESSION_SCHEMA = "user_id bigint, session_id bigint, n_events bigint, duration_sec bigint, session_value double"
-_STATE_SCHEMA = "last_us bigint, session_id bigint"
+# state carries the OPEN session's running aggregates, not just a cursor:
+# a session spanning micro-batches must resume its counts, and value is
+# kept in exact integer cents so resumed sums stay decimal-exact.
+_STATE_SCHEMA = "session_id bigint, n_events bigint, min_us bigint, last_us bigint, cents bigint"
 
 
 def sessionize_stateful_stream_df(
@@ -60,19 +63,18 @@ def sessionize_stateful_stream_df(
     """Custom stateful streaming operator: 30-min-gap sessionization via
     ``applyInPandasWithState`` keyed by user_id.
 
-    State per user = (last event time, current session ordinal), so a later
-    micro-batch continues numbering where the previous one left off. Each
-    invocation sorts its batch's events, splits on the gap, and emits one
-    row per session *touched in this batch* (update semantics). When the
-    source delivers a single availableNow batch — the test/oracle setup —
-    the emitted rows are exactly the batch sessionization, so the
-    events_sessionize DuckDB oracle applies verbatim. At scale, state is
-    O(users), shuffle is the single hash-exchange on user_id, and Arrow
-    batches bound executor memory.
+    State per user = the OPEN session's running aggregates (ordinal, count,
+    min/max event time, exact value cents), so a session spanning
+    micro-batches resumes where it left off — the update stream re-emits
+    that session with its cumulative totals, and the LAST emission per
+    (user_id, session_id) equals the batch sessionization (events must
+    arrive time-ordered across batches, the file-source contract here).
+    With a single availableNow batch the emitted rows ARE the batch
+    sessionization, so the events_sessionize DuckDB oracle applies
+    verbatim. At scale, state is O(users), the only shuffle is the hash
+    exchange on user_id, and Arrow batches bound executor memory.
     """
     import os
-
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     schema = spark.read.parquet(events_path).schema
     stream = (
@@ -85,14 +87,25 @@ def sessionize_stateful_stream_df(
     events = stream.select(
         "user_id", F.unix_micros("ts").alias("us"), "value"
     )
+    return apply_sessionize(events, gap_sec=gap_sec)
+
+
+def apply_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Wire the stateful sessionizer onto a prepared streaming DataFrame
+    with columns (user_id, us: bigint micros, value). Split out so tests
+    can drive it from a multi-file (multi-batch) source."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def sessionize(key, pdf_iter, state: GroupState):
         import pandas as pd
 
         (user_id,) = key
-        last_us, session_id = state.get if state.exists else (None, 0)
+        if state.exists:
+            session_id, n_events, min_us, last_us, cents = state.get
+            cur = [n_events, min_us, last_us, cents]
+        else:
+            session_id, last_us, cur = 0, None, None
         rows = []
-        cur = None  # [n_events, min_us, max_us, value_cents]
         for pdf in pdf_iter:
             pdf = pdf.sort_values("us")
             for us, value in zip(pdf["us"], pdf["value"]):
@@ -108,8 +121,10 @@ def sessionize_stateful_stream_df(
                 cur[3] += round(float(value) * 100)
                 last_us = us
         if cur is not None:
+            # snapshot of the still-open session: cumulative, re-emitted
+            # (and superseded) if a later batch extends it
             rows.append((user_id, session_id, *cur))
-        state.update((last_us, session_id))
+            state.update((session_id, cur[0], cur[1], cur[2], cur[3]))
         yield pd.DataFrame(
             {
                 "user_id": [r[0] for r in rows],
