@@ -180,3 +180,71 @@ def test_strict_mode_raises(spark, tmp_path):
         parse_entities(lines, strict=True)
     # permissive: bad line skipped
     assert parse_entities(lines, strict=False).count() == 1
+
+
+def test_claims_long_roundtrip(spark, entity_tables):
+    """Long format explodes every claim exactly once, preserves the flatten
+    order, and answers the array-filter idiom as a plain filtered scan."""
+    from wikidata_to_surrealdb_spark.operators.ingest import claims_long
+
+    t = entity_tables
+    long = claims_long(t.claims)
+    n_arr = t.claims.select(F.sum(F.size("claims"))).first()[0]
+    assert long.count() == n_arr
+    # G1 via the long table: first P1113 main claim of Black Clover s1
+    bc = t.entity.where(F.col("label") == "Black Clover, season 1").first()
+    amt = (
+        long.where(
+            (F.col("claims_id.tb") == bc["claims"]["tb"])
+            & (F.col("claims_id.id") == bc["claims"]["id"])
+            & (F.col("claim_tb") == "Property")
+            & (F.col("claim_pid") == 1113)
+        )
+        .orderBy("pos")
+        .first()["value"]["quantity"]["amount"]
+    )
+    assert amt == 51.0
+
+
+def test_env_driven_main(spark, tmp_path, monkeypatch):
+    """The reference's env-var contract (main.rs:14-43) drives the same
+    pipeline here; BulkFilter reads FILTER_PATH SQL."""
+    from tests import wikidata_fixtures as fx
+    from wikidata_to_surrealdb_spark import main as wd_main
+
+    dump = tmp_path / "dump.json"
+    fx.write_fixture(str(dump), fx.entity_fixture_lines(wrapper=True))
+    out = tmp_path / "out"
+    monkeypatch.setenv("WIKIDATA_FILE_NAME", str(dump))
+    monkeypatch.setenv("WIKIDATA_FILE_FORMAT", "json")
+    monkeypatch.setenv("WIKIDATA_LANG", "en")
+    monkeypatch.setenv("CREATE_VERSION", "Bulk")
+    monkeypatch.setenv("WIKIDATA_OUT_DIR", str(out))
+    assert wd_main.run_from_env(spark) == str(out)
+    ent = spark.read.parquet(f"{out}/Entity.parquet")
+    assert ent.where(F.col("label") == "Black Clover, season 1").count() == 1
+
+    # BulkFilter: keep only entities that have claim P1113
+    flt = tmp_path / "filter.sql"
+    flt.write_text(
+        "SELECT e.id FROM Entity e JOIN Claims c ON e.claims = c.id "
+        "WHERE size(filter(c.claims, x -> x.id.tb = 'Property' AND x.id.id = 1113)) > 0"
+    )
+    monkeypatch.setenv("CREATE_VERSION", "BulkFilter")
+    monkeypatch.setenv("FILTER_PATH", str(flt))
+    monkeypatch.setenv("WIKIDATA_OUT_DIR", str(tmp_path / "out2"))
+    wd_main.run_from_env(spark)
+    ent2 = spark.read.parquet(f"{tmp_path}/out2/Entity.parquet")
+    assert ent2.count() == 1
+
+
+def test_env_main_validation(monkeypatch):
+    from wikidata_to_surrealdb_spark import main as wd_main
+
+    monkeypatch.delenv("WIKIDATA_FILE_NAME", raising=False)
+    with pytest.raises(ValueError, match="WIKIDATA_FILE_NAME"):
+        wd_main.run_from_env(object())
+    monkeypatch.setenv("WIKIDATA_FILE_NAME", "/nope")
+    monkeypatch.setenv("CREATE_VERSION", "ThreadedSingle")
+    with pytest.raises(ValueError, match="CREATE_VERSION"):
+        wd_main.run_from_env(object())

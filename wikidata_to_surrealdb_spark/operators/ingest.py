@@ -387,6 +387,31 @@ def apply_ingest_filter(
     )
 
 
+def claims_long(claims: DataFrame) -> DataFrame:
+    """Long-format claims: one row per flattened claim, with the Thing id
+    split into plain columns.
+
+    The performance-oriented alternative to the per-entity claims array
+    (SURVEY §4.1): ``claims[WHERE id = Property:P]`` becomes a plain
+    filtered scan whose ``claim_pid = P`` predicate pushes down to
+    parquet, and claim-value joins co-partition on (claim_tb, claim_pid).
+    ``pos`` preserves the reference's flatten order (mainsnak before its
+    qualifiers, tables.rs:76-103), so the array form is reconstructible.
+    At 100 TB, materialize this partitioned by claim_tb and bucketed by
+    claim_pid so per-property analytics prune to single partitions.
+    """
+    return claims.select(
+        F.col("id").alias("claims_id"),
+        F.posexplode("claims").alias("pos", "claim"),
+    ).select(
+        "claims_id",
+        "pos",
+        F.col("claim.id.tb").alias("claim_tb"),
+        F.col("claim.id.id").alias("claim_pid"),
+        F.col("claim.value").alias("value"),
+    )
+
+
 def write_tables(
     tables: WikidataTables, out_dir: str, mode: str = "overwrite"
 ) -> None:
