@@ -482,6 +482,105 @@ def wd_claims_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "agg_rollup",
+    f"""
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           {fround_sql(dsum_sql("c.c_acctbal", 2), 2)} AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "hierarchical ROLLUP aggregation (region -> nation -> grand total); "
+    "one shuffle, partial aggs collapse map-side per grouping set "
+    "(names are non-null in this schema, so coalesce marks the ALL rows)",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            fround(dsum(F.col("c_acctbal"), 2), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@_q(
+    "window_rank",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             CAST(row_number() OVER (PARTITION BY c.c_custkey
+               ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rk
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ) WHERE rk <= 3
+    """,
+    "window function: top-3 orders per customer by row_number (total "
+    "tie-break on orderkey); partitions by customer so rank state never "
+    "crosses executors",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = register_views(spark, sf_dir)
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+@_q(
+    "set_ops",
+    """
+    SELECT c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "set operators: INTERSECT + EXCEPT (distinct semantics) — shuffle on "
+    "the key, map-side distinct first",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    o = t["orders"]
+    finished = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    big = o.where(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return finished.intersect(big).subtract(urgent)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H headline queries (bench + correctness)
 # ---------------------------------------------------------------------------
