@@ -1,0 +1,107 @@
+"""Plan-quality regression tests: the properties that matter at 100 TB.
+
+Correctness is covered by the oracle suite; these tests pin the *physical
+plans* — predicate pushdown reaching the parquet scan, column pruning,
+broadcast of filtered dimensions, and no Python evaluation in JVM-only
+hot paths. A refactor that silently turns a pushed filter into a
+post-scan filter or un-broadcasts a dim join fails here, not in prod.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wikidata_to_surrealdb_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "b02_scalar_filter")
+    assert "PushedFilters: [IsNotNull(o_orderpriority)" in plan or (
+        "EqualTo(o_orderpriority,1-URGENT)" in plan
+    ), plan
+
+
+def test_column_pruning(spark):
+    # q3 touches 4 of 11 lineitem columns; the scan must not read more
+    import re
+
+    plan = _plan(spark, "tpch_q3")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li, plan
+    read_cols = {c.split(":")[0] for c in li[0].split(",")}
+    assert read_cols == {"l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q5", "tpch_q10", "b03_link_join"])
+def test_dim_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q1",
+        "b14_fts",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_quality",
+        "text_fingerprint",
+        "sim_bruteforce",
+        "events_sessionize",
+        "wd_claims_path",
+    ],
+)
+def test_hot_paths_are_jvm_only(spark, name):
+    """No row-at-a-time or Arrow Python evaluation inside the declared
+    JVM-only operators — everything must stay in codegen."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
+def test_multimodal_is_arrow_batched(spark):
+    plan = _plan(spark, "mm_decode_features")
+    assert "MapInPandas" in plan  # and not per-row BatchEvalPython
+    assert "BatchEvalPython" not in plan
+
+
+def test_ingest_is_shuffle_free_until_dedup(spark, tmp_path):
+    """The dump->tables pipeline's only wide operator is the id-collision
+    window; parsing/flattening/routing must stay narrow."""
+    from tests import wikidata_fixtures as fx
+    from wikidata_to_surrealdb_spark.operators.ingest import (
+        load_dump,
+        parse_entities,
+        transform_entities,
+    )
+    from wikidata_to_surrealdb_spark.sources.dump_reader import read_dump_lines
+
+    path = tmp_path / "dump.json"
+    fx.write_fixture(str(path), fx.entity_fixture_lines(wrapper=True))
+    transformed = transform_entities(
+        parse_entities(read_dump_lines(spark, str(path), "json"))
+    )
+    plan = transformed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_snowball_gate(spark):
+    from wikidata_to_surrealdb_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(NotImplementedError, match="snowball"):
+        text.analyze_text(docs, stemmer="snowball")
+    with pytest.raises(ValueError, match="unknown stemmer"):
+        text.analyze_text(docs, stemmer="porter")

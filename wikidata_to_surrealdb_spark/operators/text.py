@@ -57,16 +57,68 @@ def _stem_sql(tok: str) -> str:
     )
 
 
-def analyze_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def analyze_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stemmer: str = "suffix",
+) -> DataFrame:
     """FTS analyzer (B14): doc -> exploded (id, term) rows, lowercased,
-    ascii-folded, stemmed. The downstream inverted index is a groupBy."""
+    ascii-folded, stemmed. The downstream inverted index is a groupBy.
+
+    ``stemmer='suffix'`` (default) is the JVM-side rule chain;
+    ``stemmer='snowball'`` is the reference's exact snowball(english)
+    filter as an Arrow-batched pandas UDF, available only when a snowball
+    implementation (nltk / snowballstemmer / PyStemmer) is importable —
+    none ship in this container, so the gate raises until one does.
+    """
     from wikidata_to_surrealdb_spark.functions import respread
 
     toks = F.transform(tokens_col(text_col), ascii_fold)
     exploded = respread(df).select(F.col(id_col), F.explode(toks).alias("raw_term"))
+    if stemmer == "suffix":
+        term = F.expr(_stem_sql("raw_term"))
+    elif stemmer == "snowball":
+        term = _snowball_udf()(F.col("raw_term"))
+    else:
+        raise ValueError(f"unknown stemmer {stemmer!r}; 'suffix' or 'snowball'")
     return exploded.select(
-        id_col, F.expr(_stem_sql("raw_term")).alias("term")
+        id_col, term.alias("term")
     ).where(F.length("term") > 0)
+
+
+def _snowball_udf():
+    """Pandas UDF wrapping a real snowball(english) stemmer; ImportError
+    -> NotImplementedError so callers get a clear gate, not a worker crash."""
+    try:
+        import snowballstemmer  # noqa: F401
+    except ImportError:
+        try:
+            from nltk.stem.snowball import SnowballStemmer  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "stemmer='snowball' needs snowballstemmer or nltk, neither "
+                "is installed; use the default stemmer='suffix'"
+            ) from e
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def stem(terms):  # pragma: no cover - lib not in container
+        import pandas as pd
+
+        try:
+            import snowballstemmer
+
+            s = snowballstemmer.stemmer("english")
+            return pd.Series(s.stemWords(list(terms)))
+        except ImportError:
+            from nltk.stem.snowball import SnowballStemmer
+
+            s = SnowballStemmer("english")
+            return pd.Series([s.stem(t) for t in terms])
+
+    return stem
 
 
 def inverted_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
