@@ -221,12 +221,18 @@ def flat_claims_expr(claims_col: str = "claims") -> str:
 
 @dataclass
 class WikidataTables:
-    """The 4-table entity graph, as DataFrames. ``views()`` registers them."""
+    """The 4-table entity graph, as DataFrames. ``views()`` registers them.
+
+    ``staged_parent`` is the single transformed DataFrame all four tables
+    derive from; consumers that materialize more than one table should
+    persist it first (write_tables does) so the dump is parsed once.
+    """
 
     entity: DataFrame
     property: DataFrame
     lexeme: DataFrame
     claims: DataFrame
+    staged_parent: DataFrame | None = None
 
     def as_dict(self) -> dict[str, DataFrame]:
         return {
@@ -331,6 +337,7 @@ def build_tables(transformed: DataFrame) -> WikidataTables:
         property=route("Property"),
         lexeme=route("Lexeme"),
         claims=claims,
+        staged_parent=transformed,
     )
 
 
@@ -384,6 +391,7 @@ def apply_ingest_filter(
         property=tables.property,
         lexeme=tables.lexeme,
         claims=claims,
+        staged_parent=tables.staged_parent,
     )
 
 
@@ -413,10 +421,28 @@ def claims_long(claims: DataFrame) -> DataFrame:
 
 
 def write_tables(
-    tables: WikidataTables, out_dir: str, mode: str = "overwrite"
+    tables: WikidataTables, out_dir: str, mode: str = "overwrite", stage: bool = True
 ) -> None:
     """Persist the 4 tables as Parquet (the reference's bulk sink,
-    utils.rs:152-160, minus the HTTP hop). At cluster scale, callers should
-    repartition by id hash first for downstream join locality."""
-    for name, df in tables.as_dict().items():
-        df.write.mode(mode).parquet(f"{out_dir}/{name}.parquet")
+    utils.rs:152-160, minus the HTTP hop).
+
+    All four outputs derive from ONE parsed/transformed pass over the
+    dump; without staging, each write would re-scan and re-parse the raw
+    JSON — 4x the dominant CPU cost at 100 TB. ``stage=True`` persists the
+    shared transformed parent (MEMORY_AND_DISK: spills rather than OOMs at
+    scale, and spilled Tungsten rows are far cheaper to re-read than
+    re-parsing JSON) for the duration of the writes. At cluster scale,
+    callers should additionally repartition by id hash for downstream join
+    locality (see sources/bucketing.py).
+    """
+    from pyspark import StorageLevel
+
+    parent = tables.staged_parent if stage else None
+    if parent is not None:
+        parent.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for name, df in tables.as_dict().items():
+            df.write.mode(mode).parquet(f"{out_dir}/{name}.parquet")
+    finally:
+        if parent is not None:
+            parent.unpersist()
