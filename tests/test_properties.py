@@ -1,0 +1,165 @@
+"""Property-based tests (hypothesis) for the cross-engine primitives and
+ingest invariants.
+
+The oracle suite checks fixed queries; these check the *rules* the suite
+leans on: fround/dsum must agree between DuckDB and exact decimal
+arithmetic for any 2-decimal money values (the .xx5 boundary is exactly
+where naive ROUND diverges between engines), and the claims flattener
+must preserve counts/routing for arbitrary entity shapes.
+"""
+
+from __future__ import annotations
+
+import json
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from wikidata_to_surrealdb_spark.functions import dsum_sql, fround_sql
+
+money = st.decimals(
+    min_value=Decimal("-99999.99"),
+    max_value=Decimal("99999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+@given(st.lists(money, min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_dsum_fround_matches_exact_decimal(values):
+    """floor-round(decimal-sum) in DuckDB == exact Decimal arithmetic.
+    This is the portability contract every money aggregate relies on."""
+    lits = ", ".join(f"({v})" for v in values)
+    got = duckdb.sql(
+        f"SELECT {fround_sql(dsum_sql('x', 2), 2)} AS r FROM (VALUES {lits}) t(x)"
+    ).fetchone()[0]
+    exact = sum(Decimal(str(v)) for v in values)
+    expect = float(
+        (exact * 100 + Decimal("0.5")).to_integral_value(rounding="ROUND_FLOOR") / 100
+    )
+    assert got == pytest.approx(expect, abs=1e-9)
+
+
+@given(
+    st.decimals(
+        min_value=Decimal("-9999.9999"),
+        max_value=Decimal("9999.9999"),
+        places=4,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_fround_cross_engine_determinism(value, decimals):
+    """The floor(x*f+0.5) form is pure IEEE double arithmetic, so every
+    engine computes the identical bits — THIS is why the oracle hashes
+    match where naive ROUND diverges at .xx5 boundaries. (On negatives it
+    is half-toward-+inf, not decimal half-up; consistent everywhere.)"""
+    import math
+
+    got = duckdb.sql(f"SELECT {fround_sql(str(value), decimals)}").fetchone()[0]
+    f = 10**decimals
+    expect = math.floor(float(value) * f + 0.5) / f
+    assert got == expect
+
+
+def test_fround_half_up_on_exact_ties():
+    """On non-negative exactly-representable ties (the money domain),
+    the floor form IS decimal half-up."""
+    for expr, decimals, expect in [
+        ("1.25", 1, 1.3),
+        ("2.5", 0, 3.0),
+        ("0.125", 2, 0.13),
+    ]:
+        got = duckdb.sql(f"SELECT {fround_sql(expr, decimals)}").fetchone()[0]
+        assert got == expect, (expr, got)
+
+
+entity_ids = st.tuples(
+    st.sampled_from("QPL"), st.integers(min_value=1, max_value=10**8)
+)
+
+
+@st.composite
+def entities(draw):
+    prefix, num = draw(entity_ids)
+    typ = {"Q": "item", "P": "property", "L": "lexeme"}[prefix]
+    n_props = draw(st.integers(min_value=0, max_value=3))
+    claims = {}
+    total_snaks = 0
+    for p in range(n_props):
+        pid = f"P{p + 1}"
+        stmts = []
+        for _ in range(draw(st.integers(min_value=1, max_value=2))):
+            n_quals = draw(st.integers(min_value=0, max_value=2))
+            stmt = {
+                "mainsnak": {
+                    "snaktype": "value",
+                    "property": pid,
+                    "datatype": "string",
+                    "datavalue": {"type": "string", "value": draw(st.text(max_size=8))},
+                },
+                "type": "statement",
+                "rank": "normal",
+            }
+            if n_quals:
+                stmt["qualifiers"] = {
+                    "P99": [
+                        {
+                            "snaktype": "value",
+                            "property": "P99",
+                            "datatype": "string",
+                            "datavalue": {"type": "string", "value": "q"},
+                        }
+                    ]
+                    * n_quals
+                }
+            total_snaks += 1 + n_quals
+            stmts.append(stmt)
+        claims[pid] = stmts
+    label = draw(st.text(max_size=12))
+    return (
+        {
+            "type": typ,
+            "id": f"{prefix}{num}",
+            "labels": {"en": {"language": "en", "value": label}},
+            "claims": claims,
+        },
+        total_snaks,
+        label,
+    )
+
+
+@given(st.lists(entities(), min_size=1, max_size=6, unique_by=lambda e: e[0]["id"]))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ingest_invariants(spark, tmp_path_factory, drawn):
+    """For arbitrary entity shapes: every entity routes to the table its
+    id prefix names, the flat claims array has exactly one element per
+    mainsnak + qualifier, and the selected-language label round-trips."""
+    from wikidata_to_surrealdb_spark.operators.ingest import load_dump
+
+    path = tmp_path_factory.mktemp("hyp") / "dump.json"
+    path.write_text(
+        "\n".join(json.dumps(e) for e, _, _ in drawn), encoding="utf-8"
+    )
+    t = load_dump(spark, str(path), "json", lang="en")
+    tables = {"Q": t.entity, "P": t.property, "L": t.lexeme}
+    claims_by_id = {
+        r["id"]["id"]: r["claims"] for r in t.claims.collect()
+    }
+    minis = {
+        prefix: {r["id"]["id"]: r for r in df.collect()}
+        for prefix, df in tables.items()
+    }
+    for e, n_snaks, label in drawn:
+        prefix, num = e["id"][0], int(e["id"][1:])
+        row = minis[prefix].get(num)
+        assert row is not None, f"{e['id']} not routed"
+        assert row["label"] == label
+        assert len(claims_by_id[num]) == n_snaks, e["id"]

@@ -107,3 +107,62 @@ def test_state_resumes_across_batches(spark, tmp_path):
         if key not in final or r["n_events"] > final[key][0]:
             final[key] = (r["n_events"], r["duration_sec"], r["session_value"])
     assert final == _expected_sessions(events)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append mode + 1h watermark: an event arriving hours behind the
+    stream's max event time is dropped; on-time windows emit exactly once
+    with on-time counts."""
+    import datetime as dt
+
+    from wikidata_to_surrealdb_spark.streaming.events import apply_windowed_counts
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(batch, rows):
+        df = spark.createDataFrame(
+            [(base + dt.timedelta(minutes=m), "click") for m in rows],
+            "ts timestamp, event_type string",
+        )
+        p = tmp_path / "wsrc" / f"b={batch}"
+        df.coalesce(1).write.parquet(str(p))
+        t = time.time() + batch
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    # batch 0: 3 events in [10:00,11:00) and 1 at 13:30 (advances max
+    # event time to 13:30 -> watermark 12:30 from the next batch on)
+    mk(0, [0, 10, 20, 210])
+    # batch 1: watermark 12:30 passes the 10:00 window's end -> it emits
+    # with its 3 on-time events and its state is evicted
+    mk(1, [220])
+    # batch 2: an event at 10:40 arrives AFTER the 10:00 window closed —
+    # beyond the watermark, state gone, it must be dropped silently
+    mk(2, [40])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "wsrc"))
+    )
+    table = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        apply_windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(table).collect()
+    h10 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    h10_rows = [r for r in rows if r["hour_start"] == h10]
+    # the 10:00 window emitted exactly once, with only its 3 on-time
+    # events — the post-eviction late event neither re-emitted nor
+    # resurrected it
+    assert [r["n_events"] for r in h10_rows] == [3], rows
+    # the still-open 13:00 window has not emitted in append mode
+    h13 = h10 + 3 * 3600
+    assert not [r for r in rows if r["hour_start"] == h13], rows

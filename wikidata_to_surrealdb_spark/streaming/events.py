@@ -38,8 +38,16 @@ def windowed_counts_stream_df(spark: SparkSession, events_path: str) -> DataFram
     # nanos-as-long parquet: restore a proper event-time column
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return apply_windowed_counts(stream)
+
+
+def apply_windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1h tumbling-window counts with an event-time watermark. In append
+    mode a window only emits once the watermark passes its end, and events
+    arriving later than the watermark are dropped — the bounded-state
+    contract that keeps this runnable forever at scale."""
     return (
-        stream.withWatermark("ts", "1 hour")
+        stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
