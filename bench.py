@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
     "tpch_q10",
     "tpch_q14",
     "tpch_q18",

@@ -166,3 +166,55 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the still-open 13:00 window has not emitted in append mode
     h13 = h10 + 3 * 3600
     assert not [r for r in rows if r["hour_start"] == h13], rows
+
+
+def test_parquet_sink_checkpoint_recovery(spark, tmp_path):
+    """File sink + checkpoint = exactly-once across restarts: a second run
+    with the same checkpoint only processes files added since the first,
+    and never re-emits already-committed windows."""
+    import datetime as dt
+
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        apply_windowed_counts,
+        stream_to_parquet,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(batch, rows):
+        df = spark.createDataFrame(
+            [(base + dt.timedelta(minutes=m), "click") for m in rows],
+            "ts timestamp, event_type string",
+        )
+        p = tmp_path / "src" / f"b={batch}"
+        df.coalesce(1).write.parquet(str(p))
+        t = time.time() + batch
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    def run():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .parquet(str(tmp_path / "src"))
+        )
+        stream_to_parquet(
+            apply_windowed_counts(stream),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+
+    # run 1: the 10:00 window closes (watermark driven past it) and commits
+    mk(0, [0, 10, 20, 210])
+    mk(1, [220])
+    run()
+    first = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert {(r["hour_start"] % 86400 // 3600, r["n_events"]) for r in first} == {(10, 3)}
+
+    # run 2 (restart, same checkpoint): only the new file is consumed; the
+    # 13:00 window closes now and the 10:00 window is NOT re-emitted
+    mk(2, [400])  # 16:40 -> watermark 15:40 closes [13:00,14:00)
+    run()
+    second = spark.read.parquet(str(tmp_path / "out")).collect()
+    got = sorted((r["hour_start"] % 86400 // 3600, r["n_events"]) for r in second)
+    assert got == [(10, 3), (13, 2)], got

@@ -170,6 +170,32 @@ def sessionize_stateful_streaming(
     return spark.table(table)
 
 
+def stream_to_parquet(
+    result: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> None:
+    """Run a streaming result to completion (availableNow) into a parquet
+    file sink with a checkpoint — the production sink shape.
+
+    Exactly-once comes from the pair: the checkpoint records which source
+    files each batch consumed, and the file sink's _spark_metadata commit
+    log records which output files each batch produced; a restart replays
+    neither. Stopping mid-run and restarting with the same checkpoint
+    resumes from the last committed batch (tested in test_streaming.py).
+    """
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_counts_streaming(spark: SparkSession, events_path: str) -> DataFrame:
     """Run the stream to completion (availableNow) into a memory sink and
     return the materialized result — batch-equivalent by construction, so
