@@ -248,3 +248,35 @@ def test_env_main_validation(monkeypatch):
     monkeypatch.setenv("CREATE_VERSION", "ThreadedSingle")
     with pytest.raises(ValueError, match="CREATE_VERSION"):
         wd_main.run_from_env(object())
+
+
+def test_minhash_collapse_exact(spark):
+    """On a duplicate-dense corpus, collapse_exact reports the same
+    near-dup structure as running on distinct texts, without the b^2
+    within-bucket pair blowup of b identical copies."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # 4 exact copies of every doc, ids spread so copies are not adjacent
+    dup = (
+        docs.crossJoin(spark.range(4).select(F.col("id").alias("_r")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r") * 1_000_000)
+        .drop("_r")
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup(
+            dup, num_hashes=8, bands=4, k=3, threshold=0.1, collapse_exact=True
+        ).collect()
+    }
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup(
+            docs, num_hashes=8, bands=4, k=3, threshold=0.1
+        ).collect()
+    }
+    # representatives are the original (lowest) ids, so the pair sets match
+    assert got == expect
+    assert len(got) > 0

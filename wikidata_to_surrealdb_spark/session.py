@@ -49,6 +49,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # zstd parquet output: ~30% smaller than snappy at comparable
+        # speed — at 100 TB the write/read volume saved dwarfs the CPU
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark's
         # vectorized reader rejects; read as long and convert at the source
