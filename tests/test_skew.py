@@ -1,0 +1,71 @@
+"""Salted join: result parity with a plain join + hot-key spreading."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata_to_surrealdb_spark.operators.skew import (
+    SALT_COL,
+    _deterministic_salt,
+    salted_join,
+)
+
+
+def _skewed_frames(spark):
+    # 20k rows of key=1 (the hot key) + 2k scattered keys
+    big = spark.range(22000).select(
+        F.when(F.col("id") < 20000, 1).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") * 7).alias("payload"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("sk"), F.concat(F.lit("dim_"), F.col("id")).alias("name")
+    )
+    return big, small
+
+
+def test_salted_join_matches_plain_join(spark):
+    big, small = _skewed_frames(spark)
+    plain = big.join(small, big["k"] == small["sk"]).agg(
+        F.count("*"), F.sum("payload")
+    ).first()
+    salted = salted_join(big, small, "k", "sk", salt=8).agg(
+        F.count("*"), F.sum("payload")
+    ).first()
+    assert tuple(salted) == tuple(plain)
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big, small = _skewed_frames(spark)
+    small_half = small.where(F.col("sk") < 50)
+    plain = big.join(small_half, big["k"] == small_half["sk"], "left").count()
+    salted = salted_join(big, small_half, "k", "sk", salt=8, how="left").count()
+    assert salted == plain == big.count()
+
+
+def test_hot_key_spreads_over_salts(spark):
+    big, _ = _skewed_frames(spark)
+    salts = (
+        big.withColumn(SALT_COL, _deterministic_salt(big, 8))
+        .where(F.col("k") == 1)
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert salts == 8  # the hot key's rows now occupy 8 shuffle partitions
+
+
+def test_hot_keys_limits_small_side_replication(spark):
+    big, small = _skewed_frames(spark)
+    plain = big.join(small, big["k"] == small["sk"]).count()
+    salted = salted_join(big, small, "k", "sk", salt=8, hot_keys=[1])
+    assert salted.count() == plain
+    # replication factor: only the hot key is replicated 8x
+    s = small.withColumn(
+        SALT_COL,
+        F.explode(
+            F.when(
+                F.col("sk").isin([1]), F.sequence(F.lit(0), F.lit(7))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    assert s.count() == 100 + 7
