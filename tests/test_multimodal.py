@@ -74,3 +74,21 @@ def test_real_codec_paths_are_gated(assets):
         multimodal.decode_features(assets, decoder="pil").collect()
     with pytest.raises(NotImplementedError):
         multimodal.resize_stub(assets, 224, 224)
+
+
+def test_commons_assets_bridge(spark, tmp_path_factory):
+    """CommonsMedia claim values surface as typed asset references with
+    mime guess and canonical Commons URL."""
+    from tests import wikidata_fixtures as fx
+    from wikidata_to_surrealdb_spark.operators.ingest import load_dump
+
+    path = tmp_path_factory.mktemp("mm") / "Entity.json"
+    fx.write_fixture(str(path), fx.entity_fixture_lines(wrapper=True))
+    t = load_dump(spark, str(path), "json", lang="en")
+    assets = multimodal.commons_assets(t.claims).collect()
+    by_name = {r["file_name"]: r for r in assets}
+    assert "Foo.jpg" in by_name, assets
+    row = by_name["Foo.jpg"]
+    assert row["mime"] == "image/jpeg"
+    assert row["url"] == "https://commons.wikimedia.org/wiki/Special:FilePath/Foo.jpg"
+    assert row["property_id"]["tb"] == "Property"

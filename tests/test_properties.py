@@ -60,10 +60,16 @@ def test_fround_cross_engine_determinism(value, decimals):
     """The floor(x*f+0.5) form is pure IEEE double arithmetic, so every
     engine computes the identical bits — THIS is why the oracle hashes
     match where naive ROUND diverges at .xx5 boundaries. (On negatives it
-    is half-toward-+inf, not decimal half-up; consistent everywhere.)"""
+    is half-toward-+inf, not decimal half-up; consistent everywhere.)
+
+    The CAST matters: a bare SQL literal is DECIMAL in DuckDB (exact
+    arithmetic, found by hypothesis at -2048.1595); the engine contract
+    covers DOUBLE columns, which is what every catalog query rounds."""
     import math
 
-    got = duckdb.sql(f"SELECT {fround_sql(str(value), decimals)}").fetchone()[0]
+    got = duckdb.sql(
+        f"SELECT {fround_sql(f'CAST({value} AS DOUBLE)', decimals)}"
+    ).fetchone()[0]
     f = 10**decimals
     expect = math.floor(float(value) * f + 0.5) / f
     assert got == expect

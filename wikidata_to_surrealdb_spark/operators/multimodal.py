@@ -64,6 +64,63 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+_EXT_MIME = {
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "png": "image/png",
+    "gif": "image/gif",
+    "svg": "image/svg+xml",
+    "tif": "image/tiff",
+    "tiff": "image/tiff",
+    "webp": "image/webp",
+    "ogg": "audio/ogg",
+    "oga": "audio/ogg",
+    "opus": "audio/opus",
+    "mp3": "audio/mpeg",
+    "flac": "audio/flac",
+    "wav": "audio/wav",
+    "ogv": "video/ogg",
+    "webm": "video/webm",
+    "mp4": "video/mp4",
+    "pdf": "application/pdf",
+    "djvu": "image/vnd.djvu",
+    "stl": "model/stl",
+}
+
+
+def commons_assets(claims: DataFrame) -> DataFrame:
+    """Bridge the reference's media surface to the asset table: every
+    CommonsMedia claim value (`ClaimValueData::CommonsMedia(String)`,
+    reference tables.rs:18-21 / README.md:110-118 — a bare Commons file
+    name) becomes an asset-reference row with the owning entity, the
+    claim property, a typed mime guess from the extension, and the
+    canonical Commons URL (the Special:FilePath redirect). Download +
+    `decode_features` completes the multimodal pipeline; here the payload
+    stays a pointer, exactly as in the reference.
+    """
+    exploded = claims.select(
+        F.col("id").alias("claims_id"),
+        F.explode("claims").alias("c"),
+    ).where(F.col("c.value.kind") == "CommonsMedia")
+    fname = F.col("c.value.commons_media")
+    ext = F.lower(F.regexp_extract(fname, r"\.([A-Za-z0-9]+)$", 1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MIME.items() for x in kv]
+    )
+    return exploded.select(
+        "claims_id",
+        F.col("c.id").alias("property_id"),
+        fname.alias("file_name"),
+        F.coalesce(
+            F.element_at(mime_map, ext), F.lit("application/octet-stream")
+        ).alias("mime"),
+        F.concat(
+            F.lit("https://commons.wikimedia.org/wiki/Special:FilePath/"),
+            F.regexp_replace(fname, " ", "_"),
+        ).alias("url"),
+    )
+
+
 def documents_as_assets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
