@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "text_quality",
     "events_window",
     "events_sessionize",
+    "events_asof_join",
+    "events_range_join",
     "stream_sessionize_stateful",
     "sim_bruteforce",
     "mm_decode_features",

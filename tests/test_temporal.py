@@ -1,0 +1,121 @@
+"""Unit tests for the temporal join operators (operators/temporal.py):
+as-of join tie/tolerance/left semantics and range-join bin-boundary
+correctness — the edges the catalog's oracle-checked queries don't pin."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_to_surrealdb_spark.operators.temporal import asof_join, range_join_binned
+
+T = dt.datetime
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 0, 5), "a"),
+            (1, T(2024, 1, 1, 0, 0, 30), "b"),
+            (1, T(2024, 1, 1, 0, 3), "tie"),
+            (2, T(2024, 1, 1, 0, 2), "c"),
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 0, 1), 10.0),
+            (1, T(2024, 1, 1, 0, 3), 20.0),
+            (3, T(2024, 1, 1, 0, 0), 99.0),
+        ],
+        "user_id long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_inner_backward(sides):
+    left, right = sides
+    rows = {
+        r["tag"]: r for r in asof_join(left, right, "user_id").collect()
+    }
+    # "a" at 00:05 -> latest right at 00:03
+    assert rows["a"]["v"] == 20.0
+    assert rows["a"]["ts_r"] == T(2024, 1, 1, 0, 3)
+    # equal timestamps match (<= semantics)
+    assert rows["tie"]["v"] == 20.0
+    # "b" precedes every right row; user 2 has no right rows -> dropped
+    assert set(rows) == {"a", "tie"}
+
+
+def test_asof_left_keeps_unmatched(sides):
+    left, right = sides
+    rows = {r["tag"]: r for r in asof_join(left, right, "user_id", how="left").collect()}
+    assert set(rows) == {"a", "b", "tie", "c"}
+    assert rows["b"]["v"] is None and rows["c"]["v"] is None
+
+
+def test_asof_tolerance_drops_stale(sides):
+    left, right = sides
+    rows = {
+        r["tag"]: r
+        for r in asof_join(
+            left, right, "user_id", how="left", tolerance_sec=90
+        ).collect()
+    }
+    # a's match is 120 s old -> outside the 90 s horizon
+    assert rows["a"]["v"] is None
+    # tie's match is 0 s old -> kept
+    assert rows["tie"]["v"] == 20.0
+
+
+def test_asof_row_atomic_match(spark):
+    """A right row with an embedded null must match as a whole row, not
+    per-column (per-column last() would graft an older row's value)."""
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 9))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 1), 7.0, "old"), (1, T(2024, 1, 1, 0, 5), None, "new")],
+        "k long, ts timestamp, v double, src string",
+    )
+    row = asof_join(left, right, "k").collect()[0]
+    assert row["src"] == "new" and row["v"] is None
+
+
+def test_range_join_bin_boundaries(spark):
+    """Intervals spanning bin edges still match; [start, end) is exact."""
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 0)), (1, T(2024, 1, 1, 0, 3, 59)), (1, T(2024, 1, 1, 0, 4))],
+        "user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 4), "w")],
+        "user_id long, start_ts timestamp, end_ts timestamp, win string",
+    )
+    # bin width 90 s: the 4-minute interval spans 3+ bins
+    got = sorted(
+        r["ts"]
+        for r in range_join_binned(left, iv, "user_id", bin_width_sec=90).collect()
+    )
+    # start inclusive, end exclusive: 00:04 excluded
+    assert got == [T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 3, 59)]
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The plan must contain a hash join on (key, bin) — no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"), "value"
+    )
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    plan = range_join_binned(
+        ev, iv, "user_id", bin_width_sec=3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

@@ -1,0 +1,146 @@
+"""Temporal join operators: as-of join and interval (range) join.
+
+Spark has no ASOF JOIN node (DuckDB/Pandas do), and a naive
+``l.ts >= r.ts`` theta-join degenerates to BroadcastNestedLoop — O(n*m)
+per key and a broadcast of a whole side. Both operators here are
+re-expressed as single-shuffle DataFrame plans that survive the 100 TB
+regime:
+
+- **as-of join**: union the two sides, tag them, and run one
+  ``last(..., ignorenulls)`` window per key ordered by time — the classic
+  merge-join formulation. Cost = one hash shuffle on the key + one sort
+  within partitions; no pair explosion whatsoever. The matched right-hand
+  row is carried as a single struct so the match is row-atomic (per-column
+  ``last`` would mix columns from different right rows when the right side
+  has embedded nulls).
+- **range join**: bucket time into fixed-width bins and equi-join on
+  ``(key, bin)``; each interval is exploded only into the bins it covers
+  (``ceil(len/width)+1`` rows), then the exact containment predicate
+  filters in-bin false positives. Equi-join means hash shuffle /
+  broadcast — never a nested loop. Bin width should be on the order of
+  the typical interval length.
+
+Reference parity: the reference (NexVeridian/wikidata-to-surrealdb) has
+no temporal operators; these belong to the driver-mandated
+training-pipeline extension family (event-stream enrichment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "inner",
+    tolerance_sec: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (backward as-of) sharing the join key(s).
+
+    Ties on the exact same timestamp match (``<=`` semantics, like
+    DuckDB ``ASOF JOIN ... ON r.ts <= l.ts``). ``how`` is ``inner``
+    (drop unmatched left rows) or ``left`` (keep them with nulls).
+    ``tolerance_sec`` drops matches older than the given horizon.
+
+    Right-hand columns are returned renamed with ``suffix`` when they
+    collide with a left column (the timestamp column always carries it).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    carry = [c for c in right.columns if c not in keys]
+    out_name = {
+        c: (c + suffix if c in left.columns or c == right_ts else c) for c in carry
+    }
+
+    # one struct per right row => last() matches a whole row atomically
+    r_struct = F.struct(*[F.col(c).alias(c) for c in carry])
+    r_u = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        r_struct.alias("_r"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+    )
+    l_u = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_t"),
+        F.lit(None).cast(r_u.schema["_r"].dataType).alias("_r"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in keys],
+    )
+
+    # right rows (side 0) sort before left rows (side 1) at equal ts,
+    # so an exactly-simultaneous right row is visible to the left row.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = r_u.unionByName(l_u).withColumn(
+        "_m", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = matched.where(F.col("_side") == 1)
+    if tolerance_sec is not None:
+        horizon = F.col("_t").cast("double") - F.lit(float(tolerance_sec))
+        out = out.withColumn(
+            "_m",
+            F.when(F.col("_m")[right_ts].cast("double") >= horizon, F.col("_m")),
+        )
+    if how == "inner":
+        out = out.where(F.col("_m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    proj: list[Column] = [F.col(k) for k in keys]
+    proj += [F.col(c) for c in left.columns if c not in keys]
+    proj += [F.col("_m")[c].alias(out_name[c]) for c in carry]
+    return out.select(*proj)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bin_width_sec: float = 300.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left *point* rows into right *interval* rows
+    (``start <= ts < end``) sharing the key(s), as an equi-join.
+
+    Both sides map time onto ``floor(epoch / bin_width)`` bins; an
+    interval row is exploded into every bin it overlaps, then the exact
+    predicate prunes in-bin misses. With ``bin_width`` ~= the typical
+    interval length each interval lands in <= 2-3 bins, so the exploded
+    size stays O(|right|) and the join is a plain hash shuffle on
+    ``(keys..., bin)`` that AQE can broadcast when one side is small.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    wsec = float(bin_width_sec)
+
+    def _bin(c: Column) -> Column:
+        return F.floor(c.cast("double") / F.lit(wsec)).cast("long")
+
+    r_b = right.withColumn(
+        "_bin",
+        F.explode(F.sequence(_bin(F.col(right_start)), _bin(F.col(right_end)))),
+    )
+    l_b = left.withColumn("_bin", _bin(F.col(left_ts)))
+    cond = [l_b[k] == r_b[k] for k in keys] + [
+        l_b["_bin"] == r_b["_bin"],
+        l_b[left_ts] >= r_b[right_start],
+        l_b[left_ts] < r_b[right_end],
+    ]
+    joined = l_b.join(r_b, cond, how="inner" if how == "inner" else "left_outer")
+    # drop the duplicated key/bin columns from the right side
+    out = joined.drop(r_b["_bin"]).drop(l_b["_bin"])
+    for k in keys:
+        out = out.drop(r_b[k])
+    return out

@@ -1621,6 +1621,422 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of / range) — operators/temporal.py
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_asof_join",
+    f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ), views_ranked AS (
+      SELECT user_id, ts, event_id AS view_event, value AS view_value,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'
+    ), views AS (
+      SELECT user_id, ts, view_event, view_value FROM views_ranked WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+           v.view_event, epoch_us(v.ts) AS view_ts_us,
+           {fround_sql("c.value - v.view_value", 2)} AS uplift
+    FROM clicks c ASOF JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    "as-of join: each click matched to the user's latest view at or before "
+    "it — merge-join formulation (union + last-ignorenulls window), one "
+    "shuffle on user_id, no pair explosion; DuckDB checks it with its "
+    "native ASOF JOIN",
+    tags=("bench",),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from wikidata_to_surrealdb_spark.operators.temporal import asof_join
+
+    t = register_views(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # deterministic right side: one view per (user, ts), max event_id wins
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("view_event").desc())
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("view_event"),
+            F.col("value").alias("view_value"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    j = asof_join(clicks, views, "user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "view_event",
+        F.unix_micros("ts_r").alias("view_ts_us"),
+        fround(F.col("value") - F.col("view_value"), 2).alias("uplift"),
+    )
+
+
+# 6 h: the synthetic event stream is sparse per user (~5 h median gap),
+# so a 10-min window would match almost nothing at small SFs
+_INCIDENT_WINDOW_SEC = 21600
+
+
+@_q(
+    "events_range_join",
+    f"""
+    WITH inc AS (
+      SELECT user_id, event_id AS incident_id, ts AS start_ts,
+             ts + INTERVAL {_INCIDENT_WINDOW_SEC} SECOND AS end_ts
+      FROM events WHERE event_type = 'error'
+    ), clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT i.incident_id, i.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {fround_sql(dsum_sql("c.value", 2), 2)} AS sum_value
+    FROM inc i JOIN clicks c
+      ON c.user_id = i.user_id AND c.ts >= i.start_ts AND c.ts < i.end_ts
+    GROUP BY i.incident_id, i.user_id
+    """,
+    "interval (range) join: clicks inside each error's 6-hour incident "
+    "window — binned equi-join (operators/temporal.range_join_binned), "
+    "never a nested loop; DuckDB checks it with a plain inequality join",
+    tags=("bench",),
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators.temporal import range_join_binned
+
+    t = register_views(spark, sf_dir)
+    ev = t["events"]
+    inc = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr(f"INTERVAL {_INCIDENT_WINDOW_SEC} SECONDS")).alias(
+            "end_ts"
+        ),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = range_join_binned(
+        clicks, inc, "user_id", bin_width_sec=_INCIDENT_WINDOW_SEC
+    )
+    return j.groupBy("incident_id", "user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        fround(dsum(F.col("value"), 2), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H join-type breadth: semi / outer / anti / decorrelated-scalar /
+# disjunctive-pushdown shapes over the reduced testdata schema (no
+# l_commitdate / l_receiptdate / l_shipmode / partsupp — adapted filters
+# noted per query)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tpch_q4",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    "TPC-H Q4 (adapted: shipdate>orderdate replaces the missing "
+    "commitdate<receiptdate): EXISTS decorrelated to a left-semi join",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"].cast("date") > o["o_orderdate"].cast("date")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+@_q(
+    "tpch_q13",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) d
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 customer order-count distribution: left outer join with a "
+    "join-side residual predicate, double aggregation",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    c = t["customer"].select("c_custkey")
+    o = t["orders"].select("o_custkey", "o_orderkey", "o_orderpriority")
+    return (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+    )
+
+
+@_q(
+    "tpch_q16",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+    "TPC-H Q16 (adapted: lineitem as the part-supplier bridge — no "
+    "partsupp; negative acctbal replaces the complaints LIKE): anti join "
+    "+ count-distinct aggregation",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t["part"].where(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "tpch_q17",
+    f"""
+    SELECT {fround_sql(dsum_sql("l.l_extendedprice", 2) + " / 7.0", 2)} AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             COUNT(*) AS cnt_qty
+      FROM lineitem GROUP BY l_partkey
+    ) a ON a.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * a.cnt_qty < a.sum_qty
+    """,
+    "TPC-H Q17 small-quantity revenue: correlated scalar-avg subquery "
+    "decorrelated to a per-part aggregate join; the 20%%-of-avg threshold "
+    "is compared in exact DECIMAL arithmetic (qty*5*cnt < sum) so both "
+    "engines agree at the boundary",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"]
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count("*").alias("cnt_qty"),
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    p = t["part"].where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(per_part), F.col("a_partkey") == F.col("p_partkey")
+        )
+        .where(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("cnt_qty")
+            < F.col("sum_qty")
+        )
+        .agg(
+            fround(dsum(F.col("l_extendedprice"), 2) / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "tpch_q19",
+    f"""
+    SELECT {fround_sql(dsum_sql(_REVENUE, 6), 2)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 (adapted: no p_container/l_shipmode — brand/size/quantity "
+    "disjunction kept): OR-of-conjunctions with per-side pushdown of the "
+    "common bounds",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"]
+    p = t["part"]
+    q = F.col("l_quantity")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.where(cond).agg(fround(dsum(rev, 6), 2).alias("revenue"))
+
+
+_Q21_LATE_DAYS = 60
+
+
+@_q(
+    "tpch_q21",
+    f"""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + {_Q21_LATE_DAYS}
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + {_Q21_LATE_DAYS}
+      )
+    GROUP BY s.s_name
+    """,
+    "TPC-H Q21 waiting-supplier (adapted: late = shipped >60d after order "
+    "date — no receipt/commit dates): EXISTS + NOT EXISTS decorrelated to "
+    "one per-order aggregate (distinct suppliers, distinct late suppliers) "
+    "instead of two self-joins",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("_odate")
+    )
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    flagged = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "_late",
+        F.col("l_shipdate").cast("date") > F.date_add(F.col("_odate"), _Q21_LATE_DAYS),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    ).withColumnRenamed("l_orderkey", "_agg_okey")
+    lone_late = (
+        flagged.where(F.col("_late"))
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("_agg_okey"))
+            & (F.col("_n_supp") >= 2)
+            & (F.col("_n_late_supp") == 1),
+        )
+    )
+    return (
+        lone_late.join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+
+
+@_q(
+    "tpch_q22",
+    f"""
+    WITH avgbal AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+           {fround_sql(dsum_sql("c.c_acctbal", 2), 2)} AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN avgbal
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * avgbal.n > avgbal.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q22 (adapted: nation replaces the phone country code, and the "
+    "anti join targets finished orders — every testdata customer has at "
+    "least one order): above-average-balance customers with no finished "
+    "orders — global-scalar subquery broadcast + anti join; the avg "
+    "threshold compares in exact DECIMAL (bal*n > sum) so both engines "
+    "agree at the boundary",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    c = t["customer"]
+    avgbal = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(avgbal))
+        .where(F.col("c_acctbal").cast("decimal(18,2)") * F.col("_n") > F.col("_s"))
+        .join(
+            t["orders"].where(F.col("o_orderstatus") == "F").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            fround(dsum(F.col("c_acctbal"), 2), 2).alias("totacctbal"),
+        )
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
