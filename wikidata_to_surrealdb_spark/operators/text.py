@@ -142,6 +142,51 @@ def fts_search(index: DataFrame, query_terms: list[str]) -> DataFrame:
     )
 
 
+def fts_search_ranked(
+    index: DataFrame, query_terms: list[str], k: int = 20
+) -> DataFrame:
+    """TF-IDF-style ranked retrieval over the inverted index: per doc,
+    score = sum(tf * idf) over the query terms, top-k with a
+    deterministic (score DESC, doc_id) tie-break.
+
+    idf is the *integer* weight ``N * 1_000_000 div df`` (N = corpus
+    size, df = term's document frequency) — monotone in N/df like a real
+    idf but exact bigint arithmetic end to end, so rankings and scores
+    are bit-identical across engines (float log() is not).
+
+    Plan shape: df-per-term and N are tiny aggregates broadcast into the
+    postings of the query terms only (the term filter prunes before any
+    shuffle); the final top-k window runs on the already-aggregated
+    candidate set, which is at most #docs-matching-query rows.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = index.select(
+        F.countDistinct("doc_id").alias("_n_docs")
+    )
+    df_t = (
+        index.where(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("_df"))
+    )
+    scored = (
+        index.where(F.col("term").isin(query_terms))
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_w",
+            F.col("tf") * F.expr("CAST(_n_docs AS BIGINT) * 1000000 div _df"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_w").cast("bigint").alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting (whitespace + BPE-ish sub-token regex): per doc,
     whitespace token count, regex-token count (word pieces + punctuation,

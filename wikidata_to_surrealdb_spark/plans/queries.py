@@ -388,6 +388,54 @@ def b14_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "b14_fts_ranked",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS raw_term
+      FROM documents
+    ), stemmed AS (
+      SELECT doc_id,
+        CASE
+          WHEN length(raw_term) > 5 AND raw_term LIKE '%ing' THEN substring(raw_term, 1, length(raw_term) - 3)
+          WHEN length(raw_term) > 4 AND raw_term LIKE '%ed' THEN substring(raw_term, 1, length(raw_term) - 2)
+          WHEN length(raw_term) > 3 AND raw_term LIKE '%es' THEN substring(raw_term, 1, length(raw_term) - 2)
+          WHEN length(raw_term) > 3 AND raw_term LIKE '%s' AND raw_term NOT LIKE '%ss'
+            THEN substring(raw_term, 1, length(raw_term) - 1)
+          ELSE raw_term END AS term
+      FROM toks
+    ), index_t AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM stemmed
+      WHERE length(term) > 0 GROUP BY term, doc_id
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM index_t
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM index_t
+      WHERE term IN ('merge', 'vector', 'stream') GROUP BY term
+    ), scored AS (
+      SELECT i.doc_id,
+             CAST(sum(i.tf * (n.n_docs * 1000000 // d.df)) AS BIGINT) AS score
+      FROM index_t i JOIN dfreq d ON d.term = i.term CROSS JOIN n
+      WHERE i.term IN ('merge', 'vector', 'stream')
+      GROUP BY i.doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+    "B14+: idf-weighted ranked retrieval, deterministic top-20 — the idf "
+    "weight is exact bigint (N*1e6 div df) so scores and rank ties are "
+    "bit-identical across engines (float log() is not)",
+)
+def b14_fts_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    index = text.inverted_index(t["documents"])
+    return text.fts_search_ranked(index, ["merge", "vector", "stream"], k=20)
+
+
+@_q(
     "b15_scalar",
     f"SELECT {fround_sql(dsum_sql('o_totalprice', 2) + ' / count(*)', 2)} AS avg_price FROM orders",
     "B15: typed scalar return",
