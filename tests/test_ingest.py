@@ -169,6 +169,18 @@ def test_bz2_roundtrip(spark, tmp_path):
     assert t.entity.count() == 5
 
 
+def test_gz_roundtrip(spark, tmp_path):
+    """gz dump variant reads identically (unsplittable codec — the reader
+    warns to prefer bz2 at scale, but the 130 GB gzip dump must load)."""
+    import gzip
+
+    raw = "\n".join(fx.bench_fixture_lines(n=5, with_p1113=2)) + "\n"
+    path = tmp_path / "dump.json.gz"
+    path.write_bytes(gzip.compress(raw.encode()))
+    t = load_dump(spark, str(path), "gz")
+    assert t.entity.count() == 5
+
+
 def test_strict_mode_raises(spark, tmp_path):
     path = tmp_path / "bad.json"
     path.write_text('[\n{"id": "Q1", "type": "item"},\nnot json at all,\n]\n')

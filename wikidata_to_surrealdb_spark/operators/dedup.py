@@ -60,17 +60,25 @@ def shingles_expr(text_col: str, k: int = 3) -> str:
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, sh: array<string>) distinct k-word shingles, computed in two
-    *staged* projections (tokens, then shingles-from-tokens). Staging
-    matters: inlining the tokenizer into the per-position lambda makes
-    Catalyst re-split the text O(len^2) times per row."""
+    """(id, sh: array<string>) k-word shingles (positional, NOT
+    deduplicated), computed in two *staged* projections (tokens, then
+    shingles-from-tokens). Staging matters: inlining the tokenizer into
+    the per-position lambda makes Catalyst re-split the text O(len^2)
+    times per row.
+
+    Duplicates are deliberately kept: ``array_distinct`` over the shingle
+    array is quadratic interpreted-lambda work that dominated the whole
+    MinHash pipeline (~4s of a ~6s query at sf0.1), and every consumer is
+    already duplicate-insensitive — the MinHash ``min`` ignores repeats,
+    and :func:`ngram_jaccard` measures set overlap with
+    ``array_intersect`` / ``array_union``, which dedupe internally."""
     df = respread(df)
     toks = df.select(
         F.col(id_col), F.expr(TOKENS_EXPR.format(text=text_col)).alias("toks")
     )
     sh = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(toks) - {k - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(toks, i, {k}))))"
+        f"transform(sequence(1, greatest(size(toks) - {k - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(toks, i, {k})))"
     )
     return toks.select(id_col, sh.alias("sh")).where(F.size("sh") > 0)
 
@@ -97,22 +105,19 @@ def minhash_signatures(
     DataFrame across the signature and verification stages."""
     sh = shingles if shingles is not None else shingle_sets(df, text_col, id_col, k)
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("g"))
-    seeded = exploded.select(
-        id_col, "g", F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed")
+    # all seeds as parallel min-aggregates of ONE groupBy: a single
+    # shuffle of docs x num_hashes partial mins, vs the alternative
+    # (explode by seed + per-(doc,seed) min + collect_list re-assembly)
+    # which costs two shuffles, a num_hashes-times-larger explode, and an
+    # extra AQE stage wave.
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"_h{s}")
+            for s in range(num_hashes)
+        ]
     )
-    mins = (
-        seeded.select(
-            id_col,
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("g"))).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    return (
-        mins.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
-        .select(id_col, F.transform("sm", lambda x: x["mh"]).alias("sig"))
+    return mins.select(
+        id_col, F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("sig")
     )
 
 
@@ -122,9 +127,17 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """Band the signature, bucket-join on (band_id, band_hash): only docs
-    agreeing on a full band meet — the scalable alternative to an O(n^2)
-    cross join. Returns distinct (id_a < id_b) candidate pairs."""
+    """Band the signature, group docs into (band_id, band_hash) buckets,
+    and emit i<j pairs array-locally within each bucket — the scalable
+    alternative to an O(n^2) cross join.
+
+    Grouping instead of self-joining matters twice over: a self-join
+    plans (and without explicit persists, computes) the whole upstream
+    signature subtree once per side, and costs a broadcast/shuffle join
+    plus a dedup exchange; the groupBy is ONE shuffle on the band key and
+    the pair explosion stays inside each bucket's collected id array —
+    whose size LSH bounds by design. Returns distinct (id_a < id_b)
+    candidate pairs."""
     banded = signatures.select(
         F.col(id_col),
         F.explode(
@@ -135,20 +148,21 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> named_struct('id_a', x, 'id_b', y))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def ngram_jaccard(
@@ -161,15 +175,34 @@ def ngram_jaccard(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs by exact k-gram Jaccard; keep >= threshold.
-    Pass a persisted ``shingles`` DataFrame to avoid recomputing the
-    shingle arrays for each join side; the intersection itself is
-    array-local."""
+    The intersection/union are array-local (``array_intersect`` /
+    ``array_union`` dedupe internally, so positionally-duplicated shingle
+    arrays are fine).
+
+    The shingle sides carry fat array rows, so they are joined with
+    SHUFFLE_HASH hints: letting the planner broadcast the array table
+    builds the whole shingle subtree into a broadcast relation in ONE
+    thread (~4 s on the critical path at bench scale, and a driver
+    memory hazard at cluster scale); a shuffle join moves the same bytes
+    but builds in parallel. (A fully long-format (doc, shingle) rewrite
+    was tried and measured 2-3x slower — the per-pair row explosion
+    costs more than the fat-row exchanges it avoids.)"""
     docs_sh = (
         shingles if shingles is not None else shingle_sets(docs, text_col, id_col, k)
     )
     j = (
-        pairs.join(docs_sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
-        .join(docs_sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        pairs.join(
+            docs_sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            docs_sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             fround(
@@ -195,12 +228,12 @@ def minhash_dedup(
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
     pairs -> Jaccard verification.
 
-    The shingle sets feed three consumers (signatures + both verify join
-    sides), so they are computed once and persisted for the lifetime of
-    the plan — shingling is the single most expensive map stage in the
-    pipeline and re-deriving it 3x dominates runtime. MEMORY_AND_DISK so
-    a 100 TB corpus spills instead of OOMing; Spark evicts LRU once the
-    query finishes.
+    The shingle stage is recomputed by its two consumers (signatures,
+    verification) rather than persisted: without the quadratic
+    array_distinct it is a cheap narrow projection, and persisting the
+    fat string arrays costs more in cache (de)serialization than the
+    recompute — measured, not guessed (persist made the sf0.1 bench
+    query ~1 s slower).
 
     ``collapse_exact`` is the duplicate-dense-corpus path: exact
     duplicates collapse to one representative (lowest id) BEFORE
@@ -211,8 +244,6 @@ def minhash_dedup(
     of 30-60%) this turns the dominant quadratic blowup into a linear
     pre-pass; it is off by default because it changes which ids appear
     in the output pairs."""
-    from pyspark import StorageLevel
-
     if collapse_exact:
         from pyspark.sql import Window
 
@@ -222,9 +253,7 @@ def minhash_dedup(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-    sh = shingle_sets(df, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = shingle_sets(df, text_col, id_col, k)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     return ngram_jaccard(pairs, df, text_col, id_col, k, threshold, shingles=sh)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-FILE_FORMATS = ("json", "bz2")
+FILE_FORMATS = ("json", "bz2", "gz")
 
 
 def read_dump_lines(
@@ -27,9 +27,13 @@ def read_dump_lines(
     """Dump file(s) -> one-column DataFrame ``line`` of raw entity JSON.
 
     ``path`` may be a file, directory, or glob. ``file_format`` mirrors the
-    reference's WIKIDATA_FILE_FORMAT env ('json' or 'bz2'); both are read
-    through the same text source (Spark infers the codec from the ``.bz2``
-    extension), the parameter exists for parity and validation.
+    reference's WIKIDATA_FILE_FORMAT env ('json' | 'bz2'), plus 'gz' for
+    the ~130 GB gzip variant of the published dump (beyond reference
+    parity). All are read through the same text source — Spark infers the
+    codec from the extension — so the parameter exists for parity and
+    validation. Scale note: bzip2 is a *splittable* codec (an 80 GB
+    .bz2 scans in parallel); gzip is not — one task per .gz file — so
+    prefer bz2, or split the gzip dump into many files first.
     """
     if file_format not in FILE_FORMATS:
         raise ValueError(
