@@ -53,7 +53,9 @@ BENCH_QUERIES = [
 INGEST_REPLICATION = 20
 
 
-def _bench_ingest(spark, sf_dir: str, tmp_dir: str) -> tuple[float, int]:
+def _bench_ingest(
+    spark, sf_dir: str, tmp_dir: str, replication: int = INGEST_REPLICATION
+) -> tuple[float, int]:
     """Wikidata-dump ingest throughput: synthesize a dump (one entity per
     document row, JVM-side to_json — not timed), then time load_dump end
     to end (parse -> transform -> 4 tables materialized)."""
@@ -64,12 +66,8 @@ def _bench_ingest(spark, sf_dir: str, tmp_dir: str) -> tuple[float, int]:
 
     base = load_sf_dir(spark, sf_dir, ("documents",))["documents"]
     docs = (
-        base.crossJoin(
-            spark.range(INGEST_REPLICATION).select(F.col("id").alias("_rep"))
-        )
-        .withColumn(
-            "doc_id", F.col("doc_id") * INGEST_REPLICATION + F.col("_rep")
-        )
+        base.crossJoin(spark.range(replication).select(F.col("id").alias("_rep")))
+        .withColumn("doc_id", F.col("doc_id") * replication + F.col("_rep"))
         .repartition(32)
     )
     n = docs.count()
@@ -149,6 +147,15 @@ def main() -> None:
                     QUERIES[name].fn(spark, warm_dir).collect()
                 except Exception:
                     pass
+            # warm the ingest plan too: the from_json + claim-variant
+            # expressions are by far the largest codegen unit in the
+            # engine (~5 s of one-time compilation, measured), and the
+            # 55 h reference figure this measures against is pure
+            # steady state.
+            try:
+                _bench_ingest(spark, warm_dir, tmp, replication=1)
+            except Exception:
+                pass
         else:
             spark.range(1000).count()
 

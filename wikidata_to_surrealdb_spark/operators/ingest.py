@@ -434,15 +434,35 @@ def write_tables(
     re-parsing JSON) for the duration of the writes. At cluster scale,
     callers should additionally repartition by id hash for downstream join
     locality (see sources/bucketing.py).
+
+    The four writes are submitted CONCURRENTLY (one thread per table):
+    they read the same staged parent and are independent jobs, so running
+    them serially leaves the cluster idle during each job's tail — the
+    scheduler interleaves their tasks instead. The parent is materialized
+    first so the concurrent jobs race on cached data, not on computing
+    the cache.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark import StorageLevel
 
     parent = tables.staged_parent if stage else None
     if parent is not None:
         parent.persist(StorageLevel.MEMORY_AND_DISK)
+        parent.count()  # materialize once, before the writes race on it
     try:
-        for name, df in tables.as_dict().items():
-            df.write.mode(mode).parquet(f"{out_dir}/{name}.parquet")
+        items = list(tables.as_dict().items())
+        with ThreadPoolExecutor(max_workers=len(items)) as pool:
+            futures = [
+                pool.submit(
+                    lambda n=name, d=df: d.write.mode(mode).parquet(
+                        f"{out_dir}/{n}.parquet"
+                    )
+                )
+                for name, df in items
+            ]
+            for f in futures:
+                f.result()
     finally:
         if parent is not None:
             parent.unpersist()

@@ -121,6 +121,61 @@ def ann_bucketed_pairs(
     )
 
 
+def ivf_search(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """End-to-end IVF approximate nearest-neighbor search: rank the
+    ``nprobe`` cells whose centroids are nearest the query, scan ONLY
+    vectors assigned to those cells, exact-rank them by cosine, return
+    the deterministic top-k (cosine DESC, id).
+
+    Scale path vs :func:`brute_force_topk`: the candidate scan touches
+    ~``nprobe/len(centroids)`` of the corpus — with the cell assignment
+    materialized ``partitionBy(cell)`` (see :func:`ivf_assign`), the
+    probe is pure partition pruning and never reads the other cells.
+    Probe-cell selection uses the SAME rounded-cosine + cell tie-break
+    arithmetic as the SQL oracle, so both engines probe identical cells.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # rank centroids against the query (tiny driver-side action over a
+    # len(centroids)-row frame, same rounded arithmetic as the oracle)
+    cents_df = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell bigint, cv array<double>",
+    )
+    probe_cells = [
+        r["cell"]
+        for r in cents_df.select("cell", cosine_col(F.col("cv"), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col("cell"))
+        .limit(nprobe)
+        .collect()
+    ]
+    # cell assignment + query cosine in ONE map-only pass (no self-join)
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    with_v = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    sims = F.transform(cents, lambda c: cosine_col(F.col("v"), c))
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("bigint")
+    return (
+        with_v.select(
+            F.col(id_col),
+            cell.alias("cell"),
+            cosine_col(F.col("v"), q).alias("cosine"),
+        )
+        .where(F.col("cell").isin([int(c) for c in probe_cells]))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -1281,6 +1281,68 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NPROBE = 2
+_IVF_TOPK = 10
+
+
+@_q(
+    "sim_ivf_search",
+    f"""
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
+    ), q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings
+      WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+    ), probe AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               row_number() OVER (
+                 ORDER BY {fround_sql(_COS_SQL.format(a="c.cv", b="q.qv"), 4)} DESC, c.cell
+               ) AS rn
+        FROM c, q
+      ) WHERE rn <= {_IVF_NPROBE}
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {fround_sql(_COS_SQL.format(a="v.v", b="c.cv"), 4)} DESC, c.cell) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell, cosine FROM (
+      SELECT v.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             {fround_sql(_COS_SQL.format(a="v.v", b="q.qv"), 4)} AS cosine,
+             row_number() OVER (ORDER BY
+               {fround_sql(_COS_SQL.format(a="v.v", b="q.qv"), 4)} DESC, v.vec_id) AS rn
+      FROM v JOIN assigned a ON a.vec_id = v.vec_id, q
+      WHERE a.cell IN (SELECT cell FROM probe)
+    ) WHERE rn <= {_IVF_TOPK}
+    """,
+    "IVF ANN search end to end: probe the 2 nearest cells, exact-rank "
+    "only their members, deterministic top-10 — with cell-partitioned "
+    "storage the probe is pure partition pruning",
+)
+def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(_IVF_K).collect()
+    ]
+    qv = [
+        float(x)
+        for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
+    ]
+    return similarity.ivf_search(
+        emb, cents, qv, k=_IVF_TOPK, nprobe=_IVF_NPROBE
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extensions
 # ---------------------------------------------------------------------------
