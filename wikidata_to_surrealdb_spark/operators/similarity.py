@@ -96,7 +96,13 @@ def ann_bucketed_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket by sign pattern, pair within
     bucket, keep cosine >= threshold. The within-bucket self-join is the
-    only shuffle, keyed on the bucket string."""
+    only shuffle, keyed on the bucket string.
+
+    SHUFFLE_HASH hints keep the planner from broadcasting a side: the
+    rows carry the full dense vectors, and building a broadcast relation
+    of the whole (re-computed) vector table runs single-threaded — the
+    same fat-row pathology as the MinHash verify join. A shuffle join
+    moves the same bytes but stays parallel."""
     from wikidata_to_surrealdb_spark.functions import respread
 
     with_bucket = respread(embeddings).select(
@@ -104,8 +110,8 @@ def ann_bucketed_pairs(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         sign_bucket_expr(vec_col, sign_bits).alias("bucket"),
     )
-    a = with_bucket.alias("a")
-    b = with_bucket.alias("b")
+    a = with_bucket.alias("a").hint("shuffle_hash")
+    b = with_bucket.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -118,6 +124,66 @@ def ann_bucketed_pairs(
             cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def ann_bucketed_pairs_gemm(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_bits: int = 6,
+    threshold: float = 0.9,
+    decimals: int = 4,
+) -> DataFrame:
+    """GEMM variant of :func:`ann_bucketed_pairs`: same bucketing, but
+    the within-bucket pair cosines are one ``applyInPandas`` matrix
+    product per bucket instead of a self-join.
+
+    Why: the join form evaluates an interpreted zip_with/aggregate
+    lambda per PAIR per DIMENSION (~100M interpreted ops at 5k x 128
+    already); here each bucket ships its vectors over Arrow ONCE,
+    normalizes, and computes the full cosine matrix with BLAS. Input
+    transfer is O(docs x dim), not O(pairs x dim), and the output is
+    only the above-threshold pairs. Rounding mirrors functions.fround
+    (floor(x*10^d + 0.5)/10^d) so results match the join form and the
+    DuckDB oracle bit-for-bit on real data.
+
+    Scale: buckets are the unit of parallelism AND of memory — a bucket
+    must fit one executor (n_bucket^2 pair scores); tune sign_bits so it
+    does, exactly the LSH contract the join form needs anyway.
+    """
+    import pandas as pd
+
+    f = float(10**decimals)
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        pdf = pdf.sort_values("_gid")
+        ids = pdf["_gid"].to_numpy()
+        x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_gv"]])
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cos = xn @ xn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = np.floor(cos[iu, ju] * f + 0.5) / f
+        keep = c >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": c[keep]}
+        )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    with_bucket = respread(embeddings).select(
+        F.col(id_col).alias("_gid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_gv"),
+        sign_bucket_expr(vec_col, sign_bits).alias("bucket"),
+    )
+    return with_bucket.groupBy("bucket").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, cosine double"
     )
 
 
