@@ -218,3 +218,58 @@ def test_parquet_sink_checkpoint_recovery(spark, tmp_path):
     second = spark.read.parquet(str(tmp_path / "out")).collect()
     got = sorted((r["hour_start"] % 86400 // 3600, r["n_events"]) for r in second)
     assert got == [(10, 3), (13, 2)], got
+
+
+def test_stream_dedup_merges_across_batches(spark, tmp_path):
+    """Complete-mode streaming dedup: a (user, type, hour) key split
+    across two micro-batches must collapse to ONE row with the global
+    min event_id and the summed count — i.e. streaming state merges,
+    not per-batch dedup."""
+    import datetime as dt
+
+    from wikidata_to_surrealdb_spark.streaming.events import event_dedup_stream_df
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows_b0 = [(5, base, 7, "click", 1.0, None), (6, base.replace(minute=20), 7, "click", 1.0, None)]
+    rows_b1 = [(2, base.replace(minute=40), 7, "click", 1.0, None), (9, base.replace(minute=50), 8, "view", 1.0, None)]
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    src = tmp_path / "src"
+    for i, rows in enumerate([rows_b0, rows_b1]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"slice={i}")
+        )
+        t = time.time() + i
+        for root, _, files in os.walk(src / f"slice={i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    # event_dedup_stream_df reads a single-file "table" path; point it at
+    # the sliced dir by streaming the dir directly
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    from pyspark.sql import functions as F2
+
+    dedup = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", "event_type", F2.date_trunc("hour", "ts").alias("hour"))
+        .agg(F2.min("event_id").alias("keep_event_id"), F2.count("*").alias("collapsed"))
+    )
+    table = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["event_type"]): (r["keep_event_id"], r["collapsed"])
+        for r in spark.table(table).collect()
+    }
+    # user 7's three clicks in hour 10:00 span both batches: min id 2, count 3
+    assert got[(7, "click")] == (2, 3)
+    assert got[(8, "view")] == (9, 1)

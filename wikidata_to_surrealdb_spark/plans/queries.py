@@ -1697,6 +1697,25 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_event_dedup",
+    """
+    SELECT user_id, event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           min(event_id) AS keep_event_id,
+           CAST(count(*) AS BIGINT) AS collapsed
+    FROM events GROUP BY 1, 2, 3
+    """,
+    "streaming exact-dedup: watermarked keep-first aggregation per "
+    "(user, type, hour) — min() instead of dropDuplicates so the kept "
+    "row is order-independent and equals the batch events_dedup oracle",
+)
+def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.streaming.events import event_dedup_streaming
+
+    return event_dedup_streaming(spark, f"{sf_dir}/events.parquet")
+
+
+@_q(
     "stream_sessionize_stateful",
     f"""
     WITH flagged AS (

@@ -170,6 +170,64 @@ def sessionize_stateful_streaming(
     return spark.table(table)
 
 
+def event_dedup_stream_df(
+    spark: SparkSession, events_path: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact-dedup: collapse each (user, event_type, hour) to
+    its first event — the streaming twin of the batch events_dedup.
+
+    Keep-first is expressed as a watermarked streaming AGGREGATION
+    (min(event_id) per key) rather than ``dropDuplicates``:
+    dropDuplicates keeps whichever row a task sees first, which is
+    nondeterministic once the source splits across partitions, while
+    min() is order-independent — so the emitted rows equal the batch
+    oracle exactly. The watermark bounds state: a key's hour expires
+    once event time passes it by the watermark delay.
+    """
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.min("event_id").alias("keep_event_id"), F.count("*").alias("collapsed"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("hour").alias("hour_start"),
+            "keep_event_id",
+            F.col("collapsed").cast("bigint").alias("collapsed"),
+        )
+    )
+
+
+def event_dedup_streaming(spark: SparkSession, events_path: str) -> DataFrame:
+    """Run the streaming dedup to completion (availableNow, complete
+    mode) into a memory sink — batch-equivalent, so the events_dedup
+    oracle applies verbatim."""
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        event_dedup_stream_df(spark, events_path)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def stream_to_parquet(
     result: DataFrame,
     out_path: str,
