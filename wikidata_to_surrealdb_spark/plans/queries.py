@@ -2168,6 +2168,41 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "skew_salted_join",
+    f"""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_lines,
+           {fround_sql(dsum_sql(_REVENUE, 6), 2)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+    "salted fact-dim join (operators/skew.salted_join, salt=8): the salt "
+    "spreads any hot supplier key over 8 tasks; results are identical to "
+    "the plain join, which is exactly what the oracle checks",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators.skew import salted_join
+
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"].select("l_suppkey", "l_extendedprice", "l_discount")
+    sup = t["supplier"].select("s_suppkey", "s_nationkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        salted_join(li, sup, "l_suppkey", "s_suppkey", salt=8)
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            fround(dsum(rev, 6), 2).alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
