@@ -159,6 +159,14 @@ def main() -> None:
         else:
             spark.range(1000).count()
 
+        # ingest first: this host is a burstable VM whose CPU budget
+        # drains over a sustained run — measured last (after ~40 query
+        # executions) the identical ingest recorded 4-8x its isolated
+        # cost. First-position puts the heaviest single measurement on
+        # the fairest CPU.
+        ingest_sec, n_entities = _bench_ingest(spark, sf_dir, tmp)
+        timings["wd_ingest"] = round(ingest_sec, 3)
+
         # best-of-2 per query: this host is virtualized and shows large
         # run-to-run CPU-steal noise; the minimum is the steady-state cost.
         for name in BENCH_QUERIES:
@@ -173,9 +181,6 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
                 del rows
             timings[name] = round(best, 3)
-
-        ingest_sec, n_entities = _bench_ingest(spark, sf_dir, tmp)
-        timings["wd_ingest"] = round(ingest_sec, 3)
 
     total = round(sum(timings.values()), 3)
     print(
