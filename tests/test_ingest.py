@@ -292,3 +292,19 @@ def test_minhash_collapse_exact(spark):
     # representatives are the original (lowest) ids, so the pair sets match
     assert got == expect
     assert len(got) > 0
+
+
+def test_duplicate_entity_id_keeps_first_line(spark, tmp_path):
+    """Duplicate Q-ids in one dump: the EARLIEST dump line wins for the
+    mini tables, same deterministic rule as the Claims path (the
+    reference's unchecked INSERT = first-writer-wins, SURVEY §1.3)."""
+    lines = fx._to_lines(
+        [fx.plain_item(7, "first label"), fx.plain_item(7, "second label")],
+        wrapper=False,
+    )
+    path = tmp_path / "dupe.json"
+    fx.write_fixture(str(path), lines)
+    t = load_dump(spark, str(path), "json")
+    rows = t.entity.where(F.col("id.id") == 7).collect()
+    assert len(rows) == 1
+    assert rows[0]["label"] == "first label"

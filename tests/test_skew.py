@@ -69,3 +69,17 @@ def test_hot_keys_limits_small_side_replication(spark):
         ),
     )
     assert s.count() == 100 + 7
+
+
+def test_salted_join_rejects_preserving_small_side(spark):
+    """right/full would emit `salt` null-extended duplicates of each
+    unmatched small-side row (it is replicated per salt) — refuse."""
+    import pytest
+
+    from wikidata_to_surrealdb_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "sk")
+    for how in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(big, small, "k", "sk", how=how)

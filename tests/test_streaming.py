@@ -273,3 +273,27 @@ def test_stream_dedup_merges_across_batches(spark, tmp_path):
     # user 7's three clicks in hour 10:00 span both batches: min id 2, count 3
     assert got[(7, "click")] == (2, 3)
     assert got[(8, "view")] == (9, 1)
+
+
+def test_stream_source_accepts_directory_table(spark, tmp_path):
+    """A Spark-written events table is a DIRECTORY (events.parquet/part-*).
+    The stream source must read it directly: the old dirname+pathGlobFilter
+    trick globbed for leaf files named like the directory and silently
+    yielded zero rows (the batch schema probe still succeeded)."""
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        event_dedup_streaming,
+        windowed_counts_streaming,
+    )
+
+    src = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    table_dir = str(tmp_path / "events.parquet")
+    src.limit(500).write.parquet(table_dir)
+
+    counts = windowed_counts_streaming(spark, table_dir)
+    assert counts.count() > 0
+
+    dedup = event_dedup_streaming(spark, table_dir)
+    assert dedup.count() > 0

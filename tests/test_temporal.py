@@ -119,3 +119,42 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
         ev, iv, "user_id", bin_width_sec=3600
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_equal_ts_right_rows_tie_break(spark):
+    """Multiple right rows at the same (key, ts): the caller tie-break
+    column decides deterministically (greatest wins); without one the
+    choice is still stable across runs (row-hash order)."""
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 5), "x")], "user_id long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 0, 1), 1, 10.0),
+            (1, T(2024, 1, 1, 0, 1), 3, 30.0),
+            (1, T(2024, 1, 1, 0, 1), 2, 20.0),
+        ],
+        "user_id long, ts timestamp, seq long, v double",
+    )
+    got = asof_join(left, right, "user_id", tie_break="seq").collect()
+    assert len(got) == 1 and got[0]["v"] == 30.0 and got[0]["seq"] == 3
+    # no tie-break: still deterministic run to run (same plan, same hash)
+    a = asof_join(left, right.repartition(4), "user_id").collect()[0]["v"]
+    b = asof_join(left, right.repartition(7), "user_id").collect()[0]["v"]
+    assert a == b
+    with pytest.raises(ValueError, match="tie_break"):
+        asof_join(left, right, "user_id", tie_break="nope")
+
+
+def test_asof_internal_names_do_not_collide(spark):
+    """User columns named like the old reserved internals (_t/_r/_side/_m)
+    must pass through untouched."""
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 5), "keep_l")], "user_id long, ts timestamp, _m string"
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 1), "keep_r")], "user_id long, ts timestamp, _t string"
+    )
+    got = asof_join(left, right, "user_id").collect()
+    assert len(got) == 1
+    assert got[0]["_m"] == "keep_l" and got[0]["_t"] == "keep_r"

@@ -314,11 +314,17 @@ def build_tables(transformed: DataFrame) -> WikidataTables:
         "description",
     )
 
+    # first-writer-wins = lowest dump line, same rule as the Claims path
+    # (dropDuplicates would keep whichever row a task saw first —
+    # nondeterministic across partitionings)
+    mini_win = Window.partitionBy("id").orderBy("_line")
+
     def route(tb_name: str) -> DataFrame:
         return (
             mini.where(F.col("id.tb") == tb_name)
-            .dropDuplicates(["id"])
-            .drop("_line")
+            .withColumn("_rn", F.row_number().over(mini_win))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_line")
         )
 
     claims_win = Window.partitionBy("id").orderBy("_line")

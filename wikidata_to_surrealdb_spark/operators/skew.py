@@ -39,7 +39,18 @@ def salted_join(
     """Equi-join big⋈small on big_key == small_key with the hot side
     salted. ``hot_keys`` restricts salting to the listed key values (salt
     1 elsewhere), so replication of the small side stays proportional to
-    the number of hot keys instead of its full row count."""
+    the number of hot keys instead of its full row count.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated across salt values, so a right/full join would emit each
+    unmatched small-side row once per salt — `salt` null-extended
+    duplicates. (For a right join, swap the arguments and use 'left'.)"""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full semantics"
+        )
     if hot_keys is not None:
         is_hot_big = F.col(big_key).isin(hot_keys)
         big_salt = F.when(is_hot_big, _deterministic_salt(big, salt)).otherwise(0)

@@ -31,6 +31,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _internal_names(taken: set[str], *wanted: str) -> list[str]:
+    """Internal working-column names guaranteed not to collide with any
+    user column on either side."""
+    out = []
+    for w in wanted:
+        name = f"__asof_{w}"
+        while name in taken:
+            name += "_"
+        taken.add(name)
+        out.append(name)
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -40,6 +53,7 @@ def asof_join(
     how: str = "inner",
     tolerance_sec: float | None = None,
     suffix: str = "_r",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` (backward as-of) sharing the join key(s).
@@ -49,56 +63,74 @@ def asof_join(
     (drop unmatched left rows) or ``left`` (keep them with nulls).
     ``tolerance_sec`` drops matches older than the given horizon.
 
+    When multiple right rows share the same (key, timestamp), the winner
+    is deterministic: the greatest value of ``tie_break`` (a right-hand
+    column, e.g. a sequence number) wins; without one, the greatest
+    xxhash64 of the full right row wins — an arbitrary but run- and
+    partitioning-stable choice.
+
     Right-hand columns are returned renamed with ``suffix`` when they
     collide with a left column (the timestamp column always carries it).
     """
     keys = [on] if isinstance(on, str) else list(on)
     carry = [c for c in right.columns if c not in keys]
+    if tie_break is not None and tie_break not in carry:
+        raise ValueError(f"tie_break {tie_break!r} is not a non-key right column")
     out_name = {
         c: (c + suffix if c in left.columns or c == right_ts else c) for c in carry
     }
+    taken = set(left.columns) | set(right.columns)
+    c_t, c_r, c_side, c_tb, c_m = _internal_names(taken, "t", "r", "side", "tb", "m")
 
     # one struct per right row => last() matches a whole row atomically
     r_struct = F.struct(*[F.col(c).alias(c) for c in carry])
+    r_tb = (
+        F.col(tie_break) if tie_break is not None else F.xxhash64(r_struct)
+    )
     r_u = right.select(
         *[F.col(k) for k in keys],
-        F.col(right_ts).alias("_t"),
-        r_struct.alias("_r"),
-        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(c_t),
+        r_struct.alias(c_r),
+        F.lit(0).alias(c_side),
+        r_tb.alias(c_tb),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
     )
     l_u = left.select(
         *[F.col(k) for k in keys],
-        F.col(left_ts).alias("_t"),
-        F.lit(None).cast(r_u.schema["_r"].dataType).alias("_r"),
-        F.lit(1).alias("_side"),
+        F.col(left_ts).alias(c_t),
+        F.lit(None).cast(r_u.schema[c_r].dataType).alias(c_r),
+        F.lit(1).alias(c_side),
+        F.lit(None).cast(r_u.schema[c_tb].dataType).alias(c_tb),
         *[F.col(c) for c in left.columns if c not in keys],
     )
 
-    # right rows (side 0) sort before left rows (side 1) at equal ts,
-    # so an exactly-simultaneous right row is visible to the left row.
+    # right rows (side 0) sort before left rows (side 1) at equal ts, so
+    # an exactly-simultaneous right row is visible to the left row; among
+    # equal-ts right rows the tie-break orders them totally, so last()
+    # picks the greatest deterministically (nulls_first keeps left rows'
+    # null tie-break from sorting after right rows).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_t"), F.col("_side"))
+        .orderBy(F.col(c_t), F.col(c_side), F.col(c_tb).asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = r_u.unionByName(l_u).withColumn(
-        "_m", F.last("_r", ignorenulls=True).over(w)
+        c_m, F.last(c_r, ignorenulls=True).over(w)
     )
-    out = matched.where(F.col("_side") == 1)
+    out = matched.where(F.col(c_side) == 1)
     if tolerance_sec is not None:
-        horizon = F.col("_t").cast("double") - F.lit(float(tolerance_sec))
+        horizon = F.col(c_t).cast("double") - F.lit(float(tolerance_sec))
         out = out.withColumn(
-            "_m",
-            F.when(F.col("_m")[right_ts].cast("double") >= horizon, F.col("_m")),
+            c_m,
+            F.when(F.col(c_m)[right_ts].cast("double") >= horizon, F.col(c_m)),
         )
     if how == "inner":
-        out = out.where(F.col("_m").isNotNull())
+        out = out.where(F.col(c_m).isNotNull())
     elif how != "left":
         raise ValueError(f"how must be inner|left, got {how!r}")
     proj: list[Column] = [F.col(k) for k in keys]
     proj += [F.col(c) for c in left.columns if c not in keys]
-    proj += [F.col("_m")[c].alias(out_name[c]) for c in carry]
+    proj += [F.col(c_m)[c].alias(out_name[c]) for c in carry]
     return out.select(*proj)
 
 
@@ -124,23 +156,24 @@ def range_join_binned(
     """
     keys = [on] if isinstance(on, str) else list(on)
     wsec = float(bin_width_sec)
+    (bin_col,) = _internal_names(set(left.columns) | set(right.columns), "bin")
 
     def _bin(c: Column) -> Column:
         return F.floor(c.cast("double") / F.lit(wsec)).cast("long")
 
     r_b = right.withColumn(
-        "_bin",
+        bin_col,
         F.explode(F.sequence(_bin(F.col(right_start)), _bin(F.col(right_end)))),
     )
-    l_b = left.withColumn("_bin", _bin(F.col(left_ts)))
+    l_b = left.withColumn(bin_col, _bin(F.col(left_ts)))
     cond = [l_b[k] == r_b[k] for k in keys] + [
-        l_b["_bin"] == r_b["_bin"],
+        l_b[bin_col] == r_b[bin_col],
         l_b[left_ts] >= r_b[right_start],
         l_b[left_ts] < r_b[right_end],
     ]
     joined = l_b.join(r_b, cond, how="inner" if how == "inner" else "left_outer")
     # drop the duplicated key/bin columns from the right side
-    out = joined.drop(r_b["_bin"]).drop(l_b["_bin"])
+    out = joined.drop(r_b[bin_col]).drop(l_b[bin_col])
     for k in keys:
         out = out.drop(r_b[k])
     return out

@@ -36,12 +36,27 @@ def tokens_col(text: str | Column, lowercase: bool = True) -> Column:
     return F.filter(F.split(col, TOKEN_SPLIT_RE), lambda t: F.length(t) > 0)
 
 
+# diacritic fold map shared verbatim with the DuckDB oracles (both engines
+# run translate() with these exact strings)
+ASCII_FOLD_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāēīōūąćęłńśźż"
+ASCII_FOLD_DST = "aaaaaaceeeeiiiinooooouuuuyyaeiouacelnszz"
+
+
 def ascii_fold(col: Column) -> Column:
     """ASCII folding for the analyzer's `ascii` filter: strip the common
-    Latin-1/Latin-Extended diacritics (translate map, JVM-side)."""
-    src = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāēīōūąćęłńśźż"
-    dst = "aaaaaaceeeeiiiinooooouuuuyyaeiouacelnszz"
-    return F.translate(col, src, dst)
+    Latin-1/Latin-Extended diacritics (translate map, JVM-side).
+
+    Must run BEFORE tokenizing on ``[^a-z0-9]+`` — after the split, tokens
+    can no longer contain foldable characters (the split would have dropped
+    them), making the fold a silent no-op and 'café' -> 'caf'. The
+    reference analyzer order (lowercase, ascii — Useful queries.md:28)
+    folds while the token is still intact."""
+    return F.translate(col, ASCII_FOLD_SRC, ASCII_FOLD_DST)
+
+
+def ascii_fold_sql(expr: str) -> str:
+    """DuckDB fragment applying the identical fold map."""
+    return f"translate({expr}, '{ASCII_FOLD_SRC}', '{ASCII_FOLD_DST}')"
 
 
 def _stem_sql(tok: str) -> str:
@@ -74,7 +89,10 @@ def analyze_text(
     """
     from wikidata_to_surrealdb_spark.functions import respread
 
-    toks = F.transform(tokens_col(text_col), ascii_fold)
+    # analyzer order mirrors the reference: lowercase -> ascii fold ->
+    # tokenize (folding after the [^a-z0-9]+ split would be a no-op)
+    folded = ascii_fold(F.lower(F.col(text_col)))
+    toks = tokens_col(folded, lowercase=False)
     exploded = respread(df).select(F.col(id_col), F.explode(toks).alias("raw_term"))
     if stemmer == "suffix":
         term = F.expr(_stem_sql("raw_term"))

@@ -358,7 +358,7 @@ def b13_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id, unnest(list_filter(
-        regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS raw_term
+        regexp_split_to_array(translate(lower(text), 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿāēīōūąćęłńśźż', 'aaaaaaceeeeiiiinooooouuuuyyaeiouacelnszz'), '[^a-z0-9]+'), t -> length(t) > 0)) AS raw_term
       FROM documents
     ), stemmed AS (
       SELECT doc_id,
@@ -392,7 +392,7 @@ def b14_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id, unnest(list_filter(
-        regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS raw_term
+        regexp_split_to_array(translate(lower(text), 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿāēīōūąćęłńśźż', 'aaaaaaceeeeiiiinooooouuuuyyaeiouacelnszz'), '[^a-z0-9]+'), t -> length(t) > 0)) AS raw_term
       FROM documents
     ), stemmed AS (
       SELECT doc_id,

@@ -21,23 +21,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def windowed_counts_stream_df(spark: SparkSession, events_path: str) -> DataFrame:
-    """readStream from the events parquet -> 1h tumbling window counts
-    with a 1h watermark (late data beyond that is dropped)."""
+def _event_stream_source(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream source for an events parquet table, whether the path is
+    a Spark-written directory (events.parquet/part-*.parquet) or a single
+    flat file.
+
+    FileStreamSource wants a directory. A directory path streams directly;
+    only a single-FILE path uses the dirname + pathGlobFilter=basename
+    trick — applying that trick to a directory would glob for leaf files
+    named like the directory and silently match nothing (the batch schema
+    probe still succeeds, so no error would surface).
+    """
     import os
 
     schema = spark.read.parquet(events_path).schema
-    # FileStreamSource wants a directory; point at the parent with a glob
-    # filter so a single-file "table" works too.
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "8")
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isdir(events_path):
+        stream = reader.parquet(events_path)
+    else:
+        stream = reader.option(
+            "pathGlobFilter", os.path.basename(events_path)
+        ).parquet(os.path.dirname(events_path))
     # nanos-as-long parquet: restore a proper event-time column
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_counts_stream_df(spark: SparkSession, events_path: str) -> DataFrame:
+    """readStream from the events parquet -> 1h tumbling window counts
+    with a 1h watermark (late data beyond that is dropped)."""
+    stream = _event_stream_source(spark, events_path, max_files_per_trigger=8)
     return apply_windowed_counts(stream)
 
 
@@ -82,16 +100,7 @@ def sessionize_stateful_stream_df(
     verbatim. At scale, state is O(users), the only shuffle is the hash
     exchange on user_id, and Arrow batches bound executor memory.
     """
-    import os
-
-    schema = spark.read.parquet(events_path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _event_stream_source(spark, events_path)
     events = stream.select(
         "user_id", F.unix_micros("ts").alias("us"), "value"
     )
@@ -184,17 +193,7 @@ def event_dedup_stream_df(
     oracle exactly. The watermark bounds state: a key's hour expires
     once event time passes it by the watermark delay.
     """
-    import os
-
-    schema = spark.read.parquet(events_path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "8")
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _event_stream_source(spark, events_path, max_files_per_trigger=8)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(
