@@ -98,10 +98,11 @@ def test_ingest_is_shuffle_free_until_dedup(spark, tmp_path):
 
 
 def test_snowball_gate(spark):
+    """snowball now works via the repo Porter2 port (no external lib);
+    unknown stemmer names still fail fast."""
     from wikidata_to_surrealdb_spark.operators import text
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    with pytest.raises(NotImplementedError, match="snowball"):
-        text.analyze_text(docs, stemmer="snowball")
+    assert text.analyze_text(docs, stemmer="snowball").limit(5).count() > 0
     with pytest.raises(ValueError, match="unknown stemmer"):
         text.analyze_text(docs, stemmer="porter")

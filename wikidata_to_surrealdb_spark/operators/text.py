@@ -9,11 +9,12 @@ byte-identical values.
 Includes the FTS analyzer pipeline the reference defines
 (`DEFINE ANALYZER blank_english TOKENIZERS blank FILTERS lowercase,
 ascii, snowball(english)` — /root/reference/Useful queries.md:28):
-blank tokenizer, lowercase, ascii fold, and a suffix stemmer. The
-snowball(english) stemmer is approximated by an S-stemmer-style suffix
-rule chain (a full snowball implementation needs a Python UDF + external
-lib, gated behind try-import); the analyzer output feeds an inverted
-index table (term -> postings).
+blank tokenizer, lowercase, ascii fold, and a stemmer. Two stemmers:
+the default 'suffix' rule chain (pure JVM expressions, the hot path)
+and 'snowball' — a from-spec Porter2 port (functions/porter2.py)
+matching the reference's exact analyzer filter, applied per distinct
+term so the Python cost is vocabulary-sized. The analyzer output feeds
+an inverted index table (term -> postings).
 """
 
 from __future__ import annotations
@@ -81,11 +82,13 @@ def analyze_text(
     """FTS analyzer (B14): doc -> exploded (id, term) rows, lowercased,
     ascii-folded, stemmed. The downstream inverted index is a groupBy.
 
-    ``stemmer='suffix'`` (default) is the JVM-side rule chain;
-    ``stemmer='snowball'`` is the reference's exact snowball(english)
-    filter as an Arrow-batched pandas UDF, available only when a snowball
-    implementation (nltk / snowballstemmer / PyStemmer) is importable —
-    none ship in this container, so the gate raises until one does.
+    ``stemmer='suffix'`` (default) is the JVM-side rule chain — the fast
+    path, fully inside whole-stage codegen. ``stemmer='snowball'`` is the
+    reference's exact snowball(english) filter (functions/porter2.py, a
+    from-spec Porter2 port): the Python stem runs once per *distinct*
+    term (vocabulary-sized work, Arrow-batched), then a broadcast join
+    maps the full posting stream — at 100 TB the stemming cost is
+    O(vocabulary), not O(tokens).
     """
     from wikidata_to_surrealdb_spark.functions import respread
 
@@ -97,7 +100,16 @@ def analyze_text(
     if stemmer == "suffix":
         term = F.expr(_stem_sql("raw_term"))
     elif stemmer == "snowball":
-        term = _snowball_udf()(F.col("raw_term"))
+        vocab = (
+            exploded.select("raw_term")
+            .distinct()
+            .select("raw_term", snowball_udf()(F.col("raw_term")).alias("term"))
+        )
+        return (
+            exploded.join(F.broadcast(vocab), "raw_term")
+            .select(id_col, "term")
+            .where(F.length("term") > 0)
+        )
     else:
         raise ValueError(f"unknown stemmer {stemmer!r}; 'suffix' or 'snowball'")
     return exploded.select(
@@ -105,38 +117,33 @@ def analyze_text(
     ).where(F.length("term") > 0)
 
 
-def _snowball_udf():
-    """Pandas UDF wrapping a real snowball(english) stemmer; ImportError
-    -> NotImplementedError so callers get a clear gate, not a worker crash."""
-    try:
-        import snowballstemmer  # noqa: F401
-    except ImportError:
-        try:
-            from nltk.stem.snowball import SnowballStemmer  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "stemmer='snowball' needs snowballstemmer or nltk, neither "
-                "is installed; use the default stemmer='suffix'"
-            ) from e
+def snowball_udf():
+    """Arrow-batched pandas UDF around the repo Porter2 port — the exact
+    snowball(english) analyzer filter the reference declares.
 
+    The porter2 module is registered for pickle-by-value so workers get
+    the stemmer inside the serialized closure — executors need not have
+    the repo on their import path (they don't when the driver process
+    runs from another directory)."""
     from pyspark.sql.functions import pandas_udf
 
+    from wikidata_to_surrealdb_spark.functions import porter2
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(porter2)
+    except (ImportError, AttributeError):  # pragma: no cover - old pyspark
+        pass
+    stem = porter2.stem
+
     @pandas_udf("string")
-    def stem(terms):  # pragma: no cover - lib not in container
+    def stem_udf(terms):
         import pandas as pd
 
-        try:
-            import snowballstemmer
+        return pd.Series([stem(t) if t is not None else None for t in terms])
 
-            s = snowballstemmer.stemmer("english")
-            return pd.Series(s.stemWords(list(terms)))
-        except ImportError:
-            from nltk.stem.snowball import SnowballStemmer
-
-            s = SnowballStemmer("english")
-            return pd.Series([s.stem(t) for t in terms])
-
-    return stem
+    return stem_udf
 
 
 def inverted_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

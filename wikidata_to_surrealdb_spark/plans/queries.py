@@ -2203,6 +2203,36 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snowball_vocab_oracle() -> str:
+    from wikidata_to_surrealdb_spark.functions.porter2 import SNOWBALL_GOLDEN
+
+    values = ",\n      ".join(f"('{w}', '{s}')" for w, s in SNOWBALL_GOLDEN)
+    return f"""
+    SELECT word, stemmed FROM (VALUES
+      {values}
+    ) AS v(word, stemmed)
+    """
+
+
+@_q(
+    "b14_fts_snowball",
+    _snowball_vocab_oracle(),
+    "B14 parity: the snowball(english) analyzer filter the reference "
+    "declares (Useful queries.md:28), run as the repo Porter2 port over "
+    "the spec's own worked examples; the oracle is those published "
+    "outputs as literals — ground truth independent of this code",
+)
+def b14_fts_snowball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.functions.porter2 import SNOWBALL_GOLDEN
+
+    words = spark.createDataFrame(
+        [(w,) for w, _ in SNOWBALL_GOLDEN], "word string"
+    )
+    return words.select(
+        "word", text.snowball_udf()(F.col("word")).alias("stemmed")
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
