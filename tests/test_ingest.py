@@ -135,6 +135,13 @@ def test_variant_zoo_branches(spark, entity_tables):
     assert g["lat"] == 52.5 and g["lon"] == 13.4 and g["globe"] == ("Entity", 2)
     assert rows[15]["kind"] == "NoValue" and rows[15]["no_value"] is True
     assert rows[16]["kind"] == "UnknownValue"
+    assert rows[17]["kind"] == "Form" and rows[17]["form"] == "L123-F2"
+    assert rows[18]["kind"] == "Sense" and rows[18]["sense"] == "L123-S4"
+    assert rows[19]["kind"] == "MonolingualText"
+    assert rows[19]["monolingualtext"] == ("Handtuch", "de")
+    # MultilingualText: no dump datatype constructs it; branch exists and
+    # stays null everywhere (union completeness, crate parity)
+    assert all(r["multilingualtext"] is None for r in rows.values())
 
 
 def test_empty_array_predicate(spark, entity_tables):

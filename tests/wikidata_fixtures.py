@@ -150,6 +150,9 @@ def variant_zoo_item() -> dict:
             ],
             "P15": [_statement("P15", "string", None, snaktype="novalue")],
             "P16": [_statement("P16", "string", None, snaktype="somevalue")],
+            "P17": [_statement("P17", "wikibase-form", {"entity-type": "form", "id": "L123-F2"}, "wikibase-entityid")],
+            "P18": [_statement("P18", "wikibase-sense", {"entity-type": "sense", "id": "L123-S4"}, "wikibase-entityid")],
+            "P19": [_statement("P19", "monolingualtext", {"text": "Handtuch", "language": "de"}, "monolingualtext")],
         },
         "sitelinks": {},
     }

@@ -56,6 +56,7 @@ _VARIANT_NULLS = {
     "external_id": "CAST(NULL AS string)",
     "url": "CAST(NULL AS string)",
     "monolingualtext": "CAST(NULL AS struct<text:string,lang:string>)",
+    "multilingualtext": "CAST(NULL AS array<struct<text:string,lang:string>>)",
     "quantity": (
         "CAST(NULL AS struct<amount:double,lower_bound:double,"
         "upper_bound:double,unit:struct<tb:string,id:bigint>>)"
@@ -70,6 +71,8 @@ _VARIANT_NULLS = {
     "geo_shape": "CAST(NULL AS string)",
     "music_notation": "CAST(NULL AS string)",
     "tabular_data": "CAST(NULL AS string)",
+    "form": "CAST(NULL AS string)",
+    "sense": "CAST(NULL AS string)",
     "no_value": "CAST(NULL AS boolean)",
     "unknown_value": "CAST(NULL AS boolean)",
 }
@@ -139,6 +142,10 @@ def _snak_value(s: str) -> str:
     v_geoshape = _variant("GeoShape", geo_shape=v)
     v_music = _variant("MusicNotation", music_notation=v)
     v_tabular = _variant("TabularData", tabular_data=v)
+    # Form/Sense keep the full id string ('L123-F2'); the crate's
+    # Fid/Sid(Lid, ordinal) is recoverable by splitting on '-F'/'-S'
+    v_form = _variant("Form", form=f"{ent}.id")
+    v_sense = _variant("Sense", sense=f"{ent}.id")
     v_mono = _variant(
         "MonolingualText",
         monolingualtext=f"named_struct('text', {mono}.text, 'lang', {mono}.language)",
@@ -180,6 +187,8 @@ def _snak_value(s: str) -> str:
       WHEN {s}.datatype = 'geo-shape' THEN {v_geoshape}
       WHEN {s}.datatype = 'musical-notation' THEN {v_music}
       WHEN {s}.datatype = 'tabular-data' THEN {v_tabular}
+      WHEN {s}.datatype = 'wikibase-form' THEN {v_form}
+      WHEN {s}.datatype = 'wikibase-sense' THEN {v_sense}
       WHEN {s}.datatype = 'monolingualtext' THEN {v_mono}
       WHEN {s}.datatype = 'quantity' THEN {v_qty}
       WHEN {s}.datatype = 'time' THEN {v_time}

@@ -2203,6 +2203,74 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "wd_media_view",
+    """
+    SELECT id, label, description, episodes, parent, children FROM (VALUES
+      ('Entity:100', 'Graph Wars', 'animated series about dueling graphs',
+       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), 'Entity:101,Entity:102'),
+      ('Entity:101', 'Graph Wars, season 1', 'first season',
+       CAST(12.0 AS DOUBLE), 'Entity:100', ''),
+      ('Entity:102', 'Graph Wars, season 2', 'second season',
+       CAST(8.0 AS DOUBLE), 'Entity:100', ''),
+      ('Entity:103', 'Standalone documentary', 'no series structure',
+       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), '')
+    ) AS v(id, label, description, episodes, parent, children)
+    """,
+    "The reference's flagship documented query (Useful queries.md:16-25): "
+    "the Media view's three claims-path lookups (episodes = first P1113 "
+    "Quantity amount, parent = first P179 Thing, children = all P527 "
+    "Things) composed in one view over REAL ingested wikidata tables "
+    "(B1+B3+B4+B5+B6+B13). The oracle is the hand-derived expected view "
+    "content for the committed fixture dump.",
+)
+def wd_media_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingests the committed media fixture dump (data/media_dump.json) and
+    defines the Media view exactly as Useful queries.md:16-25 does. The
+    fixture is original but exercises the same shape as the reference's
+    documented episodes/parent/children model."""
+    import os
+
+    from wikidata_to_surrealdb_spark.functions import (
+        claim_values,
+        first_claim_value,
+        link_join,
+    )
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "media_dump.json",
+    )
+    t = _ingest.load_dump(spark, path, "json", lang="en")
+
+    def thing_str(x):
+        return F.when(
+            x.isNotNull(), F.concat_ws(":", x["tb"], x["id"].cast("string"))
+        )
+
+    joined = link_join(t.entity, t.claims, broadcast_right=True)
+    media = joined.where(t.entity["id.tb"] == "Entity").select(
+        thing_str(t.entity["id"]).alias("id"),
+        t.entity["label"].alias("label"),
+        t.entity["description"].alias("description"),
+        first_claim_value(t.claims["claims"], 1113, "quantity.amount").alias(
+            "episodes"
+        ),
+        thing_str(
+            F.try_element_at(claim_values(t.claims["claims"], 179, "thing"), F.lit(1))
+        ).alias("parent"),
+        F.concat_ws(
+            ",", F.transform(claim_values(t.claims["claims"], 527, "thing"), thing_str)
+        ).alias("children"),
+    )
+    media.createOrReplaceTempView("Media")  # B13: DEFINE TABLE Media AS ...
+    return spark.sql(
+        "SELECT id, label, description, episodes, parent, children FROM Media"
+    )
+
+
 def _snowball_vocab_oracle() -> str:
     from wikidata_to_surrealdb_spark.functions.porter2 import SNOWBALL_GOLDEN
 

@@ -121,6 +121,20 @@ CLAIM_VALUE = T.StructType(
                 ]
             ),
         ),
+        # MultilingualText(Vec<Text>) — part of the crate union
+        # (README.md:110-118); no dump claim datatype constructs it, but
+        # the branch keeps the union complete and round-trippable.
+        T.StructField(
+            "multilingualtext",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("text", T.StringType()),
+                        T.StructField("lang", T.StringType()),
+                    ]
+                )
+            ),
+        ),
         T.StructField(
             "quantity",
             T.StructType(
@@ -157,6 +171,11 @@ CLAIM_VALUE = T.StructType(
         T.StructField("geo_shape", T.StringType()),
         T.StructField("music_notation", T.StringType()),
         T.StructField("tabular_data", T.StringType()),
+        # Form(Fid) / Sense(Sid): the full form/sense id string
+        # ('L123-F2' / 'L123-S4') — the crate's Fid/Sid are (Lid, ordinal)
+        # pairs recoverable by splitting on '-F'/'-S' (tables.rs:18-33).
+        T.StructField("form", T.StringType()),
+        T.StructField("sense", T.StringType()),
         T.StructField("no_value", T.BooleanType()),
         T.StructField("unknown_value", T.BooleanType()),
     ]
