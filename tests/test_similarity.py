@@ -1,0 +1,106 @@
+"""Seeded-hyperplane LSH: recall against brute force, and cross-engine
+bucket-bit parity (the unrounded sign of a dot product must match
+bit-for-bit between Spark and DuckDB)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wikidata_to_surrealdb_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """200 random unit-ish vectors + 60 perturbed near-copies
+    (cosine >= ~0.9 to their base)."""
+    rs = np.random.RandomState(7)
+    base = rs.standard_normal((200, 64))
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(200)]
+    for j in range(60):
+        src = base[j % 200]
+        noise = rs.standard_normal(64) * 0.18 * np.linalg.norm(src) / 8.0
+        rows.append((1000 + j, (src + noise).astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    x = np.array([np.asarray(v, dtype=np.float64) for _, v in rows])
+    ids = np.array([i for i, _ in rows])
+    return df, ids, x
+
+
+def _true_pairs(ids, x, threshold):
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cos = xn @ xn.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    c = np.floor(cos[iu, ju] * 1e4 + 0.5) / 1e4
+    keep = c >= threshold
+    return {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu[keep]], ids[ju[keep]])
+    }
+
+
+def test_banded_lsh_recall_vs_bruteforce(planted):
+    df, ids, x = planted
+    truth = _true_pairs(ids, x, 0.9)
+    assert len(truth) >= 40  # the plant worked
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in similarity.ann_banded_pairs_gemm(
+            df, bands=4, band_bits=4, threshold=0.9
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    # 4 bands x 4 bits: expected recall ~1-(1-p^4)^4 with p=1-acos(0.9)/pi
+    # ~= 0.95; no false positives are possible (exact cosine re-check)
+    assert recall >= 0.8, (recall, len(truth))
+    assert got <= _true_pairs(ids, x, 0.9)  # precision 1.0 by construction
+
+
+def test_single_table_recall_is_worse(planted):
+    """The degenerate single 16-bit table (same total bits) must recall
+    strictly less than the banded form — the reason banding exists."""
+    df, ids, x = planted
+    truth = _true_pairs(ids, x, 0.9)
+    single = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in similarity.ann_banded_pairs_gemm(
+            df, bands=1, band_bits=16, threshold=0.9
+        ).collect()
+    }
+    banded = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in similarity.ann_banded_pairs_gemm(
+            df, bands=4, band_bits=4, threshold=0.9
+        ).collect()
+    }
+    assert len(single & truth) < len(banded & truth)
+
+
+def test_bucket_bits_match_duckdb(spark):
+    """The Spark and DuckDB dialects of the hyperplane bucket expression
+    must produce identical bucket strings on the real embeddings —
+    including sign bits from dot products near zero (no rounding)."""
+    import duckdb
+
+    spark_exprs = similarity.hyperplane_bucket_sql(
+        "embedding", 2, 6, 64, seed=42, dialect="spark"
+    )
+    duck_exprs = similarity.hyperplane_bucket_sql(
+        "embedding", 2, 6, 64, seed=42, dialect="duckdb"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got_spark = {
+        (r["vec_id"], r["b0"], r["b1"])
+        for r in emb.selectExpr(
+            "vec_id", f"{spark_exprs[0]} AS b0", f"{spark_exprs[1]} AS b1"
+        ).collect()
+    }
+    got_duck = set(
+        duckdb.sql(
+            f"SELECT vec_id, {duck_exprs[0]} AS b0, {duck_exprs[1]} AS b1 "
+            f"FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        ).fetchall()
+    )
+    assert got_spark == got_duck

@@ -79,12 +79,65 @@ def brute_force_topk(
 
 def sign_bucket_expr(vec_col: str, sign_bits: int = 6) -> Column:
     """Deterministic sign-LSH bucket key: '1'/'0' per leading dimension's
-    sign. A portable stand-in for random-hyperplane LSH (hyperplanes =
-    coordinate axes); swap in seeded hyperplanes for production recall."""
+    sign. A degenerate form kept for comparison; production bucketing is
+    :func:`hyperplane_bucket_sql` — on real embeddings leading dimensions
+    are correlated, giving giant buckets and missed neighbors."""
     return F.expr(
         f"concat_ws('', transform(slice({vec_col}, 1, {sign_bits}), "
         f"x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
     )
+
+
+def lsh_hyperplanes(n: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """``n`` random Gaussian hyperplanes for sign-LSH, deterministic from
+    ``seed`` (numpy legacy RandomState — stable across numpy versions).
+    Coefficients are rounded to 6 decimals so the literals embedded in
+    the Spark and DuckDB expressions are compact and round-trip exactly."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in row] for row in rs.standard_normal((n, dim))]
+
+
+def _dot_literal_sql(vec_expr: str, coeffs: list[float], element_fmt: str) -> str:
+    """Explicit left-associated dot product ``v[1]*c1 + v[2]*c2 + ...``.
+
+    Written out term by term (not via a fold/list_dot_product) so Spark
+    and DuckDB evaluate the *identical* IEEE-754 operation sequence —
+    the bucket bit is an unrounded sign, so any summation-order
+    difference between engines could flip it."""
+    terms = [
+        f"{element_fmt.format(v=vec_expr, i=i + 1)} * ({c!r})"
+        for i, c in enumerate(coeffs)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hyperplane_bucket_sql(
+    vec_expr: str,
+    bands: int,
+    band_bits: int,
+    dim: int,
+    seed: int = 42,
+    dialect: str = "spark",
+) -> list[str]:
+    """Per-band sign-LSH bucket-key SQL over seeded random hyperplanes.
+
+    Returns ``bands`` expressions; band ``b`` concatenates the sign bits
+    of hyperplanes ``[b*band_bits, (b+1)*band_bits)``. The same generator
+    emits both dialects (they differ only in array indexing syntax), so
+    the DuckDB oracle buckets identically to the Spark plan."""
+    element_fmt = "element_at({v}, {i})" if dialect == "spark" else "{v}[{i}]"
+    planes = lsh_hyperplanes(bands * band_bits, dim, seed)
+    out = []
+    for b in range(bands):
+        bits = [
+            f"CASE WHEN {_dot_literal_sql(vec_expr, planes[b * band_bits + j], element_fmt)}"
+            f" >= 0.0 THEN '1' ELSE '0' END"
+            for j in range(band_bits)
+        ]
+        out.append("(" + " || ".join(bits) + ")")
+    return out
 
 
 def ann_bucketed_pairs(
@@ -93,6 +146,7 @@ def ann_bucketed_pairs(
     vec_col: str = "embedding",
     sign_bits: int = 6,
     threshold: float = 0.9,
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket by sign pattern, pair within
     bucket, keep cosine >= threshold. The within-bucket self-join is the
@@ -105,10 +159,13 @@ def ann_bucketed_pairs(
     moves the same bytes but stays parallel."""
     from wikidata_to_surrealdb_spark.functions import respread
 
+    bucket = (
+        bucket_expr if bucket_expr is not None else sign_bucket_expr(vec_col, sign_bits)
+    )
     with_bucket = respread(embeddings).select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        sign_bucket_expr(vec_col, sign_bits).alias("bucket"),
+        bucket.alias("bucket"),
     )
     a = with_bucket.alias("a").hint("shuffle_hash")
     b = with_bucket.alias("b").hint("shuffle_hash")
@@ -184,6 +241,69 @@ def ann_bucketed_pairs_gemm(
     )
     return with_bucket.groupBy("bucket").applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double"
+    )
+
+
+def ann_banded_pairs_gemm(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    threshold: float = 0.9,
+    decimals: int = 4,
+) -> DataFrame:
+    """Multi-band random-hyperplane LSH near-dup pairs: a pair is a
+    candidate if it collides in ANY band, so recall for cosine-``c``
+    pairs is ``1 - (1 - p^band_bits)^bands`` with ``p = 1 - acos(c)/pi``
+    — e.g. ~0.95 for c=0.9 at 4x4, vs ~0.39 for a single 16-bit table.
+
+    Per-(band, bucket) candidate cosines are computed with the same
+    Arrow+BLAS GEMM as :func:`ann_bucketed_pairs_gemm`; a pair colliding
+    in several bands produces identical rows, collapsed by the final
+    ``distinct`` (one extra shuffle on the already-thresholded pair set,
+    which is tiny). Buckets come from seeded Gaussian hyperplanes shared
+    as literals with the DuckDB oracle (:func:`hyperplane_bucket_sql`)."""
+    import pandas as pd
+
+    f = float(10**decimals)
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        pdf = pdf.sort_values("_gid")
+        ids = pdf["_gid"].to_numpy()
+        x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_gv"]])
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cos = xn @ xn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = np.floor(cos[iu, ju] * f + 0.5) / f
+        keep = c >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": c[keep]}
+        )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    band_buckets = [
+        F.expr(sql)
+        for sql in hyperplane_bucket_sql(vec_col, bands, band_bits, dim, seed)
+    ]
+    with_bands = respread(embeddings).select(
+        F.col(id_col).alias("_gid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_gv"),
+        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+    )
+    return (
+        with_bands.groupBy("band", "bucket")
+        .applyInPandas(bucket_pairs, "id_a long, id_b long, cosine double")
+        .distinct()
     )
 
 

@@ -1116,31 +1116,55 @@ _EMB_COS = (
 )
 
 
+_EMB_BANDS, _EMB_BAND_BITS, _EMB_SEED, _EMB_DIM = 4, 4, 42, 64
+
+
+def _banded_pairs_oracle(threshold: float) -> str:
+    """DuckDB twin of ann_banded_pairs_gemm: same seeded hyperplanes as
+    literals, candidate pairs = any-band collision, DISTINCT, threshold."""
+    buckets = similarity.hyperplane_bucket_sql(
+        "embedding", _EMB_BANDS, _EMB_BAND_BITS, _EMB_DIM, _EMB_SEED, dialect="duckdb"
+    )
+    ctes = ",\n    ".join(
+        f"b{i} AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, "
+        f"{b} AS bucket FROM embeddings)"
+        for i, b in enumerate(buckets)
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT a.vec_id AS id_a, b2.vec_id AS id_b, "
+        f"{fround_sql(_EMB_COS.format(a='a.v', b='b2.v'), 4)} AS cosine "
+        f"FROM b{i} a JOIN b{i} b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id"
+        for i in range(len(buckets))
+    )
+    return f"""
+    WITH {ctes},
+    pairs AS (
+      SELECT DISTINCT id_a, id_b, cosine FROM (
+      {unions}
+      ) WHERE cosine >= {threshold}
+    )
+    SELECT id_b AS drop_id, min(id_a) AS keep_id FROM pairs GROUP BY id_b
+    """
+
+
 @_q(
     "dedup_embedding",
-    f"""
-    WITH b AS (
-      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
-             array_to_string(list_transform(list_slice(embedding, 1, 4),
-               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-      FROM embeddings
-    ), pairs AS (
-      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-             {fround_sql(_EMB_COS.format(a="a.v", b="b2.v"), 4)} AS cosine
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-    )
-    SELECT id_b AS drop_id, min(id_a) AS keep_id FROM pairs
-    WHERE cosine >= 0.5 GROUP BY id_b
-    """,
-    "embedding-cosine near-dup: sign-LSH bucketed pairs at high threshold, "
-    "then keep-lowest-id per duplicate — the vector twin of MinHash dedup; "
-    "pair cosines via per-bucket Arrow+BLAS GEMM (6x the interpreted "
-    "zip_with join form, same values)",
+    _banded_pairs_oracle(0.5),
+    "embedding-cosine near-dup: multi-band seeded-hyperplane LSH "
+    f"({_EMB_BANDS} bands x {_EMB_BAND_BITS} bits — any-band collision, "
+    "~0.95 recall at cosine 0.9 vs ~0.39 for one 16-bit table), "
+    "keep-lowest-id per duplicate; pair cosines via per-bucket Arrow+BLAS "
+    "GEMM",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    pairs = similarity.ann_bucketed_pairs_gemm(
-        t["embeddings"], sign_bits=4, threshold=0.5
+    pairs = similarity.ann_banded_pairs_gemm(
+        t["embeddings"],
+        bands=_EMB_BANDS,
+        band_bits=_EMB_BAND_BITS,
+        dim=_EMB_DIM,
+        seed=_EMB_SEED,
+        threshold=0.5,
     )
     # every doc with a lower-id near-duplicate is dropped in favor of its
     # lowest-id neighbor (deterministic single-pass survivorship; full
@@ -1187,27 +1211,39 @@ def sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "sim_ann_bucketed",
-    f"""
+def _single_band_oracle(bits: int, threshold: float) -> str:
+    (bucket,) = similarity.hyperplane_bucket_sql(
+        "embedding", 1, bits, _EMB_DIM, _EMB_SEED, dialect="duckdb"
+    )
+    return f"""
     WITH b AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
-             array_to_string(list_transform(list_slice(embedding, 1, 6),
-               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+             {bucket} AS bucket
       FROM embeddings
     )
     SELECT id_a, id_b, cosine FROM (
       SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
              {fround_sql(_COS_SQL.format(a="a.v", b="b2.v"), 4)} AS cosine
       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-    ) WHERE cosine >= 0.35
-    """,
-    "sign-LSH bucketed ANN pairs (the 100 TB path: within-bucket join only)",
+    ) WHERE cosine >= {threshold}
+    """
+
+
+@_q(
+    "sim_ann_bucketed",
+    _single_band_oracle(6, 0.35),
+    "sign-LSH bucketed ANN pairs over seeded Gaussian hyperplanes "
+    "(the 100 TB path: within-bucket join only); hyperplanes shared with "
+    "the oracle as literals, dot products written as identical explicit "
+    "sums so the unrounded sign bits match bit-for-bit across engines",
 )
 def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
+    (bucket,) = similarity.hyperplane_bucket_sql(
+        "embedding", 1, 6, _EMB_DIM, _EMB_SEED, dialect="spark"
+    )
     return similarity.ann_bucketed_pairs(
-        t["embeddings"], sign_bits=6, threshold=0.35
+        t["embeddings"], threshold=0.35, bucket_expr=F.expr(bucket)
     )
 
 
