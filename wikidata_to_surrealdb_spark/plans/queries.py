@@ -1278,17 +1278,32 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_K = 4
+def _ivf_centroid_cte() -> str:
+    """DuckDB CTE of the trained centroids (data/ivf_centroids.py) as
+    literal rows — both engines quantize with the identical k-means."""
+    import json as _json
+
+    from wikidata_to_surrealdb_spark.data.ivf_centroids import IVF_CENTROIDS
+
+    rows = ",\n      ".join(
+        f"({i}, {_json.dumps(c)})" for i, c in enumerate(IVF_CENTROIDS)
+    )
+    return (
+        "c AS (\n      SELECT cell, list_transform(cv, x -> x::DOUBLE) AS cv\n"
+        f"      FROM (VALUES\n      {rows}\n      ) AS t(cell, cv)\n    )"
+    )
+
+
+def _ivf_centroids() -> list[list[float]]:
+    from wikidata_to_surrealdb_spark.data.ivf_centroids import IVF_CENTROIDS
+
+    return IVF_CENTROIDS
 
 
 @_q(
     "sim_ivf",
     f"""
-    WITH c AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-             list_transform(embedding, x -> x::DOUBLE) AS cv
-      FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
-    ), v AS (
+    WITH {_ivf_centroid_cte()}, v AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings
     ), scored AS (
@@ -1302,19 +1317,14 @@ _IVF_K = 4
     )
     SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM ranked WHERE rn = 1
     """,
-    "IVF coarse quantization: nearest-centroid assignment (centroids = "
-    "4 lowest-id vectors, a deterministic stand-in for trained k-means); "
-    "map-only with literal centroids — at scale the output partitions by "
-    "cell so probes become partition pruning",
+    "IVF coarse quantization: nearest-centroid assignment with TRAINED "
+    "k-means centroids (fixed-seed pyspark.ml KMeans over sf0.01, "
+    "embedded as literals in both engines); map-only — at scale the "
+    "output partitions by cell so probes become partition pruning",
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.orderBy("vec_id").limit(_IVF_K).collect()
-    ]
-    return similarity.ivf_assign(emb, cents).select(
+    return similarity.ivf_assign(t["embeddings"], _ivf_centroids()).select(
         "vec_id", F.col("cell").cast("bigint").alias("cell")
     )
 
@@ -1326,11 +1336,7 @@ _IVF_TOPK = 10
 @_q(
     "sim_ivf_search",
     f"""
-    WITH c AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-             list_transform(embedding, x -> x::DOUBLE) AS cv
-      FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
-    ), q AS (
+    WITH {_ivf_centroid_cte()}, q AS (
       SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings
       WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
     ), probe AS (
@@ -1361,23 +1367,20 @@ _IVF_TOPK = 10
       WHERE a.cell IN (SELECT cell FROM probe)
     ) WHERE rn <= {_IVF_TOPK}
     """,
-    "IVF ANN search end to end: probe the 2 nearest cells, exact-rank "
-    "only their members, deterministic top-10 — with cell-partitioned "
-    "storage the probe is pure partition pruning",
+    "IVF ANN search end to end with trained k-means centroids: probe the "
+    "2 nearest of 8 cells, exact-rank only their members, deterministic "
+    "top-10 — with cell-partitioned storage the probe is pure partition "
+    "pruning",
 )
 def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     emb = t["embeddings"]
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.orderBy("vec_id").limit(_IVF_K).collect()
-    ]
     qv = [
         float(x)
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
     ]
     return similarity.ivf_search(
-        emb, cents, qv, k=_IVF_TOPK, nprobe=_IVF_NPROBE
+        emb, _ivf_centroids(), qv, k=_IVF_TOPK, nprobe=_IVF_NPROBE
     )
 
 
