@@ -167,6 +167,31 @@ def main() -> None:
         ingest_sec, n_entities = _bench_ingest(spark, sf_dir, tmp)
         timings["wd_ingest"] = round(ingest_sec, 3)
 
+        # multi-batch streaming: slice the events table into 4 time-ordered
+        # files (not timed) and replay them one per micro-batch, so the
+        # CROSS-BATCH state path — resume open sessions / merge dedup
+        # state through the state store — is what gets timed, not the
+        # single-batch availableNow fast path.
+        from wikidata_to_surrealdb_spark.streaming.events import (
+            event_dedup_multibatch,
+            sessionize_stateful_multibatch,
+            slice_events_table,
+        )
+
+        sliced = slice_events_table(
+            spark, os.path.join(sf_dir, "events.parquet"), os.path.join(tmp, "ev4")
+        )
+        # single timed run each: the cost is per-micro-batch fixed
+        # overhead (state store + shuffle x 4 batches), stable across
+        # reps — a best-of-2 would just double the suite's streaming tax
+        for name, fn_mb in (
+            ("stream_sessionize_multibatch", sessionize_stateful_multibatch),
+            ("stream_dedup_multibatch", event_dedup_multibatch),
+        ):
+            t0 = time.perf_counter()
+            fn_mb(spark, sliced).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
         # best-of-2 per query: this host is virtualized and shows large
         # run-to-run CPU-steal noise; the minimum is the steady-state cost.
         for name in BENCH_QUERIES:
@@ -188,7 +213,7 @@ def main() -> None:
             {
                 "metric": (
                     f"headline suite wall time ({len(BENCH_QUERIES)} queries"
-                    " + wikidata ingest)"
+                    " + wikidata ingest + 2 multi-batch streaming)"
                 ),
                 "value": total,
                 "unit": "sec",

@@ -41,3 +41,32 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_table_memo_invalidates_on_file_rewrite(spark, tmp_path):
+    """Rewriting one table file in place (parent dir mtime untouched) must
+    serve the NEW data, not a stale memoized plan/view."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.sources.tables import register_views
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.range(5).select(F.col("id").alias("r_regionkey")).coalesce(1).toPandas().to_parquet(
+        sf / "region.parquet"
+    )
+    t1 = register_views(spark, str(sf))
+    assert t1["region"].count() == 5
+    # rewrite the FILE in place; keep the directory's mtime fixed
+    dir_stat = sf.stat()
+    spark.range(9).select(F.col("id").alias("r_regionkey")).coalesce(1).toPandas().to_parquet(
+        sf / "region.parquet"
+    )
+    import os
+
+    os.utime(sf, (dir_stat.st_atime, dir_stat.st_mtime))
+    t2 = register_views(spark, str(sf))
+    assert t2["region"].count() == 9
+    assert spark.table("region").count() == 9

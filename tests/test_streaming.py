@@ -297,3 +297,49 @@ def test_stream_source_accepts_directory_table(spark, tmp_path):
 
     dedup = event_dedup_streaming(spark, table_dir)
     assert dedup.count() > 0
+
+
+def test_multibatch_helpers_match_batch_semantics(spark, tmp_path):
+    """slice_events_table + sessionize_stateful_multibatch: the LAST
+    emission per (user, session) across 4 real micro-batches must equal
+    the plain batch sessionization of the full table; the dedup twin's
+    complete-mode output must equal the batch dedup."""
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        event_dedup_multibatch,
+        sessionize_stateful_multibatch,
+        slice_events_table,
+    )
+
+    events_path = f"{SF_DIR}/events.parquet"
+    sliced = slice_events_table(spark, events_path, str(tmp_path / "ev4"))
+    got = sessionize_stateful_multibatch(spark, sliced)
+    # memory sink rows arrive in emission order; later emissions of the
+    # same (user, session) supersede earlier snapshots
+    final = {}
+    for r in got.collect():
+        final[(r["user_id"], r["session_id"])] = (
+            r["n_events"],
+            r["duration_sec"],
+            round(r["session_value"], 2),
+        )
+    rows = (
+        spark.read.parquet(events_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", F.unix_micros("ts").alias("us"), "value")
+        .collect()
+    )
+    expected = _expected_sessions(rows)
+    assert final == {
+        k: (v[0], v[1], round(v[2], 2)) for k, v in expected.items()
+    }
+
+    dedup_mb = event_dedup_multibatch(spark, sliced)
+    batch = (
+        spark.read.parquet(events_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy("user_id", "event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.min("event_id").alias("keep_event_id"), F.count("*").alias("collapsed"))
+    )
+    a = {tuple(r) for r in dedup_mb.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b

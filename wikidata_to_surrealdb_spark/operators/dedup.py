@@ -57,14 +57,23 @@ def shingles_expr(text_col: str, k: int = 3) -> str:
     )
 
 
-def shingle_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+def tokens_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, sh: array<string>) k-word shingles (positional, NOT
-    deduplicated), computed in two *staged* projections (tokens, then
-    shingles-from-tokens). Staging matters: inlining the tokenizer into
-    the per-position lambda makes Catalyst re-split the text O(len^2)
-    times per row.
+    """(id, toks: array<string>) staged tokenization. Its own projection
+    because inlining the tokenizer into downstream per-position lambdas
+    makes Catalyst re-split the text O(len^2) times per row — and because
+    the token array is the right thing to persist when several consumers
+    share it (3x smaller than the 3-gram shingle arrays)."""
+    df = respread(df)
+    return df.select(
+        F.col(id_col), F.expr(TOKENS_EXPR.format(text=text_col)).alias("toks")
+    )
+
+
+def shingles_from_tokens(toks: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """token arrays -> (id, sh: array<string>) k-word shingles
+    (positional, NOT deduplicated).
 
     Duplicates are deliberately kept: ``array_distinct`` over the shingle
     array is quadratic interpreted-lambda work that dominated the whole
@@ -72,15 +81,19 @@ def shingle_sets(
     already duplicate-insensitive — the MinHash ``min`` ignores repeats,
     and :func:`ngram_jaccard` measures set overlap with
     ``array_intersect`` / ``array_union``, which dedupe internally."""
-    df = respread(df)
-    toks = df.select(
-        F.col(id_col), F.expr(TOKENS_EXPR.format(text=text_col)).alias("toks")
-    )
     sh = F.expr(
         f"transform(sequence(1, greatest(size(toks) - {k - 1}, 0)), "
         f"i -> concat_ws(' ', slice(toks, i, {k})))"
     )
     return toks.select(id_col, sh.alias("sh")).where(F.size("sh") > 0)
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) k-word shingles — the two staged
+    projections of :func:`tokens_df` + :func:`shingles_from_tokens`."""
+    return shingles_from_tokens(tokens_df(df, text_col, id_col), id_col, k)
 
 
 def minhash_signatures(
@@ -224,16 +237,20 @@ def minhash_dedup(
     k: int = 3,
     threshold: float = 0.5,
     collapse_exact: bool = False,
+    persist_tokens: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
     pairs -> Jaccard verification.
 
-    The shingle stage is recomputed by its two consumers (signatures,
-    verification) rather than persisted: without the quadratic
-    array_distinct it is a cheap narrow projection, and persisting the
-    fat string arrays costs more in cache (de)serialization than the
-    recompute — measured, not guessed (persist made the sf0.1 bench
-    query ~1 s slower).
+    ``persist_tokens`` caches the staged TOKEN arrays (MEMORY_AND_DISK)
+    so the tokenizer — the pipeline's dominant CPU — runs once instead of
+    once per consumer (signatures + verification). Measured at sf0.1:
+    ~5.8 s -> ~1.9 s warm. Persisting the *shingle* arrays instead was
+    measured at ~5.6 s (3x fatter rows, cache (de)serialization eats the
+    win), and a fully long-format (doc, shingle) rewrite was 2-3x slower
+    still. The cache lives until session cache eviction — per-call token
+    arrays are ~corpus-token-size; pass ``persist_tokens=False`` in
+    memory-tight loops.
 
     ``collapse_exact`` is the duplicate-dense-corpus path: exact
     duplicates collapse to one representative (lowest id) BEFORE
@@ -242,8 +259,10 @@ def minhash_dedup(
     reported among representatives only — run :func:`exact_dedup` first
     to account for the collapsed copies. On a web-scale crawl (dup rates
     of 30-60%) this turns the dominant quadratic blowup into a linear
-    pre-pass; it is off by default because it changes which ids appear
-    in the output pairs."""
+    pre-pass (measured on a 40%-duplicate corpus: see
+    tests/test_ingest.py::test_minhash_collapse_exact and the bench note
+    in PLANS.md); it is off by default because it changes which ids
+    appear in the output pairs."""
     if collapse_exact:
         from pyspark.sql import Window
 
@@ -253,7 +272,12 @@ def minhash_dedup(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-    sh = shingle_sets(df, text_col, id_col, k)
+    toks = tokens_df(df, text_col, id_col)
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingles_from_tokens(toks, id_col, k)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     return ngram_jaccard(pairs, df, text_col, id_col, k, threshold, shingles=sh)

@@ -27,13 +27,35 @@ TPCH_TABLES = (
 )
 
 
-# (applicationId, abs sf_dir, dir mtime, table) -> DataFrame. Reading a
-# parquet table costs a driver-side schema/footer pass (~0.1 s each, ~1 s
-# for the full star schema) and every catalog query re-registers the
-# views — memoizing the immutable DataFrame plans removes that fixed cost
-# from every query after the first. The dir mtime guards the (test-only)
-# case of a rewritten sf_dir.
-_LOAD_MEMO: dict[tuple[str, str, float, str], DataFrame] = {}
+# (applicationId, abs sf_dir, table, file fingerprint) -> DataFrame.
+# Reading a parquet table costs a driver-side schema/footer pass (~0.1 s
+# each, ~1 s for the full star schema) and every catalog query
+# re-registers the views — memoizing the immutable DataFrame plans
+# removes that fixed cost from every query after the first. The
+# fingerprint is per TABLE FILE (mtime+size; for a directory table, the
+# max over its entries), so rewriting one table in place — which does
+# not touch the parent dir's mtime — invalidates exactly that entry.
+_LOAD_MEMO: dict[tuple[str, str, str, tuple[float, int]], DataFrame] = {}
+
+
+def _fingerprint(path: str) -> tuple[float, int]:
+    """(mtime, size) of a table path; for a Spark-written directory
+    table, the max mtime / total size of its direct entries."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (0.0, 0)
+    if not os.path.isdir(path):
+        return (st.st_mtime, st.st_size)
+    mtime, size = st.st_mtime, 0
+    try:
+        for entry in os.scandir(path):
+            s = entry.stat()
+            mtime = max(mtime, s.st_mtime)
+            size += s.st_size
+    except OSError:
+        pass
+    return (mtime, size)
 
 
 def load_sf_dir(
@@ -41,14 +63,13 @@ def load_sf_dir(
 ) -> dict[str, DataFrame]:
     app = spark.sparkContext.applicationId
     base = os.path.abspath(sf_dir)
-    mtime = os.path.getmtime(base) if os.path.isdir(base) else 0.0
     out: dict[str, DataFrame] = {}
     for name in tables:
-        key = (app, base, mtime, name)
+        path = os.path.join(base, f"{name}.parquet")
+        key = (app, base, name, _fingerprint(path))
         if key in _LOAD_MEMO:
             out[name] = _LOAD_MEMO[key]
             continue
-        path = os.path.join(base, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
             # nanosecond timestamps arrive as long (nanosAsLong); convert
@@ -64,19 +85,20 @@ def load_sf_dir(
     return out
 
 
-# (applicationId, view name) -> (sf_dir, mtime) currently bound. Skipping
-# the redundant re-registration saves a py4j round-trip per table per
-# query; a call for a DIFFERENT sf_dir (or a rewritten one) re-binds.
-_VIEW_MEMO: dict[tuple[str, str], tuple[str, float]] = {}
+# (applicationId, view name) -> (sf_dir, table fingerprint) currently
+# bound. Skipping the redundant re-registration saves a py4j round-trip
+# per table per query; a call for a DIFFERENT sf_dir (or a rewritten
+# table file) re-binds.
+_VIEW_MEMO: dict[tuple[str, str], tuple[str, tuple[float, int]]] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     app = spark.sparkContext.applicationId
     base = os.path.abspath(sf_dir)
-    mtime = os.path.getmtime(base) if os.path.isdir(base) else 0.0
     dfs = load_sf_dir(spark, sf_dir)
     for name, df in dfs.items():
-        if _VIEW_MEMO.get((app, name)) != (base, mtime):
+        fp = _fingerprint(os.path.join(base, f"{name}.parquet"))
+        if _VIEW_MEMO.get((app, name)) != (base, fp):
             df.createOrReplaceTempView(name)
-            _VIEW_MEMO[(app, name)] = (base, mtime)
+            _VIEW_MEMO[(app, name)] = (base, fp)
     return dfs

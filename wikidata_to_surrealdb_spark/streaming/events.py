@@ -114,43 +114,77 @@ def apply_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def sessionize(key, pdf_iter, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
         if state.exists:
-            session_id, n_events, min_us, last_us, cents = state.get
-            cur = [n_events, min_us, last_us, cents]
+            open_sid, open_n, open_min, open_last, open_cents = state.get
         else:
-            session_id, last_us, cur = 0, None, None
-        rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("us")
-            for us, value in zip(pdf["us"], pdf["value"]):
-                us = int(us)
-                if last_us is None or us - last_us > gap_sec * 1_000_000:
-                    if cur is not None:
-                        rows.append((user_id, session_id, *cur))
-                    session_id += 1
-                    cur = [0, us, us, 0]
-                cur[0] += 1
-                cur[2] = us
-                # exact cents so the decimal-sum oracle reproduces bit-for-bit
-                cur[3] += round(float(value) * 100)
-                last_us = us
-        if cur is not None:
-            # snapshot of the still-open session: cumulative, re-emitted
-            # (and superseded) if a later batch extends it
-            rows.append((user_id, session_id, *cur))
-            state.update((session_id, cur[0], cur[1], cur[2], cur[3]))
-        yield pd.DataFrame(
+            open_sid, open_n, open_min, open_last, open_cents = 0, 0, 0, None, 0
+
+        # Vectorized per batch: gap detection, session ids, and per-session
+        # aggregates are numpy cumsum/segment ops; only the OPEN session's
+        # running totals cross batch boundaries through the state store.
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        if not frames:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "duration_sec": pd.Series([], dtype="int64"),
+                    "session_value": pd.Series([], dtype="float64"),
+                }
+            )
+            return
+        batch = pd.concat(frames, ignore_index=True).sort_values("us")
+        us = batch["us"].to_numpy(dtype=np.int64)
+        # exact cents so the decimal-sum oracle reproduces bit-for-bit
+        cents = np.round(batch["value"].to_numpy(dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        gap_us = gap_sec * 1_000_000
+        prev = np.empty_like(us)
+        prev[0] = open_last if open_last is not None else us[0] - gap_us - 1
+        prev[1:] = us[:-1]
+        new_sess = (us - prev) > gap_us  # True where a new session starts
+        sid = open_sid + np.cumsum(new_sess)
+        # per-session segment aggregates (sessions are contiguous runs)
+        starts = np.flatnonzero(new_sess)
+        bounds = np.concatenate(([0], starts, [len(us)]))
+        seg = np.unique(bounds)
+        seg_n = np.diff(seg)
+        seg_first = us[seg[:-1]]
+        seg_last = us[seg[1:] - 1]
+        ccum = np.concatenate(([0], np.cumsum(cents)))
+        seg_cents = ccum[seg[1:]] - ccum[seg[:-1]]
+        seg_sid = sid[seg[:-1]]
+        # merge the carried open session into the first segment if the
+        # first event continues it (no new-session flag at position 0)
+        if not new_sess[0] and open_last is not None:
+            seg_n[0] += open_n
+            seg_first[0] = open_min
+            seg_cents[0] += open_cents
+        rows = pd.DataFrame(
             {
-                "user_id": [r[0] for r in rows],
-                "session_id": [r[1] for r in rows],
-                "n_events": [r[2] for r in rows],
-                "duration_sec": [(r[4] - r[3]) // 1_000_000 for r in rows],
-                "session_value": [r[5] / 100.0 for r in rows],
+                "user_id": np.full(len(seg_sid), user_id, dtype=np.int64),
+                "session_id": seg_sid.astype(np.int64),
+                "n_events": seg_n.astype(np.int64),
+                "duration_sec": (seg_last - seg_first) // 1_000_000,
+                "session_value": seg_cents / 100.0,
             }
         )
+        state.update(
+            (
+                int(seg_sid[-1]),
+                int(seg_n[-1]),
+                int(seg_first[-1]),
+                int(seg_last[-1]),
+                int(seg_cents[-1]),
+            )
+        )
+        yield rows
 
     return events.groupBy("user_id").applyInPandasWithState(
         sessionize,
@@ -172,6 +206,95 @@ def sessionize_stateful_streaming(
         .writeStream.format("memory")
         .queryName(table)
         .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def slice_events_table(
+    spark: SparkSession, events_path: str, out_dir: str, slices: int = 4
+) -> str:
+    """Materialize the events table as ``slices`` time-ordered parquet
+    files with increasing mtimes, so a file-source stream with
+    ``maxFilesPerTrigger=1`` replays them as separate micro-batches in
+    event-time order — the cross-batch state path, for benchmarks/tests."""
+    import os
+    import time as _time
+
+    df = spark.read.parquet(events_path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # slice on ts so batches are time-ordered (the stateful sessionizer's
+    # arrival contract)
+    ts_splits = (
+        df.select(F.unix_micros("ts").alias("us"))
+        .approxQuantile("us", [i / slices for i in range(1, slices)], 0.001)
+    )
+    bounds = [float("-inf"), *ts_splits, float("inf")]
+    base = _time.time()
+    for i in range(slices):
+        lo, hi = bounds[i], bounds[i + 1]
+        part = df.where(
+            (F.unix_micros("ts") >= F.lit(lo)) & (F.unix_micros("ts") < F.lit(hi))
+            if i > 0
+            else F.unix_micros("ts") < F.lit(hi)
+        )
+        slice_dir = os.path.join(out_dir, f"slice={i}")
+        part.coalesce(1).write.mode("overwrite").parquet(slice_dir)
+        t = base + i
+        for root, _, files in os.walk(slice_dir):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (t, t))
+    return out_dir
+
+
+def sessionize_stateful_multibatch(
+    spark: SparkSession, sliced_dir: str, gap_sec: int = 1800
+) -> DataFrame:
+    """Run the stateful sessionizer over a pre-sliced events dir
+    (:func:`slice_events_table`) one file per micro-batch, so the state
+    store carries open sessions across ``slices`` real batches."""
+    schema = spark.read.parquet(sliced_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sliced_dir)
+    )
+    events = stream.select("user_id", F.unix_micros("ts").alias("us"), "value")
+    table = f"stream_sessions_mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        apply_sessionize(events, gap_sec=gap_sec)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def event_dedup_multibatch(spark: SparkSession, sliced_dir: str) -> DataFrame:
+    """Streaming dedup over a pre-sliced events dir, one file per
+    micro-batch — state merges (min ids / summed counts) across batches."""
+    schema = spark.read.parquet(sliced_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sliced_dir)
+    )
+    dedup = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", "event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.min("event_id").alias("keep_event_id"), F.count("*").alias("collapsed"))
+    )
+    table = f"stream_dedup_mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
