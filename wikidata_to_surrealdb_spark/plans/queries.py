@@ -2208,6 +2208,388 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q2",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), pc AS (
+      SELECT c.l_partkey, c.l_suppkey, c.supply_cost
+      FROM cost c JOIN eu ON eu.s_suppkey = c.l_suppkey
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey,
+           CAST(pc.supply_cost AS DOUBLE) AS supply_cost
+    FROM part p
+    JOIN pc ON pc.l_partkey = p.p_partkey
+    JOIN eu ON eu.s_suppkey = pc.l_suppkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+      AND pc.supply_cost = (
+        SELECT min(pc2.supply_cost) FROM pc pc2
+        WHERE pc2.l_partkey = p.p_partkey
+      )
+    """,
+    "TPC-H Q2 (adapted: no partsupp — supply cost = min lineitem price "
+    "per (part, supplier)): correlated min subquery per part over a "
+    "region-restricted supplier set, decorrelated in Spark to a per-part "
+    "min aggregate join; exact DECIMAL min so the equality predicate is "
+    "portable",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    eu = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supply_cost")
+    )
+    pc = cost.join(
+        F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", "l_suppkey", "supply_cost")
+    min_pc = pc.groupBy("l_partkey").agg(
+        F.min("supply_cost").alias("min_cost")
+    ).withColumnRenamed("l_partkey", "m_partkey")
+    p = t["part"].where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        pc.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(min_pc), F.col("m_partkey") == F.col("p_partkey"))
+        .where(F.col("supply_cost") == F.col("min_cost"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+_Q8_REV = "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))"
+
+
+@_q(
+    "tpch_q8",
+    f"""
+    SELECT o_year,
+           {fround_sql("CAST(sum(CASE WHEN nation = 'NATION_7' THEN " + _Q8_REV.replace("l.", "") + " ELSE 0 END) AS DOUBLE) / CAST(sum(" + _Q8_REV.replace("l.", "") + ") AS DOUBLE)", 4)} AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice, l.l_discount, n2.n_name AS nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+    )
+    GROUP BY o_year
+    """,
+    "TPC-H Q8 national market share: 7-way join (two roles for nation), "
+    "conditional-share aggregation; both sums are exact DECIMAL before "
+    "the final double division so the ratio is engine-portable",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    base = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].where(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            t["orders"].where(
+                F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "AMERICA")),
+            F.col("r_regionkey") == F.col("c_rkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nkey") == F.col("s_nationkey"))
+    )
+    return (
+        base.select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            rev.alias("rev"),
+            F.col("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            fround(
+                F.sum(F.when(F.col("nation") == "NATION_7", F.col("rev")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )).cast("double")
+                / F.sum("rev").cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "tpch_q9",
+    f"""
+    SELECT nation, o_year,
+           {fround_sql("CAST(sum(amount) AS DOUBLE)", 2)} AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  - p.p_retailprice * l.l_quantity AS DECIMAL(18,6)) AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    """,
+    "TPC-H Q9 product profit (adapted: no partsupp — cost = "
+    "p_retailprice * quantity): 5-way join, LIKE-filtered part, profit "
+    "summed in exact DECIMAL per (nation, year)",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].where(F.col("p_name").like("%widget%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(fround(F.sum("amount").cast("double"), 2).alias("sum_profit"))
+    )
+
+
+@_q(
+    "tpch_q11",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, CAST(value AS DOUBLE) AS value
+    FROM val
+    WHERE value * 600 > (SELECT sum(value) FROM val)
+    """,
+    "TPC-H Q11 important stock (adapted: no partsupp — stock value = "
+    "summed lineitem price per part from one nation's suppliers): "
+    "double aggregation with a global-total scalar subquery; the "
+    "threshold is value*600 > total in exact DECIMAL (no float fraction) "
+    "so the cut is identical across engines",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    val = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_name") == "NATION_7")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
+    )
+    total = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("value") * 600 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+@_q(
+    "tpch_q12",
+    """
+    SELECT ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                  THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+             o.o_orderpriority
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE year(l.l_shipdate) = 1996
+    )
+    GROUP BY ship_class
+    """,
+    "TPC-H Q12 shipping priority (adapted: no l_shipmode/commitdate — "
+    "classes = ship lateness vs order date): join + dual conditional "
+    "count aggregation",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    cls = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "SLOW"
+    ).otherwise("FAST")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .where(F.year("l_shipdate") == 1996)
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(cls.alias("ship_class"), high.alias("h"))
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("h"), 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~F.col("h"), 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@_q(
+    "tpch_q15",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           {fround_sql("CAST(r.total_rev AS DOUBLE)", 2)} AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    "TPC-H Q15 top supplier: revenue VIEW over a ship-date quarter + "
+    "scalar max subquery; the max-equality compares exact DECIMAL sums "
+    "(rounding only at output) so the winner is identical across engines",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    revenue = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("total_rev"))
+    )
+    revenue.createOrReplaceTempView("revenue_q15")  # Q15's CREATE VIEW shape
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            fround(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "tpch_q20",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%' AND year(l_shipdate) = 1997
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50
+      )
+    """,
+    "TPC-H Q20 excess-stock suppliers (adapted: no partsupp — excess = "
+    "shipped quantity of name-prefixed parts over a fixed threshold): "
+    "nested grouped-HAVING IN-subquery -> left-semi join; exact DECIMAL "
+    "threshold",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    excess = (
+        t["lineitem"]
+        .where(F.year("l_shipdate") == 1997)
+        .join(
+            F.broadcast(t["part"].where(F.col("p_name").like("small%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .where(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_name") == "NATION_3")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(excess),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+    )
+
+
+@_q(
     "skew_salted_join",
     f"""
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_lines,
