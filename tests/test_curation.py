@@ -1,0 +1,112 @@
+"""Unit tests for operators/curation.py edge cases the sf-data parity
+suite can't reach: empty/short documents, threshold boundaries, split
+determinism, redaction order."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_to_surrealdb_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_repetition_empty_and_short_docs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "", "en"),                # no tokens at all
+            (2, "word", "en"),            # 1 token: no bigrams/trigrams
+            (3, "a b", "en"),             # 2 tokens: no trigrams
+            (4, "x x x x", "en"),         # max repetition
+        ],
+    )
+    out = {r["doc_id"]: r for r in curation.repetition_stats(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["top_unigram_frac"] == 0.0
+    assert out[2]["top_unigram_frac"] == 1.0
+    assert out[2]["top_bigram_frac"] == 0.0
+    assert out[3]["dup_trigram_frac"] == 0.0
+    # "x x x x": 4 identical unigrams, 3 identical bigrams
+    assert out[4]["top_unigram_frac"] == 1.0
+    assert out[4]["dup_bigram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-4)
+
+
+def test_gopher_filter_token_bounds(spark):
+    short = " ".join(f"w{i}" for i in range(5))
+    ok = " ".join(f"w{i}" for i in range(30))
+    repeated = "spam ham " * 40  # top bigram dominates
+    df = _docs(spark, [(1, short, "en"), (2, ok, "en"), (3, repeated, "en")])
+    out = {r["doc_id"]: r["keep"] for r in curation.gopher_filter(df).collect()}
+    assert out == {1: False, 2: True, 3: False}
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    df = _docs(spark, [(i, "t", "en") for i in range(64)])
+    a = {r["doc_id"]: r["split"] for r in curation.hash_split(df).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in curation.hash_split(df.repartition(7)).collect()
+    }
+    assert a == b  # partitioning-independent
+    assert set(a.values()) <= {"train", "val", "test"}
+    # different seed -> different assignment for at least one row
+    c = {r["doc_id"]: r["split"] for r in curation.hash_split(df, seed="other").collect()}
+    assert c != a
+
+
+def test_hash_split_rejects_bad_buckets(spark):
+    df = _docs(spark, [(1, "t", "en")])
+    with pytest.raises(ValueError, match="train_buckets"):
+        curation.hash_split(df, train_buckets=250, val_buckets=20)
+
+
+def test_stratified_sample_exactly_k(spark):
+    rows = [(i, "t", lang) for i, lang in enumerate(["en"] * 10 + ["de"] * 3 + ["fr"] * 1)]
+    df = _docs(spark, rows)
+    out = curation.stratified_sample(df, k=2).groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in out}
+    assert counts == {"en": 2, "de": 2, "fr": 1}  # stratum smaller than k kept whole
+
+
+def test_passage_stats_detects_cross_doc_boilerplate(spark):
+    chunk = " ".join(f"tok{i}" for i in range(16))
+    unique1 = " ".join(f"one{i}" for i in range(16))
+    unique2 = " ".join(f"two{i}" for i in range(16))
+    df = _docs(
+        spark,
+        [(1, f"{chunk} {unique1}", "en"), (2, f"{chunk} {unique2}", "en")],
+    )
+    out = {r["doc_id"]: r for r in curation.passage_stats(df).collect()}
+    for d in (1, 2):
+        assert out[d]["n_passages"] == 2
+        assert out[d]["dup_passages"] == 1
+        assert out[d]["dup_frac"] == 0.5
+
+
+def test_pii_scan_and_redact_order(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.example.com ip 10.1.2.3 tel 555-123-4567 end")],
+        "doc_id bigint, text string",
+    )
+    scan = curation.pii_scan(df).collect()[0]
+    assert (scan["n_email"], scan["n_ipv4"], scan["n_phone"]) == (1, 1, 1)
+    red = curation.pii_redact(df).collect()[0]["redacted"]
+    assert red == "mail [EMAIL] ip [IP] tel [PHONE] end"
+    # the phone pattern must not nibble the already-redacted ip's octets
+    assert "[IP]" in red and "555" not in red
+
+
+def test_corpus_stats_percentile_matches_interpolation(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c", "en", n) for i, n in enumerate([10, 20, 30, 40])],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    row = curation.corpus_stats(df).collect()[0]
+    assert row["n_docs"] == 4
+    assert row["p50_chars"] == 25.0  # linear interpolation between 20 and 30
+    assert row["mean_chars"] == 25.0
+    assert row["total_tokens"] == 12

@@ -1,0 +1,336 @@
+"""Corpus-curation operators: the filtering / splitting / profiling
+layer a large-scale training-data pipeline runs between raw ingest and
+dedup (beyond the reference's own surface — the reference stops at
+entity ingest; these are the standard curation passes published for LLM
+corpora: Gopher's repetition rules, C4-style heuristics, deterministic
+train/val/test hashing, passage-level exact dedup, PII redaction).
+
+Scale notes (100 TB):
+- Every per-document metric is either array-local (higher-order
+  functions inside whole-stage codegen) or a two-level explode+agg whose
+  shuffle key is ``doc_id`` / an md5 — uniformly distributed, map-side
+  partially aggregated, no skew.
+- ``hash_split`` is a pure map (no shuffle at all): split membership is
+  a function of md5(id), so it is stable under re-partitioning, retries,
+  and incremental re-runs — the property that matters when the corpus is
+  rewritten daily and the eval set must not drift into train.
+- PII scan/redact are single-pass regexp expressions (JVM, RE2-safe
+  patterns shared verbatim with the DuckDB oracles) — no Python.
+- All hashing is md5 (the repo's single portable hash primitive), so
+  DuckDB oracles reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wikidata_to_surrealdb_spark.functions import fround, respread
+from wikidata_to_surrealdb_spark.operators.text import TOKEN_SPLIT_RE
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram repetition metrics (the Gopher repetition
+    rules' inputs): for n in (1, 2, 3), the fraction of n-gram
+    *occurrences* covered by the most frequent n-gram (``top_*_frac``)
+    and the duplicate fraction ``1 - distinct/total`` (``dup_*_frac``).
+
+    Shape: one explode of all three n-gram streams tagged by n, then a
+    two-level aggregation — (doc, n, gram) counts with map-side partial
+    agg, then (doc, n) totals — and a conditional pivot back to one row
+    per document. Both shuffles key on doc_id(+n, +gram): uniformly
+    distributed, no skew, linear in token count (never the O(tokens^2)
+    of an array-local self-count, which matters for 100k-token docs).
+    Documents with fewer than n tokens get 0.0 for that n's metrics.
+    """
+    toks = respread(df).select(F.col(id_col), _tokens(text_col).alias("_t"))
+
+    def grams(n: int) -> Column:
+        g = F.expr(
+            f"transform(sequence(1, size(_t) - {n - 1}), "
+            f"i -> struct({n} AS n, concat_ws(' ', slice(_t, i, {n})) AS g))"
+        )
+        return F.when(F.size("_t") >= n, g).otherwise(
+            F.expr("array()").cast(f"array<struct<n:int,g:string>>")
+        )
+
+    exploded = toks.select(
+        F.col(id_col),
+        F.explode(F.concat(grams(1), grams(2), grams(3))).alias("_ng"),
+    ).select(id_col, F.col("_ng.n").alias("n"), F.col("_ng.g").alias("g"))
+    per_gram = exploded.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    per_n = per_gram.groupBy(id_col, "n").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("dist"),
+        F.max("c").alias("top"),
+    )
+
+    def metric(n: int, expr: Column) -> Column:
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, fround(expr, 4))), F.lit(0.0)
+        )
+
+    top = F.col("top") / F.col("total").cast("double")
+    dup = 1 - F.col("dist") / F.col("total").cast("double")
+    stats = per_n.groupBy(id_col).agg(
+        metric(1, top).alias("top_unigram_frac"),
+        metric(2, top).alias("top_bigram_frac"),
+        metric(2, dup).alias("dup_bigram_frac"),
+        metric(3, dup).alias("dup_trigram_frac"),
+    )
+    # left join from the full doc list so token-less documents keep a row
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            *[
+                F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+                for c in (
+                    "top_unigram_frac",
+                    "top_bigram_frac",
+                    "dup_bigram_frac",
+                    "dup_trigram_frac",
+                )
+            ],
+        )
+    )
+
+
+# Gopher-style keep thresholds, shared with the DuckDB oracle. The
+# original Gopher rules (len in [50, 100k] words, mean word length in
+# [3, 10], top-2-gram fraction <= 0.20, duplicate-3-gram <= 0.30 ...)
+# are tuned for web text; the bounds here follow the same structure.
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.08
+GOPHER_MAX_DUP_TRIGRAM_FRAC = 0.20
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style quality gate: token-count bounds + repetition
+    thresholds -> per-doc boolean ``keep`` (plus the inputs, for
+    auditability). Composition of two map-reduce passes; the token
+    count is recomputed array-locally (cheaper than joining
+    token_stats' output back in)."""
+    n_tok = F.size(_tokens(text_col)).cast("bigint")
+    base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    rep = repetition_stats(df, text_col, id_col)
+    joined = base.join(rep, id_col)
+    keep = (
+        (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+        & (F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+        & (F.col("dup_trigram_frac") <= GOPHER_MAX_DUP_TRIGRAM_FRAC)
+    )
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits & samples
+# ---------------------------------------------------------------------------
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+    train_buckets: int = 230,
+    val_buckets: int = 13,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first hex byte
+    of md5(seed ':' id) (256 uniform buckets), split by hex-string range
+    comparison — train [0, train), val [train, train+val), test the
+    rest. Defaults: 230/13/13 ~= 89.8% / 5.1% / 5.1%.
+
+    Pure map, no shuffle, no RNG: membership depends only on (seed, id),
+    so it survives re-partitioning, task retries, and incremental
+    re-ingestion — eval rows can never drift into train between runs.
+    Comparisons stay on the hex string (md5 output), so the identical
+    expression runs in the DuckDB oracle."""
+    if not 0 < train_buckets + val_buckets <= 256:
+        raise ValueError("train_buckets + val_buckets must be in (0, 256]")
+    b = F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 2
+    )
+    split = (
+        F.when(b < F.lit(f"{train_buckets:02x}"), "train")
+        .when(b < F.lit(f"{train_buckets + val_buckets:02x}"), "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 5,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows inside each
+    stratum by md5(seed ':' id) (uniform pseudo-order, id tie-break) and
+    keep rank <= k. One shuffle on the stratum key; with many strata the
+    window parallelizes across them — for a *low-cardinality* stratum
+    column over 100 TB, replace with the per-stratum top-k pattern
+    (repartition by stratum, partial top-k per map task) to avoid a
+    single reducer per giant stratum."""
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strat_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup
+# ---------------------------------------------------------------------------
+
+def passage_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Passage-level exact-duplicate profile: chop each document into
+    non-overlapping ``chunk_tokens``-token passages, md5 each, count
+    occurrences corpus-wide, and report per document how many of its
+    passages are duplicated (occur >= 2 times anywhere, self included).
+
+    The passage granularity catches boilerplate shared across documents
+    that whole-document hashing misses (headers, licence blocks, lorem
+    runs). Two shuffles: passage-hash counts (32-byte key, uniform), then
+    per-doc rollup on doc_id. Passage hashes never leave the executors
+    as arrays — the explode is streamed."""
+    toks = respread(df).select(F.col(id_col), _tokens(text_col).alias("_t"))
+    chunks = F.expr(
+        f"transform(sequence(1, cast(ceil(size(_t) / {chunk_tokens}.0) AS INT)), "
+        f"i -> md5(concat_ws(' ', slice(_t, (i - 1) * {chunk_tokens} + 1, {chunk_tokens}))))"
+    )
+    passages = (
+        toks.where(F.size("_t") > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("p_hash"))
+    )
+    occ = passages.groupBy("p_hash").agg(F.count("*").alias("n_occ"))
+    per_doc = (
+        passages.join(occ, "p_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_passages"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_passages",
+        "dup_passages",
+        fround(F.col("dup_passages") / F.col("n_passages").cast("double"), 4).alias(
+            "dup_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redact
+# ---------------------------------------------------------------------------
+
+# RE2-safe (no lookaround/backreference) so the identical pattern text
+# runs in Spark (java.util.regex) and DuckDB (RE2). Order matters for
+# redaction: emails first (their local part may contain digits), then
+# IPv4 (so the phone pattern can't nibble dotted octets), then phones.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+PII_TOKENS: dict[str, str] = {
+    "email": "[EMAIL]",
+    "ipv4": "[IP]",
+    "phone": "[PHONE]",
+}
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII hit counts per category (emails, IPv4 addresses,
+    phone numbers). Single-pass JVM regexp — each count is
+    size(regexp_extract_all(...)), no Python, no shuffle."""
+    cols = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII in category order (email -> ipv4 -> phone), replacing
+    each match with its category token. Returns (id, redacted). A chain
+    of three regexp_replace expressions — one codegen'd projection."""
+    out = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, PII_TOKENS[name])
+    return df.select(F.col(id_col), out.alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling
+# ---------------------------------------------------------------------------
+
+def corpus_stats(
+    df: DataFrame,
+    strat_col: str = "lang",
+    text_col: str = "text",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-stratum corpus profile: document count, exact interpolated
+    size percentiles (p50/p90/p99 — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share linear-interpolation semantics), mean size
+    (exact integer sum / count, divided once — portable), and total
+    tokens. One shuffle on the stratum key; percentile is the only
+    non-partial aggregate, bounded by stratum row counts (use
+    approx_percentile at 100 TB if strata are huge — documented
+    trade-off)."""
+    n_tok = F.size(_tokens(text_col)).cast("bigint")
+    return (
+        df.select(F.col(strat_col), F.col(size_col), n_tok.alias("_nt"))
+        .groupBy(strat_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            fround(F.expr(f"percentile({size_col}, 0.5)"), 4).alias("p50_chars"),
+            fround(F.expr(f"percentile({size_col}, 0.9)"), 4).alias("p90_chars"),
+            fround(F.expr(f"percentile({size_col}, 0.99)"), 4).alias("p99_chars"),
+            fround(
+                F.sum(size_col).cast("double") / F.count("*").cast("double"), 4
+            ).alias("mean_chars"),
+            F.sum("_nt").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -2722,6 +2722,259 @@ def b14_fts_snowball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-curation surface (operators/curation.py): the filtering /
+# splitting / profiling passes of an LLM training-data pipeline.
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "t -> length(t) > 0)"
+)
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB n-gram stream over token list ``t`` (n >= 2)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len(t) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))"
+    )
+
+
+@_q(
+    "curation_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, 2 AS n, unnest({_ngram_sql(2)}) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, 3 AS n, unnest({_ngram_sql(3)}) AS g FROM toks
+    ), pg AS (
+      SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g
+    ), pn AS (
+      SELECT doc_id, n, sum(c) AS total, count(*) AS dist, max(c) AS top
+      FROM pg GROUP BY doc_id, n
+    )
+    SELECT d.doc_id,
+      coalesce(max(CASE WHEN n = 1 THEN {fround_sql("top / CAST(total AS DOUBLE)", 4)} END), 0.0) AS top_unigram_frac,
+      coalesce(max(CASE WHEN n = 2 THEN {fround_sql("top / CAST(total AS DOUBLE)", 4)} END), 0.0) AS top_bigram_frac,
+      coalesce(max(CASE WHEN n = 2 THEN {fround_sql("1 - dist / CAST(total AS DOUBLE)", 4)} END), 0.0) AS dup_bigram_frac,
+      coalesce(max(CASE WHEN n = 3 THEN {fround_sql("1 - dist / CAST(total AS DOUBLE)", 4)} END), 0.0) AS dup_trigram_frac
+    FROM documents d LEFT JOIN pn ON d.doc_id = pn.doc_id
+    GROUP BY d.doc_id
+    """,
+    "Gopher-style repetition metrics: top-n-gram occupancy and duplicate "
+    "n-gram fractions per document (n=1,2,3) via one tagged explode + "
+    "two-level partial aggregation",
+)
+def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.repetition_stats(t["documents"])
+
+
+@_q(
+    "curation_gopher_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, 2 AS n, unnest({_ngram_sql(2)}) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, 3 AS n, unnest({_ngram_sql(3)}) AS g FROM toks
+    ), pg AS (
+      SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g
+    ), pn AS (
+      SELECT doc_id, n, sum(c) AS total, count(*) AS dist, max(c) AS top
+      FROM pg GROUP BY doc_id, n
+    ), rep AS (
+      SELECT d.doc_id,
+        coalesce(max(CASE WHEN n = 2 THEN {fround_sql("top / CAST(total AS DOUBLE)", 4)} END), 0.0) AS top_bigram_frac,
+        coalesce(max(CASE WHEN n = 3 THEN {fround_sql("1 - dist / CAST(total AS DOUBLE)", 4)} END), 0.0) AS dup_trigram_frac
+      FROM documents d LEFT JOIN pn ON d.doc_id = pn.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT r.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           r.top_bigram_frac, r.dup_trigram_frac,
+           (len(t) >= 10 AND len(t) <= 100000
+            AND r.top_bigram_frac <= 0.08
+            AND r.dup_trigram_frac <= 0.20) AS keep
+    FROM rep r JOIN toks USING (doc_id)
+    """,
+    "Gopher-style quality gate: token-count bounds + repetition "
+    "thresholds -> boolean keep per document, inputs kept for audit",
+)
+def curation_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.gopher_filter(t["documents"])
+
+
+@_q(
+    "curation_hash_split",
+    """
+    SELECT doc_id, lang,
+      CASE WHEN substr(md5('split-v1:' || CAST(doc_id AS STRING)), 1, 2) < 'e6' THEN 'train'
+           WHEN substr(md5('split-v1:' || CAST(doc_id AS STRING)), 1, 2) < 'f3' THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents
+    """,
+    "deterministic train/val/test assignment from md5 hex-byte buckets "
+    "(230/13/13 of 256): pure map, stable under retries and re-ingestion",
+)
+def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.hash_split(t["documents"]).select("doc_id", "lang", "split")
+
+
+@_q(
+    "curation_stratified_sample",
+    """
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample-v1:' || CAST(doc_id AS STRING)), doc_id
+             ) AS BIGINT) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 5
+    """,
+    "exactly-k-per-stratum deterministic sample: md5 pseudo-order ranked "
+    "inside each language stratum, k=5",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.stratified_sample(t["documents"], k=5).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+@_q(
+    "curation_passage_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, CAST(ceil(len(t) / 16.0) AS INT)),
+               i -> md5(array_to_string(
+                      list_slice(t, (i - 1) * 16 + 1, (i - 1) * 16 + 16), ' '))
+             )) AS p_hash
+      FROM toks WHERE len(t) > 0
+    ), occ AS (
+      SELECT p_hash, count(*) AS n_occ FROM chunks GROUP BY p_hash
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_passages,
+             sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS dup_passages
+      FROM chunks JOIN occ USING (p_hash) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_passages AS BIGINT) AS n_passages,
+           CAST(dup_passages AS BIGINT) AS dup_passages,
+           {fround_sql("dup_passages / CAST(n_passages AS DOUBLE)", 4)} AS dup_frac
+    FROM per_doc
+    """,
+    "passage-level exact dedup profile: 16-token non-overlapping chunks "
+    "md5'd, corpus-wide occurrence counts, per-doc duplicated-passage "
+    "fraction — catches cross-document boilerplate whole-doc hashing "
+    "misses",
+)
+def curation_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.passage_stats(t["documents"])
+
+
+# PII fixture text, built from table columns with the SAME SQL text on
+# both engines (documents.text itself contains no digits/punctuation, so
+# detectable spans are appended deterministically per doc_id — presence
+# varies by doc so counts are non-constant).
+_PII_DOC_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 > 0 THEN ' reach user' || CAST(doc_id AS STRING)"
+    " || '@' || source || '.example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 > 0 THEN ' from 10.' || CAST(doc_id % 256 AS STRING)"
+    " || '.' || CAST((doc_id * 7) % 256 AS STRING) || '.9' ELSE '' END"
+    " || CASE WHEN doc_id % 5 > 0 THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
+    " || '-' || lpad(CAST((doc_id * 13) % 10000 AS STRING), 4, '0') ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    from wikidata_to_surrealdb_spark.operators.curation import (
+        PII_PATTERNS,
+        PII_TOKENS,
+    )
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(pii_text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    redacted = "pii_text"
+    for name, pat in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '{PII_TOKENS[name]}', 'g')"
+    return f"""
+    WITH base AS (SELECT doc_id, {_PII_DOC_SQL} AS pii_text FROM documents)
+    SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5
+    FROM base
+    """
+
+
+@_q(
+    "curation_pii_redact",
+    _pii_oracle(),
+    "PII scan + redact: per-category hit counts (email/ipv4/phone, "
+    "RE2-safe patterns shared verbatim with the oracle) and the md5 of "
+    "the category-token-redacted text; single codegen'd regexp pass",
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id", F.expr(_PII_DOC_SQL).alias("pii_text")
+    )
+    scan = curation.pii_scan(base, text_col="pii_text")
+    red = curation.pii_redact(base, text_col="pii_text").select(
+        "doc_id", F.md5("redacted").alias("redacted_md5")
+    )
+    return scan.join(red, "doc_id")
+
+
+@_q(
+    "curation_corpus_stats",
+    f"""
+    WITH toks AS (
+      SELECT lang, n_chars, len({_TOKS_SQL}) AS nt FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           {fround_sql("quantile_cont(n_chars, 0.5)", 4)} AS p50_chars,
+           {fround_sql("quantile_cont(n_chars, 0.9)", 4)} AS p90_chars,
+           {fround_sql("quantile_cont(n_chars, 0.99)", 4)} AS p99_chars,
+           {fround_sql("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS mean_chars,
+           CAST(sum(nt) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY lang
+    """,
+    "per-language corpus profile: doc counts, exact interpolated size "
+    "percentiles (Spark percentile == DuckDB quantile_cont), exact mean, "
+    "total tokens",
+)
+def curation_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.corpus_stats(t["documents"])
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
