@@ -1,0 +1,95 @@
+"""Layout tests: partitioned writes bound file counts, readers prune
+partitions, compaction rewrites only fragmented partitions and preserves
+data exactly."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_to_surrealdb_spark.sources.layout import (
+    compact_partitions,
+    partition_file_profile,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    from wikidata_to_surrealdb_spark.sources.tables import load_sf_dir
+
+    df = load_sf_dir(spark, sf_dir, ("events",))["events"]
+    return df.withColumn("dt", F.to_date("ts"))
+
+
+def _files(path):
+    return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+
+def _checksum(df):
+    cols = [c for c in df.columns]
+    return df.select(
+        F.sum(F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])))
+    ).collect()[0][0]
+
+
+def test_write_partitioned_bounds_files(spark, events, tmp_path):
+    out = str(tmp_path / "ev")
+    write_partitioned(events, out, "dt", files_per_partition=1)
+    dirs = [d for d in os.listdir(out) if d.startswith("dt=")]
+    assert dirs
+    for d in dirs:
+        assert len(_files(os.path.join(out, d))) == 1
+
+
+def test_reader_prunes_partitions(spark, events, tmp_path):
+    out = str(tmp_path / "ev")
+    write_partitioned(events, out, "dt", files_per_partition=1)
+    one_day = sorted(
+        d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("dt=")
+    )[0]
+    pruned = spark.read.parquet(out).where(F.col("dt") == one_day)
+    # inputFiles() lists pre-pruning; the executed scan carries the
+    # partition predicate in PartitionFilters (directory-level pruning)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "dt" in pf[0] and "isnotnull" in pf[0]
+    per_day = events.where(F.col("dt") == one_day).count()
+    assert pruned.count() == per_day > 0
+
+
+def test_compact_partitions_merges_small_files(spark, events, tmp_path):
+    out = str(tmp_path / "ev")
+    # fragment deliberately: many writer tasks per partition value
+    events.repartition(8).write.partitionBy("dt").parquet(out)
+    before = partition_file_profile(spark, out).collect()
+    assert max(r["n_files"] for r in before) > 1
+    checksum_before = _checksum(spark.read.parquet(out))
+    count_before = spark.read.parquet(out).count()
+
+    rewritten = compact_partitions(
+        spark, out, "dt", target_file_bytes=512 * 1024 * 1024
+    )
+    assert rewritten  # every partition was fragmented
+    after = {r["partition_dir"]: r for r in partition_file_profile(spark, out).collect()}
+    for d in rewritten:
+        assert after[d]["n_files"] == 1
+    assert spark.read.parquet(out).count() == count_before
+    assert _checksum(spark.read.parquet(out)) == checksum_before
+
+
+def test_compact_skips_healthy_partitions(spark, events, tmp_path):
+    out = str(tmp_path / "ev")
+    write_partitioned(events, out, "dt", files_per_partition=1)
+    files_before = {f: os.path.getmtime(f) for f in _files(out)}
+    rewritten = compact_partitions(spark, out, "dt")
+    assert rewritten == []
+    assert {f: os.path.getmtime(f) for f in _files(out)} == files_before
+
+
+def test_write_partitioned_rejects_bad_split(spark, events, tmp_path):
+    with pytest.raises(ValueError, match="files_per_partition"):
+        write_partitioned(events, str(tmp_path / "x"), "dt", files_per_partition=0)
