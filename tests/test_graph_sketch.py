@@ -1,0 +1,76 @@
+"""Unit tests for operators/graph.py and operators/sketch.py on
+hand-built graphs/columns where the exact answer is known."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_to_surrealdb_spark.operators import graph, sketch
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _start(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+
+def test_khop_min_depth_on_diamond(spark):
+    # a-b-d and a-c-d: d is reachable at depth 2 via two routes
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")])
+    out = {r["node"]: r["depth"] for r in graph.khop(e, _start(spark, ["a"]), k=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_khop_directed_respects_direction(spark):
+    e = _edges(spark, [("a", "b"), ("c", "a")])
+    out = {
+        r["node"]: r["depth"]
+        for r in graph.khop(e, _start(spark, ["a"]), k=3, directed=True).collect()
+    }
+    assert out == {"a": 0, "b": 1}  # c -> a edge is not followed backwards
+
+
+def test_khop_k_zero_and_early_stop(spark):
+    e = _edges(spark, [("a", "b")])
+    assert {r["node"] for r in graph.khop(e, _start(spark, ["a"]), k=0).collect()} == {"a"}
+    # frontier dries up after 1 hop; k=10 must terminate
+    out = graph.khop(e, _start(spark, ["a"]), k=10).collect()
+    assert {r["node"] for r in out} == {"a", "b"}
+
+
+def test_khop_rejects_negative_k(spark):
+    with pytest.raises(ValueError, match="k"):
+        graph.khop(_edges(spark, [("a", "b")]), _start(spark, ["a"]), k=-1)
+
+
+def test_connected_components_two_clusters_and_chain(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 iteration) and pair 8-9
+    e = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 8)], "src bigint, dst bigint"
+    )
+    out = {r["node"]: r["component"] for r in graph.connected_components(e).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    row = sketch.kmv_distinct(df, "v", k=64).collect()[0]
+    assert row["n_hashes"] == 10
+    assert row["kmv_estimate_raw"] == 10.0  # small-cardinality fallback is exact
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    df = spark.range(2000).select(F.col("id").cast("string").alias("v"))
+    row = sketch.kmv_distinct(df, "v", k=128).collect()[0]
+    # KMV std error ~ 1/sqrt(k-2) ~ 9%; allow 3 sigma
+    assert row["n_hashes"] == 128
+    assert abs(row["kmv_estimate_raw"] - 2000) / 2000 < 0.27
+
+
+def test_kmv_rejects_bad_k(spark):
+    df = spark.range(3).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="k"):
+        sketch.kmv_distinct(df, "v", k=1)

@@ -1,0 +1,83 @@
+"""Deterministic, engine-portable approximate-distinct sketch (KMV).
+
+Spark's ``approx_count_distinct`` (HLL++) and DuckDB's ``approx_*`` are
+black boxes with different internals — their estimates can never
+hash-match across engines, so they can't sit behind the driver's oracle
+gate. The K-Minimum-Values sketch (Bar-Yossef et al. 2002) can: it needs
+only (1) a uniform hash — md5, bit-identical in both engines — and
+(2) the k-th smallest hash value, a fully deterministic order statistic.
+Estimate: ``(k - 1) / v_k`` where ``v_k`` is the k-th min hash mapped to
+[0, 1).
+
+Scale shape: the k smallest hashes of a 100 TB column are computed as a
+per-partition top-k merged on the driver (Spark's TakeOrderedAndProject
+— no global sort, no full shuffle), and KMV sketches are mergeable
+(union the hash sets, re-take k smallest) for partitioned/streaming
+rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# numeric value of the first 12 hex chars (48 bits — exact in BIGINT and
+# DOUBLE) of an md5 hex digest; the SAME SQL text runs in Spark and
+# DuckDB (ANSI position(x IN y), substring, integer literals).
+HEX_SPACE = 16**12
+
+
+def hex12_num_sql(h: str) -> str:
+    """SQL expression: integer value of the first 12 hex chars of ``h``."""
+    # CAST every term to BIGINT explicitly: Spark's ANSI mode otherwise
+    # multiplies the INT position() result with INT arithmetic and
+    # overflows at 16^8 (DuckDB auto-widens; the cast is a no-op there).
+    terms = " + ".join(
+        f"CAST(position(substring({h}, {i + 1}, 1) IN '0123456789abcdef') - 1"
+        f" AS BIGINT) * CAST({16 ** (11 - i)} AS BIGINT)"
+        for i in range(12)
+    )
+    return f"({terms})"
+
+
+def kmv_distinct(
+    df: DataFrame, col: str | Column, k: int = 64, seed: str = "kmv-v1"
+) -> DataFrame:
+    """One-row DataFrame: (kmv_k, n_hashes, kmv_estimate) — the KMV
+    approximate distinct count of ``col``.
+
+    If the column has fewer than k distinct values the sketch holds them
+    all and the estimate is exact (standard KMV small-cardinality
+    fallback). ``n_hashes`` is the number of hashes actually held
+    (min(k, distinct)).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(F.lit(seed + ":"), c.cast("string")))
+    kmin = (
+        df.select(h.alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    num = F.expr(hex12_num_sql("h"))
+    return (
+        kmin.select(F.col("h"), num.alias("hnum"))
+        .agg(
+            F.count("*").alias("n_hashes"),
+            F.max("hnum").alias("vk"),
+        )
+        .select(
+            F.lit(k).cast("bigint").alias("kmv_k"),
+            F.col("n_hashes").cast("bigint").alias("n_hashes"),
+            F.when(
+                F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+            )
+            .otherwise(
+                (F.lit(k - 1) * F.lit(float(HEX_SPACE))) / F.col("vk").cast("double")
+            )
+            .alias("kmv_estimate_raw"),
+        )
+    )

@@ -2975,6 +2975,196 @@ def curation_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_stats(t["documents"])
 
 
+# ---------------------------------------------------------------------------
+# Graph surface (operators/graph.py): multi-hop traversal + components
+# ---------------------------------------------------------------------------
+
+@_q(
+    "graph_khop",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT 'p:' || CAST(l_partkey AS STRING) AS a,
+                      's:' || CAST(l_suppkey AS STRING) AS b
+      FROM lineitem
+    ), edges AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), walk(node, depth) AS (
+      SELECT 'p:1', 0
+      UNION ALL
+      SELECT e.b, w.depth + 1
+      FROM walk w JOIN edges e ON e.a = w.node
+      WHERE w.depth < 2
+    )
+    SELECT node, CAST(min(depth) AS BIGINT) AS depth
+    FROM walk GROUP BY node
+    """,
+    "bounded k-hop traversal (k=2) over the part<->supplier bipartite "
+    "graph from lineitem: frontier BFS with min-depth semantics in "
+    "Spark (per-round join on the NEW frontier only, lineage truncated "
+    "per hop) vs a recursive CTE in the oracle — the multi-hop "
+    "extension of the reference's record-link traversal (B3)",
+)
+def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import graph
+
+    t = register_views(spark, sf_dir)
+    edges = t["lineitem"].select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    start = spark.createDataFrame([("p:1",)], "node string")
+    return graph.khop(edges, start, k=2)
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    "near-dup clustering: MinHash+LSH pair list -> connected components "
+    "(min-label propagation, lineage-truncated driver loop) -> "
+    "(doc, cluster) with the min doc id as the deterministic canonical "
+    "representative — the pass that turns pairwise dedup output into "
+    "keep/drop decisions",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import graph
+
+    t = register_views(spark, sf_dir)
+    pairs = dedup.minhash_dedup(
+        t["documents"], num_hashes=8, bands=4, k=3, threshold=0.1
+    )
+    comp = graph.connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch surface (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+def _kmv_oracle(k: int = 64) -> str:
+    from wikidata_to_surrealdb_spark.operators.sketch import (
+        HEX_SPACE,
+        hex12_num_sql,
+    )
+
+    est = (
+        f"CASE WHEN n_hashes < {k} THEN CAST(n_hashes AS DOUBLE) "
+        f"ELSE {k - 1} * {float(HEX_SPACE)} / CAST(vk AS DOUBLE) END"
+    )
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT md5('kmv-v1:' || text) AS h
+      FROM documents WHERE text IS NOT NULL
+    ), kmin AS (
+      SELECT h FROM h ORDER BY h LIMIT {k}
+    ), agg AS (
+      SELECT count(*) AS n_hashes, max({hex12_num_sql("h")}) AS vk FROM kmin
+    ), ex AS (
+      SELECT count(DISTINCT text) AS n_exact FROM documents
+    )
+    SELECT CAST({k} AS BIGINT) AS kmv_k,
+           CAST(n_hashes AS BIGINT) AS n_hashes,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           {fround_sql(est, 4)} AS kmv_estimate
+    FROM agg, ex
+    """
+
+
+@_q(
+    "sketch_kmv_distinct",
+    _kmv_oracle(64),
+    "KMV approximate-distinct sketch (k=64) over documents.text: "
+    "deterministic md5 order statistic -> (k-1)/v_k estimate, exact "
+    "count alongside for error audit. Unlike HLL, bit-identical across "
+    "engines, per-partition-top-k plan (no full shuffle), mergeable",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import sketch
+
+    t = register_views(spark, sf_dir)
+    docs = t["documents"]
+    s = sketch.kmv_distinct(docs, "text", k=64)
+    exact = docs.agg(F.count_distinct("text").cast("bigint").alias("n_exact"))
+    return s.crossJoin(F.broadcast(exact)).select(
+        "kmv_k",
+        "n_hashes",
+        "n_exact",
+        fround(F.col("kmv_estimate_raw"), 4).alias("kmv_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-window breadth over events
+# ---------------------------------------------------------------------------
+
+_EV_CUMSUM = (
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+)
+_EV_MA3_SUM = (
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+)
+_EV_MA3_CNT = (
+    "count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+)
+
+
+@_q(
+    "events_analytics",
+    f"""
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           {fround_sql("value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)", 4)} AS delta,
+           {fround_sql(f"{_EV_MA3_SUM} / CAST({_EV_MA3_CNT} AS DOUBLE)", 4)} AS ma3,
+           {fround_sql(_EV_CUMSUM, 4)} AS cum_value
+    FROM events
+    """,
+    "analytic windows over the event stream: lag / delta / 3-row moving "
+    "average / running total per user, total ordering (ts, event_id); "
+    "sums in exact DECIMAL inside the frame so window math is "
+    "engine-portable",
+)
+def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = register_views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame3 = w.rowsBetween(-2, Window.currentRow)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = F.col("value").cast("decimal(18,2)")
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        fround(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        fround(
+            F.sum(dec).over(frame3).cast("double")
+            / F.count("value").over(frame3).cast("double"),
+            4,
+        ).alias("ma3"),
+        fround(F.sum(dec).over(cum).cast("double"), 4).alias("cum_value"),
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
