@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "stream_sessionize_stateful",
     "sim_bruteforce",
     "mm_decode_features",
+    "curation_repetition",
+    "curation_passage_dedup",
+    "curation_pii_redact",
+    "sketch_kmv_distinct",
 ]
 
 

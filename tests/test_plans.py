@@ -60,6 +60,14 @@ def test_dim_joins_broadcast(spark, name):
         "sim_bruteforce",
         "events_sessionize",
         "wd_claims_path",
+        "curation_repetition",
+        "curation_gopher_filter",
+        "curation_hash_split",
+        "curation_passage_dedup",
+        "curation_pii_redact",
+        "curation_corpus_stats",
+        "sketch_kmv_distinct",
+        "events_analytics",
     ],
 )
 def test_hot_paths_are_jvm_only(spark, name):
