@@ -382,3 +382,40 @@ def ivf_assign(
         id_col,
         (F.array_position(sims, F.array_max(sims)) - 1).alias("cell"),
     )
+
+
+def normalize_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding preprocessing for storage/serving: L2 norm + symmetric
+    int8 quantization of the unit-normalized vector (q_i = round(x_i /
+    ||x|| * 127), clamped to [-127, 127]) — the standard 4x shrink before
+    an ANN index. Returns (id, l2_norm, q_checksum): the checksum is the
+    md5 of the comma-joined int codes, so byte-exact quantization is
+    assertable cross-engine without shipping arrays through the driver.
+
+    All array-local higher-order functions — a pure map, no shuffle, no
+    Python; the sequential `aggregate` fold gives a deterministic
+    summation order (bit-identical doubles in Spark and DuckDB)."""
+    from wikidata_to_surrealdb_spark.functions import fround
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = _norm(v)
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / norm * 127 + F.lit(0.5))),
+        ).cast("bigint"),
+    )
+    return df.select(
+        F.col(id_col),
+        fround(norm, 4).alias("l2_norm"),
+        # zero vectors can't be unit-normalized: checksum NULL, not NaN-fed
+        F.when(
+            norm > 0,
+            F.md5(F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))),
+        ).alias("q_checksum"),
+    )

@@ -228,6 +228,37 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k terms per stratum by document frequency (vocabulary heavy
+    hitters): per-document distinct tokens (array-local dedup BEFORE the
+    explode — tf spam can't inflate df), count per (stratum, term) with
+    map-side partial agg, rank with a deterministic (df DESC, term)
+    tie-break. The ranking window runs on the already-aggregated
+    vocabulary (small), not the token stream."""
+    from pyspark.sql.window import Window
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    toks = respread(df).select(
+        F.col(strat_col),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
+    )
+    dfreq = toks.groupBy(strat_col, "term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    w = Window.partitionBy(strat_col).orderBy(F.col("df").desc(), F.col("term"))
+    return (
+        dfreq.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality scoring: length, mean word length, stopword
     ratio, alpha ratio, and a composite score. Pure column math — shared

@@ -3165,6 +3165,110 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT lang, doc_id, unnest(list_distinct({_TOKS_SQL})) AS term
+      FROM documents
+    ), dfreq AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+      FROM toks GROUP BY lang, term
+    )
+    SELECT lang, term, df, rank FROM (
+      SELECT lang, term, df,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY df DESC, term
+             ) AS BIGINT) AS rank
+      FROM dfreq
+    ) WHERE rank <= 10
+    """,
+    "vocabulary heavy hitters: top-10 terms per language by DOCUMENT "
+    "frequency (per-doc distinct before the explode, so tf spam can't "
+    "inflate df), deterministic (df DESC, term) tie-break; the rank "
+    "window runs on the aggregated vocabulary, not the token stream",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return text.top_terms(t["documents"], k=10)
+
+
+@_q(
+    "emb_normalize_quantize",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM v
+    )
+    SELECT vec_id,
+           {fround_sql("norm", 4)} AS l2_norm,
+           md5(array_to_string(list_transform(v,
+             x -> CAST(greatest(-127, least(127, floor(x / norm * 127 + 0.5))) AS BIGINT)
+           ), ',')) AS q_checksum
+    FROM n
+    """,
+    "embedding preprocessing: L2 norm + symmetric int8 quantization of "
+    "the unit vector, asserted cross-engine via md5 of the int codes — "
+    "pure map, array-local, the 4x shrink before an ANN index",
+)
+def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return similarity.normalize_quantize(t["embeddings"])
+
+
+@_q(
+    "wd_incremental_ingest",
+    """
+    SELECT id, label, episodes FROM (VALUES
+      ('Entity:100', 'Graph Wars', CAST(NULL AS DOUBLE)),
+      ('Entity:101', 'Graph Wars, season 1 remastered', CAST(13.0 AS DOUBLE)),
+      ('Entity:102', 'Graph Wars, season 2', CAST(8.0 AS DOUBLE)),
+      ('Entity:103', 'Standalone documentary', CAST(NULL AS DOUBLE)),
+      ('Entity:104', 'Graph Wars, season 3', CAST(6.0 AS DOUBLE))
+    ) AS v(id, label, episodes)
+    """,
+    "incremental re-ingest (merge_loads): a v2 dump revision merged over "
+    "the v1 load with entity-level last-load-wins — Q101's label AND its "
+    "Claims row are replaced (episodes 12 -> 13), new Q104 appears, "
+    "untouched entities persist; one windowed merge per table, "
+    "exchange-free when both sides are bucketed on id. The oracle is the "
+    "hand-derived post-merge state of the committed fixtures.",
+)
+def wd_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from wikidata_to_surrealdb_spark.functions import (
+        first_claim_value,
+        link_join,
+    )
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+
+    data_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+    )
+    v1 = _ingest.load_dump(
+        spark, os.path.join(data_dir, "media_dump.json"), "json", lang="en"
+    )
+    v2 = _ingest.load_dump(
+        spark, os.path.join(data_dir, "media_dump_v2.json"), "json", lang="en"
+    )
+    merged = _ingest.merge_loads(v1, v2)
+    joined = link_join(merged.entity, merged.claims, broadcast_right=True)
+    return joined.where(merged.entity["id.tb"] == "Entity").select(
+        F.concat_ws(
+            ":",
+            merged.entity["id.tb"],
+            merged.entity["id.id"].cast("string"),
+        ).alias("id"),
+        merged.entity["label"].alias("label"),
+        first_claim_value(merged.claims["claims"], 1113, "quantity.amount").alias(
+            "episodes"
+        ),
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
