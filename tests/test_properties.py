@@ -169,3 +169,77 @@ def test_ingest_invariants(spark, tmp_path_factory, drawn):
         assert row is not None, f"{e['id']} not routed"
         assert row["label"] == label
         assert len(claims_by_id[num]) == n_snaks, e["id"]
+
+
+# ---------------------------------------------------------------------------
+# Curation-contract properties: the SQL fragments shared between the Spark
+# operators and their DuckDB oracles must obey the operator's invariants
+# for ANY input, not just the fixture corpus.
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_hash_split_matches_reference_md5(doc_id):
+    """The split CASE expression == an independent hashlib reimplementation
+    (exhaustive over the three buckets, deterministic per id)."""
+    import hashlib
+
+    b = hashlib.md5(f"split-v1:{doc_id}".encode()).hexdigest()[:2]
+    expect = "train" if b < "e6" else ("val" if b < "f3" else "test")
+    got = duckdb.sql(
+        f"""SELECT CASE
+              WHEN substr(md5('split-v1:' || CAST({doc_id} AS STRING)), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5('split-v1:' || CAST({doc_id} AS STRING)), 1, 2) < 'f3' THEN 'val'
+              ELSE 'test' END"""
+    ).fetchone()[0]
+    assert got == expect
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from("abcdefghij "),
+        min_size=0,
+        max_size=200,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_pii_redaction_is_complete(body):
+    """After the category-ordered redaction chain, no PII pattern matches
+    anywhere in the output — for any surrounding text."""
+    from wikidata_to_surrealdb_spark.operators.curation import (
+        PII_PATTERNS,
+        PII_TOKENS,
+    )
+
+    payload = (
+        f"{body} a.user+x@host.example.org {body} "
+        f"10.0.200.7 555-123-4567 {body}"
+    )
+    red = payload
+    for name, pat in PII_PATTERNS.items():
+        red = duckdb.sql(
+            "SELECT regexp_replace(?, ?, ?, 'g')",
+            params=[red, pat, PII_TOKENS[name]],
+        ).fetchone()[0]
+    for pat in PII_PATTERNS.values():
+        assert not duckdb.sql(
+            "SELECT regexp_matches(?, ?)", params=[red, pat]
+        ).fetchone()[0], (payload, red)
+
+
+@given(st.lists(st.text(alphabet="0123456789abcdef", min_size=32, max_size=32), min_size=2, max_size=20, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_hex12_num_is_order_preserving(hashes):
+    """KMV's correctness rests on: ordering md5 hex strings == ordering
+    their hex12 numeric values (the k-th min string IS the k-th min
+    number). Check the shared SQL fragment preserves order pairwise."""
+    from wikidata_to_surrealdb_spark.operators.sketch import hex12_num_sql
+
+    lits = ", ".join(f"('{h}')" for h in hashes)
+    rows = duckdb.sql(
+        f"SELECT h, {hex12_num_sql('h')} AS n FROM (VALUES {lits}) t(h) ORDER BY h"
+    ).fetchall()
+    nums = [r[1] for r in rows]
+    # strings sorted ascending -> hex12 prefix values non-decreasing
+    assert nums == sorted(nums)
