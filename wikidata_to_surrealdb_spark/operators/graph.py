@@ -56,6 +56,11 @@ def khop(
         if directed
         else _undirect(edges, src, dst)
     )
+    # materialize the edge list ONCE: every hop launches a join job (and
+    # khop's caller may have built `edges` from an expensive pipeline —
+    # e.g. MinHash pair generation); without this each job re-runs that
+    # whole upstream plan
+    e = e.localCheckpoint()
     visited = (
         start.select(F.col(node_col).alias("node"))
         .distinct()
@@ -96,7 +101,10 @@ def connected_components(
     (star-ish), so this converges in a handful of rounds; the
     convergence check is one count per round (cheap next to the join).
     """
-    e = _undirect(edges, src, dst)
+    # one materialization for the whole loop: 2 jobs per round (label
+    # update + convergence count) would otherwise re-run the upstream
+    # edge pipeline 2x per round
+    e = _undirect(edges, src, dst).localCheckpoint()
     labels = (
         e.select(F.col("_a").alias("node"))
         .distinct()
