@@ -110,3 +110,30 @@ def test_corpus_stats_percentile_matches_interpolation(spark):
     assert row["p50_chars"] == 25.0  # linear interpolation between 20 and 30
     assert row["mean_chars"] == 25.0
     assert row["total_tokens"] == 12
+
+
+def test_pack_sequences_matches_naive_global_window(spark):
+    rows = [(i, " ".join(["w"] * (3 + (i * 7) % 11)), "en") for i in range(50)]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in curation.pack_sequences(df, seq_len=16, bucket_size=8).collect()
+    }
+    # naive reference: sequential cumsum in plain Python
+    cum = 0
+    for i, text, _lang in rows:
+        n = len(text.split())
+        assert out[i] == (n, cum // 16, cum % 16), (i, out[i], cum)
+        cum += n
+
+
+def test_pack_sequences_bucket_size_invariant(spark):
+    df = _docs(spark, [(i, "a b c", "en") for i in range(40)])
+    a = sorted(map(tuple, curation.pack_sequences(df, seq_len=7, bucket_size=4).collect()))
+    b = sorted(map(tuple, curation.pack_sequences(df, seq_len=7, bucket_size=1000).collect()))
+    assert a == b
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    with pytest.raises(ValueError, match="seq_len"):
+        curation.pack_sequences(_docs(spark, [(1, "a", "en")]), seq_len=0)

@@ -334,3 +334,67 @@ def corpus_stats(
             F.sum("_nt").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Assign documents to fixed-length training sequences by
+    concatenating the token stream in ``id_col`` order and cutting every
+    ``seq_len`` tokens (GPT-style pretraining packing: a document may
+    straddle two sequences). Returns (id, n_tokens, seq_id, seq_offset)
+    where seq_offset is the document's start position inside its
+    sequence.
+
+    The semantics are a GLOBAL running sum over a total order — the
+    naive formulation is a single-reducer window, which dies at 100 TB.
+    This is the standard two-level distributed prefix sum instead:
+    (1) documents are range-bucketed by id (``bucket_size`` docs per
+    bucket); the per-bucket running sums parallelize across buckets;
+    (2) the bucket TOTALS (one row per bucket — a million buckets for a
+    billion docs) get a tiny sequential prefix window; (3) a broadcast
+    join adds each bucket's prefix to its local cumsum. Result is
+    identical to the single-window formulation (the oracle computes that
+    directly) with no large-partition reducer anywhere.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    n_tok = F.size(_tokens(text_col)).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_size).cast("bigint").alias("_bucket"),
+    )
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "_local_cum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btotal"))
+    w_prefix = (
+        Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.withColumn(
+        "_prefix", F.coalesce(F.sum("_btotal").over(w_prefix), F.lit(0))
+    ).select("_bucket", "_prefix")
+    cum = F.col("_prefix") + F.col("_local_cum")
+    return (
+        local.join(F.broadcast(prefix), "_bucket")
+        .select(
+            id_col,
+            "n_tokens",
+            (cum / seq_len).cast("bigint").alias("seq_id"),
+            (cum % seq_len).cast("bigint").alias("seq_offset"),
+        )
+    )

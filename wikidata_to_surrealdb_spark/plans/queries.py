@@ -3269,6 +3269,39 @@ def wd_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "curation_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+           CAST(cum_before % 2048 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+    "GPT-style training-sequence packing: concatenate the doc_id-ordered "
+    "token stream, cut every 2048 tokens; Spark computes the global "
+    "running sum as a two-level distributed prefix sum (per-bucket "
+    "windows in parallel + a bucket-totals prefix + broadcast join) — "
+    "identical to the oracle's single global window but with no "
+    "single-reducer stage",
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.pack_sequences(t["documents"], seq_len=2048, bucket_size=64)
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
