@@ -137,3 +137,18 @@ def test_pack_sequences_bucket_size_invariant(spark):
 def test_pack_sequences_rejects_bad_seq_len(spark):
     with pytest.raises(ValueError, match="seq_len"):
         curation.pack_sequences(_docs(spark, [(1, "a", "en")]), seq_len=0)
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    shared = "alpha beta gamma delta"
+    train = _docs(
+        spark,
+        [
+            (1, f"noise one two {shared} tail words", "en"),
+            (2, "completely unrelated text here now", "en"),
+        ],
+    )
+    ev = _docs(spark, [(100, f"prefix {shared} suffix", "en")])
+    out = {r["doc_id"]: r["n_hits"] for r in curation.decontaminate(train, ev, n=4).collect()}
+    assert 1 in out and out[1] >= 1  # shares the 4-gram
+    assert 2 not in out  # clean doc emits no row

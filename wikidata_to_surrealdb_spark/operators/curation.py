@@ -398,3 +398,50 @@ def pack_sequences(
             (cum % seq_len).cast("bigint").alias("seq_offset"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    n-gram with the eval set (the standard n-gram-overlap protocol used
+    for pretraining-corpus hygiene). Returns one row per CONTAMINATED
+    training doc: (id, n_hits = distinct shared n-grams).
+
+    Shape: the eval set's distinct n-gram hashes are tiny next to the
+    corpus (benchmarks are KBs-MBs vs TBs) — broadcast them, so the scan
+    of the training corpus is map-side: shingle, hash, broadcast-semi-
+    join, aggregate. No shuffle touches the full token stream; the only
+    aggregation key is doc_id. md5 shingle hashing matches the oracle
+    bit-for-bit."""
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = respread(df).select(
+            F.col(id_col), _tokens(text_col).alias("_t")
+        )
+        h = F.expr(
+            f"transform(sequence(1, size(_t) - {n - 1}), "
+            f"i -> md5(concat_ws(' ', slice(_t, i, {n}))))"
+        )
+        return (
+            toks.where(F.size("_t") >= n)
+            .select(F.col(id_col), F.explode(h).alias("g_hash"))
+            .dropDuplicates([id_col, "g_hash"])
+        )
+
+    eval_grams = grams(eval_df).select("g_hash").distinct()
+    return (
+        grams(train_df)
+        .join(F.broadcast(eval_grams), "g_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )

@@ -3302,6 +3302,40 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_sequences(t["documents"], seq_len=2048, bucket_size=64)
 
 
+@_q(
+    "curation_decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> md5(array_to_string(list_slice(t, i, i + 2), ' '))
+             ))) AS g_hash
+      FROM toks WHERE len(t) >= 3
+    ), ev AS (
+      SELECT DISTINCT g_hash FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM grams g JOIN ev ON g.g_hash = ev.g_hash
+    WHERE g.doc_id % 97 != 0
+    GROUP BY g.doc_id
+    """,
+    "benchmark decontamination: training docs sharing any n-gram with "
+    "the held-out eval slice (doc_id % 97 = 0), n=3 on this synthetic "
+    "corpus (real pipelines use 8-13); eval gram hashes broadcast, the "
+    "corpus scan stays map-side — no shuffle touches the token stream",
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    docs = t["documents"]
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return curation.decontaminate(train, ev, n=3)
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
