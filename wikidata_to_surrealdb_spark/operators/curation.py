@@ -428,14 +428,16 @@ def decontaminate(
         toks = respread(df).select(
             F.col(id_col), _tokens(text_col).alias("_t")
         )
+        # per-doc dedup happens ARRAY-LOCALLY (array_distinct before the
+        # explode) — a dropDuplicates here would shuffle the full gram
+        # stream, exactly the cost this operator exists to avoid
         h = F.expr(
-            f"transform(sequence(1, size(_t) - {n - 1}), "
-            f"i -> md5(concat_ws(' ', slice(_t, i, {n}))))"
+            f"array_distinct(transform(sequence(1, size(_t) - {n - 1}), "
+            f"i -> md5(concat_ws(' ', slice(_t, i, {n})))))"
         )
         return (
             toks.where(F.size("_t") >= n)
             .select(F.col(id_col), F.explode(h).alias("g_hash"))
-            .dropDuplicates([id_col, "g_hash"])
         )
 
     eval_grams = grams(eval_df).select("g_hash").distinct()
