@@ -93,3 +93,32 @@ def test_compact_skips_healthy_partitions(spark, events, tmp_path):
 def test_write_partitioned_rejects_bad_split(spark, events, tmp_path):
     with pytest.raises(ValueError, match="files_per_partition"):
         write_partitioned(events, str(tmp_path / "x"), "dt", files_per_partition=0)
+
+
+def test_cluster_by_produces_disjoint_file_ranges(spark, events, tmp_path):
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "clustered")
+    from wikidata_to_surrealdb_spark.sources.layout import cluster_by
+
+    cluster_by(events.drop("dt"), out, "user_id", num_files=4)
+    ranges = []
+    for f in _files(out):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "user_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    # consecutive files cover non-overlapping user_id slices
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+    # data survives intact
+    assert spark.read.parquet(out).count() == events.count()

@@ -140,3 +140,33 @@ def compact_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return rewritten
+
+
+def cluster_by(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str] | str,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster a table on ``cluster_cols`` at write time:
+    ``repartitionByRange`` (sampled range boundaries -> each output file
+    covers a narrow, near-disjoint slice of the cluster key) +
+    ``sortWithinPartitions`` (row groups inside a file are ordered, so
+    their min/max spans are narrow too).
+
+    Why: parquet readers prune ROW GROUPS by column min/max statistics.
+    After a round-robin write every file's min/max spans the whole key
+    domain and nothing prunes; after a range-clustered write a point or
+    range predicate on the cluster key touches ~1/num_files of the data.
+    This is the single-dimension version of Z-ordering — for multi-column
+    skipping, put the highest-selectivity column first (later columns
+    only order within equal prefixes).
+    """
+    cols = [cluster_cols] if isinstance(cluster_cols, str) else list(cluster_cols)
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
