@@ -74,3 +74,48 @@ def test_kmv_rejects_bad_k(spark):
     df = spark.range(3).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError, match="k"):
         sketch.kmv_distinct(df, "v", k=1)
+
+
+def test_countmin_estimate_upper_bounds_exact(spark):
+    vals = [f"item{i}" for i in range(30) for _ in range(i + 1)]  # known freqs
+    df = spark.createDataFrame([(v,) for v in vals], "term string")
+    from wikidata_to_surrealdb_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    cm = countmin_build(df, width=128, depth=4)
+    assert cm.count() <= 128 * 4
+    est = {
+        r["value"]: r["cm_est"]
+        for r in countmin_estimate(cm, ["item5", "item29", "ghost"], width=128).collect()
+    }
+    assert est["item5"] >= 6     # exact = 6; CM never underestimates
+    assert est["item29"] >= 30
+    # total stream = 465; with width 128 collisions are bounded
+    assert est["item5"] <= 6 + 465 // 16
+    assert est["ghost"] <= 465 // 16  # absent item: only collision mass
+
+
+def test_countmin_merge_by_cell_addition(spark):
+    from pyspark.sql import functions as F2
+
+    from wikidata_to_surrealdb_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "term string")
+    b = spark.createDataFrame([("x",)] * 3, "term string")
+    merged = (
+        countmin_build(a, width=64, depth=3)
+        .unionByName(countmin_build(b, width=64, depth=3))
+        .groupBy("d", "bucket")
+        .agg(F2.sum("c").cast("bigint").alias("c"))
+    )
+    whole = countmin_build(
+        spark.createDataFrame([("x",)] * 8 + [("y",)] * 2, "term string"),
+        width=64,
+        depth=3,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))

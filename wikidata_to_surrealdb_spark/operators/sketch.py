@@ -81,3 +81,82 @@ def kmv_distinct(
             .alias("kmv_estimate_raw"),
         )
     )
+
+
+def _cm_bucket_sql(value_expr: str, d: int, seed: str, width: int) -> str:
+    """SQL: count-min cell for ``value_expr`` in row ``d`` (md5-derived,
+    engine-portable)."""
+    h = f"md5('{d}:{seed}:' || {value_expr})"
+    return f"({hex12_num_sql(h)} % {width})"
+
+
+def countmin_build(
+    df: DataFrame,
+    col: str = "term",
+    width: int = 512,
+    depth: int = 4,
+    seed: str = "cm-v1",
+) -> DataFrame:
+    """Count-min sketch of a value stream (Cormode & Muthukrishnan 2005):
+    ``depth`` md5-derived hash rows x ``width`` cells; cell = count of
+    items hashing there. Returns (d, bucket, c) — width*depth rows total,
+    independent of stream size.
+
+    Scale shape: the d-fold explode is map-local; the only shuffle keys
+    on (d, bucket) — at most width*depth distinct keys, so map-side
+    partial aggregation collapses each partition to <= width*depth rows
+    before the exchange. Sketches are mergeable by cell-wise addition
+    (union two sketches -> groupBy (d, bucket) sum), the streaming/
+    partitioned rollup property that exact counts lack."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(_cm_bucket_sql(col, d, seed, width)).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("_r"))
+        .select("_r.d", "_r.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def countmin_estimate(
+    cm: DataFrame,
+    values: list[str],
+    width: int = 512,
+    depth: int = 4,
+    seed: str = "cm-v1",
+) -> DataFrame:
+    """Point-frequency estimates for literal ``values`` from a
+    countmin_build sketch: est = min over hash rows of the value's cell
+    count (an upper bound on the true count; error <= stream_size * e /
+    width with probability 1 - e^-depth). The probe set is a literal
+    VALUES relation broadcast against the fixed-size sketch."""
+    spark = cm.sparkSession
+    probes = spark.createDataFrame([(v,) for v in values], "value string")
+    cells = probes.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_cm_bucket_sql("value", d, seed, width)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_r"),
+    ).select("value", "_r.d", "_r.bucket")
+    return (
+        cells.join(cm, ["d", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("cm_est"))
+    )

@@ -3336,6 +3336,83 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(train, ev, n=3)
 
 
+_CM_PROBES = ("join", "hash", "row", "quantum", "scan")  # incl. one absent term
+
+
+def _countmin_oracle(width: int = 512, depth: int = 4, seed: str = "cm-v1") -> str:
+    from wikidata_to_surrealdb_spark.operators.sketch import _cm_bucket_sql
+
+    probe_rows = ", ".join(f"('{v}')" for v in _CM_PROBES)
+    cell_union = "\n      UNION ALL\n      ".join(
+        f"SELECT {d} AS d, {_cm_bucket_sql('t', d, seed, width)} AS bucket FROM toks"
+        for d in range(depth)
+    )
+    probe_union = "\n      UNION ALL\n      ".join(
+        f"SELECT value, {d} AS d, {_cm_bucket_sql('value', d, seed, width)} AS bucket FROM probes"
+        for d in range(depth)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS t FROM documents
+    ), cm AS (
+      SELECT d, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+      {cell_union}
+      ) GROUP BY d, bucket
+    ), probes AS (
+      SELECT value FROM (VALUES {probe_rows}) v(value)
+    ), cells AS (
+      {probe_union}
+    ), exact AS (
+      SELECT t AS value, CAST(count(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY t
+    )
+    SELECT cells.value,
+           CAST(min(coalesce(cm.c, 0)) AS BIGINT) AS cm_est,
+           CAST(coalesce(max(exact.exact_count), 0) AS BIGINT) AS exact_count
+    FROM cells
+    LEFT JOIN cm ON cm.d = cells.d AND cm.bucket = cells.bucket
+    LEFT JOIN exact ON exact.value = cells.value
+    GROUP BY cells.value
+    """
+
+
+@_q(
+    "sketch_countmin_terms",
+    _countmin_oracle(),
+    "count-min sketch (4 md5 hash rows x 512 cells) over the token "
+    "stream: point-frequency estimates for 5 probe terms (one absent -> "
+    "est may be 0/collision-bounded) with exact counts alongside; the "
+    "sketch is a fixed-size, mergeable relation — map-side partial agg "
+    "collapses every partition to <= width*depth rows before the only "
+    "shuffle",
+)
+def sketch_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.functions import respread
+    from wikidata_to_surrealdb_spark.operators import sketch
+
+    t = register_views(spark, sf_dir)
+    toks = respread(t["documents"]).select(
+        F.explode(text.tokens_col("text")).alias("t")
+    )
+    cm = sketch.countmin_build(toks, col="t")
+    est = sketch.countmin_estimate(cm, list(_CM_PROBES))
+    exact = (
+        toks.where(F.col("t").isin(*_CM_PROBES))
+        .groupBy(F.col("t").alias("value"))
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "value", "left")
+        .select(
+            "value",
+            "cm_est",
+            F.coalesce(F.col("exact_count"), F.lit(0)).cast("bigint").alias(
+                "exact_count"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
