@@ -119,3 +119,13 @@ def test_countmin_merge_by_cell_addition(spark):
         depth=3,
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_kmv_distinct_by_small_groups_exact(spark):
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {
+        r["g"]: (r["n_hashes"], r["kmv_estimate_raw"])
+        for r in sketch.kmv_distinct_by(df, "g", "v", k=32).collect()
+    }
+    assert out == {"a": (10, 10.0), "b": (5, 5.0)}  # below-k fallback exact

@@ -160,3 +160,52 @@ def countmin_estimate(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("cm_est"))
     )
+
+
+def kmv_distinct_by(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k: int = 32,
+    seed: str = "kmv-v1",
+) -> DataFrame:
+    """Grouped KMV: one approximate-distinct estimate PER GROUP (e.g.
+    distinct users per event type) — one row per group:
+    (group, n_hashes, kmv_estimate_raw).
+
+    Shape: distinct (group, hash) pairs (map-side combine collapses
+    duplicates before the shuffle), then a per-group rank window keeps
+    the k smallest hashes — the window partitions by group, so a
+    thousand groups parallelize across the cluster; per-group state is
+    O(k). Same estimator and small-cardinality fallback as
+    :func:`kmv_distinct`."""
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(col).cast("string")))
+    pairs = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(group_col), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    kmin = pairs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    num = F.expr(hex12_num_sql("h"))
+    return (
+        kmin.select(F.col(group_col), num.alias("hnum"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_hashes"),
+            F.max("hnum").alias("vk"),
+        )
+        .select(
+            group_col,
+            "n_hashes",
+            F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+            .otherwise(
+                (F.lit(k - 1) * F.lit(float(HEX_SPACE))) / F.col("vk").cast("double")
+            )
+            .alias("kmv_estimate_raw"),
+        )
+    )

@@ -3413,6 +3413,65 @@ def sketch_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_by_oracle(k: int = 32) -> str:
+    from wikidata_to_surrealdb_spark.operators.sketch import (
+        HEX_SPACE,
+        hex12_num_sql,
+    )
+
+    est = (
+        f"CASE WHEN n_hashes < {k} THEN CAST(n_hashes AS DOUBLE) "
+        f"ELSE {k - 1} * {float(HEX_SPACE)} / CAST(vk AS DOUBLE) END"
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT event_type,
+             md5('kmv-v1:' || CAST(user_id AS STRING)) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), kmin AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM pairs
+      ) WHERE rn <= {k}
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes,
+             max({hex12_num_sql("h")}) AS vk
+      FROM kmin GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT agg.event_type, agg.n_hashes, ex.n_exact,
+           {fround_sql(est, 4)} AS kmv_estimate
+    FROM agg JOIN ex ON agg.event_type = ex.event_type
+    """
+
+
+@_q(
+    "sketch_kmv_by_type",
+    _kmv_by_oracle(32),
+    "grouped KMV: approximate distinct users PER event type (k=32 min "
+    "hashes per group, per-group O(k) state, groups parallelize across "
+    "the cluster), exact distinct alongside for error audit",
+)
+def sketch_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import sketch
+
+    t = register_views(spark, sf_dir)
+    ev = t["events"]
+    s = sketch.kmv_distinct_by(ev, "event_type", "user_id", k=32)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return s.join(exact, "event_type").select(
+        "event_type",
+        "n_hashes",
+        "n_exact",
+        fround(F.col("kmv_estimate_raw"), 4).alias("kmv_estimate"),
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
