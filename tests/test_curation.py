@@ -62,6 +62,25 @@ def test_hash_split_rejects_bad_buckets(spark):
     df = _docs(spark, [(1, "t", "en")])
     with pytest.raises(ValueError, match="train_buckets"):
         curation.hash_split(df, train_buckets=250, val_buckets=20)
+    with pytest.raises(ValueError, match="train_buckets"):
+        curation.hash_split(df, train_buckets=256, val_buckets=0)
+
+
+def test_hash_split_full_256_boundary_has_no_test_rows(spark):
+    # train+val == 256 covers the whole bucket space; the naive hex
+    # threshold '100' would string-compare below every bucket >= 0x10
+    # and dump ~94% of rows into 'test'
+    df = _docs(spark, [(i, "t", "en") for i in range(512)])
+    out = {
+        r["split"]: r["count"]
+        for r in curation.hash_split(df, train_buckets=128, val_buckets=128)
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    assert "test" not in out
+    assert out.get("train", 0) + out.get("val", 0) == 512
+    assert out.get("train", 0) > 0 and out.get("val", 0) > 0
 
 
 def test_stratified_sample_exactly_k(spark):
@@ -132,6 +151,14 @@ def test_pack_sequences_bucket_size_invariant(spark):
     a = sorted(map(tuple, curation.pack_sequences(df, seq_len=7, bucket_size=4).collect()))
     b = sorted(map(tuple, curation.pack_sequences(df, seq_len=7, bucket_size=1000).collect()))
     assert a == b
+
+
+def test_pack_sequences_rejects_string_ids(spark):
+    # a string id would cast to NULL in the range bucket and collapse
+    # every row into one bucket (single-reducer window) — reject instead
+    df = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="numeric"):
+        curation.pack_sequences(df, seq_len=8)
 
 
 def test_pack_sequences_rejects_bad_seq_len(spark):

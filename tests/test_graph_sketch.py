@@ -55,6 +55,40 @@ def test_connected_components_two_clusters_and_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
 
 
+def test_connected_components_path_graph_log_rounds(spark):
+    # 64-node path: diameter 63. Min-label propagation needs ~63 rounds;
+    # large-star/small-star must finish in O(log n) — assert a wide margin.
+    n = 64
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    stats = {}
+    out = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(e, _stats=stats).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 12, f"took {stats['rounds']} rounds for diameter 63"
+
+
+def test_connected_components_string_ids_and_self_loops(spark):
+    # string node ids order lexicographically; self-loop-only nodes must
+    # still appear, labeled as their own component
+    e = _edges(spark, [("b", "a"), ("b", "c"), ("z", "z")])
+    out = {r["node"]: r["component"] for r in graph.connected_components(e).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        graph.connected_components(e, max_iter=1)
+
+
 def test_kmv_exact_below_k(spark):
     df = spark.range(10).select(F.col("id").cast("string").alias("v"))
     row = sketch.kmv_distinct(df, "v", k=64).collect()[0]

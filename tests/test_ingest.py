@@ -301,6 +301,25 @@ def test_minhash_collapse_exact(spark):
     assert len(got) > 0
 
 
+def test_minhash_token_cache_released_across_calls(spark):
+    """persist_tokens holds at most ONE token cache: the next call (and
+    release_token_cache) unpersist the previous one, so repeated calls in
+    one session can't accumulate ~corpus-token-size cached data."""
+    from wikidata_to_surrealdb_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dedup.minhash_dedup(docs, threshold=0.1).count()
+    first = dedup._token_cache[0]
+    assert first.storageLevel.useMemory  # persisted
+    # second call on a DIFFERENT plan (same-plan re-persist would re-register
+    # the identical cache entry and mask the release)
+    dedup.minhash_dedup(docs.limit(50), threshold=0.1).count()
+    assert not first.storageLevel.useMemory  # prior cache released
+    assert len(dedup._token_cache) == 1
+    dedup.release_token_cache()
+    assert dedup._token_cache == []
+
+
 def test_duplicate_entity_id_keeps_first_line(spark, tmp_path):
     """Duplicate Q-ids in one dump: the EARLIEST dump line wins for the
     mini tables, same deterministic rule as the Claims path (the

@@ -169,14 +169,23 @@ def hash_split(
     re-ingestion — eval rows can never drift into train between runs.
     Comparisons stay on the hex string (md5 output), so the identical
     expression runs in the DuckDB oracle."""
+    if not 0 < train_buckets <= 255:
+        raise ValueError("train_buckets must be in (0, 255]")
     if not 0 < train_buckets + val_buckets <= 256:
         raise ValueError("train_buckets + val_buckets must be in (0, 256]")
     b = F.substring(
         F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 2
     )
+    # Thresholds must stay two hex chars: 256 would format to the 3-char
+    # '100', and 'ff' < '100' is False under string order — every bucket
+    # above 0x0f would silently land in 'test'. At exactly 256 the val
+    # boundary covers the whole space, so the comparison degenerates to
+    # a constant instead.
+    tv = train_buckets + val_buckets
+    val_cond = F.lit(True) if tv == 256 else b < F.lit(f"{tv:02x}")
     split = (
         F.when(b < F.lit(f"{train_buckets:02x}"), "train")
-        .when(b < F.lit(f"{train_buckets + val_buckets:02x}"), "val")
+        .when(val_cond, "val")
         .otherwise("test")
     )
     return df.withColumn("split", split)
@@ -367,6 +376,19 @@ def pack_sequences(
     """
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
+    # The range bucket is floor(id / bucket_size): a string id would cast
+    # to NULL and collapse every row into one bucket — recreating the
+    # single-reducer window this function exists to avoid — so non-numeric
+    # id columns are rejected up front rather than silently degraded.
+    from pyspark.sql.types import NumericType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"pack_sequences requires a numeric {id_col!r} column for range "
+            f"bucketing; got {id_type.simpleString()}. Map ids to a numeric "
+            "rank first (e.g. via zipWithIndex or a monotonic dense rank)."
+        )
     n_tok = F.size(_tokens(text_col)).cast("bigint")
     base = df.select(
         F.col(id_col),

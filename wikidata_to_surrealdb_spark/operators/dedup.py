@@ -228,6 +228,21 @@ def ngram_jaccard(
     return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+# the most recent minhash_dedup token cache: released automatically at
+# the NEXT minhash_dedup call (by which point the prior returned plan
+# has normally been consumed), so repeated calls in one session hold at
+# most one ~corpus-token-size cache instead of accumulating them
+_token_cache: list[DataFrame] = []
+
+
+def release_token_cache() -> None:
+    """Deterministically release the token cache persisted by the most
+    recent :func:`minhash_dedup` call (no-op if none). Call after the
+    returned plan has been fully consumed."""
+    while _token_cache:
+        _token_cache.pop().unpersist()
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -248,9 +263,11 @@ def minhash_dedup(
     ~5.8 s -> ~1.9 s warm. Persisting the *shingle* arrays instead was
     measured at ~5.6 s (3x fatter rows, cache (de)serialization eats the
     win), and a fully long-format (doc, shingle) rewrite was 2-3x slower
-    still. The cache lives until session cache eviction — per-call token
-    arrays are ~corpus-token-size; pass ``persist_tokens=False`` in
-    memory-tight loops.
+    still. The previous call's cache is unpersisted when a new call
+    persists its own (and :func:`release_token_cache` releases the last
+    one on demand), so repeated calls cannot accumulate caches; pass
+    ``persist_tokens=False`` in memory-tight loops to skip caching
+    entirely.
 
     ``collapse_exact`` is the duplicate-dense-corpus path: exact
     duplicates collapse to one representative (lowest id) BEFORE
@@ -276,7 +293,9 @@ def minhash_dedup(
     if persist_tokens:
         from pyspark import StorageLevel
 
+        release_token_cache()
         toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        _token_cache.append(toks)
     sh = shingles_from_tokens(toks, id_col, k)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)

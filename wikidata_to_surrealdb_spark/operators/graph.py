@@ -15,10 +15,10 @@ iterations compile to exactly this). Per iteration: one shuffle join +
 one aggregation, both keyed on node ids (uniform md5-able keys, no
 skew). Lineage is truncated every iteration with ``localCheckpoint``;
 without it the plan tree doubles per hop and the optimizer chokes by
-iteration ~20. Iteration counts: k for khop; graph diameter for
-connected components (duplicate clusters have tiny diameters; for
-web-scale general graphs swap the min-propagation loop for the
-large-star/small-star algorithm — same API, fewer rounds).
+iteration ~20. Iteration counts: k for khop; O(log^2 n) alternating
+large-star/small-star rounds for connected components (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014 — public
+algorithm), so chain-shaped graphs no longer pay diameter rounds.
 """
 
 from __future__ import annotations
@@ -84,53 +84,123 @@ def khop(
     return visited
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: for each node u with neighborhood N(u)
+    (input must be symmetric), connect every strictly larger neighbor
+    to m = min(N(u) + {u}). Output is directed (v -> m)."""
+    mins = (
+        e.groupBy("_a")
+        .agg(F.min("_b").alias("_mb"))
+        .select("_a", F.least(F.col("_a"), F.col("_mb")).alias("_m"))
+    )
+    return (
+        e.join(mins, "_a")
+        .where(F.col("_b") > F.col("_a"))
+        .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge toward its smaller
+    endpoint, then for each node u connect all (smaller) neighbors and
+    u itself to m = min neighbor. Output is directed (v -> m), v > m."""
+    oriented = e.select(
+        F.greatest(F.col("_a"), F.col("_b")).alias("_a"),
+        F.least(F.col("_a"), F.col("_b")).alias("_b"),
+    ).where(F.col("_a") != F.col("_b"))
+    mins = oriented.groupBy("_a").agg(F.min("_b").alias("_m"))
+    return (
+        oriented.join(mins, "_a")
+        .select(F.col("_b").alias("_v"), F.col("_m"))
+        .union(mins.select(F.col("_a").alias("_v"), F.col("_m")))
+        .where(F.col("_v") != F.col("_m"))
+        .select(F.col("_v").alias("_a"), F.col("_m").alias("_b"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    _stats: dict | None = None,
 ) -> DataFrame:
-    """Undirected connected components by iterative min-label
-    propagation: every node's label starts as itself; each round each
-    node takes the min of its own and its neighbours' labels; stop when
-    no label changes. Returns (node, component) with component = min
-    node id in the component — a deterministic canonical representative
-    (exactly what a dedup pipeline keeps).
+    """Undirected connected components via alternating large-star /
+    small-star rounds (Kiveris et al., SoCC 2014). Returns (node,
+    component) with component = min node id in the component — a
+    deterministic canonical representative (exactly what a dedup
+    pipeline keeps).
 
-    Rounds needed = component diameter. Near-dup clusters are shallow
-    (star-ish), so this converges in a handful of rounds; the
-    convergence check is one count per round (cheap next to the join).
+    Rounds needed: O(log^2 n) worst case, typically a handful — unlike
+    min-label propagation this does NOT pay one round per unit of
+    graph diameter, so chain-shaped graphs (the pathological case for
+    dedup-cluster inputs) converge in log rounds. Convergence is
+    detected by an (edge count, order-independent checksum) fingerprint
+    of the star set going stable; if ``max_iter`` rounds pass without
+    convergence a RuntimeError is raised rather than returning silently
+    wrong labels. Pass a dict as ``_stats`` to receive
+    ``{"rounds": n}`` (used by tests to assert round counts).
     """
-    # one materialization for the whole loop: 2 jobs per round (label
-    # update + convergence count) would otherwise re-run the upstream
-    # edge pipeline 2x per round
-    e = _undirect(edges, src, dst).localCheckpoint()
-    labels = (
-        e.select(F.col("_a").alias("node"))
+    # one materialization up front: each round launches join jobs, and
+    # without the checkpoint every job re-runs the upstream edge
+    # pipeline (often an expensive MinHash pair generation)
+    sym = _undirect(edges, src, dst).where(F.col("_a") != F.col("_b"))
+    nodes = (
+        _undirect(edges, src, dst)
+        .select(F.col("_a").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    e = sym.localCheckpoint()
+    prev_fp = None
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
-        neighbour_min = (
-            e.join(labels, e["_b"] == labels["node"])
-            .select(F.col("_a").alias("node"), F.col("component"))
+        rounds += 1
+        # large-star emits directed (v -> m); re-symmetrize for its
+        # neighborhood pass by unioning both orientations
+        ls = _large_star(
+            e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+            .distinct()
         )
-        new_labels = (
-            labels.select("node", "component")
-            .union(neighbour_min)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "_old"), "node"
-            )
-            .where(F.col("component") != F.col("_old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e = _small_star(ls).localCheckpoint()
+        # order-independent fingerprint: count + sum of per-edge crc32.
+        # Collision odds are negligible next to max_iter, and a missed
+        # stop only costs one extra (idempotent) round.
+        fp_row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.col("_a").cast("string"),
+                        F.col("_b").cast("string"),
+                    )
+                )
+            ).alias("s"),
+        ).collect()[0]
+        fp = (fp_row["n"], fp_row["s"])
+        if fp == prev_fp:
+            converged = True
             break
-    return labels
+        prev_fp = fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels would be wrong. Raise max_iter."
+        )
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    # converged edge set is a union of stars (v -> component min); star
+    # centers appear only on the right side, isolated/self-loop-only
+    # nodes not at all — restore both from the initial node set
+    labels = e.select(F.col("_a").alias("node"), F.col("_b").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
