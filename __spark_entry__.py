@@ -74,6 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return _catalog.QUERIES["tpch_q1"].fn(spark, SF_SMOKE)
 
 
@@ -86,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # and timezone settings the catalog relies on are applied.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+            )
             return _catalog.QUERIES[name].fn(spark, sf_dir)
 
         run.__name__ = name

@@ -73,7 +73,81 @@ def test_real_codec_paths_are_gated(assets):
     with pytest.raises(Exception, match="NotImplementedError|Pillow|decode"):
         multimodal.decode_features(assets, decoder="pil").collect()
     with pytest.raises(NotImplementedError):
-        multimodal.resize_stub(assets, 224, 224)
+        multimodal.resize_images(assets, 224, 224, codec="pil")
+
+
+@pytest.fixture(scope="module")
+def png_assets(spark):
+    """Asset table whose payloads are REAL PNGs (in-repo encoder):
+    asset i is a (4+i) x 3 RGB gradient — deterministic pixels."""
+    from wikidata_to_surrealdb_spark.functions.png import encode_png
+
+    rows = []
+    for i in range(6):
+        w, h, ch = 4 + i, 3, 3
+        px = bytes((i * 37 + j * 11) % 256 for j in range(w * h * ch))
+        buf = encode_png(px, w, h, ch)
+        rows.append((i, "image/png", buf, len(buf), hashlib.md5(buf).hexdigest()))
+    # one corrupt payload: must yield a NULL-features row, not a task failure
+    rows.append((99, "image/png", b"not a png at all", 16, "x"))
+    return spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+
+
+def test_png_decode_features_real_pixels(spark, png_assets):
+    from wikidata_to_surrealdb_spark.functions.png import decode_png
+
+    feats = {
+        r["asset_id"]: r
+        for r in multimodal.decode_features(png_assets, decoder="png").collect()
+    }
+    assert len(feats) == 7
+    for row in png_assets.where(F.col("asset_id") < 99).collect():
+        img = decode_png(bytes(row["payload"]))
+        f = feats[row["asset_id"]]
+        assert (f["width"], f["height"], f["channels"]) == (
+            img["width"],
+            img["height"],
+            img["channels"],
+        )
+        px = img["pixels"]
+        assert f["pixel_bytes"] == len(px)
+        assert f["pixel_sum"] == sum(px)
+        assert f["pixel_min"] == min(px)
+        assert f["pixel_max"] == max(px)
+        assert f["pixel_hash"] == hashlib.md5(px).hexdigest()
+    bad = feats[99]
+    assert bad["width"] is None and bad["pixel_hash"] is None
+
+
+def test_png_resize_images(spark, png_assets):
+    from wikidata_to_surrealdb_spark.functions.png import (
+        decode_png,
+        resize_nearest,
+    )
+
+    out = {
+        r["asset_id"]: r
+        for r in multimodal.resize_images(png_assets, 8, 8).collect()
+    }
+    assert len(out) == 7
+    src = {r["asset_id"]: bytes(r["payload"]) for r in png_assets.collect()}
+    for aid in range(6):
+        img = decode_png(src[aid])
+        expect = resize_nearest(
+            img["pixels"], img["width"], img["height"], img["channels"], 8, 8
+        )
+        got = decode_png(bytes(out[aid]["payload"]))
+        assert (got["width"], got["height"]) == (8, 8)
+        assert got["pixels"] == expect
+    assert out[99]["payload"] is None  # corrupt input passes through as NULL
+    # resized assets pipe straight back into decode_features
+    feats = multimodal.decode_features(
+        multimodal.resize_images(png_assets, 8, 8).where(
+            F.col("payload").isNotNull()
+        ),
+        decoder="png",
+    )
+    assert feats.where(F.col("width") == 8).count() == 6
 
 
 def test_commons_assets_bridge(spark, tmp_path_factory):

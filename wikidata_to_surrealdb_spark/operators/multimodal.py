@@ -63,6 +63,33 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+# decoder="png" emits real image features (decoded-pixel statistics),
+# so it has its own schema: pixel stats, not payload-byte stats.
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("pixel_bytes", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("pixel_min", T.IntegerType(), True),
+        T.StructField("pixel_max", T.IntegerType(), True),
+        T.StructField("pixel_hash", T.StringType(), True),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+    ]
+)
+
 
 _EXT_MIME = {
     "jpg": "image/jpeg",
@@ -160,7 +187,15 @@ def _pil_decode(buf: bytes) -> dict:
     raise NotImplementedError("real image decode not wired up yet")
 
 
-_DECODERS = {"fake": _fake_decode, "pil": _pil_decode}
+_DECODERS = {"fake": _fake_decode, "png": None, "pil": _pil_decode}
+
+# Repo root containing the package, captured on the DRIVER. Executor
+# python workers don't inherit driver sys.path edits; on a real cluster
+# the package arrives via --py-files, and in local / shared-fs mode this
+# path makes the in-worker import work no matter the driver's cwd.
+_PKG_ROOT = __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.dirname(__file__))
+)
 
 
 def decode_features(
@@ -172,14 +207,81 @@ def decode_features(
     payloads per task regardless of partition size; output rows are 1:1
     with input rows, so no skew is introduced.
 
-    The decode closure is defined *inside* this function on purpose:
+    Decoders:
+    - ``"fake"`` — deterministic byte statistics over the raw payload
+      (oracle-checkable; schema :data:`FEATURE_SCHEMA`);
+    - ``"png"`` — REAL decode via the in-repo from-spec PNG reader
+      (:mod:`..functions.png`, stdlib zlib only); emits decoded-pixel
+      statistics (schema :data:`IMAGE_FEATURE_SCHEMA`). Assets whose
+      payload is not a valid PNG yield a row with NULL image fields and
+      NULL pixel_hash rather than failing the task — at 100 TB a corrupt
+      file must not kill the job;
+    - ``"pil"`` — gated on Pillow, absent from this container.
+
+    The fake-decode closure is defined *inside* this function on purpose:
     cloudpickle then ships it by value, so executors need neither this
-    package on their PYTHONPATH nor a matching working directory — the
-    deployment story for a 1000-executor cluster is "submit the job",
-    not "install the library everywhere".
+    package on their PYTHONPATH nor a matching working directory. The
+    png path imports :mod:`..functions.png` inside the worker, so it
+    needs the package shipped (``--py-files`` zip) — standard practice
+    for a real cluster deployment.
     """
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}; one of {sorted(_DECODERS)}")
+
+    if decoder == "png":
+
+        pkg_root = _PKG_ROOT  # plain str: captured by value in the closure
+
+        def run_png(batches: Iterator) -> Iterator:
+            import hashlib as _hl
+            from zlib import error as zlib_error
+
+            import pandas as pd
+
+            try:
+                from wikidata_to_surrealdb_spark.functions.png import (
+                    PngError,
+                    decode_png,
+                )
+            except ModuleNotFoundError:
+                import sys as _sys
+
+                _sys.path.insert(0, pkg_root)
+                from wikidata_to_surrealdb_spark.functions.png import (
+                    PngError,
+                    decode_png,
+                )
+
+            for pdf in batches:
+                rows = []
+                for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
+                    try:
+                        img = decode_png(bytes(buf))
+                        px = img["pixels"]
+                        rows.append(
+                            {
+                                "asset_id": asset_id,
+                                "width": img["width"],
+                                "height": img["height"],
+                                "channels": img["channels"],
+                                "bit_depth": img["bit_depth"],
+                                "pixel_bytes": len(px),
+                                "pixel_sum": sum(px),
+                                "pixel_min": min(px) if px else None,
+                                "pixel_max": max(px) if px else None,
+                                "pixel_hash": _hl.md5(px).hexdigest(),
+                            }
+                        )
+                    except (PngError, zlib_error) as _:
+                        rows.append({"asset_id": asset_id})
+                yield pd.DataFrame(
+                    rows,
+                    columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields],
+                )
+
+        from wikidata_to_surrealdb_spark.functions import respread
+
+        return respread(assets).mapInPandas(run_png, schema=IMAGE_FEATURE_SCHEMA)
 
     if decoder == "fake":
 
@@ -257,12 +359,82 @@ def frame_sample(
     return respread(assets).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize placeholder: the real operator is mapInPandas with a
-    Pillow ``Image.resize`` per payload, same plumbing as decode_features.
-    Raises until an image codec is available in the environment."""
-    raise NotImplementedError(
-        "resize requires an image codec (Pillow) not present in this "
-        "container; plumbing-wise it is decode_features with a "
-        "bytes -> bytes transform"
-    )
+def resize_images(
+    assets: DataFrame, width: int, height: int, codec: str = "png"
+) -> DataFrame:
+    """Real image resize: decode PNG payload -> nearest-neighbour resize
+    -> re-encode PNG, per asset, inside Arrow-batched ``mapInPandas``
+    (bytes in, bytes out; payloads never touch the driver).
+
+    ``codec="png"`` uses the in-repo from-spec codec; ``codec="pil"``
+    stays gated on Pillow (absent from this container). Non-PNG or
+    corrupt payloads pass through with a NULL payload (job survives bad
+    files — mandatory at 100 TB). Output schema matches the asset table
+    (:data:`RESIZED_SCHEMA`) so resized assets pipe straight back into
+    :func:`decode_features` / :func:`frame_sample`.
+    """
+    if codec == "pil":
+        _pil_decode(b"")  # raises NotImplementedError with the gate message
+    if codec != "png":
+        raise ValueError(f"unknown codec {codec!r}; one of ['png', 'pil']")
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+
+    pkg_root = _PKG_ROOT  # plain str: captured by value in the closure
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib as _hl
+        from zlib import error as zlib_error
+
+        import pandas as pd
+
+        try:
+            from wikidata_to_surrealdb_spark.functions.png import (
+                PngError,
+                decode_png,
+                encode_png,
+                resize_nearest,
+            )
+        except ModuleNotFoundError:
+            import sys as _sys
+
+            _sys.path.insert(0, pkg_root)
+            from wikidata_to_surrealdb_spark.functions.png import (
+                PngError,
+                decode_png,
+                encode_png,
+                resize_nearest,
+            )
+
+        for pdf in batches:
+            rows = []
+            for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    img = decode_png(bytes(buf))
+                    px = resize_nearest(
+                        img["pixels"],
+                        img["width"],
+                        img["height"],
+                        img["channels"],
+                        width,
+                        height,
+                    )
+                    out = encode_png(px, width, height, img["channels"])
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "mime": "image/png",
+                            "payload": out,
+                            "n_bytes": len(out),
+                            "content_hash": _hl.md5(out).hexdigest(),
+                        }
+                    )
+                except (PngError, zlib_error):
+                    rows.append({"asset_id": asset_id, "mime": None})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return respread(assets).mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -57,6 +57,11 @@ def get_spark(
         # vectorized reader rejects; read as long and convert at the source
         # (sources/tables.py) — truncation to micros matches DuckDB.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive (isAdjustedToUTC=false) parquet timestamps read as plain
+        # TIMESTAMP, not TIMESTAMP_NTZ: with the UTC session timezone the
+        # epoch value is identical, and functions like unix_micros (which
+        # reject NTZ) keep working across driver testdata regenerations.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

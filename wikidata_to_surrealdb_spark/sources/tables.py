@@ -80,6 +80,14 @@ def load_sf_dir(
                     df = df.withColumn(
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
+                elif f_.name == "ts" and isinstance(
+                    f_.dataType, T.TimestampNTZType
+                ):
+                    # naive parquet timestamp inferred as NTZ (when the
+                    # session-level inferTimestampNTZ=false guard isn't
+                    # active, e.g. a driver-built session): reinterpret in
+                    # the UTC session zone — same epoch DuckDB assigns.
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             _LOAD_MEMO[key] = df
             out[name] = df
     return out
