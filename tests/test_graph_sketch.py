@@ -163,3 +163,81 @@ def test_kmv_distinct_by_small_groups_exact(spark):
         for r in sketch.kmv_distinct_by(df, "g", "v", k=32).collect()
     }
     assert out == {"a": (10, 10.0), "b": (5, 5.0)}  # below-k fallback exact
+
+
+def _exact_kmv(spark, df, col, k, seed="kmv-v1"):
+    """Reference computation: unfiltered exact k smallest distinct md5s."""
+    from wikidata_to_surrealdb_spark.operators.sketch import HEX_SPACE
+
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(col).cast("string")))
+    rows = (
+        df.select(h.alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    n = len(rows)
+    if n < k:
+        return n, float(n)
+    vk = int(rows[-1]["h"][:12], 16)
+    return n, (k - 1) * float(HEX_SPACE) / float(vk)
+
+
+def test_kmv_threshold_path_matches_exact_topk(spark):
+    # 5000 distinct values, each duplicated 4x: D-hat >> 8k, so the
+    # threshold prefilter engages; result must equal the exact top-k.
+    df = (
+        spark.range(20000)
+        .select((F.col("id") % 5000).cast("string").alias("v"))
+    )
+    row = sketch.kmv_distinct(df, "v", k=64).collect()[0]
+    n, est = _exact_kmv(spark, df, "v", 64)
+    assert row["n_hashes"] == n == 64
+    assert abs(row["kmv_estimate_raw"] - est) < 1e-6 * est
+
+
+def test_kmv_threshold_filter_in_plan(spark):
+    # the returned plan must contain the 12-hex-char candidate filter —
+    # the bounded-exchange contract, not just the right answer
+    import re
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("v"))
+    plan = (
+        sketch.kmv_distinct(df, "v", k=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"< [0-9a-f]{12}\b", plan), plan
+
+
+def test_kmv_starved_threshold_falls_back_exact(spark):
+    # oversample so small the threshold keeps < k hashes: the
+    # verification rescan must recover the exact unfiltered answer
+    df = spark.range(6000).select(F.col("id").cast("string").alias("v"))
+    row = sketch.kmv_distinct(df, "v", k=64, oversample=0.05).collect()[0]
+    n, est = _exact_kmv(spark, df, "v", 64)
+    assert row["n_hashes"] == 64
+    assert abs(row["kmv_estimate_raw"] - est) < 1e-6 * est
+
+
+def test_kmv_by_threshold_and_fallback_match_exact(spark):
+    # group a: 2000 distinct (> 8*32 -> filtered); group b: 40 (unfiltered)
+    rows = [("a", i) for i in range(2000)] + [("b", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    for oversample in (8.0, 0.05):  # normal path, then starved->rescan path
+        out = {
+            r["g"]: r
+            for r in sketch.kmv_distinct_by(
+                df, "g", "v", k=32, oversample=oversample
+            ).collect()
+        }
+        ga, gb = out["a"], out["b"]
+        na, esta = _exact_kmv(spark, df.where(F.col("g") == "a"), "v", 32)
+        assert ga["n_hashes"] == na == 32
+        assert abs(ga["kmv_estimate_raw"] - esta) < 1e-6 * esta
+        assert gb["n_hashes"] == 32  # 40 distinct >= k: sketch holds k
+        nb, estb = _exact_kmv(spark, df.where(F.col("g") == "b"), "v", 32)
+        assert abs(gb["kmv_estimate_raw"] - estb) < 1e-6 * estb

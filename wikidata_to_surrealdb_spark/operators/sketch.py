@@ -9,11 +9,17 @@ only (1) a uniform hash — md5, bit-identical in both engines — and
 Estimate: ``(k - 1) / v_k`` where ``v_k`` is the k-th min hash mapped to
 [0, 1).
 
-Scale shape: the k smallest hashes of a 100 TB column are computed as a
-per-partition top-k merged on the driver (Spark's TakeOrderedAndProject
-— no global sort, no full shuffle), and KMV sketches are mergeable
-(union the hash sets, re-take k smallest) for partitioned/streaming
-rollups.
+Scale shape: a naive ``distinct().orderBy().limit(k)`` ships EVERY
+distinct hash through the exchange. Instead the k minima are found with
+a hash-threshold prefilter (the theta-sketch trick): a bounded-state
+stats pass (count + HLL estimate D-hat, partial aggs only — no data
+shuffle) picks a threshold t ~ oversample*k/D-hat; only hashes below t
+(~oversample*k of them, regardless of cardinality) enter the
+distinct/top-k. Correctness never depends on t — if at least k distinct
+hashes fall below t, the k global minima all do too; a verification
+rescan (probability ~exp(-k*oversample/3), i.e. never) covers the miss
+case. KMV sketches stay mergeable (union hash sets, re-take k smallest)
+for partitioned/streaming rollups.
 """
 
 from __future__ import annotations
@@ -40,8 +46,19 @@ def hex12_num_sql(h: str) -> str:
     return f"({terms})"
 
 
+def _threshold_hex(frac: float) -> str:
+    """12-lower-hex-char string t such that ``h < t`` (string compare on
+    the md5 hex digest) keeps ~``frac`` of a uniform hash space."""
+    thr = max(1, min(HEX_SPACE, int(frac * HEX_SPACE)))
+    return format(thr, "012x")
+
+
 def kmv_distinct(
-    df: DataFrame, col: str | Column, k: int = 64, seed: str = "kmv-v1"
+    df: DataFrame,
+    col: str | Column,
+    k: int = 64,
+    seed: str = "kmv-v1",
+    oversample: float = 8.0,
 ) -> DataFrame:
     """One-row DataFrame: (kmv_k, n_hashes, kmv_estimate) — the KMV
     approximate distinct count of ``col``.
@@ -50,18 +67,41 @@ def kmv_distinct(
     all and the estimate is exact (standard KMV small-cardinality
     fallback). ``n_hashes`` is the number of hashes actually held
     (min(k, distinct)).
+
+    Plan shape (the 100 TB contract): a stats pass with bounded
+    aggregation state (count + HLL D-hat; partial aggs, no data rows
+    shuffled) chooses a hash threshold keeping ~``oversample * k``
+    candidate hashes; the distinct/top-k then exchanges only those
+    candidates — per map task at most the distinct hashes below t, so
+    exchange volume is O(oversample * k) rows instead of the full
+    cardinality. The threshold only ever prunes; the k global minima are
+    below it whenever >= k distinct hashes are (verified, with a full
+    rescan fallback whose trigger probability is ~exp(-k*oversample/3)).
+    This function runs the stats pass (and the k-row verification count)
+    eagerly; the returned 1-row plan is lazy.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    if oversample <= 0:
+        raise ValueError("oversample must be > 0")
     c = F.col(col) if isinstance(col, str) else col
     h = F.md5(F.concat(F.lit(seed + ":"), c.cast("string")))
-    kmin = (
-        df.select(h.alias("h"))
-        .where(F.col("h").isNotNull())
-        .distinct()
-        .orderBy("h")
-        .limit(k)
-    )
+    hashes = df.select(h.alias("h")).where(F.col("h").isNotNull())
+    stats = hashes.agg(
+        F.count("*").alias("n"), F.approx_count_distinct("h").alias("d")
+    ).first()
+    filtered = stats["n"] > 0 and stats["d"] > oversample * k
+    if filtered:
+        cand = hashes.where(
+            F.col("h") < F.lit(_threshold_hex(oversample * k / stats["d"]))
+        )
+    else:
+        cand = hashes
+    kmin = cand.distinct().orderBy("h").limit(k)
+    if filtered and kmin.count() < k:
+        # HLL overestimated the cardinality badly enough that < k distinct
+        # hashes fell below t: fall back to the unfiltered scan.
+        kmin = hashes.distinct().orderBy("h").limit(k)
     num = F.expr(hex12_num_sql("h"))
     return (
         kmin.select(F.col("h"), num.alias("hnum"))
@@ -168,29 +208,91 @@ def kmv_distinct_by(
     col: str,
     k: int = 32,
     seed: str = "kmv-v1",
+    oversample: float = 8.0,
 ) -> DataFrame:
     """Grouped KMV: one approximate-distinct estimate PER GROUP (e.g.
     distinct users per event type) — one row per group:
     (group, n_hashes, kmv_estimate_raw).
 
-    Shape: distinct (group, hash) pairs (map-side combine collapses
-    duplicates before the shuffle), then a per-group rank window keeps
-    the k smallest hashes — the window partitions by group, so a
-    thousand groups parallelize across the cluster; per-group state is
-    O(k). Same estimator and small-cardinality fallback as
-    :func:`kmv_distinct`."""
+    Shape: a per-group stats pass (HLL D-hat per group; bounded partial
+    aggs, exchange = one sketch row per group) derives a per-group hash
+    threshold keeping ~``oversample * k`` hashes; the thresholds
+    broadcast-join back onto the pair stream (caller contract: the
+    group-cardinality table fits a broadcast — thousands to millions of
+    groups, not billions), the filtered pairs are deduped (bounded
+    exchange: O(oversample * k) per group, not the per-group
+    cardinality), and a per-group rank window keeps the k smallest —
+    groups parallelize across the cluster, per-group state is O(k).
+    Groups below ``oversample * k`` estimated cardinality skip the
+    filter entirely, so the small-cardinality exact fallback of
+    :func:`kmv_distinct` is preserved. A verification pass (eager, cheap
+    — it counts the k-row-per-group candidate set) rescans only the
+    groups where the threshold left < k distinct hashes (probability
+    ~exp(-k*oversample/3) per group, i.e. never).
+    """
     from pyspark.sql.window import Window
 
     if k < 2:
         raise ValueError("k must be >= 2")
+    if oversample <= 0:
+        raise ValueError("oversample must be > 0")
     h = F.md5(F.concat(F.lit(seed + ":"), F.col(col).cast("string")))
+    raw_pairs = df.where(F.col(col).isNotNull()).select(
+        F.col(group_col), h.alias("h")
+    )
+    ok = float(oversample * k)
+    stats = raw_pairs.groupBy(group_col).agg(
+        F.approx_count_distinct("h").alias("_dhat")
+    )
+    # per-group 12-hex-char threshold; NULL = no filter (small group)
+    frac = F.least(F.lit(1.0), F.lit(ok) / F.col("_dhat").cast("double"))
+    t_hex = F.when(
+        F.col("_dhat") > ok,
+        F.lower(
+            F.lpad(
+                F.hex(
+                    F.greatest(
+                        F.lit(1),
+                        (frac * F.lit(float(HEX_SPACE))).cast("bigint"),
+                    )
+                ),
+                12,
+                "0",
+            )
+        ),
+    )
+    thresholds = stats.select(group_col, t_hex.alias("_t"), "_dhat")
     pairs = (
-        df.where(F.col(col).isNotNull())
-        .select(F.col(group_col), h.alias("h"))
+        raw_pairs.join(F.broadcast(thresholds), group_col)
+        .where(F.col("_t").isNull() | (F.col("h") < F.col("_t")))
+        .select(group_col, "h")
         .distinct()
     )
     w = Window.partitionBy(group_col).orderBy("h")
     kmin = pairs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+
+    # verification: any filtered group left with < k distinct hashes is
+    # rescanned unfiltered (never happens with 8x oversample; the count
+    # itself runs over the already-pruned candidate set, so it's cheap).
+    short = (
+        kmin.groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+        .join(F.broadcast(thresholds), group_col)
+        .where(F.col("_t").isNotNull() & (F.col("_n") < k))
+        .select(group_col)
+    )
+    if short.count() > 0:
+        exact_pairs = (
+            raw_pairs.join(F.broadcast(short), group_col, "left_semi")
+            .distinct()
+        )
+        exact_kmin = exact_pairs.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= k
+        )
+        kmin = (
+            kmin.join(F.broadcast(short), group_col, "left_anti")
+            .union(exact_kmin)
+        )
     num = F.expr(hex12_num_sql("h"))
     return (
         kmin.select(F.col(group_col), num.alias("hnum"))

@@ -3090,7 +3090,8 @@ def _kmv_oracle(k: int = 64) -> str:
     "KMV approximate-distinct sketch (k=64) over documents.text: "
     "deterministic md5 order statistic -> (k-1)/v_k estimate, exact "
     "count alongside for error audit. Unlike HLL, bit-identical across "
-    "engines, per-partition-top-k plan (no full shuffle), mergeable",
+    "engines, threshold-bounded exchange (~8k candidate hashes, not the "
+    "full cardinality), mergeable",
 )
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.operators import sketch
@@ -3098,12 +3099,18 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     docs = t["documents"]
     s = sketch.kmv_distinct(docs, "text", k=64)
-    exact = docs.agg(F.count_distinct("text").cast("bigint").alias("n_exact"))
-    return s.crossJoin(F.broadcast(exact)).select(
-        "kmv_k",
-        "n_hashes",
-        "n_exact",
-        fround(F.col("kmv_estimate_raw"), 4).alias("kmv_estimate"),
+    # exact-count audit as an uncorrelated scalar subquery: it executes
+    # as its own aggregate and the headline plan has no join node at all
+    # (a crossJoin of the two 1-row aggregates planned as a
+    # BroadcastNestedLoopJoin; an equi-join on a constant key gets
+    # constant-folded right back into one).
+    s.createOrReplaceTempView("_kmv_sketch")
+    return spark.sql(
+        "SELECT kmv_k, n_hashes, "
+        "(SELECT CAST(count(DISTINCT text) AS BIGINT) FROM documents) "
+        "AS n_exact, "
+        f"{fround_sql('kmv_estimate_raw', 4)} AS kmv_estimate "
+        "FROM _kmv_sketch"
     )
 
 
