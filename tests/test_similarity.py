@@ -144,3 +144,60 @@ def test_ivf_centroids_are_trained_shape():
     assert len(IVF_CENTROIDS) == 8
     assert all(len(c) == 64 for c in IVF_CENTROIDS)
     assert len({tuple(c) for c in IVF_CENTROIDS}) == 8
+
+
+@pytest.fixture(scope="module")
+def gaussian_mixture(spark):
+    """Clustered embeddings — the regime where LSH actually degrades:
+    12 Gaussian cluster centres in dim 64, 30 points each drawn as
+    centre + noise (intra-cluster cosines concentrate near ~0.9+), plus
+    40 background points. Non-uniform by construction."""
+    rs = np.random.RandomState(1234)
+    rows = []
+    vid = 0
+    centres = rs.standard_normal((12, 64)) * 3.0
+    for c in centres:
+        for _ in range(30):
+            v = c + rs.standard_normal(64) * 0.55
+            rows.append((vid, v.astype(np.float32).tolist()))
+            vid += 1
+    for _ in range(40):
+        rows.append((vid, rs.standard_normal(64).astype(np.float32).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    x = np.array([np.asarray(v, dtype=np.float64) for _, v in rows])
+    ids = np.array([i for i, _ in rows])
+    return df, ids, x
+
+
+def test_banded_lsh_recall_on_clustered_embeddings(gaussian_mixture):
+    """Measured (not analytic) recall >= 0.9 at cosine >= 0.9 on a
+    mixture-of-Gaussians corpus — clustered data correlates hyperplane
+    bits within a cluster, which is where the analytic formula is most
+    optimistic."""
+    df, ids, x = gaussian_mixture
+    truth = _true_pairs(ids, x, 0.9)
+    assert len(truth) >= 300, len(truth)  # clusters are tight enough
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in similarity.ann_banded_pairs_gemm(
+            df, bands=4, band_bits=4, threshold=0.9
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth))
+    assert got <= truth  # exact cosine re-check: precision 1.0
+
+
+def test_banded_pairs_emitted_exactly_once(gaussian_mixture):
+    """A pair colliding in several bands must be emitted once (first
+    colliding band), not deduped after the fact: row count == distinct
+    pair count with no .distinct() in the operator."""
+    df, _, _ = gaussian_mixture
+    pairs = similarity.ann_banded_pairs_gemm(
+        df, bands=4, band_bits=4, threshold=0.9
+    )
+    rows = pairs.collect()
+    assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan

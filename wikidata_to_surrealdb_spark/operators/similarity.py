@@ -21,6 +21,8 @@ thresholds avoid top-k tie ambiguity).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -184,6 +186,56 @@ def ann_bucketed_pairs(
     )
 
 
+def hyperplane_band_keys(
+    vec_col: str,
+    bands: int,
+    band_bits: int,
+    dim: int,
+    seed: int = 42,
+) -> Column:
+    """Spark-side twin of :func:`hyperplane_bucket_sql`: the per-band
+    sign-LSH keys as ONE array<string> Column, built from higher-order
+    functions instead of the written-out literal sums.
+
+    Why not just ``F.expr(hyperplane_bucket_sql(...))``: the expanded
+    form is a ~2000-node expression tree per band whose whole-stage
+    codegen compilation costs seconds PER QUERY — fixed driver overhead
+    that dwarfs the actual evaluation. And why ONE ``F.expr`` string
+    instead of composing ``F.lit``/``F.array`` Columns: building the
+    ~1000-literal plane array through the Python Column API is a py4j
+    round-trip per node (~5 s of driver time per call, measured); a
+    single parsed SQL string is one round-trip. ``aggregate`` folds
+    sequentially left-to-right, the IDENTICAL IEEE-754 operation order
+    as the oracle's left-associated ``v[1]*c1 + v[2]*c2 + ...`` —
+    bucket bits stay bit-identical across engines (asserted by the
+    bucket-parity test)."""
+    return F.expr(_band_keys_sql(vec_col, bands, band_bits, dim, seed))
+
+
+@lru_cache(maxsize=64)
+def _band_keys_sql(
+    vec_col: str, bands: int, band_bits: int, dim: int, seed: int
+) -> str:
+    planes = lsh_hyperplanes(bands * band_bits, dim, seed)
+    planes_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(c)) for c in p) + ")" for p in planes
+        )
+        + ")"
+    )
+    dots = (
+        f"transform({planes_sql}, p -> aggregate(zip_with("
+        f"transform({vec_col}, x -> cast(x as double)), p, (x, y) -> x * y), "
+        "cast(0.0 as double), (a, b) -> a + b))"
+    )
+    return (
+        f"transform(sequence(0, {bands - 1}), b -> concat_ws('', "
+        f"transform(slice({dots}, b * {band_bits} + 1, {band_bits}), "
+        "d -> CASE WHEN d >= 0.0 THEN '1' ELSE '0' END)))"
+    )
+
+
 def ann_bucketed_pairs_gemm(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -261,11 +313,19 @@ def ann_banded_pairs_gemm(
     — e.g. ~0.95 for c=0.9 at 4x4, vs ~0.39 for a single 16-bit table.
 
     Per-(band, bucket) candidate cosines are computed with the same
-    Arrow+BLAS GEMM as :func:`ann_bucketed_pairs_gemm`; a pair colliding
-    in several bands produces identical rows, collapsed by the final
-    ``distinct`` (one extra shuffle on the already-thresholded pair set,
-    which is tiny). Buckets come from seeded Gaussian hyperplanes shared
-    as literals with the DuckDB oracle (:func:`hyperplane_bucket_sql`)."""
+    Arrow+BLAS GEMM as :func:`ann_bucketed_pairs_gemm`. Each row carries
+    its FULL band-key array into the worker, and a pair is emitted only
+    in the FIRST band where it collides — a pair colliding in several
+    bands is computed and shipped exactly once, so no post-hoc
+    ``distinct`` shuffle is needed and the result set is identical to
+    the union-of-bands semantics. Buckets come from seeded Gaussian
+    hyperplanes shared as literals with the DuckDB oracle
+    (:func:`hyperplane_bucket_sql`).
+
+    Transfer stays O(bands x docs x dim) (the vectors ride the one
+    groupBy exchange per band) — deliberately NOT the candidate-pair
+    join form, whose transfer is O(pairs x dim) and loses badly when
+    buckets hold more than a handful of rows each."""
     import pandas as pd
 
     f = float(10**decimals)
@@ -273,37 +333,58 @@ def ann_banded_pairs_gemm(
     def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
+            return empty
+        band = int(pdf["band"].iloc[0])
         pdf = pdf.sort_values("_gid")
         ids = pdf["_gid"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # emit-once rule: skip any pair that already collided in an
+        # earlier band (its bucket keys there were equal)
+        fresh = np.ones(len(iu), dtype=bool)
+        if band > 0:
+            keys = np.array([list(ks) for ks in pdf["_keys"]], dtype=object)
+            for b in range(band):
+                codes = pd.factorize(keys[:, b])[0]
+                fresh &= codes[iu] != codes[ju]
+            if not fresh.any():
+                return empty
         x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_gv"]])
         xn = x / np.linalg.norm(x, axis=1, keepdims=True)
         cos = xn @ xn.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        c = np.floor(cos[iu, ju] * f + 0.5) / f
+        c = np.floor(cos[iu[fresh], ju[fresh]] * f + 0.5) / f
         keep = c >= threshold
         return pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": c[keep]}
+            {
+                "id_a": ids[iu[fresh][keep]],
+                "id_b": ids[ju[fresh][keep]],
+                "cosine": c[keep],
+            }
         )
 
-    from wikidata_to_surrealdb_spark.functions import respread
-
-    band_buckets = [
-        F.expr(sql)
-        for sql in hyperplane_bucket_sql(vec_col, bands, band_bits, dim, seed)
-    ]
-    with_bands = respread(embeddings).select(
-        F.col(id_col).alias("_gid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_gv"),
-        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+    # No respread here on purpose: the per-row key pass is cheap and the
+    # heavy work (the per-bucket GEMM) runs AFTER the groupBy exchange,
+    # which redistributes by bucket regardless of input partitioning —
+    # an up-front repartition would only add a second full-vector
+    # shuffle. At scale the scan's own splits parallelize the key pass.
+    keys = hyperplane_band_keys(vec_col, bands, band_bits, dim, seed)
+    with_bands = (
+        embeddings.select(
+            F.col(id_col).alias("_gid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_gv"
+            ),
+            keys.alias("_keys"),
+        )
+        .select(
+            "_gid", "_gv", "_keys", F.posexplode("_keys").alias("band", "bucket")
+        )
     )
-    return (
-        with_bands.groupBy("band", "bucket")
-        .applyInPandas(bucket_pairs, "id_a long, id_b long, cosine double")
-        .distinct()
+    return with_bands.groupBy("band", "bucket").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, cosine double"
     )
 
 
