@@ -334,3 +334,79 @@ def test_duplicate_entity_id_keeps_first_line(spark, tmp_path):
     rows = t.entity.where(F.col("id.id") == 7).collect()
     assert len(rows) == 1
     assert rows[0]["label"] == "first label"
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """merge_into_bucketed applies a fresh load by rewriting ONLY the
+    id-buckets containing updated entities; every file in an untouched
+    bucket stays byte-identical (the 100 TB daily-refresh contract)."""
+    import hashlib
+    import json
+    import os
+
+    from wikidata_to_surrealdb_spark.operators.ingest import (
+        merge_into_bucketed,
+        write_tables_bucketed,
+    )
+
+    def dump(path, ents):
+        lines = [
+            json.dumps(
+                {
+                    "id": f"Q{i}",
+                    "type": "item",
+                    "labels": {
+                        "en": {"language": "en", "value": label}
+                    },
+                    "descriptions": {},
+                    "aliases": {},
+                    "claims": {},
+                    "sitelinks": {},
+                }
+            )
+            for i, label in ents
+        ]
+        with open(path, "w") as fh:
+            fh.write("[\n" + ",\n".join(lines) + "\n]\n")
+        return str(path)
+
+    base = load_dump(
+        spark,
+        dump(tmp_path / "base.json", [(i, f"base{i}") for i in range(1, 9)]),
+        "json",
+        lang="en",
+    )
+    out = str(tmp_path / "tables")
+    write_tables_bucketed(base, out, n_buckets=4)
+
+    def snapshot():
+        snap = {}
+        for dirpath, _d, files in os.walk(out):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    snap[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return snap
+
+    before = snapshot()
+
+    # update touches Q2 (bucket 2) and adds Q10 (bucket 2): bucket 2 only
+    upd = load_dump(
+        spark,
+        dump(tmp_path / "upd.json", [(2, "updated2"), (10, "new10")]),
+        "json",
+        lang="en",
+    )
+    touched = merge_into_bucketed(spark, out, upd, n_buckets=4)
+    assert touched["Entity"] == [2]
+
+    after = snapshot()
+    untouched_before = {p: h for p, h in before.items() if "_bucket=2" not in p}
+    untouched_after = {p: h for p, h in after.items() if "_bucket=2" not in p}
+    assert untouched_before == untouched_after  # byte-identical, same files
+
+    merged = spark.read.parquet(f"{out}/Entity.parquet")
+    got = {r["id"]["id"]: r["label"] for r in merged.collect()}
+    assert got[2] == "updated2" and got[10] == "new10"
+    assert got[1] == "base1" and got[8] == "base8"
+    assert len(got) == 9

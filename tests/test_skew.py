@@ -83,3 +83,68 @@ def test_salted_join_rejects_preserving_small_side(spark):
     for how in ("right", "full", "outer", "left_anti"):
         with pytest.raises(ValueError, match="inner"):
             salted_join(big, small, "k", "sk", how=how)
+
+
+def test_detect_hot_keys_finds_planted_key(spark):
+    from wikidata_to_surrealdb_spark.operators.skew import detect_hot_keys
+
+    big, _ = _skewed_frames(spark)
+    # 22k rows < min_sample_rows -> exact count path; key 1 holds ~91%
+    hot = detect_hot_keys(big, "k", threshold_ratio=0.01)
+    assert hot[0] == 1
+    # every other key holds 20/22000 < 1%: only the planted key is hot
+    assert hot == [1]
+
+
+def test_detect_hot_keys_sampled_path(spark):
+    from wikidata_to_surrealdb_spark.operators.skew import detect_hot_keys
+
+    big, _ = _skewed_frames(spark)
+    hot = detect_hot_keys(
+        big, "k", threshold_ratio=0.05, sample_fraction=0.5, min_sample_rows=1000
+    )
+    assert hot == [1]  # the 91% key cannot be missed at a 50% sample
+
+
+def test_detect_hot_keys_validation(spark):
+    import pytest
+
+    from wikidata_to_surrealdb_spark.operators.skew import detect_hot_keys
+
+    big, _ = _skewed_frames(spark)
+    with pytest.raises(ValueError, match="threshold_ratio"):
+        detect_hot_keys(big, "k", threshold_ratio=0.0)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        detect_hot_keys(big, "k", sample_fraction=1.5)
+
+
+def test_salted_join_auto_detect_matches_plain(spark):
+    big, small = _skewed_frames(spark)
+    plain = (
+        big.join(small, big["k"] == small["sk"])
+        .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+        .first()
+    )
+    auto = (
+        salted_join(big, small, "k", "sk", salt=8, auto_detect=True)
+        .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+        .first()
+    )
+    assert (auto["n"], auto["s"]) == (plain["n"], plain["s"])
+
+
+def test_salted_join_auto_detect_exclusive_with_hot_keys(spark):
+    import pytest
+
+    big, small = _skewed_frames(spark)
+    with pytest.raises(ValueError, match="not both"):
+        salted_join(big, small, "k", "sk", hot_keys=[1], auto_detect=True)
+
+
+def test_salted_join_auto_detect_no_hot_keys_degenerates(spark):
+    """Uniform keys: detection returns [], the join must still be exact
+    (salt collapses to 0 everywhere)."""
+    big = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    small = spark.range(100).select(F.col("id").alias("sk"))
+    n = salted_join(big, small, "k", "sk", auto_detect=True).count()
+    assert n == 1000

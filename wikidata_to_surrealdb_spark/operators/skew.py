@@ -21,6 +21,53 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    threshold_ratio: float = 0.01,
+    sample_fraction: float = 0.05,
+    min_sample_rows: int = 100_000,
+    seed: int = 42,
+) -> list:
+    """Hot join-key values of ``df[key]``, detected from a SAMPLE: any
+    key holding more than ``threshold_ratio`` of sampled rows.
+
+    The sample keeps the detection pass cheap at 100 TB (reads
+    ~sample_fraction of the data; the aggregate's exchange carries only
+    the sampled keys, map-side combined), and a key worth salting — one
+    whose rows overflow a task even after AQE splitting, i.e. >~0.1% of
+    a large table — is statistically impossible to miss at 5%. When the
+    table is small enough that sampling would be noisy
+    (rows * fraction < min_sample_rows) the whole table is counted
+    instead; either way detection stays deterministic (seeded sample).
+    Returns values sorted by descending sampled count (ties by value
+    string) — feed straight into :func:`salted_join`'s ``hot_keys``.
+    """
+    if not 0 < threshold_ratio < 1:
+        raise ValueError("threshold_ratio must be in (0, 1)")
+    if not 0 < sample_fraction <= 1:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    keyed = df.select(key).where(F.col(key).isNotNull())
+    sampled = keyed
+    if sample_fraction < 1:
+        est = keyed.sample(fraction=sample_fraction, seed=seed)
+        # cheap driver-side guard: only trust the sample if it is big
+        # enough for the threshold to be statistically stable
+        if est.limit(min_sample_rows).count() >= min_sample_rows:
+            sampled = est
+    total = sampled.count()
+    if total == 0:
+        return []
+    counts = (
+        sampled.groupBy(key)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > total * threshold_ratio)
+        .orderBy(F.desc("_n"), F.col(key).cast("string"))
+        .collect()
+    )
+    return [r[key] for r in counts]
+
+
 def _deterministic_salt(df: DataFrame, salt: int) -> Column:
     """Uniform-ish, deterministic (retry-safe) salt from the whole row —
     rand() would break task-retry idempotence."""
@@ -35,11 +82,17 @@ def salted_join(
     salt: int = 8,
     how: str = "inner",
     hot_keys: list | None = None,
+    auto_detect: bool = False,
 ) -> DataFrame:
     """Equi-join big⋈small on big_key == small_key with the hot side
     salted. ``hot_keys`` restricts salting to the listed key values (salt
     1 elsewhere), so replication of the small side stays proportional to
     the number of hot keys instead of its full row count.
+    ``auto_detect=True`` derives ``hot_keys`` from a sampled frequency
+    count of the big side (:func:`detect_hot_keys`, an eager detection
+    pass) instead of requiring the caller to know them; if nothing is
+    hot, the join degenerates to a plain unsalted equi-join (salt 1
+    everywhere).
 
     Only ``inner`` and ``left`` are supported: the small side is
     replicated across salt values, so a right/full join would emit each
@@ -51,6 +104,10 @@ def salted_join(
             "replicated small side would duplicate unmatched rows under "
             "right/full semantics"
         )
+    if auto_detect:
+        if hot_keys is not None:
+            raise ValueError("pass either hot_keys or auto_detect, not both")
+        hot_keys = detect_hot_keys(big, big_key)
     if hot_keys is not None:
         is_hot_big = F.col(big_key).isin(hot_keys)
         big_salt = F.when(is_hot_big, _deterministic_salt(big, salt)).otherwise(0)
