@@ -58,11 +58,20 @@ INGEST_REPLICATION = 20
 
 
 def _bench_ingest(
-    spark, sf_dir: str, tmp_dir: str, replication: int = INGEST_REPLICATION
+    spark,
+    sf_dir: str,
+    tmp_dir: str,
+    replication: int = INGEST_REPLICATION,
+    unique_content: bool = False,
 ) -> tuple[float, int]:
     """Wikidata-dump ingest throughput: synthesize a dump (one entity per
     document row, JVM-side to_json — not timed), then time load_dump end
-    to end (parse -> transform -> 4 tables materialized)."""
+    to end (parse -> transform -> 4 tables materialized).
+
+    ``unique_content=True`` makes every replica's label/description
+    distinct (suffixed with the entity id), so the corpus is NOT
+    duplicate-dense — a control for whether the replicated number is
+    flattered by repeated content (ids are unique either way)."""
     from pyspark.sql import functions as F
 
     from wikidata_to_surrealdb_spark.operators.ingest import load_dump
@@ -76,6 +85,12 @@ def _bench_ingest(
     )
     n = docs.count()
     dump_path = os.path.join(tmp_dir, "bench_dump.json")
+    label_val = F.substring("text", 1, 32)
+    desc_val = F.col("source")
+    if unique_content:
+        uniq = F.concat(F.lit("#"), F.col("doc_id").cast("string"))
+        label_val = F.concat(F.substring("text", 1, 24), uniq)
+        desc_val = F.concat(F.col("source"), uniq)
     entity = F.to_json(
         F.struct(
             F.lit("item").alias("type"),
@@ -84,12 +99,12 @@ def _bench_ingest(
                 F.lit("en"),
                 F.struct(
                     F.lit("en").alias("language"),
-                    F.substring("text", 1, 32).alias("value"),
+                    label_val.alias("value"),
                 ),
             ).alias("labels"),
             F.create_map(
                 F.lit("en"),
-                F.struct(F.lit("en").alias("language"), F.col("source").alias("value")),
+                F.struct(F.lit("en").alias("language"), desc_val.alias("value")),
             ).alias("descriptions"),
             F.create_map(
                 F.lit("P1"),
@@ -158,6 +173,12 @@ def main() -> None:
             # steady state.
             try:
                 _bench_ingest(spark, warm_dir, tmp, replication=1)
+                # the unique-content variant is a different codegen unit
+                # (concat'd label/description): warm it separately or its
+                # first timed run pays ~8 s of compilation
+                _bench_ingest(
+                    spark, warm_dir, tmp, replication=1, unique_content=True
+                )
             except Exception:
                 pass
         else:
@@ -170,6 +191,14 @@ def main() -> None:
         # the fairest CPU.
         ingest_sec, n_entities = _bench_ingest(spark, sf_dir, tmp)
         timings["wd_ingest"] = round(ingest_sec, 3)
+
+        # control: identical volume with per-entity-unique labels/
+        # descriptions — confirms the headline entities/s is not
+        # flattered by the replicated corpus being duplicate-dense
+        ingest_uniq_sec, _ = _bench_ingest(
+            spark, sf_dir, tmp, unique_content=True
+        )
+        timings["wd_ingest_unique"] = round(ingest_uniq_sec, 3)
 
         # multi-batch streaming: slice the events table into 4 time-ordered
         # files (not timed) and replay them one per micro-batch, so the
@@ -217,7 +246,7 @@ def main() -> None:
             {
                 "metric": (
                     f"headline suite wall time ({len(BENCH_QUERIES)} queries"
-                    " + wikidata ingest + 2 multi-batch streaming)"
+                    " + wikidata ingest x2 + 2 multi-batch streaming)"
                 ),
                 "value": total,
                 "unit": "sec",

@@ -16,6 +16,8 @@ import uuid
 import pytest
 from pyspark.sql import functions as F
 
+from wikidata_to_surrealdb_spark.sources.tables import normalize_ts
+
 SF_DIR = "/root/testdata/sf0.001"
 GAP_SEC = 1800
 
@@ -53,7 +55,7 @@ def test_state_resumes_across_batches(spark, tmp_path):
 
     events = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_ts)
         .select("user_id", F.unix_micros("ts").alias("us"), "value")
         .collect()
     )
@@ -287,7 +289,7 @@ def test_stream_source_accepts_directory_table(spark, tmp_path):
 
     src = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_ts)
     )
     table_dir = str(tmp_path / "events.parquet")
     src.limit(500).write.parquet(table_dir)
@@ -324,7 +326,7 @@ def test_multibatch_helpers_match_batch_semantics(spark, tmp_path):
         )
     rows = (
         spark.read.parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_ts)
         .select("user_id", F.unix_micros("ts").alias("us"), "value")
         .collect()
     )
@@ -336,7 +338,7 @@ def test_multibatch_helpers_match_batch_semantics(spark, tmp_path):
     dedup_mb = event_dedup_multibatch(spark, sliced)
     batch = (
         spark.read.parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_ts)
         .groupBy("user_id", "event_type", F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.min("event_id").alias("keep_event_id"), F.count("*").alias("collapsed"))
     )

@@ -9,6 +9,8 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
+from wikidata_to_surrealdb_spark.sources.tables import normalize_ts
+
 from wikidata_to_surrealdb_spark.operators.temporal import asof_join, range_join_binned
 
 T = dt.datetime
@@ -107,8 +109,8 @@ def test_range_join_bin_boundaries(spark):
 def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     """The plan must contain a hash join on (key, bin) — no
     BroadcastNestedLoopJoin / CartesianProduct anywhere."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"), "value"
+    ev = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
+        "user_id", "ts", "value"
     )
     iv = ev.select(
         "user_id",

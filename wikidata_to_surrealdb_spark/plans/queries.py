@@ -3479,6 +3479,98 @@ def sketch_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "wd_bucketed_merge",
+    """
+    SELECT id, label, episodes FROM (VALUES
+      ('Entity:100', 'Graph Wars', CAST(NULL AS DOUBLE)),
+      ('Entity:101', 'Graph Wars, season 1 remastered', CAST(13.0 AS DOUBLE)),
+      ('Entity:102', 'Graph Wars, season 2', CAST(8.0 AS DOUBLE)),
+      ('Entity:103', 'Standalone documentary', CAST(NULL AS DOUBLE)),
+      ('Entity:104', 'Graph Wars, season 3', CAST(6.0 AS DOUBLE))
+    ) AS v(id, label, episodes)
+    """,
+    "bucket-local incremental merge (ingest.merge_into_bucketed): the v1 "
+    "load is written partitioned by id-hash bucket, the v2 revision is "
+    "applied by rewriting ONLY the buckets containing updated entities "
+    "(partition-pruned read + dynamic partition overwrite — untouched "
+    "bucket files stay byte-identical, asserted in tests); the merged "
+    "state read back from parquet must equal merge_loads' in-memory "
+    "result, which is what the hand-derived oracle pins",
+)
+def wd_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from wikidata_to_surrealdb_spark.functions import (
+        first_claim_value,
+        link_join,
+    )
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+
+    data_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+    )
+    v1 = _ingest.load_dump(
+        spark, os.path.join(data_dir, "media_dump.json"), "json", lang="en"
+    )
+    v2 = _ingest.load_dump(
+        spark, os.path.join(data_dir, "media_dump_v2.json"), "json", lang="en"
+    )
+    out = tempfile.mkdtemp(prefix="wd_bucketed_merge_")
+    _ingest.write_tables_bucketed(v1, out, n_buckets=8)
+    _ingest.merge_into_bucketed(spark, out, v2, n_buckets=8)
+    entity = spark.read.parquet(f"{out}/Entity.parquet").drop("_bucket")
+    claims = spark.read.parquet(f"{out}/Claims.parquet").drop("_bucket")
+    joined = link_join(entity, claims, broadcast_right=True)
+    return joined.where(entity["id.tb"] == "Entity").select(
+        F.concat_ws(
+            ":", entity["id.tb"], entity["id.id"].cast("string")
+        ).alias("id"),
+        entity["label"].alias("label"),
+        first_claim_value(claims["claims"], 1113, "quantity.amount").alias(
+            "episodes"
+        ),
+    )
+
+
+@_q(
+    "skew_autodetect_join",
+    f"""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_lines,
+           {fround_sql(dsum_sql(_REVENUE, 6), 2)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+    "salted join with AUTO-DETECTED hot keys (skew.detect_hot_keys: "
+    "seeded sampled frequency count over the big side; nothing above "
+    "threshold on this near-uniform key, so the join must degenerate to "
+    "an exact unsalted equi-join — the degenerate path is what the "
+    "oracle pins; the hot path is unit-tested on a planted 90%-hot key)",
+)
+def skew_autodetect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators.skew import salted_join
+
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"].select("l_suppkey", "l_extendedprice", "l_discount")
+    sup = t["supplier"].select("s_suppkey", "s_nationkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        salted_join(li, sup, "l_suppkey", "s_suppkey", salt=8, auto_detect=True)
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            fround(dsum(rev, 6), 2).alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -71,26 +71,35 @@ def load_sf_dir(
             out[name] = _LOAD_MEMO[key]
             continue
         if os.path.exists(path):
-            df = spark.read.parquet(path)
-            # nanosecond timestamps arrive as long (nanosAsLong); convert
-            # to TIMESTAMP at microsecond precision — the same truncation
-            # DuckDB applies, so cross-engine results agree.
-            for f_ in df.schema.fields:
-                if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
-                    df = df.withColumn(
-                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                    )
-                elif f_.name == "ts" and isinstance(
-                    f_.dataType, T.TimestampNTZType
-                ):
-                    # naive parquet timestamp inferred as NTZ (when the
-                    # session-level inferTimestampNTZ=false guard isn't
-                    # active, e.g. a driver-built session): reinterpret in
-                    # the UTC session zone — same epoch DuckDB assigns.
-                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = normalize_ts(spark.read.parquet(path))
             _LOAD_MEMO[key] = df
             out[name] = df
     return out
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain TIMESTAMP regardless of
+    how the parquet encoded it across driver testdata generations:
+
+    - TIMESTAMP(NANOS) read as long under ``nanosAsLong`` -> truncate to
+      micros (the same truncation DuckDB applies, so cross-engine
+      results agree);
+    - naive timestamp inferred as TIMESTAMP_NTZ (when the session-level
+      ``inferTimestampNTZ=false`` guard isn't active, e.g. a
+      driver-built session) -> reinterpret in the UTC session zone, the
+      same epoch DuckDB assigns;
+    - already TIMESTAMP -> unchanged.
+    """
+    for f_ in df.schema.fields:
+        if f_.name != col:
+            continue
+        if isinstance(f_.dataType, T.LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+            )
+        elif isinstance(f_.dataType, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 # (applicationId, view name) -> (sf_dir, table fingerprint) currently

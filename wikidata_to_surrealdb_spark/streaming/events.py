@@ -46,10 +46,10 @@ def _event_stream_source(
         stream = reader.option(
             "pathGlobFilter", os.path.basename(events_path)
         ).parquet(os.path.dirname(events_path))
-    # nanos-as-long parquet: restore a proper event-time column
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    # nanos-as-long / NTZ parquet: restore a proper event-time column
+    from wikidata_to_surrealdb_spark.sources.tables import normalize_ts
+
+    return normalize_ts(stream)
 
 
 def windowed_counts_stream_df(spark: SparkSession, events_path: str) -> DataFrame:
@@ -223,9 +223,9 @@ def slice_events_table(
     import os
     import time as _time
 
-    df = spark.read.parquet(events_path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from wikidata_to_surrealdb_spark.sources.tables import normalize_ts
+
+    df = normalize_ts(spark.read.parquet(events_path))
     # slice on ts so batches are time-ordered (the stateful sessionizer's
     # arrival contract)
     ts_splits = (
@@ -250,12 +250,46 @@ def slice_events_table(
     return out_dir
 
 
+class _state_partitions:
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a
+    streaming query start+drain, then restore it.
+
+    For a stateful stream the shuffle-partition count at FIRST batch
+    becomes the state-store partition count for the query's lifetime —
+    it is a state-sizing knob, not a parallelism knob. The session
+    default (cluster width) is right for a 100 TB keyspace; for a small
+    benchmark/test stream it just buys ``partitions x batches`` tasks of
+    fixed state-store + Python-worker overhead (measured: the 4-batch
+    sessionizer at 32 partitions spends 2x longer than at 8 on identical
+    data). Callers size it to expected state volume."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def sessionize_stateful_multibatch(
-    spark: SparkSession, sliced_dir: str, gap_sec: int = 1800
+    spark: SparkSession,
+    sliced_dir: str,
+    gap_sec: int = 1800,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the stateful sessionizer over a pre-sliced events dir
     (:func:`slice_events_table`) one file per micro-batch, so the state
-    store carries open sessions across ``slices`` real batches."""
+    store carries open sessions across ``slices`` real batches.
+
+    Cost model (documented so the bench number is interpretable): the
+    wall time is dominated by a per-micro-batch floor of
+    state-store-partition tasks (each spins a Python worker for
+    applyInPandasWithState), NOT by row volume — see
+    :class:`_state_partitions` for why the default pins 8 here."""
     schema = spark.read.parquet(sliced_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -264,21 +298,27 @@ def sessionize_stateful_multibatch(
     )
     events = stream.select("user_id", F.unix_micros("ts").alias("us"), "value")
     table = f"stream_sessions_mb_{uuid.uuid4().hex[:8]}"
-    q = (
-        apply_sessionize(events, gap_sec=gap_sec)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            apply_sessionize(events, gap_sec=gap_sec)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
-def event_dedup_multibatch(spark: SparkSession, sliced_dir: str) -> DataFrame:
+def event_dedup_multibatch(
+    spark: SparkSession, sliced_dir: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Streaming dedup over a pre-sliced events dir, one file per
-    micro-batch — state merges (min ids / summed counts) across batches."""
+    micro-batch — state merges (min ids / summed counts) across batches.
+    Same per-batch state-store floor as
+    :func:`sessionize_stateful_multibatch` (all-JVM agg, so the floor is
+    smaller — no Python workers)."""
     schema = spark.read.parquet(sliced_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -291,14 +331,15 @@ def event_dedup_multibatch(spark: SparkSession, sliced_dir: str) -> DataFrame:
         .agg(F.min("event_id").alias("keep_event_id"), F.count("*").alias("collapsed"))
     )
     table = f"stream_dedup_mb_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
