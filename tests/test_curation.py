@@ -179,3 +179,60 @@ def test_decontaminate_flags_exact_ngram_overlap(spark):
     out = {r["doc_id"]: r["n_hits"] for r in curation.decontaminate(train, ev, n=4).collect()}
     assert 1 in out and out[1] >= 1  # shares the 4-gram
     assert 2 not in out  # clean doc emits no row
+
+
+def _plain_window_sample(df, k, seed="sample-v1"):
+    """Reference: the unbounded per-stratum window form."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def test_stratified_sample_threshold_path_matches_plain_window(spark):
+    # 1000-row stratum (>> 8k) engages the hash-threshold prefilter; a
+    # 3-row stratum takes the unfiltered path; results must equal the
+    # plain-window form row for row, ranks included
+    rows = [(i, "t", "en") for i in range(1000)] + [
+        (10000 + i, "t", "de") for i in range(3)
+    ]
+    df = _docs(spark, rows)
+    got = sorted(
+        (r["lang"], r["doc_id"], r["sample_rank"])
+        for r in curation.stratified_sample(df, k=5).collect()
+    )
+    want = sorted(
+        (r["lang"], r["doc_id"], r["sample_rank"])
+        for r in _plain_window_sample(df, 5).collect()
+    )
+    assert got == want
+    assert len([g for g in got if g[0] == "en"]) == 5
+    assert len([g for g in got if g[0] == "de"]) == 3
+
+
+def test_stratified_sample_starved_threshold_falls_back(spark):
+    # oversample so small the filter keeps < k rows: the rescan must
+    # still produce the exact plain-window sample
+    rows = [(i, "t", "en") for i in range(500)]
+    df = _docs(spark, rows)
+    got = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in curation.stratified_sample(df, k=10, oversample=0.01).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in _plain_window_sample(df, 10).collect()
+    )
+    assert got == want
+
+
+def test_stratified_sample_null_stratum_kept(spark):
+    rows = [(1, "t", None), (2, "t", None), (3, "t", "en")]
+    df = _docs(spark, rows)
+    out = curation.stratified_sample(df, k=2).collect()
+    assert len([r for r in out if r["lang"] is None]) == 2
+    assert len([r for r in out if r["lang"] == "en"]) == 1

@@ -166,3 +166,30 @@ def test_commons_assets_bridge(spark, tmp_path_factory):
     assert row["mime"] == "image/jpeg"
     assert row["url"] == "https://commons.wikimedia.org/wiki/Special:FilePath/Foo.jpg"
     assert row["property_id"]["tb"] == "Property"
+
+
+def test_documents_as_png_assets_roundtrip(spark):
+    """Text -> gray PNG -> decode: dims and pixel stats must match the
+    UTF-8 bytes (zero-padded to the last row)."""
+    from wikidata_to_surrealdb_spark.functions.png import decode_png
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 100), (3, "")],
+        "doc_id bigint, text string",
+    )
+    assets = {
+        r["asset_id"]: r
+        for r in multimodal.documents_as_png_assets(docs, width=32).collect()
+    }
+    for doc_id, text in [(1, "hello world"), (2, "x" * 100), (3, "")]:
+        raw = text.encode()
+        img = decode_png(bytes(assets[doc_id]["payload"]))
+        h = max(1, -(-len(raw) // 32))
+        assert (img["width"], img["height"], img["channels"]) == (32, h, 1)
+        assert img["pixels"] == raw.ljust(32 * h, b"\x00")
+    feats = multimodal.decode_features(
+        multimodal.documents_as_png_assets(docs, width=32), decoder="png"
+    ).collect()
+    by_id = {r["asset_id"]: r for r in feats}
+    assert by_id[2]["pixel_sum"] == 100 * ord("x")  # padding adds zeros
+    assert by_id[2]["pixel_max"] == ord("x")

@@ -197,20 +197,93 @@ def stratified_sample(
     id_col: str = "doc_id",
     k: int = 5,
     seed: str = "sample-v1",
+    oversample: float = 8.0,
 ) -> DataFrame:
     """Exactly-k-per-stratum deterministic sample: rank rows inside each
     stratum by md5(seed ':' id) (uniform pseudo-order, id tie-break) and
-    keep rank <= k. One shuffle on the stratum key; with many strata the
-    window parallelizes across them — for a *low-cardinality* stratum
-    column over 100 TB, replace with the per-stratum top-k pattern
-    (repartition by stratum, partial top-k per map task) to avoid a
-    single reducer per giant stratum."""
+    keep rank <= k.
+
+    Scale shape: a naive per-stratum window funnels EVERY row of a
+    stratum through one reducer — with a low-cardinality stratum column
+    over 100 TB, one task sorts terabytes to keep 5 rows. Instead a
+    per-stratum row count (tiny agg) sets a hash threshold keeping
+    ~``oversample * k`` candidate rows per stratum; only candidates
+    reach the rank window, so the per-reducer work is O(oversample * k)
+    regardless of stratum size. The k smallest hashes are below the
+    threshold whenever >= k rows are (verified; strata starved by the
+    threshold — probability ~exp(-k*oversample/3), i.e. never — are
+    rescanned unfiltered). Ranks, rows, and determinism are identical
+    to the plain-window form. Runs the count pass and the k-row
+    verification eagerly; the returned plan is lazy."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if oversample <= 0:
+        raise ValueError("oversample must be > 0")
     h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(strat_col).orderBy(h, F.col(id_col))
-    return (
-        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+    hashed = df.withColumn("_h", h)
+    ok = float(oversample * k)
+    counts = hashed.groupBy(strat_col).agg(F.count("*").alias("_n"))
+    hex_space = float(16**12)
+    frac = F.least(F.lit(1.0), F.lit(ok) / F.col("_n").cast("double"))
+    t_hex = F.when(
+        F.col("_n") > ok,
+        F.lower(
+            F.lpad(
+                F.hex(
+                    F.greatest(
+                        F.lit(1), (frac * F.lit(hex_space)).cast("bigint")
+                    )
+                ),
+                12,
+                "0",
+            )
+        ),
+    )
+    thresholds = counts.select(
+        F.col(strat_col).alias("_s"), t_hex.alias("_t")
+    )
+    joined = hashed.join(
+        F.broadcast(thresholds), F.col(strat_col).eqNullSafe(F.col("_s"))
+    ).drop("_s")
+    cand = joined.where(F.col("_t").isNull() | (F.col("_h") < F.col("_t")))
+
+    w = Window.partitionBy(strat_col).orderBy("_h", F.col(id_col))
+    ranked = (
+        cand.drop("_t")
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("sample_rank") <= k)
     )
+
+    # verification: a filtered stratum that kept < k rows despite holding
+    # >= k must be rescanned unfiltered (never fires at 8x oversample).
+    # Anchor on `counts`, not on the kept rows — a fully starved stratum
+    # has NO kept rows and would vanish from a groupBy over them.
+    kept = ranked.groupBy(strat_col).agg(F.count("*").alias("_kept"))
+    short = (
+        counts.withColumnRenamed(strat_col, "_s2")
+        .join(kept, F.col("_s2").eqNullSafe(F.col(strat_col)), "left")
+        .where(
+            (F.coalesce(F.col("_kept"), F.lit(0)) < k)
+            & (F.col("_n") >= k)
+            & (F.col("_n") > ok)
+        )
+        .select(F.col("_s2").alias("_bad"))
+    )
+    if short.count() > 0:
+        bad = hashed.join(
+            F.broadcast(short), F.col(strat_col).eqNullSafe(F.col("_bad")),
+            "left_semi",
+        )
+        bad_ranked = bad.withColumn(
+            "sample_rank", F.row_number().over(w).cast("bigint")
+        ).where(F.col("sample_rank") <= k)
+        good = ranked.join(
+            F.broadcast(short),
+            F.col(strat_col).eqNullSafe(F.col("_bad")),
+            "left_anti",
+        )
+        ranked = good.unionByName(bad_ranked)
+    return ranked.drop("_h")
 
 
 # ---------------------------------------------------------------------------

@@ -164,6 +164,58 @@ def documents_as_assets(
     )
 
 
+def documents_as_png_assets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", width: int = 32
+) -> DataFrame:
+    """Asset table whose payloads are REAL PNGs: each document's UTF-8
+    bytes become the gray pixels of a ``width``-wide image (zero-padded
+    to fill the last row), encoded with the in-repo from-spec codec.
+    Deterministic — same text, same bytes — so downstream decode rows
+    are stable across runs/engines. Arrow-batched mapInPandas; payloads
+    are born on the executors."""
+
+    pkg_root = _PKG_ROOT
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        try:
+            from wikidata_to_surrealdb_spark.functions.png import encode_png
+        except ModuleNotFoundError:
+            import sys as _sys
+
+            _sys.path.insert(0, pkg_root)
+            from wikidata_to_surrealdb_spark.functions.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                height = max(1, (len(raw) + width - 1) // width)
+                px = raw.ljust(width * height, b"\x00")
+                buf = encode_png(px, width, height, 1)
+                rows.append(
+                    {
+                        "asset_id": int(doc_id),
+                        "mime": "image/png",
+                        "payload": buf,
+                        "n_bytes": len(buf),
+                        "content_hash": _hl.md5(buf).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return respread(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=ASSET_SCHEMA
+    )
+
+
 def _fake_decode(buf: bytes) -> dict:
     """Deterministic byte-statistics 'decode' — the test/oracle path."""
     return {

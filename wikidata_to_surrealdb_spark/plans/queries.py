@@ -3571,6 +3571,25 @@ def skew_autodetect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "mm_decode_png",
+    None,  # DuckDB cannot decode PNG: driver records the rows-only check;
+    # exact pixel values are pinned by the hand-filtered goldens in
+    # tests/test_png.py and the feature-parity tests in test_multimodal.py
+    "REAL image decode end to end: every document's bytes become a "
+    "gray PNG (in-repo from-spec encoder), decoded back by the from-spec "
+    "reader inside Arrow-batched mapInPandas into per-image features "
+    "(dims/pixel stats/pixel hash); corrupt payloads yield NULL rows "
+    "instead of failing the task",
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    t = register_views(spark, sf_dir)
+    assets = multimodal.documents_as_png_assets(t["documents"])
+    return multimodal.decode_features(assets, decoder="png").orderBy("asset_id")
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
