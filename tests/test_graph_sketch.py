@@ -241,3 +241,75 @@ def test_kmv_by_threshold_and_fallback_match_exact(spark):
         assert gb["n_hashes"] == 32  # 40 distinct >= k: sketch holds k
         nb, estb = _exact_kmv(spark, df.where(F.col("g") == "b"), "v", 32)
         assert abs(gb["kmv_estimate_raw"] - estb) < 1e-6 * estb
+
+
+def test_sample_quantiles_exact_on_small_input(spark):
+    # population smaller than k: the "sample" is the whole population and
+    # quantiles are exact percentile_disc values
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id bigint, v double"
+    )
+    out = {
+        r["p"]: (r["q_value"], r["sample_size"])
+        for r in sketch.sample_quantiles(
+            df, "v", "id", ps=(0.25, 0.5, 0.75, 1.0), k=1024
+        ).collect()
+    }
+    assert out == {
+        0.25: (25.0, 100),
+        0.5: (50.0, 100),
+        0.75: (75.0, 100),
+        1.0: (100.0, 100),
+    }
+
+
+def test_sample_quantiles_mergeable(spark):
+    # bottom-k(union) == bottom-k(bottom-k(A) ∪ bottom-k(B)): quantiles
+    # from merged partial samples equal quantiles of the whole
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 1000)) for i in range(2000)], "id bigint, v double"
+    )
+    a = df.where(F.col("id") % 2 == 0)
+    b = df.where(F.col("id") % 2 == 1)
+    h = F.md5(F.concat(F.lit("sq-v1:"), F.col("id").cast("string")))
+    pa = a.select(h.alias("_h"), "id", "v").orderBy("_h").limit(64)
+    pb = b.select(h.alias("_h"), "id", "v").orderBy("_h").limit(64)
+    merged = pa.union(pb).orderBy("_h").limit(64).select("id", "v")
+    whole = sketch.sample_quantiles(df, "v", "id", ps=(0.5,), k=64).collect()
+    from_merged = sketch.sample_quantiles(
+        merged, "v", "id", ps=(0.5,), k=64
+    ).collect()
+    assert [tuple(r) for r in whole] == [tuple(r) for r in from_merged]
+
+
+def test_sample_quantiles_rank_accuracy(spark):
+    # uniform 0..9999: sampled median within ~3/sqrt(k) of the truth
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10000)], "id bigint, v double"
+    )
+    row = {
+        r["p"]: r["q_value"]
+        for r in sketch.sample_quantiles(df, "v", "id", ps=(0.5,), k=1024).collect()
+    }
+    assert abs(row[0.5] - 5000) / 10000 < 3 / (1024 ** 0.5)
+
+
+def test_sample_quantiles_no_shuffle_plan(spark):
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    plan = (
+        sketch.sample_quantiles(df, "v", "id", k=256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sample_quantiles_validation(spark):
+    df = spark.range(3).select(F.col("id"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="k"):
+        sketch.sample_quantiles(df, "v", "id", k=0)
+    with pytest.raises(ValueError, match="p"):
+        sketch.sample_quantiles(df, "v", "id", ps=(0.0,))

@@ -122,3 +122,53 @@ def test_cluster_by_produces_disjoint_file_ranges(spark, events, tmp_path):
         assert hi1 <= lo2, ranges
     # data survives intact
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_cluster_by_zorder_bounds_both_dimensions(spark, tmp_path):
+    """After a z-ordered write, EVERY file covers a small rectangle of
+    the 2-D key space — both columns' per-file spans shrink, which is
+    what row-group min/max pruning needs for predicates on either column
+    (a round-robin write leaves every file spanning ~the full range)."""
+    from wikidata_to_surrealdb_spark.sources.layout import cluster_by_zorder
+
+    df = spark.range(20000).select(
+        (F.col("id") % 997).cast("double").alias("x"),
+        ((F.col("id") * 7919) % 1009).cast("double").alias("y"),
+    )
+    zdir = str(tmp_path / "zorder")
+    cluster_by_zorder(df, zdir, ["x", "y"], bits_per_dim=8, num_files=16)
+
+    rrdir = str(tmp_path / "roundrobin")
+    df.repartition(16).write.parquet(rrdir)
+
+    def avg_span(path, col, full):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .first()[0]
+        )
+        return per_file / full
+
+    for col, full in (("x", 996.0), ("y", 1008.0)):
+        z = avg_span(zdir, col, full)
+        rr = avg_span(rrdir, col, full)
+        assert z < 0.65, (col, z)
+        assert rr > 0.9, (col, rr)  # the baseline really is unclustered
+        assert z < rr / 1.5
+
+
+def test_cluster_by_zorder_validation(spark, tmp_path):
+    import pytest
+
+    from wikidata_to_surrealdb_spark.sources.layout import cluster_by_zorder
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match=">= 2"):
+        cluster_by_zorder(df, str(tmp_path / "z"), ["x"])
+    with pytest.raises(ValueError, match="bits_per_dim"):
+        cluster_by_zorder(
+            df.withColumn("y", F.col("x")), str(tmp_path / "z"), ["x", "y"],
+            bits_per_dim=0,
+        )

@@ -345,3 +345,37 @@ def test_multibatch_helpers_match_batch_semantics(spark, tmp_path):
     a = {tuple(r) for r in dedup_mb.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert a == b
+
+
+def test_stream_stream_attribution_join_matches_batch(spark):
+    """The watermarked stream-stream join (availableNow) must equal the
+    batch join of purchases to preceding-hour same-user views."""
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        attribution_join_streaming,
+    )
+
+    events_path = f"{SF_DIR}/events.parquet"
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in attribution_join_streaming(spark, events_path).collect()
+    }
+    ev = normalize_ts(spark.read.parquet(events_path))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("vuid"),
+        F.col("ts").alias("vts"),
+    )
+    want = {
+        (r["pid"], r["vid"])
+        for r in p.join(
+            v,
+            (F.col("user_id") == F.col("vuid"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the fixture actually exercises the join

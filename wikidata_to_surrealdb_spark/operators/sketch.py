@@ -123,6 +123,95 @@ def kmv_distinct(
     )
 
 
+def sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    ps: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    k: int = 1024,
+    seed: str = "sq-v1",
+) -> DataFrame:
+    """Deterministic sampled quantiles: one row per probe ``p`` with
+    (p, q_value, sample_size).
+
+    The sample is the ``k`` rows whose md5(seed:id) hashes are smallest —
+    a bottom-k hash sample, i.e. a uniform random sample that is (1)
+    DETERMINISTIC (same data, same sample — retry/engine-stable, unlike
+    ``TABLESAMPLE``), and (2) MERGEABLE (union two samples, re-take the k
+    smallest hashes == the sample of the union), the property that lets
+    per-partition / per-day sketches roll up. The quantile at ``p`` is
+    the sample value at rank ceil(p * m) ordered by (value, hash) —
+    percentile_disc semantics with a deterministic tie-break. Rank error
+    is O(1/sqrt(k)) of the population.
+
+    Plan shape: bottom-k-by-hash compiles to TakeOrderedAndProject —
+    per-partition top-k merged on the driver, NO shuffle at any scale;
+    the rank window then runs over k rows (single tiny task by design).
+    Unlike t-digest/KLL this is engine-portable: the oracle reproduces
+    the exact sample and the exact answers."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not ps or not all(0 < p <= 1 for p in ps):
+        raise ValueError("each p must be in (0, 1]")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    sample = (
+        df.where(F.col(value_col).isNotNull())
+        .select(h.alias("_h"), F.col(value_col).alias("_v"))
+        .orderBy("_h")
+        .limit(k)
+    )
+    w = Window.orderBy("_v", "_h")
+    ranked = sample.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_m", F.count("*").over(Window.partitionBy(F.lit(1)))
+    )
+    probes = sample.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], "p double"
+    )
+    return (
+        ranked.join(
+            F.broadcast(probes),
+            F.col("_r") == F.ceil(F.col("p") * F.col("_m")).cast("int"),
+        )
+        .select(
+            "p",
+            F.col("_v").alias("q_value"),
+            F.col("_m").cast("bigint").alias("sample_size"),
+        )
+        .orderBy("p")
+    )
+
+
+def sample_quantiles_oracle_sql(
+    table: str,
+    value_col: str,
+    id_col: str,
+    ps: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    k: int = 1024,
+    seed: str = "sq-v1",
+) -> str:
+    """DuckDB twin of :func:`sample_quantiles` (identical sample,
+    identical ranks, identical values)."""
+    plist = ", ".join(repr(float(p)) for p in ps)
+    return f"""
+    WITH s AS (
+      SELECT md5('{seed}:' || CAST({id_col} AS VARCHAR)) AS h,
+             {value_col} AS v
+      FROM {table} WHERE {value_col} IS NOT NULL
+      ORDER BY h LIMIT {k}
+    ), r AS (
+      SELECT v, h,
+             row_number() OVER (ORDER BY v, h) AS r,
+             count(*) OVER () AS m
+      FROM s
+    ), p AS (SELECT CAST(unnest([{plist}]) AS DOUBLE) AS p)
+    SELECT p.p, r.v AS q_value, CAST(r.m AS BIGINT) AS sample_size
+    FROM r JOIN p ON r.r = CAST(ceil(p.p * r.m) AS INT)
+    ORDER BY p.p
+    """
+
+
 def _cm_bucket_sql(value_expr: str, d: int, seed: str, width: int) -> str:
     """SQL: count-min cell for ``value_expr`` in row ``d`` (md5-derived,
     engine-portable)."""

@@ -3572,6 +3572,75 @@ def skew_autodetect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_join_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           p.value AS purchase_value,
+           v.event_id AS view_id,
+           epoch_us(v.ts) AS view_ts_us
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    "watermarked STREAM-STREAM join (the two-unbounded-inputs operator "
+    "class): attribute each purchase to same-user views in the preceding "
+    "hour; watermarks + the bounded event-time range give Spark a state "
+    "eviction bound (state holds ~window+watermark of events, never the "
+    "full history); processed availableNow the result equals the batch "
+    "join, which is exactly what the oracle checks",
+)
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        attribution_join_streaming,
+    )
+
+    register_views(spark, sf_dir)
+    out = attribution_join_streaming(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+        "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+
+
+def _sample_quantiles_oracle() -> str:
+    from wikidata_to_surrealdb_spark.operators.sketch import (
+        sample_quantiles_oracle_sql,
+    )
+
+    return sample_quantiles_oracle_sql("events", "value", "event_id", k=512)
+
+
+@_q(
+    "sketch_sample_quantiles",
+    _sample_quantiles_oracle(),
+    "deterministic sampled quantiles of events.value: bottom-512 rows by "
+    "md5(event_id) — a uniform, deterministic, MERGEABLE sample (union + "
+    "re-take bottom-k == sample of union) — then percentile_disc ranks "
+    "with a (value, hash) tie-break; the bottom-k compiles to "
+    "TakeOrderedAndProject (per-partition top-k, no shuffle), rank error "
+    "O(1/sqrt(k)); unlike t-digest/KLL, engine-portable bit for bit",
+)
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import sketch
+
+    t = register_views(spark, sf_dir)
+    return sketch.sample_quantiles(t["events"], "value", "event_id", k=512)
+
+
+@_q(
     "mm_decode_png",
     None,  # DuckDB cannot decode PNG: driver records the rows-only check;
     # exact pixel values are pinned by the hand-filtered goldens in

@@ -142,6 +142,64 @@ def compact_partitions(
     return rewritten
 
 
+def cluster_by_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits_per_dim: int = 8,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustering on 2+ numeric columns at write
+    time — multi-dimensional data skipping where :func:`cluster_by` only
+    handles one.
+
+    Each column is quantile-bucketed to ``2^bits_per_dim`` ranks (the
+    boundaries come from one ``approxQuantile`` pass; rank-normalizing
+    defeats skew, which a min/max linear scale would not), the per-column
+    ranks are bit-interleaved into a Morton code, and the table is
+    range-partitioned + sorted on that code. Every output file then
+    covers a small hyper-rectangle of the key space, so parquet row-group
+    min/max stats prune scans predicated on ANY of the clustered columns
+    (~1/num_files^(1/d) of the data per point predicate, vs no pruning
+    after a round-robin write). The interleave is a pure JVM expression;
+    the only wide op is the range repartition the write needs anyway.
+    """
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use cluster_by for 1")
+    if not 1 <= bits_per_dim <= 16:
+        raise ValueError("bits_per_dim must be in [1, 16]")
+    n_buckets = 1 << bits_per_dim
+    # quantile boundaries per column (driver-side, write-time only)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.stat.approxQuantile(cols, probs, 0.001)
+    rank_cols = []
+    for c, bs in zip(cols, bounds):
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        # rank = how many boundaries lie at/below the value: 0..n_buckets-1
+        rank = F.size(
+            F.filter(arr, lambda b: b <= F.col(c).cast("double"))
+        )
+        rank_cols.append(rank)
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_dim):
+        for d, rank in enumerate(rank_cols):
+            z = z + (
+                F.shiftleft(
+                    F.shiftright(rank.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + d,
+                )
+            )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def cluster_by(
     df: DataFrame,
     path: str,

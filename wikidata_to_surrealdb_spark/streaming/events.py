@@ -432,3 +432,77 @@ def windowed_counts_streaming(spark: SparkSession, events_path: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def attribution_join_stream_df(
+    spark: SparkSession,
+    events_path: str,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM join: attribute each purchase to the
+    views by the same user in the preceding ``attribution_window`` —
+    the classic ad-attribution shape, and the one streaming operator
+    class (two unbounded inputs) the window/dedup/sessionize family
+    doesn't cover.
+
+    Scale contract: both sides carry a watermark and the join condition
+    bounds event-time distance, so Spark derives a state-eviction bound
+    — per-key state holds only ``attribution_window + watermark`` of
+    events, NOT the whole history (an unbounded stream-stream join would
+    otherwise accumulate state forever). The join itself shuffles on
+    user_id like the batch twin; the state store is the only addition.
+    """
+    purchases = (
+        _event_stream_source(spark, events_path)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        _event_stream_source(spark, events_path)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("view_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value",
+        "view_id", "view_ts",
+    )
+
+
+def attribution_join_streaming(
+    spark: SparkSession, events_path: str, attribution_window: str = "1 hour"
+) -> DataFrame:
+    """Run the stream-stream attribution join to completion (availableNow,
+    memory sink). Processed as one batch, no row outruns the watermark,
+    so the result equals the batch join — the oracle the catalog uses."""
+    table = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        attribution_join_stream_df(spark, events_path, attribution_window)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
