@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "curation_passage_dedup",
     "curation_pii_redact",
     "sketch_kmv_distinct",
+    "sketch_sample_quantiles",
+    "stream_join_attribution",
 ]
 
 
@@ -189,7 +191,12 @@ def main() -> None:
         # executions) the identical ingest recorded 4-8x its isolated
         # cost. First-position puts the heaviest single measurement on
         # the fairest CPU.
+        # best-of-2 like the queries: single-shot ingest has shown 2x
+        # first-measurement swings on this burstable host, and ingest is
+        # the one number compared against the reference baseline
         ingest_sec, n_entities = _bench_ingest(spark, sf_dir, tmp)
+        ingest_sec2, _ = _bench_ingest(spark, sf_dir, tmp)
+        ingest_sec = min(ingest_sec, ingest_sec2)
         timings["wd_ingest"] = round(ingest_sec, 3)
 
         # control: identical volume with per-entity-unique labels/
@@ -198,7 +205,12 @@ def main() -> None:
         ingest_uniq_sec, _ = _bench_ingest(
             spark, sf_dir, tmp, unique_content=True
         )
-        timings["wd_ingest_unique"] = round(ingest_uniq_sec, 3)
+        ingest_uniq_sec2, _ = _bench_ingest(
+            spark, sf_dir, tmp, unique_content=True
+        )
+        timings["wd_ingest_unique"] = round(
+            min(ingest_uniq_sec, ingest_uniq_sec2), 3
+        )
 
         # multi-batch streaming: slice the events table into 4 time-ordered
         # files (not timed) and replay them one per micro-batch, so the

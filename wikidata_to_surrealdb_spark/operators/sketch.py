@@ -166,16 +166,17 @@ def sample_quantiles(
     ranked = sample.withColumn("_r", F.row_number().over(w)).withColumn(
         "_m", F.count("*").over(Window.partitionBy(F.lit(1)))
     )
-    probes = sample.sparkSession.createDataFrame(
-        [(float(p),) for p in ps], "p double"
+    # attach probes by filtering a literal array per row instead of
+    # joining a probe relation: the rank condition mixes columns from
+    # both sides, which a join could only plan as a nested loop
+    lit_ps = F.array(*[F.lit(float(p)) for p in ps])
+    matched = F.filter(
+        lit_ps,
+        lambda p: F.ceil(p * F.col("_m")).cast("int") == F.col("_r"),
     )
     return (
-        ranked.join(
-            F.broadcast(probes),
-            F.col("_r") == F.ceil(F.col("p") * F.col("_m")).cast("int"),
-        )
-        .select(
-            "p",
+        ranked.select(
+            F.explode(matched).alias("p"),
             F.col("_v").alias("q_value"),
             F.col("_m").cast("bigint").alias("sample_size"),
         )

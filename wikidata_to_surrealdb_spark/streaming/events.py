@@ -490,19 +490,27 @@ def attribution_join_stream_df(
 
 
 def attribution_join_streaming(
-    spark: SparkSession, events_path: str, attribution_window: str = "1 hour"
+    spark: SparkSession,
+    events_path: str,
+    attribution_window: str = "1 hour",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the stream-stream attribution join to completion (availableNow,
     memory sink). Processed as one batch, no row outruns the watermark,
-    so the result equals the batch join — the oracle the catalog uses."""
+    so the result equals the batch join — the oracle the catalog uses.
+    Like the other stateful runners, the state-store partition count is
+    pinned small for bench/test corpora (see :class:`_state_partitions`);
+    a stream-stream join keeps BOTH sides' buffered rows in the state
+    store, so its per-partition fixed cost is the largest of the family."""
     table = f"stream_attr_{uuid.uuid4().hex[:8]}"
-    q = (
-        attribution_join_stream_df(spark, events_path, attribution_window)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            attribution_join_stream_df(spark, events_path, attribution_window)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
