@@ -354,3 +354,76 @@ def winnow_fingerprints(
         .select(id_col, F.explode(mins).alias("fingerprint"))
         .dropDuplicates([id_col, "fingerprint"])
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride_tokens: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG-ingestion shape: each
+    document becomes overlapping ``chunk_tokens``-token windows every
+    ``stride_tokens`` tokens, with token offsets so chunks map back to
+    their source span. One row in -> ceil(max(n-chunk,0)/stride)+1 rows
+    out: (id, chunk_idx, start_token, n_tokens, chunk_text).
+
+    Scale shape: tokenization, window enumeration (``sequence``), and
+    slicing are ALL array-local higher-order functions inside one
+    codegen stage — no shuffle, no Python; the fan-out happens in the
+    explode, so peak memory is one document's token array per row, and
+    output size is input size x (chunk/stride) overlap factor (the
+    caller's knob). The last window is allowed to run short rather than
+    re-covering the tail, so every token appears in >= 1 chunk and
+    chunk starts are exactly k*stride — the contract the
+    offset-arithmetic oracle reproduces.
+    """
+    if chunk_tokens < 1 or stride_tokens < 1:
+        raise ValueError("chunk_tokens and stride_tokens must be >= 1")
+    if stride_tokens > chunk_tokens:
+        raise ValueError(
+            "stride_tokens must be <= chunk_tokens (gaps would drop tokens)"
+        )
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - chunk_tokens, F.lit(0))
+            / F.lit(float(stride_tokens))
+        ).cast("int")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride_tokens).cast("bigint").alias(
+                "start_token"
+            ),
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("_n") - F.col("chunk_idx") * stride_tokens,
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(
+                    "_toks",
+                    F.col("chunk_idx") * stride_tokens + 1,
+                    F.least(
+                        F.lit(chunk_tokens),
+                        F.col("_n") - F.col("chunk_idx") * stride_tokens,
+                    ),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

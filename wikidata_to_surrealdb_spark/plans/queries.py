@@ -3615,6 +3615,74 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), k AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 32.0) AS INT)))
+               AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 32 AS BIGINT) AS start_token,
+           CAST(least(64, n - chunk_idx * 32) AS BIGINT) AS n_tokens,
+           array_to_string(
+             toks[chunk_idx * 32 + 1 : chunk_idx * 32 + least(64, n - chunk_idx * 32)],
+             ' '
+           ) AS chunk_text
+    FROM k
+    """,
+    "RAG-ingestion chunking: overlapping 64-token windows every 32 "
+    "tokens with token offsets (last window runs short, every token in "
+    ">= 1 chunk); tokenize + window enumeration + slice are all "
+    "array-local HOFs in one codegen stage — the only fan-out is the "
+    "explode, no shuffle anywhere",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return text.chunk_documents(
+        t["documents"], chunk_tokens=64, stride_tokens=32
+    )
+
+
+@_q(
+    "events_pivot",
+    """
+    SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+    "pivot breadth: hour-of-day x event_type count matrix via "
+    "groupBy().pivot() with EXPLICIT pivot values — without them Spark "
+    "runs an extra distinct pass over the data to discover columns; the "
+    "oracle is the equivalent conditional aggregation, which is also "
+    "the single-shuffle plan pivot compiles to",
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        t["events"]
+        .groupBy(F.hour("ts").cast("bigint").alias("hour_of_day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in types],
+    )
+
+
 def _sample_quantiles_oracle() -> str:
     from wikidata_to_surrealdb_spark.operators.sketch import (
         sample_quantiles_oracle_sql,
