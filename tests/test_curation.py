@@ -236,3 +236,46 @@ def test_stratified_sample_null_stratum_kept(spark):
     out = curation.stratified_sample(df, k=2).collect()
     assert len([r for r in out if r["lang"] is None]) == 2
     assert len([r for r in out if r["lang"] == "en"]) == 1
+
+
+def test_expectations_report_counts_and_null_trap(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (3, None, "A"), (4, 7.0, None)],
+        "id bigint, amount double, grade string",
+    )
+    out = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["violation_rate"])
+        for r in curation.expectations_report(
+            df,
+            {
+                "amount_positive": "amount > 0",
+                "grade_known": "grade IN ('A', 'B')",
+                "id_not_null": "id IS NOT NULL",
+            },
+        ).collect()
+    }
+    # NULL amount fails 'amount > 0' (NULL predicate = violation)
+    assert out["amount_positive"] == (4, 2, 0.5)
+    assert out["grade_known"] == (4, 1, 0.25)
+    assert out["id_not_null"] == (4, 0, 0.0)
+
+
+def test_expectations_report_single_scan_plan(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id bigint, v double")
+    plan = (
+        curation.expectations_report(
+            df, {"a": "v > 0", "b": "v < 10", "c": "id IS NOT NULL"}
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ") <= 1, plan
+
+
+def test_expectations_report_requires_rules(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="rule"):
+        curation.expectations_report(df, {})

@@ -542,3 +542,55 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_hits"))
     )
+
+
+def expectations_report(
+    df: DataFrame, rules: dict[str, str], total_alias: str = "n_rows"
+) -> DataFrame:
+    """Data-quality gate (the dbt/Great-Expectations shape): evaluate
+    named SQL-predicate expectations over a table and report, per rule,
+    how many rows violate it — one row per rule:
+    (rule, n_rows, n_violations, violation_rate).
+
+    All rules evaluate in ONE map-only pass: each becomes a conditional
+    count inside a single aggregate, so a hundred expectations over
+    100 TB cost one scan with bounded aggregation state (partial aggs
+    collapse map-side; the exchange carries one row per partition).
+    NULL predicate results count as violations — an expectation that
+    cannot be proven true is not satisfied (the SQL-three-valued-logic
+    trap that silently passes NULLs otherwise).
+    """
+    if not rules:
+        raise ValueError("at least one expectation rule is required")
+    aggs = [F.count("*").cast("bigint").alias(total_alias)]
+    for name, pred in rules.items():
+        aggs.append(
+            F.count(
+                F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1)
+            )
+            .cast("bigint")
+            .alias(f"_v_{name}")
+        )
+    wide = df.agg(*aggs)
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"_v_{name}").alias("n_violations"),
+            )
+            for name in rules
+        ]
+    )
+    return (
+        wide.select(F.col(total_alias), F.explode(per_rule).alias("_r"))
+        .select(
+            F.col("_r.rule").alias("rule"),
+            F.col(total_alias),
+            F.col("_r.n_violations").alias("n_violations"),
+            (
+                F.col("_r.n_violations")
+                / F.greatest(F.col(total_alias), F.lit(1))
+            ).alias("violation_rate"),
+        )
+        .orderBy("rule")
+    )

@@ -3615,6 +3615,49 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXPECTATION_RULES = {
+    "orderdate_not_null": "o_orderdate IS NOT NULL",
+    "status_known": "o_orderstatus IN ('O', 'F', 'P')",
+    "totalprice_positive": "o_totalprice > 0",
+    "totalprice_under_400k": "o_totalprice <= 400000",  # deliberately violated
+}
+
+
+def _expectations_oracle() -> str:
+    per_rule = "\n      UNION ALL\n      ".join(
+        f"SELECT '{name}' AS rule, n_rows, "
+        f"CAST(count(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1 END) "
+        f"  AS BIGINT) AS n_violations "
+        f"FROM orders, (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders) "
+        f"GROUP BY n_rows"
+        for name, pred in _EXPECTATION_RULES.items()
+    )
+    return f"""
+    SELECT rule, n_rows, n_violations,
+           CAST(n_violations AS DOUBLE) / greatest(n_rows, 1) AS violation_rate
+    FROM (
+      {per_rule}
+    ) ORDER BY rule
+    """
+
+
+@_q(
+    "curation_expectations",
+    _expectations_oracle(),
+    "data-quality gate (the dbt/Great-Expectations shape): named SQL "
+    "expectations evaluated as conditional counts in ONE map-only pass "
+    "(a hundred rules over 100 TB = one scan, bounded agg state); NULL "
+    "predicate results count as violations — the three-valued-logic "
+    "trap that silently passes NULLs otherwise; one rule is "
+    "deliberately violated so non-zero counting is exercised",
+)
+def curation_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.expectations_report(t["orders"], _EXPECTATION_RULES)
+
+
 @_q(
     "text_chunk_documents",
     f"""
