@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "sketch_kmv_distinct",
     "sketch_sample_quantiles",
     "stream_join_attribution",
+    "text_chunk_documents",
+    "events_pivot",
+    "curation_expectations",
 ]
 
 
