@@ -279,3 +279,14 @@ def test_expectations_report_requires_rules(spark):
     df = spark.createDataFrame([(1,)], "id bigint")
     with pytest.raises(ValueError, match="rule"):
         curation.expectations_report(df, {})
+
+
+def test_expectations_report_dotted_rule_names(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, -1.0)], "id bigint, amount double")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in curation.expectations_report(
+            df, {"amount.is.positive": "amount > 0"}
+        ).collect()
+    }
+    assert out == {"amount.is.positive": 1}

@@ -313,3 +313,37 @@ def test_sample_quantiles_validation(spark):
         sketch.sample_quantiles(df, "v", "id", k=0)
     with pytest.raises(ValueError, match="p"):
         sketch.sample_quantiles(df, "v", "id", ps=(0.0,))
+
+
+def test_kmv_by_fully_starved_group_rescued(spark):
+    # threshold keeps ZERO candidates for both groups: the rescan must
+    # recover them (a kept-rows-anchored check would drop them entirely)
+    rows = [("a", i) for i in range(3000)] + [("b", i + 10000) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {
+        r["g"]: r["n_hashes"]
+        for r in sketch.kmv_distinct_by(
+            df, "g", "v", k=2, oversample=0.001
+        ).collect()
+    }
+    assert out == {"a": 2, "b": 2}
+
+
+def test_kmv_by_null_group_kept(spark):
+    rows = [(None, i) for i in range(50)] + [("b", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {
+        r["g"]: r["n_hashes"]
+        for r in sketch.kmv_distinct_by(df, "g", "v", k=32).collect()
+    }
+    assert out == {None: 32, "b": 32}
+
+
+def test_sample_quantiles_null_ids_excluded(spark):
+    rows = [(i, float(i)) for i in range(1, 101)] + [(None, 1e9)] * 20
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    out = {
+        r["p"]: r["q_value"]
+        for r in sketch.sample_quantiles(df, "v", "id", ps=(1.0,), k=500).collect()
+    }
+    assert out == {1.0: 100.0}  # NULL-id rows never enter the sample

@@ -130,3 +130,16 @@ def test_error_paths():
         decode_png(_png(2, 2, 8, 2, GOLDEN_RGB_RAW[:-1]))
     with pytest.raises(PngError):
         encode_png(b"\x00" * 5, 2, 2, 1)  # wrong buffer size
+
+
+def test_truncated_stream_raises_pngerror_not_struct_error(spark=None):
+    buf = encode_png(bytes(range(48)), 4, 4, 3)
+    for cut in range(1, 13):
+        try:
+            decode_png(buf[:-cut])
+        except PngError:
+            pass  # struct.error escaping here would kill a Spark task
+    with pytest.raises(PngError):
+        # wrong-length IHDR
+        bad = SIG + _chunk(b"IHDR", b"\x00" * 10) + _chunk(b"IEND", b"")
+        decode_png(bad)

@@ -156,10 +156,17 @@ def decode_png(buf: bytes) -> dict:
         data = buf[pos + 8 : pos + 8 + length]
         if len(data) != length:
             raise PngError(f"truncated {ctype!r} chunk")
-        crc = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])[0]
+        crc_bytes = buf[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            # truncated inside the CRC field: struct.error would escape
+            # the workers' except clauses and kill the Spark task
+            raise PngError(f"truncated {ctype!r} chunk CRC")
+        crc = struct.unpack(">I", crc_bytes)[0]
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise PngError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                raise PngError(f"IHDR must be 13 bytes, got {length}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             plte = bytes(data)

@@ -219,28 +219,15 @@ def stratified_sample(
         raise ValueError("k must be >= 1")
     if oversample <= 0:
         raise ValueError("oversample must be > 0")
+    from wikidata_to_surrealdb_spark.operators.sketch import threshold_hex_col
+
     h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     hashed = df.withColumn("_h", h)
     ok = float(oversample * k)
     counts = hashed.groupBy(strat_col).agg(F.count("*").alias("_n"))
-    hex_space = float(16**12)
-    frac = F.least(F.lit(1.0), F.lit(ok) / F.col("_n").cast("double"))
-    t_hex = F.when(
-        F.col("_n") > ok,
-        F.lower(
-            F.lpad(
-                F.hex(
-                    F.greatest(
-                        F.lit(1), (frac * F.lit(hex_space)).cast("bigint")
-                    )
-                ),
-                12,
-                "0",
-            )
-        ),
-    )
     thresholds = counts.select(
-        F.col(strat_col).alias("_s"), t_hex.alias("_t")
+        F.col(strat_col).alias("_s"),
+        threshold_hex_col(F.col("_n"), ok).alias("_t"),
     )
     joined = hashed.join(
         F.broadcast(thresholds), F.col(strat_col).eqNullSafe(F.col("_s"))
@@ -562,23 +549,25 @@ def expectations_report(
     """
     if not rules:
         raise ValueError("at least one expectation rule is required")
+    # internal aliases are positional (_v_0, _v_1, ...) so rule names with
+    # dots/backticks can't break F.col's struct-field parsing
     aggs = [F.count("*").cast("bigint").alias(total_alias)]
-    for name, pred in rules.items():
+    for i, pred in enumerate(rules.values()):
         aggs.append(
             F.count(
                 F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1)
             )
             .cast("bigint")
-            .alias(f"_v_{name}")
+            .alias(f"_v_{i}")
         )
     wide = df.agg(*aggs)
     per_rule = F.array(
         *[
             F.struct(
                 F.lit(name).alias("rule"),
-                F.col(f"_v_{name}").alias("n_violations"),
+                F.col(f"_v_{i}").alias("n_violations"),
             )
-            for name in rules
+            for i, name in enumerate(rules)
         ]
     )
     return (

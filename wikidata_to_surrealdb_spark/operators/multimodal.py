@@ -174,20 +174,14 @@ def documents_as_png_assets(
     are stable across runs/engines. Arrow-batched mapInPandas; payloads
     are born on the executors."""
 
-    pkg_root = _PKG_ROOT
+    load_png = _make_png_loader(_PKG_ROOT)
 
     def run(batches: Iterator) -> Iterator:
         import hashlib as _hl
 
         import pandas as pd
 
-        try:
-            from wikidata_to_surrealdb_spark.functions.png import encode_png
-        except ModuleNotFoundError:
-            import sys as _sys
-
-            _sys.path.insert(0, pkg_root)
-            from wikidata_to_surrealdb_spark.functions.png import encode_png
+        encode_png = load_png().encode_png
 
         for pdf in batches:
             rows = []
@@ -250,6 +244,25 @@ _PKG_ROOT = __import__("os").path.dirname(
 )
 
 
+def _make_png_loader(pkg_root: str):
+    """Build the in-worker png-module loader ONCE: the returned closure is
+    defined inside a function, so cloudpickle ships it BY VALUE (a
+    module-level helper would pickle by reference and re-create the very
+    import problem it solves)."""
+
+    def load():
+        try:
+            from wikidata_to_surrealdb_spark.functions import png as _png
+        except ModuleNotFoundError:
+            import sys as _sys
+
+            _sys.path.insert(0, pkg_root)
+            from wikidata_to_surrealdb_spark.functions import png as _png
+        return _png
+
+    return load
+
+
 def decode_features(
     assets: DataFrame, decoder: str = "fake", batch_hint: int | None = None
 ) -> DataFrame:
@@ -282,27 +295,17 @@ def decode_features(
 
     if decoder == "png":
 
-        pkg_root = _PKG_ROOT  # plain str: captured by value in the closure
+        load_png = _make_png_loader(_PKG_ROOT)
 
         def run_png(batches: Iterator) -> Iterator:
             import hashlib as _hl
+            import struct as _struct
             from zlib import error as zlib_error
 
             import pandas as pd
 
-            try:
-                from wikidata_to_surrealdb_spark.functions.png import (
-                    PngError,
-                    decode_png,
-                )
-            except ModuleNotFoundError:
-                import sys as _sys
-
-                _sys.path.insert(0, pkg_root)
-                from wikidata_to_surrealdb_spark.functions.png import (
-                    PngError,
-                    decode_png,
-                )
+            png = load_png()
+            PngError, decode_png = png.PngError, png.decode_png
 
             for pdf in batches:
                 rows = []
@@ -324,7 +327,7 @@ def decode_features(
                                 "pixel_hash": _hl.md5(px).hexdigest(),
                             }
                         )
-                    except (PngError, zlib_error) as _:
+                    except (PngError, zlib_error, _struct.error):
                         rows.append({"asset_id": asset_id})
                 yield pd.DataFrame(
                     rows,
@@ -432,31 +435,18 @@ def resize_images(
     if width <= 0 or height <= 0:
         raise ValueError("target dimensions must be positive")
 
-    pkg_root = _PKG_ROOT  # plain str: captured by value in the closure
+    load_png = _make_png_loader(_PKG_ROOT)
 
     def run(batches: Iterator) -> Iterator:
         import hashlib as _hl
+        import struct as _struct
         from zlib import error as zlib_error
 
         import pandas as pd
 
-        try:
-            from wikidata_to_surrealdb_spark.functions.png import (
-                PngError,
-                decode_png,
-                encode_png,
-                resize_nearest,
-            )
-        except ModuleNotFoundError:
-            import sys as _sys
-
-            _sys.path.insert(0, pkg_root)
-            from wikidata_to_surrealdb_spark.functions.png import (
-                PngError,
-                decode_png,
-                encode_png,
-                resize_nearest,
-            )
+        png = load_png()
+        PngError, decode_png = png.PngError, png.decode_png
+        encode_png, resize_nearest = png.encode_png, png.resize_nearest
 
         for pdf in batches:
             rows = []
@@ -481,7 +471,7 @@ def resize_images(
                             "content_hash": _hl.md5(out).hexdigest(),
                         }
                     )
-                except (PngError, zlib_error):
+                except (PngError, zlib_error, _struct.error):
                     rows.append({"asset_id": asset_id, "mime": None})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RESIZED_SCHEMA.fields]

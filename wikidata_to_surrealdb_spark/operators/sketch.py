@@ -53,6 +53,30 @@ def _threshold_hex(frac: float) -> str:
     return format(thr, "012x")
 
 
+def threshold_hex_col(count_col: Column, budget: float) -> Column:
+    """Column form of :func:`_threshold_hex` for per-group thresholds:
+    the 12-lower-hex string keeping ~``budget`` of ``count_col`` uniform
+    md5 hashes, or NULL when the group is already within budget (no
+    filter needed). Shared by the grouped KMV sketch and the stratified
+    sampler so the clamping/width rules stay in one place."""
+    frac = F.least(F.lit(1.0), F.lit(float(budget)) / count_col.cast("double"))
+    return F.when(
+        count_col > budget,
+        F.lower(
+            F.lpad(
+                F.hex(
+                    F.greatest(
+                        F.lit(1),
+                        (frac * F.lit(float(HEX_SPACE))).cast("bigint"),
+                    )
+                ),
+                12,
+                "0",
+            )
+        ),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     col: str | Column,
@@ -156,8 +180,11 @@ def sample_quantiles(
     from pyspark.sql.window import Window
 
     h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    # NULL ids hash to NULL, which Spark's ascending sort puts FIRST
+    # (nondeterministic tie-break among them) and DuckDB's puts last —
+    # exclude them so the sample stays deterministic and engine-identical
     sample = (
-        df.where(F.col(value_col).isNotNull())
+        df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
         .select(h.alias("_h"), F.col(value_col).alias("_v"))
         .orderBy("_h")
         .limit(k)
@@ -199,7 +226,8 @@ def sample_quantiles_oracle_sql(
     WITH s AS (
       SELECT md5('{seed}:' || CAST({id_col} AS VARCHAR)) AS h,
              {value_col} AS v
-      FROM {table} WHERE {value_col} IS NOT NULL
+      FROM {table}
+      WHERE {value_col} IS NOT NULL AND {id_col} IS NOT NULL
       ORDER BY h LIMIT {k}
     ), r AS (
       SELECT v, h,
@@ -335,25 +363,18 @@ def kmv_distinct_by(
         F.approx_count_distinct("h").alias("_dhat")
     )
     # per-group 12-hex-char threshold; NULL = no filter (small group)
-    frac = F.least(F.lit(1.0), F.lit(ok) / F.col("_dhat").cast("double"))
-    t_hex = F.when(
-        F.col("_dhat") > ok,
-        F.lower(
-            F.lpad(
-                F.hex(
-                    F.greatest(
-                        F.lit(1),
-                        (frac * F.lit(float(HEX_SPACE))).cast("bigint"),
-                    )
-                ),
-                12,
-                "0",
-            )
-        ),
+    t_hex = threshold_hex_col(F.col("_dhat"), ok)
+    # eqNullSafe joins throughout: a NULL group key is a legitimate group
+    # (the pre-threshold implementation kept it) and an equi-join would
+    # silently drop it.
+    thresholds = stats.select(
+        F.col(group_col).alias("_tg"), t_hex.alias("_t"), "_dhat"
     )
-    thresholds = stats.select(group_col, t_hex.alias("_t"), "_dhat")
     pairs = (
-        raw_pairs.join(F.broadcast(thresholds), group_col)
+        raw_pairs.join(
+            F.broadcast(thresholds),
+            F.col(group_col).eqNullSafe(F.col("_tg")),
+        )
         .where(F.col("_t").isNull() | (F.col("h") < F.col("_t")))
         .select(group_col, "h")
         .distinct()
@@ -364,23 +385,38 @@ def kmv_distinct_by(
     # verification: any filtered group left with < k distinct hashes is
     # rescanned unfiltered (never happens with 8x oversample; the count
     # itself runs over the already-pruned candidate set, so it's cheap).
+    # Anchored on `thresholds`, NOT on the kept rows: a group whose
+    # threshold keeps ZERO candidates has no kmin rows to group and would
+    # otherwise vanish from the check — and from the output.
+    kept = kmin.groupBy(group_col).agg(F.count("*").alias("_n"))
     short = (
-        kmin.groupBy(group_col)
-        .agg(F.count("*").alias("_n"))
-        .join(F.broadcast(thresholds), group_col)
-        .where(F.col("_t").isNotNull() & (F.col("_n") < k))
-        .select(group_col)
+        thresholds.join(
+            kept, F.col("_tg").eqNullSafe(F.col(group_col)), "left"
+        )
+        .where(
+            F.col("_t").isNotNull()
+            & (F.coalesce(F.col("_n"), F.lit(0)) < k)
+        )
+        .select(F.col("_tg").alias("_bad"))
     )
     if short.count() > 0:
         exact_pairs = (
-            raw_pairs.join(F.broadcast(short), group_col, "left_semi")
+            raw_pairs.join(
+                F.broadcast(short),
+                F.col(group_col).eqNullSafe(F.col("_bad")),
+                "left_semi",
+            )
             .distinct()
         )
         exact_kmin = exact_pairs.withColumn("_rn", F.row_number().over(w)).where(
             F.col("_rn") <= k
         )
         kmin = (
-            kmin.join(F.broadcast(short), group_col, "left_anti")
+            kmin.join(
+                F.broadcast(short),
+                F.col(group_col).eqNullSafe(F.col("_bad")),
+                "left_anti",
+            )
             .union(exact_kmin)
         )
     num = F.expr(hex12_num_sql("h"))

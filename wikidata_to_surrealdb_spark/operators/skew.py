@@ -48,24 +48,34 @@ def detect_hot_keys(
     if not 0 < sample_fraction <= 1:
         raise ValueError("sample_fraction must be in (0, 1]")
     keyed = df.select(key).where(F.col(key).isNotNull())
-    sampled = keyed
+
+    def hot_from(frame: DataFrame) -> tuple[int, list]:
+        # ONE scan: per-key counts with map-side combine; total and the
+        # sample-size guard both derive from the same result driver-side.
+        # A hot key by definition exceeds threshold_ratio of rows, so the
+        # driver-side collect is bounded by 1/threshold_ratio candidates
+        # after the in-plan HAVING-style filter below.
+        counts = frame.groupBy(key).agg(F.count("*").alias("_n"))
+        counts.persist()  # distinct-key-sized; lets total + filter share one scan
+        try:
+            n = counts.agg(F.sum("_n")).first()[0] or 0
+            if n == 0:
+                return 0, []
+            rows = (
+                counts.where(F.col("_n") > n * threshold_ratio)
+                .orderBy(F.desc("_n"), F.col(key).cast("string"))
+                .collect()
+            )
+            return n, [r[key] for r in rows]
+        finally:
+            counts.unpersist()
+
     if sample_fraction < 1:
-        est = keyed.sample(fraction=sample_fraction, seed=seed)
-        # cheap driver-side guard: only trust the sample if it is big
-        # enough for the threshold to be statistically stable
-        if est.limit(min_sample_rows).count() >= min_sample_rows:
-            sampled = est
-    total = sampled.count()
-    if total == 0:
-        return []
-    counts = (
-        sampled.groupBy(key)
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") > total * threshold_ratio)
-        .orderBy(F.desc("_n"), F.col(key).cast("string"))
-        .collect()
-    )
-    return [r[key] for r in counts]
+        n, hot = hot_from(keyed.sample(fraction=sample_fraction, seed=seed))
+        if n >= min_sample_rows:
+            return hot
+        # sample too small for the threshold to be stable: count exactly
+    return hot_from(keyed)[1]
 
 
 def _deterministic_salt(df: DataFrame, salt: int) -> Column:

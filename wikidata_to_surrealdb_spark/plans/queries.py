@@ -1239,11 +1239,14 @@ def _single_band_oracle(bits: int, threshold: float) -> str:
 )
 def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    (bucket,) = similarity.hyperplane_bucket_sql(
-        "embedding", 1, 6, _EMB_DIM, _EMB_SEED, dialect="spark"
+    # HOF band-keys form: bit-identical to the written-out literal sums
+    # (same left-to-right fold) without their codegen-compilation cost
+    bucket = F.element_at(
+        similarity.hyperplane_band_keys("embedding", 1, 6, _EMB_DIM, _EMB_SEED),
+        1,
     )
     return similarity.ann_bucketed_pairs(
-        t["embeddings"], threshold=0.35, bucket_expr=F.expr(bucket)
+        t["embeddings"], threshold=0.35, bucket_expr=bucket
     )
 
 
@@ -3517,7 +3520,12 @@ def wd_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = _ingest.load_dump(
         spark, os.path.join(data_dir, "media_dump_v2.json"), "json", lang="en"
     )
-    out = tempfile.mkdtemp(prefix="wd_bucketed_merge_")
+    # fixed per-session dir (reused with overwrite): a fresh mkdtemp per
+    # invocation would leak a full table set on every driver/bench run
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"wd_bucketed_merge_{spark.sparkContext.applicationId}",
+    )
     _ingest.write_tables_bucketed(v1, out, n_buckets=8)
     _ingest.merge_into_bucketed(spark, out, v2, n_buckets=8)
     entity = spark.read.parquet(f"{out}/Entity.parquet").drop("_bucket")

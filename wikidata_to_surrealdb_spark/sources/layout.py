@@ -169,6 +169,13 @@ def cluster_by_zorder(
         raise ValueError("z-ordering needs >= 2 columns; use cluster_by for 1")
     if not 1 <= bits_per_dim <= 16:
         raise ValueError("bits_per_dim must be in [1, 16]")
+    if bits_per_dim * len(cols) > 63:
+        # shiftleft on a long wraps the shift amount mod 64: bit 79 would
+        # alias onto bit 15 and silently corrupt the space-filling order
+        raise ValueError(
+            f"bits_per_dim * len(cols) = {bits_per_dim * len(cols)} exceeds "
+            "63 — the interleaved code must fit a signed 64-bit long"
+        )
     n_buckets = 1 << bits_per_dim
     # quantile boundaries per column (driver-side, write-time only)
     probs = [i / n_buckets for i in range(1, n_buckets)]
