@@ -290,3 +290,35 @@ def test_expectations_report_dotted_rule_names(spark):
         ).collect()
     }
     assert out == {"amount.is.positive": 1}
+
+
+def test_expectations_report_empty_input_matches_oracle_shape(spark):
+    # ADVICE r03: the old GROUP BY oracle returned zero rows per rule on
+    # an empty table while Spark returns one row per rule with zero
+    # counts. Both sides must emit one row per rule on empty input.
+    import duckdb
+
+    from wikidata_to_surrealdb_spark.plans.queries import QUERIES
+
+    rules = {"a_pos": "o_totalprice > 0", "b_set": "o_orderstatus IN ('O')"}
+    empty = spark.createDataFrame(
+        [], "o_totalprice double, o_orderstatus string"
+    )
+    rows = sorted(
+        (r.rule, r.n_rows, r.n_violations, r.violation_rate)
+        for r in curation.expectations_report(empty, rules).collect()
+    )
+    assert rows == [("a_pos", 0, 0, 0.0), ("b_set", 0, 0, 0.0)]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW orders AS "
+        "SELECT CAST(NULL AS DOUBLE) AS o_totalprice, "
+        "CAST(NULL AS VARCHAR) AS o_orderstatus, "
+        "CAST(NULL AS DATE) AS o_orderdate WHERE FALSE"
+    )
+    got = con.sql(QUERIES["curation_expectations"].oracle).fetchall()
+    con.close()
+    # one row per shipped rule, all-zero counts
+    assert len(got) == 4
+    assert all(r[1] == 0 and r[2] == 0 for r in got)

@@ -143,3 +143,43 @@ def test_truncated_stream_raises_pngerror_not_struct_error(spark=None):
         # wrong-length IHDR
         bad = SIG + _chunk(b"IHDR", b"\x00" * 10) + _chunk(b"IEND", b"")
         decode_png(bad)
+
+
+def test_zlib_bomb_bounded_to_pngerror():
+    # A ~100 KB payload whose IDAT inflates to 100 MB must fail with
+    # PngError (bounded inflate), never a task-killing MemoryError.
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * (100 * 1024 * 1024), 9))
+        + _chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 200 * 1024
+    with pytest.raises(PngError, match="exceeds expected"):
+        decode_png(bomb)
+
+
+def test_pixel_cap_rejected_before_decompress():
+    ihdr = struct.pack(">IIBBBBB", 100000, 100000, 8, 0, 0, 0, 0)
+    big = (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="cap"):
+        decode_png(big)
+    # the cap is per-call configurable
+    with pytest.raises(PngError, match="cap"):
+        decode_png(encode_png(bytes(12), 2, 2, 3), max_pixels=3)
+
+
+def test_unknown_critical_chunk_rejected_ancillary_skipped():
+    good = encode_png(bytes(range(12)), 2, 2, 3)
+    head, rest = good[: 8 + 25], good[8 + 25 :]  # sig+IHDR | IDAT+IEND
+    with pytest.raises(PngError, match="critical"):
+        decode_png(head + _chunk(b"CrIT", b"xx") + rest)
+    # ancillary (lowercase first letter) chunks are still skipped
+    out = decode_png(head + _chunk(b"tEXt", b"k\x00v") + rest)
+    assert out["pixels"] == bytes(range(12))

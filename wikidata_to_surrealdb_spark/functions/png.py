@@ -35,6 +35,15 @@ import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+# Refuse to decode images larger than this many pixels (default 64 Mpx ≈
+# 256 MB of RGBA samples). zlib expands up to ~1000:1, so both this cap
+# and the bounded decompress below are required for a corrupt/hostile
+# payload to fail with PngError instead of an executor-killing
+# MemoryError.
+MAX_PIXELS = 1 << 26
+
+_HANDLED_CHUNKS = {b"IHDR", b"PLTE", b"IDAT", b"IEND"}
+
 # colour type -> samples per pixel (before palette expansion)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _ALLOWED_DEPTHS = {
@@ -135,13 +144,17 @@ def _expand_samples(
     return out
 
 
-def decode_png(buf: bytes) -> dict:
+def decode_png(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     """Decode a PNG byte string.
 
     Returns ``{"width", "height", "bit_depth", "color_type", "channels",
     "pixels"}`` where ``pixels`` is ``bytes`` of 8-bit samples in
     row-major (y, x, channel) order. Palette images are expanded to RGB;
     sub-byte grayscale is scaled to 0..255.
+
+    Memory safety: images above ``max_pixels`` are rejected before any
+    decompression, and the IDAT inflate is bounded to the exact output
+    size IHDR implies — a zlib bomb raises PngError, never MemoryError.
     """
     if len(buf) < 8 or buf[:8] != _SIGNATURE:
         raise PngError("not a PNG: bad signature")
@@ -175,6 +188,11 @@ def decode_png(buf: bytes) -> dict:
         elif ctype == b"IEND":
             seen_iend = True
             break
+        elif not (ctype[0] & 0x20):
+            # Critical chunks (ancillary bit clear) we don't understand
+            # must abort the decode per the spec; skipping them would
+            # silently mis-decode the image.
+            raise PngError(f"unhandled critical chunk {ctype!r}")
         # ancillary chunks (tEXt, gAMA, tRNS, ...) are skipped
         pos += 12 + length
     if ihdr is None:
@@ -194,12 +212,24 @@ def decode_png(buf: bytes) -> dict:
         raise PngError(f"unknown colour type {color_type}")
     if depth not in _ALLOWED_DEPTHS[color_type]:
         raise PngError(f"bit depth {depth} invalid for colour type {color_type}")
+    if width * height > max_pixels:
+        raise PngError(
+            f"image is {width}x{height} = {width * height} px, cap is {max_pixels}"
+        )
 
     channels = _CHANNELS[color_type]
     bits_per_px = channels * depth
     stride = (width * bits_per_px + 7) // 8
     bpp = max(1, bits_per_px // 8)
-    raw = zlib.decompress(bytes(idat))
+    # Inflate bounded to the exact size IHDR implies; one extra byte so
+    # oversized streams are detectable without unbounded allocation.
+    expect = height * (1 + stride)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expect + 1)
+    if len(raw) <= expect:
+        raw += dec.flush(expect + 1 - len(raw))
+    if len(raw) > expect or dec.unconsumed_tail:
+        raise PngError(f"decompressed IDAT exceeds expected {expect} bytes")
     recon = _unfilter(raw, width, height, bpp, stride)
     samples = _expand_samples(recon, width, height, depth, channels, stride)
 

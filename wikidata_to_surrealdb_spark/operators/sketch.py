@@ -168,6 +168,12 @@ def sample_quantiles(
     percentile_disc semantics with a deterministic tie-break. Rank error
     is O(1/sqrt(k)) of the population.
 
+    Duplicate ``id_col`` values hash identically, so the bottom-k cut is
+    taken on the composite key (hash, value): ties at the boundary then
+    resolve identically in Spark and the oracle. (Rows duplicated in
+    BOTH id and value are interchangeable, so any residual tie is
+    value-invariant.)
+
     Plan shape: bottom-k-by-hash compiles to TakeOrderedAndProject —
     per-partition top-k merged on the driver, NO shuffle at any scale;
     the rank window then runs over k rows (single tiny task by design).
@@ -186,7 +192,7 @@ def sample_quantiles(
     sample = (
         df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
         .select(h.alias("_h"), F.col(value_col).alias("_v"))
-        .orderBy("_h")
+        .orderBy("_h", "_v")
         .limit(k)
     )
     w = Window.orderBy("_v", "_h")
@@ -228,7 +234,7 @@ def sample_quantiles_oracle_sql(
              {value_col} AS v
       FROM {table}
       WHERE {value_col} IS NOT NULL AND {id_col} IS NOT NULL
-      ORDER BY h LIMIT {k}
+      ORDER BY h, v LIMIT {k}
     ), r AS (
       SELECT v, h,
              row_number() OVER (ORDER BY v, h) AS r,

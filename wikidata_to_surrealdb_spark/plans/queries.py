@@ -3632,12 +3632,14 @@ _EXPECTATION_RULES = {
 
 
 def _expectations_oracle() -> str:
+    # Scalar subqueries (not FROM orders ... GROUP BY): count(*) over an
+    # empty table still yields one row per rule, matching the Spark
+    # df.agg() side on the empty-input edge.
     per_rule = "\n      UNION ALL\n      ".join(
-        f"SELECT '{name}' AS rule, n_rows, "
-        f"CAST(count(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1 END) "
-        f"  AS BIGINT) AS n_violations "
-        f"FROM orders, (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders) "
-        f"GROUP BY n_rows"
+        f"SELECT '{name}' AS rule, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, "
+        f"(SELECT CAST(count(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1 END) "
+        f"  AS BIGINT) FROM orders) AS n_violations"
         for name, pred in _EXPECTATION_RULES.items()
     )
     return f"""
