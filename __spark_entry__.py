@@ -26,7 +26,9 @@ from wikidata_to_surrealdb_spark.plans import queries as _catalog  # noqa: E402
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
-def _last_verified_round(repo_dir: str = _REPO_DIR) -> dict[str, int]:
+def _last_verified_round(
+    repo_dir: str = _REPO_DIR,
+) -> dict[str, tuple[int, int]]:
     """Latest round in which each query got a PASSING driver-correctness row.
 
     The driver checks at most the first 50 entries of ``queries()`` per round
@@ -35,8 +37,14 @@ def _last_verified_round(repo_dir: str = _REPO_DIR) -> dict[str, int]:
     driver check (or whose last driver row errored) are emitted first, then
     ascending by the round of their last pass.  Over successive rounds every
     catalog query cycles through driver verification.
+
+    Values are ``(round, strength)``: strength 1 is a full oracle pass
+    (rows + schema + hash), 0 a clean rows-only run of an oracle-less
+    query (``err == "no_oracle"``).  Weak passes sort before full passes
+    of the same round, so a query that has since gained an oracle is
+    re-verified at the next opportunity instead of waiting a full cycle.
     """
-    last: dict[str, int] = {}
+    last: dict[str, tuple[int, int]] = {}
     for path in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -52,14 +60,23 @@ def _last_verified_round(repo_dir: str = _REPO_DIR) -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            passed = (
+            full = (
                 row.get("rows_match") is True
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
                 and row.get("err") in (None, "")
             )
-            if passed:
-                last[name] = max(last.get(name, -1), rnd)
+            # An oracle-less query's best possible driver outcome is a
+            # clean rows-only run: count it as a weak pass so it rotates
+            # like any other query instead of pinning a slot every round.
+            weak = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if full or weak:
+                cand = (rnd, 1 if full else 0)
+                if cand > last.get(name, (-1, 0)):
+                    last[name] = cand
     return last
 
 
@@ -67,7 +84,7 @@ def _rotated_names() -> list[str]:
     names = list(_catalog.QUERIES)
     pos = {n: i for i, n in enumerate(names)}
     last = _last_verified_round()
-    return sorted(names, key=lambda n: (last.get(n, -1), pos[n]))
+    return sorted(names, key=lambda n: (*last.get(n, (-1, 0)), pos[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

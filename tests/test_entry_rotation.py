@@ -26,12 +26,18 @@ def test_last_verified_round_parses_pass_rows(tmp_path):
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps(
-            {"b": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}}
+            {
+                "b": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+                "d": {"rows_match": None, "hash_match": None, "spark_rows": 7, "err": "no_oracle"},
+                "e": {"rows_match": None, "hash_match": None, "spark_rows": None, "err": "no_oracle"},
+            }
         )
     )
     last = entry._last_verified_round(str(tmp_path))
-    # 'a' passed in r1; 'b' failed r1 but passed r2; 'c' errored (never passed)
-    assert last == {"a": 1, "b": 2}
+    # 'a' passed in r1; 'b' failed r1 but passed r2; 'c' errored (never
+    # passed); 'd' got a clean rows-only run (weak pass, strength 0,
+    # sorts before r2's full passes); 'e' never produced rows.
+    assert last == {"a": (1, 1), "b": (2, 1), "d": (2, 0)}
 
 
 def test_last_verified_round_ignores_garbage(tmp_path):
@@ -48,7 +54,7 @@ def test_rotated_order_puts_unverified_first():
 
     assert sorted(names) == sorted(QUERIES)
     # Every never-verified query precedes every verified one.
-    ranks = [last.get(n, -1) for n in names]
+    ranks = [last.get(n, (-1, 0)) for n in names]
     assert ranks == sorted(ranks)
 
 

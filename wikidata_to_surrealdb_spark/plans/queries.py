@@ -3763,14 +3763,51 @@ def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "mm_decode_png",
-    None,  # DuckDB cannot decode PNG: driver records the rows-only check;
-    # exact pixel values are pinned by the hand-filtered goldens in
-    # tests/test_png.py and the feature-parity tests in test_multimodal.py
+    # DuckDB cannot decode PNG, but it doesn't need to: the asset encode
+    # is the deterministic inverse (each document's UTF-8 bytes become
+    # the gray pixels, zero-padded to a 32-wide raster), so the expected
+    # decode output is computable straight from `documents` — byte stats
+    # via per-byte hex extraction, pixel_hash via md5 over the padded
+    # byte string (DuckDB md5 hashes the raw UTF-8 bytes, NULs included;
+    # verified against hashlib). A hash match therefore proves the whole
+    # Spark-side encode->PNG->decode round trip bit for bit.
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             octet_length(encode(coalesce(text, ''))) AS n
+      FROM documents
+    ), g AS (
+      SELECT doc_id, t, n,
+             CAST(greatest(1, CAST(ceil(n / 32.0) AS INT)) AS INT) AS height
+      FROM d
+    ), b AS (
+      SELECT doc_id, t, n, height, 32 * height - n AS pad,
+             [CAST(('0x' || substr(hex(encode(t)), 2*i+1, 2)) AS INT)
+              for i in range(0, n)] AS bs
+      FROM g
+    )
+    SELECT doc_id AS asset_id,
+           CAST(32 AS INT) AS width,
+           height,
+           CAST(1 AS INT) AS channels,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(32 * height AS BIGINT) AS pixel_bytes,
+           CAST(coalesce(list_sum(bs), 0) AS BIGINT) AS pixel_sum,
+           CAST(CASE WHEN pad > 0 THEN 0 ELSE list_min(bs) END AS INT)
+             AS pixel_min,
+           CAST(coalesce(list_max(bs), 0) AS INT) AS pixel_max,
+           md5(t || repeat(chr(0), pad)) AS pixel_hash
+    FROM b
+    ORDER BY asset_id
+    """,
     "REAL image decode end to end: every document's bytes become a "
     "gray PNG (in-repo from-spec encoder), decoded back by the from-spec "
     "reader inside Arrow-batched mapInPandas into per-image features "
     "(dims/pixel stats/pixel hash); corrupt payloads yield NULL rows "
-    "instead of failing the task",
+    "instead of failing the task; the oracle recomputes the expected "
+    "pixels from the document bytes, so the hash match checks the "
+    "decode round trip exactly (goldens in tests/test_png.py pin the "
+    "filter/depth paths this fixture doesn't exercise)",
 )
 def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.operators import multimodal
