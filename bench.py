@@ -229,16 +229,24 @@ def main() -> None:
         sliced = slice_events_table(
             spark, os.path.join(sf_dir, "events.parquet"), os.path.join(tmp, "ev4")
         )
-        # single timed run each: the cost is per-micro-batch fixed
-        # overhead (state store + shuffle x 4 batches), stable across
-        # reps — a best-of-2 would just double the suite's streaming tax
+        # best-of-2 like every other entry (a single run proved
+        # indistinguishable from this host's CPU-steal noise), keeping
+        # the per-micro-batch breakdown of the best run so the wall
+        # number is attributable batch by batch
+        stream_batches: dict[str, list] = {}
         for name, fn_mb in (
             ("stream_sessionize_multibatch", sessionize_stateful_multibatch),
             ("stream_dedup_multibatch", event_dedup_multibatch),
         ):
-            t0 = time.perf_counter()
-            fn_mb(spark, sliced).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                prog: list = []
+                t0 = time.perf_counter()
+                fn_mb(spark, sliced, progress=prog).collect()
+                dt = time.perf_counter() - t0
+                if dt < best:
+                    best, stream_batches[name] = dt, prog
+            timings[name] = round(best, 3)
 
         # best-of-2 per query: this host is virtualized and shows large
         # run-to-run CPU-steal noise; the minimum is the steady-state cost.
@@ -268,6 +276,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "ingest_entities_per_sec": round(n_entities / ingest_sec, 1),
+                "stream_batches": stream_batches,
             }
         )
     )

@@ -410,3 +410,94 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert got[2] == "updated2" and got[10] == "new10"
     assert got[1] == "base1" and got[8] == "base8"
     assert len(got) == 9
+
+
+def test_bucketed_merge_crash_between_write_and_swap_leaves_table_intact(
+    spark, tmp_path, monkeypatch
+):
+    """Failure injection: if the job dies after the staging write but
+    before the bucket swap, the live table must be byte-identical and
+    readable, and a retry of the same merge must succeed."""
+    import hashlib
+    import json
+    import os
+
+    from wikidata_to_surrealdb_spark.operators import ingest as ingest_mod
+    from wikidata_to_surrealdb_spark.operators.ingest import (
+        merge_into_bucketed,
+        write_tables_bucketed,
+    )
+
+    def dump(path, ents):
+        lines = [
+            json.dumps(
+                {
+                    "id": f"Q{i}",
+                    "type": "item",
+                    "labels": {"en": {"language": "en", "value": label}},
+                    "descriptions": {},
+                    "aliases": {},
+                    "claims": {},
+                    "sitelinks": {},
+                }
+            )
+            for i, label in ents
+        ]
+        with open(path, "w") as fh:
+            fh.write("[\n" + ",\n".join(lines) + "\n]\n")
+        return str(path)
+
+    base = load_dump(
+        spark,
+        dump(tmp_path / "base.json", [(i, f"base{i}") for i in range(1, 9)]),
+        "json",
+        lang="en",
+    )
+    out = str(tmp_path / "tables")
+    write_tables_bucketed(base, out, n_buckets=4)
+
+    def live_snapshot():
+        snap = {}
+        for dirpath, _d, files in os.walk(out):
+            if ".staging-" in dirpath or ".trash-" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    snap[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return snap
+
+    before = live_snapshot()
+    upd = load_dump(
+        spark,
+        dump(tmp_path / "upd.json", [(2, "updated2"), (10, "new10")]),
+        "json",
+        lang="en",
+    )
+
+    real_swap = ingest_mod._swap_buckets
+
+    def boom(path, staging, touched):
+        raise RuntimeError("injected crash between staging write and swap")
+
+    monkeypatch.setattr(ingest_mod, "_swap_buckets", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_into_bucketed(spark, out, upd, n_buckets=4)
+
+    # live table: byte-identical, fully readable, pre-merge contents
+    assert live_snapshot() == before
+    got = {
+        r["id"]["id"]: r["label"]
+        for r in spark.read.parquet(f"{out}/Entity.parquet").collect()
+    }
+    assert got == {i: f"base{i}" for i in range(1, 9)}
+
+    # retry with the real swap succeeds despite the leftover staging dir
+    monkeypatch.setattr(ingest_mod, "_swap_buckets", real_swap)
+    touched = merge_into_bucketed(spark, out, upd, n_buckets=4)
+    assert touched["Entity"] == [2]
+    got = {
+        r["id"]["id"]: r["label"]
+        for r in spark.read.parquet(f"{out}/Entity.parquet").collect()
+    }
+    assert got[2] == "updated2" and got[10] == "new10" and len(got) == 9

@@ -37,6 +37,8 @@ into ~thousands of tasks with no driver involvement.
 
 from __future__ import annotations
 
+import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -571,36 +573,68 @@ def merge_into_bucketed(
     2. reads the base table pruned to those buckets (PartitionFilters —
        untouched buckets are never read, let alone rewritten);
     3. last-load-wins merges just those rows with the update;
-    4. writes with dynamic partition overwrite, which atomically swaps
-       ONLY the touched bucket directories. Untouched bucket files stay
-       byte-identical (asserted by test_ingest).
+    4. materializes the merged buckets into a SIBLING STAGING dir —
+       the live table is untouched while the (arbitrarily long) Spark
+       job runs, so a crash anywhere up to here loses nothing;
+    5. swaps each touched bucket dir in with two renames (live ->
+       trash, staged -> live). The crash window shrinks from the whole
+       write job to two filesystem metadata ops per bucket, and the
+       trash copy makes even that window recoverable by hand. Untouched
+       bucket files stay byte-identical (asserted by test_ingest).
+
+    The rename swap assumes posix/HDFS-style directory rename; an
+    object-store deployment should target a table format (Iceberg/Delta)
+    whose manifest commit provides the same atomicity.
     """
     touched_by_table: dict[str, list[int]] = {}
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        for name, new_df in update.as_dict().items():
-            path = f"{out_dir}/{name}.parquet"
-            new_b = new_df.withColumn("_bucket", _id_bucket(n_buckets))
-            touched = sorted(
-                r["_bucket"]
-                for r in new_b.select("_bucket").distinct().collect()
-            )
-            touched_by_table[name] = touched
-            if not touched:
-                continue
-            base = spark.read.parquet(path).where(
-                F.col("_bucket").isin(touched)
-            )
-            merged = _last_wins(base.drop("_bucket"), new_df).withColumn(
-                "_bucket", _id_bucket(n_buckets)
-            )
-            (
-                merged.repartition(F.col("_bucket"))
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(path)
-            )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for name, new_df in update.as_dict().items():
+        path = f"{out_dir}/{name}.parquet"
+        new_b = new_df.withColumn("_bucket", _id_bucket(n_buckets))
+        touched = sorted(
+            r["_bucket"]
+            for r in new_b.select("_bucket").distinct().collect()
+        )
+        touched_by_table[name] = touched
+        if not touched:
+            continue
+        base = spark.read.parquet(path).where(
+            F.col("_bucket").isin(touched)
+        )
+        merged = _last_wins(base.drop("_bucket"), new_df).withColumn(
+            "_bucket", _id_bucket(n_buckets)
+        )
+        staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+        (
+            merged.repartition(F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(staging)
+        )
+        _swap_buckets(path, staging, touched)
     return touched_by_table
+
+
+def _swap_buckets(path: str, staging: str, touched: list[int]) -> None:
+    """Swap staged ``_bucket=<b>`` dirs into the live table, keeping the
+    replaced dirs in a trash sibling until every swap has succeeded.
+    Factored out so tests can inject a failure between the staging write
+    and the swap (the table must stay readable)."""
+    import shutil
+
+    trash = f"{path}.trash-{uuid.uuid4().hex[:8]}"
+    os.makedirs(trash)
+    try:
+        for b in touched:
+            live_b = os.path.join(path, f"_bucket={b}")
+            staged_b = os.path.join(staging, f"_bucket={b}")
+            if os.path.exists(live_b):
+                os.rename(live_b, os.path.join(trash, f"_bucket={b}"))
+            os.rename(staged_b, live_b)
+    finally:
+        # only clean up after a fully successful swap; on failure the
+        # trash + staging dirs are the recovery evidence
+        if all(
+            os.path.exists(os.path.join(path, f"_bucket={b}")) for b in touched
+        ):
+            shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(staging, ignore_errors=True)

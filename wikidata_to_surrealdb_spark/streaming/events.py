@@ -259,9 +259,10 @@ class _state_partitions:
     it is a state-sizing knob, not a parallelism knob. The session
     default (cluster width) is right for a 100 TB keyspace; for a small
     benchmark/test stream it just buys ``partitions x batches`` tasks of
-    fixed state-store + Python-worker overhead (measured: the 4-batch
-    sessionizer at 32 partitions spends 2x longer than at 8 on identical
-    data). Callers size it to expected state volume."""
+    fixed state-store + Python-worker overhead (measured head-to-head in
+    one session, best-of-2: the 4-batch sf0.1 sessionizer runs 5.3 s at
+    8 partitions vs 6.5 s at 32 and 6.5 s at 4; uniform ~1.1-1.2 s
+    per batch). Callers size it to expected state volume."""
 
     def __init__(self, spark: SparkSession, n: int | None):
         self.spark, self.n = spark, n
@@ -275,11 +276,32 @@ class _state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
+def _drain_progress(q, progress: list | None) -> None:
+    """Append one row per completed micro-batch of ``q`` to ``progress``
+    (batch id, input rows, trigger wall ms) — the per-batch breakdown
+    that makes a multi-batch wall-clock number attributable."""
+    if progress is None:
+        return
+    for p in q.recentProgress:
+        if isinstance(p, str):  # some PySpark versions hand back JSON text
+            import json as _json
+
+            p = _json.loads(p)
+        progress.append(
+            {
+                "batch_id": p.get("batchId"),
+                "input_rows": p.get("numInputRows"),
+                "trigger_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+            }
+        )
+
+
 def sessionize_stateful_multibatch(
     spark: SparkSession,
     sliced_dir: str,
     gap_sec: int = 1800,
     state_partitions: int | None = 8,
+    progress: list | None = None,
 ) -> DataFrame:
     """Run the stateful sessionizer over a pre-sliced events dir
     (:func:`slice_events_table`) one file per micro-batch, so the state
@@ -308,11 +330,15 @@ def sessionize_stateful_multibatch(
             .start()
         )
         q.awaitTermination()
+    _drain_progress(q, progress)
     return spark.table(table)
 
 
 def event_dedup_multibatch(
-    spark: SparkSession, sliced_dir: str, state_partitions: int | None = 8
+    spark: SparkSession,
+    sliced_dir: str,
+    state_partitions: int | None = 8,
+    progress: list | None = None,
 ) -> DataFrame:
     """Streaming dedup over a pre-sliced events dir, one file per
     micro-batch — state merges (min ids / summed counts) across batches.
@@ -340,6 +366,7 @@ def event_dedup_multibatch(
             .start()
         )
         q.awaitTermination()
+    _drain_progress(q, progress)
     return spark.table(table)
 
 
