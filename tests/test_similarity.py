@@ -53,8 +53,10 @@ def test_banded_lsh_recall_vs_bruteforce(planted):
     }
     recall = len(got & truth) / len(truth)
     # 4 bands x 4 bits: expected recall ~1-(1-p^4)^4 with p=1-acos(0.9)/pi
-    # ~= 0.95; no false positives are possible (exact cosine re-check)
-    assert recall >= 0.8, (recall, len(truth))
+    # ~= 0.95 (measured 1.00 on this fixture); no false positives are
+    # possible (exact cosine re-check). >= 0.9 so a >=10-point recall
+    # regression fails CI instead of passing silently.
+    assert recall >= 0.9, (recall, len(truth))
     assert got <= _true_pairs(ids, x, 0.9)  # precision 1.0 by construction
 
 
@@ -201,3 +203,29 @@ def test_banded_pairs_emitted_exactly_once(gaussian_mixture):
     assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_band_keys_numpy_matches_jvm(spark):
+    """The worker-side vectorized band keys must equal the JVM
+    higher-order-function form bit for bit on the real embeddings —
+    same planes, same left-associated IEEE accumulation order."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").orderBy("vec_id")
+    jvm = [
+        (r["vec_id"], list(r["k"]))
+        for r in emb.select(
+            "vec_id",
+            similarity.hyperplane_band_keys("embedding", 4, 4, 64, 42).alias("k"),
+        ).collect()
+    ]
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    keys = similarity.numpy_band_keys(
+        x, similarity.lsh_hyperplanes(16, 64, 42), 4
+    )
+    got = [
+        (r["vec_id"], [keys[b][i] for b in range(4)])
+        for i, r in enumerate(rows)
+    ]
+    assert got == jvm

@@ -21,10 +21,18 @@ thresholds avoid top-k tie ambiguity).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# package root for worker-side import fallback: executor python workers
+# do not inherit the driver's sys.path edits (closures capture this and
+# insert it before importing the package)
+_PKG_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -212,6 +220,39 @@ def hyperplane_band_keys(
     return F.expr(_band_keys_sql(vec_col, bands, band_bits, dim, seed))
 
 
+def numpy_band_keys(x, planes: list[list[float]], band_bits: int) -> list:
+    """Vectorized twin of :func:`hyperplane_band_keys` for Arrow-batched
+    workers: band keys for an ``(n, dim)`` float64 matrix.
+
+    The dot products accumulate dimension by dimension in a Python loop
+    of vectorized steps, so each (row, plane) value goes through the
+    IDENTICAL IEEE-754 operation sequence as the SQL fold
+    (``(0.0 + x0*p0) + x1*p1 + ...``) — a plain ``x @ P`` would use
+    pairwise/SIMD summation whose different rounding could flip the
+    unrounded sign bit near zero and break cross-engine bucket parity
+    (asserted identical to the JVM and DuckDB forms by
+    ``test_band_keys_numpy_matches_jvm``).
+
+    Returns a list of ``n_planes // band_bits`` string arrays (one per
+    band, each of length n).
+    """
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    acc = np.zeros((x.shape[0], P.shape[1]))
+    for d in range(P.shape[0]):
+        acc += x[:, d, None] * P[None, d, :]
+    bits = np.where(acc >= 0.0, "1", "0")
+    keys = []
+    for b in range(P.shape[1] // band_bits):
+        seg = bits[:, b * band_bits : (b + 1) * band_bits]
+        col = seg[:, 0]
+        for j in range(1, band_bits):
+            col = np.char.add(col, seg[:, j])
+        keys.append(col)
+    return keys
+
+
 @lru_cache(maxsize=64)
 def _band_keys_sql(
     vec_col: str, bands: int, band_bits: int, dim: int, seed: int
@@ -365,23 +406,59 @@ def ann_banded_pairs_gemm(
             }
         )
 
-    # No respread here on purpose: the per-row key pass is cheap and the
-    # heavy work (the per-bucket GEMM) runs AFTER the groupBy exchange,
-    # which redistributes by bucket regardless of input partitioning —
-    # an up-front repartition would only add a second full-vector
-    # shuffle. At scale the scan's own splits parallelize the key pass.
-    keys = hyperplane_band_keys(vec_col, bands, band_bits, dim, seed)
-    with_bands = (
-        embeddings.select(
-            F.col(id_col).alias("_gid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "_gv"
-            ),
-            keys.alias("_keys"),
-        )
-        .select(
-            "_gid", "_gv", "_keys", F.posexplode("_keys").alias("band", "bucket")
-        )
+    # The band keys are computed in an Arrow-batched mapInPandas stage
+    # (a NARROW transformation — no extra shuffle; the one exchange is
+    # still the groupBy below). The JVM higher-order-function form
+    # (:func:`hyperplane_band_keys`) evaluates an interpreted lambda per
+    # plane coefficient per row — measured ~0.7 ms/row at 16 planes x 64
+    # dims, a real per-row tax at any scale — while the vectorized
+    # worker computes the same bits (same IEEE op order, see
+    # :func:`numpy_band_keys`) at ~1 us/row. No respread on purpose:
+    # the heavy GEMM runs AFTER the exchange, which redistributes by
+    # bucket regardless of input partitioning.
+    planes = lsh_hyperplanes(bands * band_bits, dim, seed)
+    pkg_root = _PKG_ROOT
+
+    def key_rows(batches):
+        import numpy as np
+        import pandas as _pd
+
+        try:
+            from wikidata_to_surrealdb_spark.operators.similarity import (
+                numpy_band_keys as _nbk,
+            )
+        except ModuleNotFoundError:
+            import sys as _sys
+
+            _sys.path.insert(0, pkg_root)
+            from wikidata_to_surrealdb_spark.operators.similarity import (
+                numpy_band_keys as _nbk,
+            )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xs = [np.asarray(v, dtype=np.float64) for v in pdf["_gv"]]
+            x = np.array(xs)
+            keys = _nbk(x, planes, band_bits)
+            all_keys = [list(t) for t in zip(*keys)]
+            for b in range(bands):
+                yield _pd.DataFrame(
+                    {
+                        "_gid": pdf["_gid"].to_numpy(),
+                        "_gv": xs,
+                        "_keys": all_keys,
+                        "band": np.int32(b),
+                        "bucket": keys[b],
+                    }
+                )
+
+    with_bands = embeddings.select(
+        F.col(id_col).alias("_gid"), F.col(vec_col).alias("_gv")
+    ).mapInPandas(
+        key_rows,
+        "_gid long, _gv array<double>, _keys array<string>, "
+        "band int, bucket string",
     )
     return with_bands.groupBy("band", "bucket").applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double"
