@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_chunk_documents",
     "events_pivot",
     "curation_expectations",
+    "layout_zorder_scan",
 ]
 
 
@@ -246,6 +247,51 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if dt < best:
                     best, stream_batches[name] = dt, prog
+            timings[name] = round(best, 3)
+
+        # layout delta: the SAME 2-D box-filter scan on a z-ordered vs a
+        # round-robin copy of events (both writes untimed). The gap is
+        # what Morton clustering buys at the parquet row-group level —
+        # quantified structurally in PLANS.md (row groups intersecting
+        # the box per layout).
+        from pyspark.sql import functions as F
+
+        from wikidata_to_surrealdb_spark.plans.queries import (
+            ZORDER_PRED,
+            zordered_events_copy,
+        )
+        from wikidata_to_surrealdb_spark.sources.tables import load_sf_dir
+
+        zpath = zordered_events_copy(spark, sf_dir)
+        rpath = os.path.join(tmp, "ev_roundrobin")
+        (
+            load_sf_dir(spark, sf_dir, ("events",))["events"]
+            .select(
+                "event_id",
+                F.col("value").cast("double").alias("value"),
+                F.unix_micros("ts").alias("ts_us"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(rpath)
+        )
+        for name, path in (
+            ("layout_scan_zorder", zpath),
+            ("layout_scan_roundrobin", rpath),
+        ):
+            scan = (
+                spark.read.parquet(path)
+                .where(ZORDER_PRED)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("value").alias("sv"),
+                )
+            )
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                scan.collect()
+                best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
 
         # best-of-2 per query: this host is virtualized and shows large

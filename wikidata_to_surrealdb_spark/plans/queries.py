@@ -3817,6 +3817,72 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(assets, decoder="png").orderBy("asset_id")
 
 
+# 2-D box over the z-ordered events copy: identical SQL text runs on
+# both engines (value is a plain double, ts reduced to epoch micros at
+# write time so the pushed filter is a plain long comparison). Bounds =
+# a value decile x 2 days of the 30-day range (~0.5% selectivity).
+ZORDER_BOX = {
+    "value": (100.0, 150.0),
+    "ts_us": (1704844800000000, 1705017600000000),  # 2024-01-10..12 UTC
+}
+ZORDER_PRED = (
+    f"value >= {ZORDER_BOX['value'][0]!r} AND value <= {ZORDER_BOX['value'][1]!r} "
+    f"AND ts_us >= {ZORDER_BOX['ts_us'][0]} AND ts_us < {ZORDER_BOX['ts_us'][1]}"
+)
+
+
+def zordered_events_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) a z-order-clustered copy of events on
+    (value, ts_us) and return its path. Shared by the catalog query, the
+    bench layout-delta entries, and the plan-evidence generator."""
+    import os
+    import tempfile
+
+    t = register_views(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"zorder_events_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from wikidata_to_surrealdb_spark.sources.layout import cluster_by_zorder
+
+        src = t["events"].select(
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        cluster_by_zorder(src, out, ["value", "ts_us"], num_files=8)
+    return out
+
+
+@_q(
+    "layout_zorder_scan",
+    """
+    SELECT event_id, value, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE value >= 100.0 AND value <= 150.0
+      AND epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705017600000000
+    ORDER BY event_id
+    """,
+    "physical-layout operator end to end: events re-written z-order-"
+    "clustered on (value, ts_us) — Morton-interleaved quantile ranks, "
+    "range-partitioned + sorted so every file/row-group covers a small "
+    "hyper-rectangle of the 2-D key space — then scanned with a 2-D box "
+    "predicate. The oracle runs the same box over the ORIGINAL table, "
+    "proving the re-layout is lossless; the row-group pruning the layout "
+    "buys is quantified in PLANS.md and the layout_scan_* bench delta",
+)
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = zordered_events_copy(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .where(ZORDER_PRED)
+        .select("event_id", "value", "ts_us")
+        .orderBy("event_id")
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
