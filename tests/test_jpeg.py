@@ -1,0 +1,185 @@
+"""From-spec JPEG codec: round-trip fidelity, committed-fixture goldens,
+the general (subsampled) MCU path, header-only metadata, and the
+corrupt-input contract (JpegError, never a task-killing exception)."""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from wikidata_to_surrealdb_spark.functions.jpeg import (
+    JpegError,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_dimensions,
+)
+
+DATA = Path(__file__).parent / "data"
+
+
+def _psnr(a: bytes, b: bytes) -> float:
+    x = np.frombuffer(a, np.uint8).astype(np.float64)
+    y = np.frombuffer(b, np.uint8).astype(np.float64)
+    mse = ((x - y) ** 2).mean()
+    return float("inf") if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def _gray_gradient(w: int, h: int) -> bytes:
+    return bytes(((x * 9 + y * 7) % 256) for y in range(h) for x in range(w))
+
+
+def test_committed_fixture_decodes_to_committed_pixels():
+    # the fixture was produced by this codec; pinning BOTH the file and
+    # its decoded pixels catches silent drift in either direction
+    buf = (DATA / "golden_16x16.jpg").read_bytes()
+    expect = (DATA / "golden_16x16_decoded.bin").read_bytes()
+    out = decode_jpeg(buf)
+    assert (out["width"], out["height"], out["channels"]) == (16, 16, 1)
+    assert out["pixels"] == expect
+    # and the decode is faithful to the original raster, not merely stable
+    assert _psnr(_gray_gradient(16, 16), out["pixels"]) > 40
+
+
+def test_gray_roundtrip_quality_ladder():
+    px = _gray_gradient(32, 24)
+    prev = 0.0
+    for q in (50, 75, 95):
+        out = decode_jpeg(encode_jpeg(px, 32, 24, 1, quality=q))
+        p = _psnr(px, out["pixels"])
+        # the mod-256 sawtooth has hard wrap discontinuities — a harsh
+        # fixture; ~29 dB at q50 is the expected DCT behavior
+        assert p > 28, (q, p)
+        assert p >= prev - 1.0  # higher quality must not lose fidelity
+        prev = p
+
+
+def test_rgb_444_roundtrip():
+    rgb = bytearray()
+    for y in range(16):
+        for x in range(16):
+            rgb += bytes(((x * 16) % 256, (y * 16) % 256, ((x + y) * 8) % 256))
+    out = decode_jpeg(encode_jpeg(bytes(rgb), 16, 16, 3, quality=90))
+    assert (out["width"], out["height"], out["channels"]) == (16, 16, 3)
+    assert _psnr(bytes(rgb), out["pixels"]) > 35
+
+
+def test_rgb_420_roundtrip_odd_dimensions():
+    # 4:2:0 exercises the general MCU path (4 luma + 2 chroma blocks per
+    # 16x16 MCU) and the chroma upsample; odd dims exercise edge padding
+    w, h = 37, 27
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgb += bytes(
+                (
+                    int(100 + 50 * np.sin(x / 6)),
+                    int(100 + 50 * np.cos(y / 6)),
+                    int(128 + 40 * np.sin((x + y) / 9)),
+                )
+            )
+    buf = encode_jpeg(bytes(rgb), w, h, 3, quality=90, subsampling="420")
+    d = jpeg_dimensions(buf)
+    assert (d["width"], d["height"], d["components"]) == (w, h, 3)
+    out = decode_jpeg(buf)
+    assert len(out["pixels"]) == w * h * 3
+    assert _psnr(bytes(rgb), out["pixels"]) > 30
+    # subsampling must actually shrink the payload on this smooth image
+    assert len(buf) < len(encode_jpeg(bytes(rgb), w, h, 3, quality=90))
+
+
+def test_constant_image_is_exact():
+    c = bytes([128]) * 64
+    assert decode_jpeg(encode_jpeg(c, 8, 8, 1, 75))["pixels"] == c
+
+
+def test_dimensions_header_only_parse():
+    buf = encode_jpeg(_gray_gradient(21, 13), 21, 13, 1, 80)
+    d = jpeg_dimensions(buf)
+    assert d == {
+        "width": 21,
+        "height": 13,
+        "components": 1,
+        "precision": 8,
+        "progressive": False,
+    }
+    # works even when the entropy data is truncated (headers intact)
+    assert jpeg_dimensions(buf[:-20])["width"] == 21
+
+
+def test_error_paths_raise_jpegerror():
+    good = encode_jpeg(_gray_gradient(16, 16), 16, 16, 1, 85)
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:40])  # truncated in the header segments
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:-5])  # truncated entropy data
+    for cut in range(1, 24):
+        try:
+            decode_jpeg(good[:-cut])
+        except JpegError:
+            pass  # anything else would kill a Spark task
+    with pytest.raises(JpegError, match="quality"):
+        encode_jpeg(b"\x00" * 4, 2, 2, 1, quality=0)
+    with pytest.raises(JpegError, match="channels"):
+        encode_jpeg(b"\x00" * 8, 2, 2, 2)
+    with pytest.raises(JpegError, match="expected"):
+        encode_jpeg(b"\x00" * 5, 2, 2, 1)
+
+
+def test_pixel_cap_rejected_before_plane_allocation():
+    import struct
+
+    # hand-build an SOF claiming 100000x100000 (no plane alloc may happen)
+    good = encode_jpeg(_gray_gradient(8, 8), 8, 8, 1, 85)
+    sof_at = good.find(b"\xff\xc0")
+    assert sof_at > 0
+    bad = bytearray(good)
+    bad[sof_at + 5 : sof_at + 9] = struct.pack(">HH", 50000, 50000)
+    with pytest.raises(JpegError, match="cap"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(JpegError, match="cap"):
+        decode_jpeg(good, max_pixels=16)
+
+
+def test_progressive_rejected_but_dimensions_readable():
+    good = encode_jpeg(_gray_gradient(8, 8), 8, 8, 1, 85)
+    sof_at = good.find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof_at + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(JpegError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    d = jpeg_dimensions(bytes(prog))
+    assert d["progressive"] is True and d["width"] == 8
+
+
+def test_foreign_huffman_tables_decode():
+    """The decoder must use the tables FROM THE STREAM, not assume
+    Annex K: re-encode with a degenerate but valid DHT (all code lengths
+    shifted one longer) and check the decode still round-trips."""
+    # build by patching the encoder's DHT segments: easiest equivalent
+    # check is that decode uses parsed tables — corrupt one DHT value
+    # and the decode must CHANGE or fail, proving the stream table is
+    # actually consulted.
+    # a NOISY image so every AC size category actually occurs (a smooth
+    # gradient never emits size-1/2 AC symbols and the swap would be
+    # invisible)
+    rs = np.random.RandomState(3)
+    px = bytes(rs.randint(0, 256, 256).astype(np.uint8))
+    good = encode_jpeg(px, 16, 16, 1, 85)
+    base = decode_jpeg(good)["pixels"]
+    # second DHT segment is the AC table; its first two values are the
+    # (run=0, size=1) / (run=0, size=2) symbols — swapping them changes
+    # the decode iff the stream table is actually consulted
+    dht_at = good.find(b"\xff\xc4", good.find(b"\xff\xc4") + 2)
+    bad = bytearray(good)
+    v0 = dht_at + 4 + 1 + 16
+    bad[v0], bad[v0 + 1] = bad[v0 + 1], bad[v0]
+    try:
+        changed = decode_jpeg(bytes(bad))["pixels"]
+        assert changed != base
+    except JpegError:
+        pass  # also acceptable: the stream became inconsistent

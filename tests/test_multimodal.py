@@ -193,3 +193,93 @@ def test_documents_as_png_assets_roundtrip(spark):
     by_id = {r["asset_id"]: r for r in feats}
     assert by_id[2]["pixel_sum"] == 100 * ord("x")  # padding adds zeros
     assert by_id[2]["pixel_max"] == ord("x")
+
+
+@pytest.fixture(scope="module")
+def jpeg_assets(spark):
+    """Asset table whose payloads are REAL JPEGs (in-repo from-spec
+    encoder): asset i is a (16+8i) x 8 gray gradient, plus one corrupt
+    payload that must NULL-flag, not kill the task."""
+    from wikidata_to_surrealdb_spark.functions.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(4):
+        w, h = 16 + 8 * i, 8
+        px = bytes((i * 37 + j) % 256 for j in range(w * h))
+        buf = encode_jpeg(px, w, h, 1, quality=90)
+        rows.append((i, "image/jpeg", buf, len(buf), hashlib.md5(buf).hexdigest()))
+    rows.append((99, "image/jpeg", b"\xff\xd8 not really", 16, "x"))
+    return spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+
+
+def test_jpeg_decode_features_real_pixels(spark, jpeg_assets):
+    from wikidata_to_surrealdb_spark.functions.jpeg import decode_jpeg
+
+    rows = {
+        r["asset_id"]: r
+        for r in multimodal.decode_features(
+            jpeg_assets, decoder="jpeg"
+        ).collect()
+    }
+    payloads = {
+        r["asset_id"]: bytes(r["payload"]) for r in jpeg_assets.collect()
+    }
+    for i in range(4):
+        expect = decode_jpeg(payloads[i])
+        r = rows[i]
+        assert (r["width"], r["height"], r["channels"]) == (
+            expect["width"],
+            expect["height"],
+            expect["channels"],
+        )
+        assert r["pixel_hash"] == hashlib.md5(expect["pixels"]).hexdigest()
+        assert r["pixel_sum"] == sum(expect["pixels"])
+    # corrupt payload -> NULL-flagged row, job alive
+    assert rows[99]["width"] is None and rows[99]["pixel_hash"] is None
+
+
+def test_jpeg_meta_header_parse(spark, jpeg_assets):
+    rows = {
+        r["asset_id"]: r for r in multimodal.jpeg_meta(jpeg_assets).collect()
+    }
+    for i in range(4):
+        r = rows[i]
+        assert (r["width"], r["height"]) == (16 + 8 * i, 8)
+        assert r["components"] == 1 and r["precision"] == 8
+        assert r["progressive"] is False
+    assert rows[99]["width"] is None
+
+
+def test_jpeg_resize_images(spark, jpeg_assets):
+    from wikidata_to_surrealdb_spark.functions.jpeg import decode_jpeg
+
+    out = {
+        r["asset_id"]: r
+        for r in multimodal.resize_images(
+            jpeg_assets, 8, 8, codec="jpeg"
+        ).collect()
+    }
+    for i in range(4):
+        assert out[i]["mime"] == "image/jpeg"
+        dec = decode_jpeg(bytes(out[i]["payload"]))
+        assert (dec["width"], dec["height"]) == (8, 8)
+    assert out[99]["payload"] is None and out[99]["mime"] is None
+
+
+def test_documents_as_jpeg_assets_header_contract(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 40), (2, ""), (3, None), (4, "short")],
+        "doc_id long, text string",
+    )
+    metas = {
+        r["asset_id"]: r
+        for r in multimodal.jpeg_meta(
+            multimodal.documents_as_jpeg_assets(docs)
+        ).collect()
+    }
+    # height = max(1, ceil(len(utf8)/32)); empty/null -> 1
+    assert metas[1]["height"] == 2
+    assert metas[2]["height"] == 1
+    assert metas[3]["height"] == 1
+    assert metas[4]["height"] == 1
+    assert all(m["width"] == 32 and m["components"] == 1 for m in metas.values())

@@ -10,7 +10,9 @@ implements decode / feature-extract / frame-sample as Arrow-batched
 The real codec libraries (Pillow, torchaudio, av) are NOT in this
 container, so the decode step is pluggable: ``decoder="fake"`` is a
 deterministic byte-statistics decoder (fully tested, oracle-checkable);
-``decoder="pil"`` etc. raise ``NotImplementedError`` unless the lib
+``decoder="png"`` / ``decoder="jpeg"`` are REAL decodes via the in-repo
+from-spec codecs (``functions/png.py``, ``functions/jpeg.py``);
+``decoder="pil"`` raises ``NotImplementedError`` unless the lib
 imports. The Spark-side plumbing — schema, batch iteration, fan-out row
 counts, partitioning — is identical for both, which is the part that has
 to be right at 100 TB:
@@ -210,6 +212,101 @@ def documents_as_png_assets(
     )
 
 
+def documents_as_jpeg_assets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 32,
+    quality: int = 90,
+) -> DataFrame:
+    """JPEG twin of :func:`documents_as_png_assets`: each document's
+    UTF-8 bytes become the gray pixels of a ``width``-wide image
+    (zero-padded to fill the last row), encoded with the in-repo
+    from-spec baseline JPEG codec. Deterministic — same text, same
+    bytes — and the header dimensions are an exact function of the text
+    length, which is what the metadata oracle checks."""
+
+    load_jpeg = _make_jpeg_loader(_PKG_ROOT)
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        encode_jpeg = load_jpeg().encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                height = max(1, (len(raw) + width - 1) // width)
+                px = raw.ljust(width * height, b"\x00")
+                buf = encode_jpeg(px, width, height, 1, quality)
+                rows.append(
+                    {
+                        "asset_id": int(doc_id),
+                        "mime": "image/jpeg",
+                        "payload": buf,
+                        "n_bytes": len(buf),
+                        "content_hash": _hl.md5(buf).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return respread(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=ASSET_SCHEMA
+    )
+
+
+def jpeg_meta(assets: DataFrame) -> DataFrame:
+    """Header-only JPEG metadata per asset (dimensions, component count,
+    precision, progressive flag) — a marker-segment parse with NO entropy
+    decode, so it is cheap (bytes scanned ~ header size) and EXACT:
+    unlike decoded pixels, these fields are deterministic for any
+    conforming encoder, which makes this the oracle-checkable JPEG row.
+    Corrupt/non-JPEG payloads yield NULL metadata instead of failing the
+    task."""
+
+    load_jpeg = _make_jpeg_loader(_PKG_ROOT)
+
+    def run(batches: Iterator) -> Iterator:
+        import struct as _struct
+
+        import pandas as pd
+
+        jpeg = load_jpeg()
+        JpegError, jpeg_dimensions = jpeg.JpegError, jpeg.jpeg_dimensions
+
+        for pdf in batches:
+            rows = []
+            for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = jpeg_dimensions(bytes(buf))
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "components": d["components"],
+                            "precision": d["precision"],
+                            "progressive": d["progressive"],
+                        }
+                    )
+                except (JpegError, _struct.error):
+                    rows.append({"asset_id": asset_id})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_META_SCHEMA.fields]
+            )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return respread(assets).mapInPandas(run, schema=JPEG_META_SCHEMA)
+
+
 def _fake_decode(buf: bytes) -> dict:
     """Deterministic byte-statistics 'decode' — the test/oracle path."""
     return {
@@ -233,7 +330,20 @@ def _pil_decode(buf: bytes) -> dict:
     raise NotImplementedError("real image decode not wired up yet")
 
 
-_DECODERS = {"fake": _fake_decode, "png": None, "pil": _pil_decode}
+_DECODERS = {"fake": _fake_decode, "png": None, "jpeg": None, "pil": _pil_decode}
+
+# header-only JPEG metadata (no entropy decode): exact and cheap, so it
+# is oracle-checkable even though decoded JPEG pixels are not
+JPEG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("components", T.IntegerType(), True),
+        T.StructField("precision", T.IntegerType(), True),
+        T.StructField("progressive", T.BooleanType(), True),
+    ]
+)
 
 # Repo root containing the package, captured on the DRIVER. Executor
 # python workers don't inherit driver sys.path edits; on a real cluster
@@ -259,6 +369,22 @@ def _make_png_loader(pkg_root: str):
             _sys.path.insert(0, pkg_root)
             from wikidata_to_surrealdb_spark.functions import png as _png
         return _png
+
+    return load
+
+
+def _make_jpeg_loader(pkg_root: str):
+    """JPEG twin of :func:`_make_png_loader` (same ship-by-value rule)."""
+
+    def load():
+        try:
+            from wikidata_to_surrealdb_spark.functions import jpeg as _jpeg
+        except ModuleNotFoundError:
+            import sys as _sys
+
+            _sys.path.insert(0, pkg_root)
+            from wikidata_to_surrealdb_spark.functions import jpeg as _jpeg
+        return _jpeg
 
     return load
 
@@ -337,6 +463,52 @@ def decode_features(
         from wikidata_to_surrealdb_spark.functions import respread
 
         return respread(assets).mapInPandas(run_png, schema=IMAGE_FEATURE_SCHEMA)
+
+    if decoder == "jpeg":
+
+        load_jpeg = _make_jpeg_loader(_PKG_ROOT)
+
+        def run_jpeg(batches: Iterator) -> Iterator:
+            import hashlib as _hl
+            import struct as _struct
+
+            import pandas as pd
+
+            jpeg = load_jpeg()
+            JpegError, decode_jpeg = jpeg.JpegError, jpeg.decode_jpeg
+
+            for pdf in batches:
+                rows = []
+                for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
+                    try:
+                        img = decode_jpeg(bytes(buf))
+                        px = img["pixels"]
+                        rows.append(
+                            {
+                                "asset_id": asset_id,
+                                "width": img["width"],
+                                "height": img["height"],
+                                "channels": img["channels"],
+                                "bit_depth": img["bit_depth"],
+                                "pixel_bytes": len(px),
+                                "pixel_sum": sum(px),
+                                "pixel_min": min(px) if px else None,
+                                "pixel_max": max(px) if px else None,
+                                "pixel_hash": _hl.md5(px).hexdigest(),
+                            }
+                        )
+                    except (JpegError, _struct.error):
+                        rows.append({"asset_id": asset_id})
+                yield pd.DataFrame(
+                    rows,
+                    columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields],
+                )
+
+        from wikidata_to_surrealdb_spark.functions import respread
+
+        return respread(assets).mapInPandas(
+            run_jpeg, schema=IMAGE_FEATURE_SCHEMA
+        )
 
     if decoder == "fake":
 
@@ -421,21 +593,27 @@ def resize_images(
     -> re-encode PNG, per asset, inside Arrow-batched ``mapInPandas``
     (bytes in, bytes out; payloads never touch the driver).
 
-    ``codec="png"`` uses the in-repo from-spec codec; ``codec="pil"``
-    stays gated on Pillow (absent from this container). Non-PNG or
-    corrupt payloads pass through with a NULL payload (job survives bad
+    ``codec="png"`` / ``codec="jpeg"`` use the in-repo from-spec codecs
+    (the nearest-neighbour resampler is shared — it operates on raw
+    8-bit samples, not on any container format); ``codec="pil"`` stays
+    gated on Pillow (absent from this container). Corrupt or wrong-
+    format payloads pass through with a NULL payload (job survives bad
     files — mandatory at 100 TB). Output schema matches the asset table
     (:data:`RESIZED_SCHEMA`) so resized assets pipe straight back into
     :func:`decode_features` / :func:`frame_sample`.
     """
     if codec == "pil":
         _pil_decode(b"")  # raises NotImplementedError with the gate message
-    if codec != "png":
-        raise ValueError(f"unknown codec {codec!r}; one of ['png', 'pil']")
+    if codec not in ("png", "jpeg"):
+        raise ValueError(
+            f"unknown codec {codec!r}; one of ['png', 'jpeg', 'pil']"
+        )
     if width <= 0 or height <= 0:
         raise ValueError("target dimensions must be positive")
 
     load_png = _make_png_loader(_PKG_ROOT)
+    load_jpeg = _make_jpeg_loader(_PKG_ROOT)
+    use_jpeg = codec == "jpeg"
 
     def run(batches: Iterator) -> Iterator:
         import hashlib as _hl
@@ -445,14 +623,20 @@ def resize_images(
         import pandas as pd
 
         png = load_png()
-        PngError, decode_png = png.PngError, png.decode_png
-        encode_png, resize_nearest = png.encode_png, png.resize_nearest
+        resize_nearest = png.resize_nearest
+        if use_jpeg:
+            jpeg = load_jpeg()
+            errors = (jpeg.JpegError, _struct.error)
+            dec, enc, mime = jpeg.decode_jpeg, jpeg.encode_jpeg, "image/jpeg"
+        else:
+            errors = (png.PngError, zlib_error, _struct.error)
+            dec, enc, mime = png.decode_png, png.encode_png, "image/png"
 
         for pdf in batches:
             rows = []
             for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
                 try:
-                    img = decode_png(bytes(buf))
+                    img = dec(bytes(buf))
                     px = resize_nearest(
                         img["pixels"],
                         img["width"],
@@ -461,17 +645,17 @@ def resize_images(
                         width,
                         height,
                     )
-                    out = encode_png(px, width, height, img["channels"])
+                    out = enc(px, width, height, img["channels"])
                     rows.append(
                         {
                             "asset_id": asset_id,
-                            "mime": "image/png",
+                            "mime": mime,
                             "payload": out,
                             "n_bytes": len(out),
                             "content_hash": _hl.md5(out).hexdigest(),
                         }
                     )
-                except (PngError, zlib_error, _struct.error):
+                except errors:
                     rows.append({"asset_id": asset_id, "mime": None})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RESIZED_SCHEMA.fields]

@@ -3817,6 +3817,41 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(assets, decoder="png").orderBy("asset_id")
 
 
+@_q(
+    "mm_jpeg_meta",
+    # decoded JPEG pixels are lossy and engine-specific, but the HEADER
+    # is exact: the asset encode fixes width=32, gray, 8-bit baseline,
+    # so every metadata field is a pure function of the text length —
+    # which DuckDB recomputes without touching a single JPEG byte.
+    """
+    SELECT doc_id AS asset_id,
+           CAST(32 AS INT) AS width,
+           CAST(greatest(1, CAST(ceil(
+             octet_length(encode(coalesce(text, ''))) / 32.0) AS INT)) AS INT)
+             AS height,
+           CAST(1 AS INT) AS components,
+           CAST(8 AS INT) AS "precision",
+           FALSE AS progressive
+    FROM documents
+    ORDER BY asset_id
+    """,
+    "REAL JPEG path end to end: every document's bytes become a gray "
+    "baseline JFIF image via the in-repo from-spec encoder "
+    "(functions/jpeg.py — T.81 Huffman + DCT, Annex K tables), then the "
+    "marker-level metadata parser reads back dimensions/components/"
+    "precision inside Arrow-batched mapInPandas; the oracle recomputes "
+    "the expected header fields from the text length alone. Decoded "
+    "pixel fidelity is pinned separately by goldens in tests/test_jpeg.py "
+    "(lossy output is codec-build-specific, headers are exact)",
+)
+def mm_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    t = register_views(spark, sf_dir)
+    assets = multimodal.documents_as_jpeg_assets(t["documents"])
+    return multimodal.jpeg_meta(assets).orderBy("asset_id")
+
+
 # 2-D box over the z-ordered events copy: identical SQL text runs on
 # both engines (value is a plain double, ts reduced to epoch micros at
 # write time so the pushed filter is a plain long comparison). Bounds =
