@@ -183,3 +183,25 @@ def test_foreign_huffman_tables_decode():
         assert changed != base
     except JpegError:
         pass  # also acceptable: the stream became inconsistent
+
+
+def test_restart_markers_roundtrip_bit_identical():
+    """DRI/RSTn: the restart path (byte-align, raw marker, DC predictor
+    reset) must decode to exactly the same pixels as the plain stream —
+    and the markers must actually be there."""
+    import re
+
+    rs = np.random.RandomState(5)
+    px = bytes(rs.randint(0, 256, 64 * 16).astype(np.uint8))
+    plain = encode_jpeg(px, 64, 16, 1, 85)
+    dri = encode_jpeg(px, 64, 16, 1, 85, restart_interval=3)
+    assert b"\xff\xdd" in dri
+    # 0xFF data bytes are always stuffed with 0x00, so every
+    # 0xFF D0-D7 pair in the stream IS a restart marker
+    assert len(re.findall(rb"\xff[\xd0-\xd7]", dri)) == 5  # 16 MCUs @ 3
+    assert decode_jpeg(dri)["pixels"] == decode_jpeg(plain)["pixels"]
+
+    rgb = bytes(rs.randint(0, 256, 48 * 32 * 3).astype(np.uint8))
+    with_dri = encode_jpeg(rgb, 48, 32, 3, 85, subsampling="420", restart_interval=2)
+    without = encode_jpeg(rgb, 48, 32, 3, 85, subsampling="420")
+    assert decode_jpeg(with_dri)["pixels"] == decode_jpeg(without)["pixels"]

@@ -306,11 +306,15 @@ def encode_jpeg(
     channels: int = 1,
     quality: int = 75,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit samples to a baseline JFIF JPEG (Annex K Huffman
     tables, quality-scaled Annex K quantization). ``channels`` 1 ->
     grayscale, 3 -> RGB; ``subsampling`` "444" (no chroma subsampling)
-    or "420" (2x2 box-averaged chroma — what real corpora mostly use).
+    or "420" (2x2 box-averaged chroma — what real corpora mostly use);
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (what real encoders do for error resilience —
+    and what exercises the decoder's restart path).
     Deterministic for a given input."""
     import numpy as np
 
@@ -415,8 +419,17 @@ def encode_jpeg(
             code, ln = enc_ac[ti][0x00]  # EOB
             bw.write(code, ln)
 
+    mcu_index = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                # byte-align (1-padded), emit RSTn raw (markers are never
+                # byte-stuffed), reset DC predictors — T.81 restart rules
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+                rst_n += 1
+                prev_dc[:] = [0] * channels
             for ci in range(channels):
                 h, v = sampling[ci]
                 for by in range(v):
@@ -426,6 +439,7 @@ def encode_jpeg(
                         emit_block(
                             comp_planes[ci][r0 : r0 + 8, c0 : c0 + 8], ci
                         )
+            mcu_index += 1
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -450,6 +464,8 @@ def encode_jpeg(
         tables += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
     for tclass, (bits, vals) in tables:
         out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos_comps = b""
     for ci in range(channels):
         sos_comps += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
