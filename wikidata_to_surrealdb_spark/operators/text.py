@@ -167,6 +167,71 @@ def fts_search(index: DataFrame, query_terms: list[str]) -> DataFrame:
     )
 
 
+def fts_search_bm25(
+    index: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson et al.) over the inverted
+    index: per (doc, query term),
+
+        contrib = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with tf saturation (``k1``) and document-length normalization
+    (``b``); ``dl`` is the doc's token count (sum of tf over its index
+    rows), ``avgdl`` the corpus mean.
+
+    Portability: idf stays the exact-integer weight ``N * 1e6 div df``
+    (float ``log`` differs across engines); the saturation fraction is
+    double arithmetic written with the IDENTICAL operation order in the
+    DuckDB oracle, each contribution floor-rounded to 6 dp and summed
+    as exact DECIMAL (partition-order-immune), final score rounded to
+    4 dp — scores and ranks hash-match cross-engine.
+
+    Plan shape: df-per-term and (N, avgdl) are tiny broadcast
+    aggregates; the term filter prunes postings before anything
+    shuffles; the dl join is doc-keyed between the pruned candidates
+    and the doc-length relation (both partition by doc_id at scale);
+    the top-k window sees only the aggregated candidate set."""
+    from pyspark.sql.window import Window
+
+    from wikidata_to_surrealdb_spark.functions import fround
+
+    dl = index.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("_dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("_n_docs"),
+        (F.sum("_dl").cast("double") / F.count("*")).alias("_avgdl"),
+    )
+    df_t = (
+        index.where(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("_df"))
+    )
+    contrib = F.expr(
+        f"(CAST(_n_docs AS BIGINT) * 1000000 div _df) * "
+        f"(CAST(tf AS DOUBLE) * {k1 + 1.0!r}) / "
+        f"(CAST(tf AS DOUBLE) + {k1!r} * "
+        f"({1.0 - b!r} + {b!r} * (CAST(_dl AS DOUBLE) / _avgdl)))"
+    )
+    scored = (
+        index.where(F.col("term").isin(query_terms))
+        .join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_c", fround(contrib, 6).cast("decimal(28,6)"))
+        .groupBy("doc_id")
+        .agg(fround(F.sum("_c").cast("double"), 4).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "score", "rank")
+    )
+
+
 def fts_search_ranked(
     index: DataFrame, query_terms: list[str], k: int = 20
 ) -> DataFrame:

@@ -435,6 +435,81 @@ def b14_fts_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fts_search_ranked(index, ["merge", "vector", "stream"], k=20)
 
 
+def _bm25_oracle(terms: tuple[str, ...], k: int, k1: float, b: float) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    # the contribution expression is TEXTUALLY parallel to the Spark
+    # side (text.fts_search_bm25) — same literals, same parenthesization
+    # — so the IEEE double sequence is identical; DuckDB's // is Spark's
+    # div (both exact bigint)
+    contrib = (
+        f"(s.n_docs * 1000000 // d.df) * "
+        f"(CAST(i.tf AS DOUBLE) * {k1 + 1.0!r}) / "
+        f"(CAST(i.tf AS DOUBLE) + {k1!r} * "
+        f"({1.0 - b!r} + {b!r} * (CAST(dl.dl AS DOUBLE) / s.avgdl)))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(translate(lower(text), 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿāēīōūąćęłńśźż', 'aaaaaaceeeeiiiinooooouuuuyyaeiouacelnszz'), '[^a-z0-9]+'), t -> length(t) > 0)) AS raw_term
+      FROM documents
+    ), stemmed AS (
+      SELECT doc_id,
+        CASE
+          WHEN length(raw_term) > 5 AND raw_term LIKE '%ing' THEN substring(raw_term, 1, length(raw_term) - 3)
+          WHEN length(raw_term) > 4 AND raw_term LIKE '%ed' THEN substring(raw_term, 1, length(raw_term) - 2)
+          WHEN length(raw_term) > 3 AND raw_term LIKE '%es' THEN substring(raw_term, 1, length(raw_term) - 2)
+          WHEN length(raw_term) > 3 AND raw_term LIKE '%s' AND raw_term NOT LIKE '%ss'
+            THEN substring(raw_term, 1, length(raw_term) - 1)
+          ELSE raw_term END AS term
+      FROM toks
+    ), index_t AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM stemmed
+      WHERE length(term) > 0 GROUP BY term, doc_id
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM index_t GROUP BY doc_id
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM index_t
+      WHERE term IN ({tl}) GROUP BY term
+    ), contrib AS (
+      SELECT i.doc_id,
+             CAST({fround_sql(contrib, 6)} AS DECIMAL(28,6)) AS c
+      FROM index_t i
+      JOIN dfreq d ON d.term = i.term
+      JOIN dl ON dl.doc_id = i.doc_id
+      CROSS JOIN s
+      WHERE i.term IN ({tl})
+    ), scored AS (
+      SELECT doc_id, {fround_sql("CAST(sum(c) AS DOUBLE)", 4)} AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@_q(
+    "b14_fts_bm25",
+    _bm25_oracle(("merge", "vector", "stream"), 20, 1.2, 0.75),
+    "B14++: Okapi BM25 ranked retrieval — tf saturation (k1=1.2) + "
+    "doc-length normalization (b=0.75) over the inverted index; integer "
+    "idf (float log diverges across engines), contribution doubles "
+    "written with identical op order both sides, 6dp-rounded and "
+    "DECIMAL-summed so partial-agg order can't change the score, "
+    "deterministic top-20",
+)
+def b14_fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    index = text.inverted_index(t["documents"])
+    return text.fts_search_bm25(index, ["merge", "vector", "stream"], k=20)
+
+
 @_q(
     "b15_scalar",
     f"SELECT {fround_sql(dsum_sql('o_totalprice', 2) + ' / count(*)', 2)} AS avg_price FROM orders",
