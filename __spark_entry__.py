@@ -38,13 +38,16 @@ def _last_verified_round(
     ascending by the round of their last pass.  Over successive rounds every
     catalog query cycles through driver verification.
 
-    Values are ``(round, strength)``: strength 1 is a full oracle pass
-    (rows + schema + hash), 0 a clean rows-only run of an oracle-less
-    query (``err == "no_oracle"``).  Weak passes sort before full passes
-    of the same round, so a query that has since gained an oracle is
-    re-verified at the next opportunity instead of waiting a full cycle.
+    Values are ``(last_full_round, last_weak_round)``: a *full* pass is
+    rows + schema + hash; a *weak* pass is a clean rows-only run of an
+    oracle-less query (``err == "no_oracle"``).  The rotation sorts on
+    this tuple, so hash-verification recency is primary and weak passes
+    only order the never-hash-verified among themselves — a query that
+    gains an oracle after a rows-only round is re-verified at the next
+    opportunity (right after brand-new queries) instead of waiting a
+    full cycle.
     """
-    last: dict[str, tuple[int, int]] = {}
+    last: dict[str, list[int]] = {}
     for path in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -74,17 +77,16 @@ def _last_verified_round(
                 and row.get("spark_rows") is not None
             )
             if full or weak:
-                cand = (rnd, 1 if full else 0)
-                if cand > last.get(name, (-1, 0)):
-                    last[name] = cand
-    return last
+                cur = last.setdefault(name, [-1, -1])
+                cur[0 if full else 1] = max(cur[0 if full else 1], rnd)
+    return {n: (v[0], v[1]) for n, v in last.items()}
 
 
 def _rotated_names() -> list[str]:
     names = list(_catalog.QUERIES)
     pos = {n: i for i, n in enumerate(names)}
     last = _last_verified_round()
-    return sorted(names, key=lambda n: (*last.get(n, (-1, 0)), pos[n]))
+    return sorted(names, key=lambda n: (*last.get(n, (-1, -1)), pos[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

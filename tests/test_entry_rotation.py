@@ -35,9 +35,10 @@ def test_last_verified_round_parses_pass_rows(tmp_path):
     )
     last = entry._last_verified_round(str(tmp_path))
     # 'a' passed in r1; 'b' failed r1 but passed r2; 'c' errored (never
-    # passed); 'd' got a clean rows-only run (weak pass, strength 0,
-    # sorts before r2's full passes); 'e' never produced rows.
-    assert last == {"a": (1, 1), "b": (2, 1), "d": (2, 0)}
+    # passed); 'd' got a clean rows-only run in r2 (weak pass: no full
+    # round, so it sorts with the never-hash-verified, right after
+    # brand-new queries); 'e' never produced rows.
+    assert last == {"a": (1, -1), "b": (2, -1), "d": (-1, 2)}
 
 
 def test_last_verified_round_ignores_garbage(tmp_path):
@@ -54,7 +55,7 @@ def test_rotated_order_puts_unverified_first():
 
     assert sorted(names) == sorted(QUERIES)
     # Every never-verified query precedes every verified one.
-    ranks = [last.get(n, (-1, 0)) for n in names]
+    ranks = [last.get(n, (-1, -1)) for n in names]
     assert ranks == sorted(ranks)
 
 
