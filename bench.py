@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "tpch_q14",
     "tpch_q18",
     "b14_fts",
+    "b14_fts_bm25",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding",

@@ -194,7 +194,11 @@ def fts_search_bm25(
     aggregates; the term filter prunes postings before anything
     shuffles; the dl join is doc-keyed between the pruned candidates
     and the doc-length relation (both partition by doc_id at scale);
-    the top-k window sees only the aggregated candidate set."""
+    the top-k window sees only the aggregated candidate set. The
+    (N, avgdl) attach shows up in the audit as a
+    BroadcastNestedLoopJoin — deliberately: the build side is ONE row
+    (a constant attach per task), not a pair blowup; the usual BNLJ
+    scale hazard does not apply to a single-row broadcast relation."""
     from pyspark.sql.window import Window
 
     from wikidata_to_surrealdb_spark.functions import fround
