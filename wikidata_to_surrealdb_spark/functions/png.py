@@ -42,8 +42,6 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # MemoryError.
 MAX_PIXELS = 1 << 26
 
-_HANDLED_CHUNKS = {b"IHDR", b"PLTE", b"IDAT", b"IEND"}
-
 # colour type -> samples per pixel (before palette expansion)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _ALLOWED_DEPTHS = {
