@@ -501,3 +501,58 @@ def test_bucketed_merge_crash_between_write_and_swap_leaves_table_intact(
         for r in spark.read.parquet(f"{out}/Entity.parquet").collect()
     }
     assert got[2] == "updated2" and got[10] == "new10" and len(got) == 9
+
+
+def test_swap_rename_failure_preserves_recovery_evidence(tmp_path, monkeypatch):
+    """ADVICE regression: if a live->trash rename fails mid-swap (EACCES,
+    I/O error), the source dir stays in place — so an 'all live dirs
+    exist' guard would wrongly clean up. The cleanup must be gated on the
+    swap loop actually completing; trash + staging are the recovery
+    evidence and must survive."""
+    import os
+
+    from wikidata_to_surrealdb_spark.operators.ingest import _swap_buckets
+
+    table = tmp_path / "t.parquet"
+    staging = tmp_path / "t.parquet.staging-test"
+    for b in (0, 1):
+        (table / f"_bucket={b}").mkdir(parents=True)
+        (table / f"_bucket={b}" / "part-0.parquet").write_bytes(b"live%d" % b)
+        (staging / f"_bucket={b}").mkdir(parents=True)
+        (staging / f"_bucket={b}" / "part-0.parquet").write_bytes(b"new%d" % b)
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if "_bucket=1" in str(src) and ".trash-" in str(dst):
+            raise PermissionError(f"injected EACCES renaming {src}")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(PermissionError, match="injected"):
+        _swap_buckets(str(table), str(staging), [0, 1])
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # bucket 0 swapped, bucket 1 did not — and BOTH recovery dirs survive
+    assert (table / "_bucket=0" / "part-0.parquet").read_bytes() == b"new0"
+    assert (table / "_bucket=1" / "part-0.parquet").read_bytes() == b"live1"
+    trash_dirs = [p for p in tmp_path.iterdir() if ".trash-" in p.name]
+    assert len(trash_dirs) == 1, "trash dir (recovery evidence) was destroyed"
+    assert (trash_dirs[0] / "_bucket=0" / "part-0.parquet").read_bytes() == b"live0"
+    assert staging.exists(), "staging dir (recovery evidence) was destroyed"
+
+
+def test_bucketed_merge_rejects_object_store_uri():
+    """os.rename cannot swap hdfs:// / s3a:// paths Spark itself would
+    accept; the merge must fail fast with a clear error, not mid-swap."""
+    from wikidata_to_surrealdb_spark.operators.ingest import (
+        _require_local_path,
+        merge_into_bucketed,
+    )
+
+    for bad in ("s3a://bucket/tables", "hdfs://nn:8020/tables"):
+        with pytest.raises(ValueError, match="scheme"):
+            merge_into_bucketed(None, bad, None)
+    # file: URIs are fine — stripped to a plain local path
+    assert _require_local_path("file:///tmp/x") == "/tmp/x"
+    assert _require_local_path("/plain/path") == "/plain/path"

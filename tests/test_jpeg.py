@@ -205,3 +205,47 @@ def test_restart_markers_roundtrip_bit_identical():
     with_dri = encode_jpeg(rgb, 48, 32, 3, 85, subsampling="420", restart_interval=2)
     without = encode_jpeg(rgb, 48, 32, 3, 85, subsampling="420")
     assert decode_jpeg(with_dri)["pixels"] == decode_jpeg(without)["pixels"]
+
+
+def _shrink_segment(buf: bytes, marker: bytes, new_payload_len: int) -> bytes:
+    """Rewrite a segment's length field so its payload parses short —
+    the corrupt shape real truncation-in-the-middle produces (the
+    segment slice is internally consistent, just missing fields)."""
+    import struct
+
+    at = buf.find(marker)
+    assert at > 0
+    out = bytearray(buf)
+    out[at + 2 : at + 4] = struct.pack(">H", new_payload_len + 2)
+    return bytes(out)
+
+
+def test_short_segment_payloads_raise_jpegerror():
+    """ADVICE regression: a short SOF component list / SOS header / DRI
+    payload must raise JpegError, never bare ValueError ('not enough
+    values to unpack') or IndexError — those kill the Spark task."""
+    good = encode_jpeg(_gray_gradient(16, 16), 16, 16, 1, 85)
+
+    # SOF with the component list cut off (6-byte header only)
+    with pytest.raises(JpegError, match="SOF component"):
+        decode_jpeg(_shrink_segment(good, b"\xff\xc0", 6))
+    # SOF shorter than its own fixed header
+    with pytest.raises(JpegError, match="SOF"):
+        decode_jpeg(_shrink_segment(good, b"\xff\xc0", 3))
+    # SOS with an empty payload
+    with pytest.raises(JpegError, match="SOS"):
+        decode_jpeg(_shrink_segment(good, b"\xff\xda", 0))
+    # SOS whose component specs / Ss-Se-AhAl trailer are cut off
+    with pytest.raises(JpegError, match="SOS"):
+        decode_jpeg(_shrink_segment(good, b"\xff\xda", 2))
+    # DRI with a short payload
+    dri = encode_jpeg(_gray_gradient(16, 16), 16, 16, 1, 85, restart_interval=1)
+    with pytest.raises(JpegError, match="DRI"):
+        decode_jpeg(_shrink_segment(dri, b"\xff\xdd", 1))
+
+
+def test_encode_rejects_dimensions_beyond_u16():
+    """ADVICE regression: SOF stores dims as u16; oversized input must
+    raise JpegError up front, not struct.error mid-encode."""
+    with pytest.raises(JpegError, match="65535"):
+        encode_jpeg(b"\x00" * 65537, 1, 65537, 1)

@@ -229,3 +229,30 @@ def test_band_keys_numpy_matches_jvm(spark):
         for i, r in enumerate(rows)
     ]
     assert got == jvm
+
+
+def test_banded_lsh_tolerates_null_and_ragged_vectors(spark):
+    """ADVICE regression: a NULL embedding or a wrong-length vector in
+    the input must be dropped (like the old JVM expression path's
+    null-key rows), not crash the Arrow key stage with a numpy error."""
+    import pandas as pd
+
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        ann_banded_pairs_gemm,
+    )
+
+    dim = 8
+    base = [float(i % 3) + 0.1 * i for i in range(dim)]
+    rows = [
+        (1, base),
+        (2, [v * 1.001 for v in base]),  # near-dup of 1
+        (3, None),  # NULL embedding
+        (4, base[: dim - 2]),  # ragged (wrong length)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ann_banded_pairs_gemm(
+        df, bands=2, band_bits=2, dim=dim, threshold=0.9
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)

@@ -329,6 +329,12 @@ def encode_jpeg(
         )
     if width < 1 or height < 1:
         raise JpegError("dimensions must be positive")
+    if width > 65535 or height > 65535:
+        # SOF stores dimensions as u16 — beyond that the format itself
+        # cannot represent the image (struct.pack would die instead)
+        raise JpegError(
+            f"dimensions {width}x{height} exceed the JPEG u16 limit (65535)"
+        )
 
     img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
         height, width, channels
@@ -587,7 +593,11 @@ def decode_jpeg(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                 i += nvals
                 htables[(tc, th)] = _decode_table(bits, vals)
         elif marker in (0xC0, 0xC1):
+            if len(data) < 6:
+                raise JpegError("truncated SOF header")
             precision, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            if len(data) < 6 + 3 * ncomp:
+                raise JpegError("truncated SOF component list")
             if precision != 8:
                 raise JpegError(f"unsupported precision {precision}")
             if ncomp not in (1, 3):
@@ -613,11 +623,18 @@ def decode_jpeg(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
+            if len(data) < 2:
+                raise JpegError("truncated DRI")
             (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise JpegError("SOS before SOF")
+            if not data:
+                raise JpegError("truncated SOS header")
             ns = data[0]
+            # ns component specs (2 bytes each) + Ss/Se/AhAl trailer
+            if len(data) < 1 + 2 * ns + 3:
+                raise JpegError("truncated SOS component list")
             if ns != len(comps):
                 raise JpegError("non-interleaved scans not supported")
             sel = {}

@@ -582,10 +582,16 @@ def merge_into_bucketed(
        trash copy makes even that window recoverable by hand. Untouched
        bucket files stay byte-identical (asserted by test_ingest).
 
-    The rename swap assumes posix/HDFS-style directory rename; an
-    object-store deployment should target a table format (Iceberg/Delta)
-    whose manifest commit provides the same atomicity.
+    The swap runs through the ``os`` module, so ``out_dir`` must be a
+    driver-local filesystem path (validated below) — ``hdfs://`` /
+    ``s3a://`` URIs that Spark's own reader/writer would accept cannot
+    be renamed by ``os.rename``. An object-store deployment should
+    either target a table format (Iceberg/Delta) whose manifest commit
+    provides the same atomicity, or use the manifest-pointer commit in
+    :func:`merge_into_bucketed_manifest`, whose only atomic primitive
+    (single-file replace) every major object store offers.
     """
+    out_dir = _require_local_path(out_dir)
     touched_by_table: dict[str, list[int]] = {}
     for name, new_df in update.as_dict().items():
         path = f"{out_dir}/{name}.parquet"
@@ -614,6 +620,24 @@ def merge_into_bucketed(
     return touched_by_table
 
 
+def _require_local_path(out_dir: str) -> str:
+    """The bucket-swap protocols commit via driver-local ``os`` renames;
+    reject URI-scheme paths (hdfs://, s3a://, ...) up front instead of
+    failing mid-swap. ``file:`` URIs are accepted and stripped."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", out_dir)
+    if m is None:
+        return out_dir
+    if m.group(1) == "file":
+        return out_dir[len(m.group(0)) :]  # file:///tmp/x -> /tmp/x
+    raise ValueError(
+        f"bucketed merge commits via driver-local renames; {out_dir!r} has "
+        f"scheme {m.group(1)!r} — use a local path, or a table format / "
+        "manifest commit for object stores"
+    )
+
+
 def _swap_buckets(path: str, staging: str, touched: list[int]) -> None:
     """Swap staged ``_bucket=<b>`` dirs into the live table, keeping the
     replaced dirs in a trash sibling until every swap has succeeded.
@@ -623,6 +647,7 @@ def _swap_buckets(path: str, staging: str, touched: list[int]) -> None:
 
     trash = f"{path}.trash-{uuid.uuid4().hex[:8]}"
     os.makedirs(trash)
+    swapped = False
     try:
         for b in touched:
             live_b = os.path.join(path, f"_bucket={b}")
@@ -630,11 +655,12 @@ def _swap_buckets(path: str, staging: str, touched: list[int]) -> None:
             if os.path.exists(live_b):
                 os.rename(live_b, os.path.join(trash, f"_bucket={b}"))
             os.rename(staged_b, live_b)
+        swapped = True
     finally:
-        # only clean up after a fully successful swap; on failure the
-        # trash + staging dirs are the recovery evidence
-        if all(
-            os.path.exists(os.path.join(path, f"_bucket={b}")) for b in touched
-        ):
+        # only clean up after the swap loop itself completed; inferring
+        # success from "live dirs exist" would mistake a failed
+        # live->trash rename (source left in place) for success and
+        # destroy the recovery evidence
+        if swapped:
             shutil.rmtree(trash, ignore_errors=True)
             shutil.rmtree(staging, ignore_errors=True)

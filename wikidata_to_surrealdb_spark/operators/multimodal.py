@@ -224,7 +224,13 @@ def documents_as_jpeg_assets(
     (zero-padded to fill the last row), encoded with the in-repo
     from-spec baseline JPEG codec. Deterministic — same text, same
     bytes — and the header dimensions are an exact function of the text
-    length, which is what the metadata oracle checks."""
+    length, which is what the metadata oracle checks.
+
+    JPEG stores dimensions as u16, so a document longer than
+    ``width * 65535`` UTF-8 bytes cannot be represented at this width;
+    such payloads are deterministically TRUNCATED to the representable
+    prefix (rather than NULL-flagged or task-killed) so every document
+    still yields exactly one asset row."""
 
     load_jpeg = _make_jpeg_loader(_PKG_ROOT)
 
@@ -238,7 +244,7 @@ def documents_as_jpeg_assets(
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                raw = (text or "").encode("utf-8")
+                raw = (text or "").encode("utf-8")[: width * 65535]
                 height = max(1, (len(raw) + width - 1) // width)
                 px = raw.ljust(width * height, b"\x00")
                 buf = encode_jpeg(px, width, height, 1, quality)
@@ -296,7 +302,9 @@ def jpeg_meta(assets: DataFrame) -> DataFrame:
                             "progressive": d["progressive"],
                         }
                     )
-                except (JpegError, _struct.error):
+                except (JpegError, ValueError, IndexError, _struct.error):
+                    # belt-and-braces: the codec contract is JpegError-only,
+                    # but a corrupt asset must NULL-flag, never kill the task
                     rows.append({"asset_id": asset_id})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in JPEG_META_SCHEMA.fields]
@@ -453,7 +461,7 @@ def decode_features(
                                 "pixel_hash": _hl.md5(px).hexdigest(),
                             }
                         )
-                    except (PngError, zlib_error, _struct.error):
+                    except (PngError, zlib_error, ValueError, IndexError, _struct.error):
                         rows.append({"asset_id": asset_id})
                 yield pd.DataFrame(
                     rows,
@@ -497,7 +505,7 @@ def decode_features(
                                 "pixel_hash": _hl.md5(px).hexdigest(),
                             }
                         )
-                    except (JpegError, _struct.error):
+                    except (JpegError, ValueError, IndexError, _struct.error):
                         rows.append({"asset_id": asset_id})
                 yield pd.DataFrame(
                     rows,
@@ -626,10 +634,10 @@ def resize_images(
         resize_nearest = png.resize_nearest
         if use_jpeg:
             jpeg = load_jpeg()
-            errors = (jpeg.JpegError, _struct.error)
+            errors = (jpeg.JpegError, ValueError, IndexError, _struct.error)
             dec, enc, mime = jpeg.decode_jpeg, jpeg.encode_jpeg, "image/jpeg"
         else:
-            errors = (png.PngError, zlib_error, _struct.error)
+            errors = (png.PngError, zlib_error, ValueError, IndexError, _struct.error)
             dec, enc, mime = png.decode_png, png.encode_png, "image/png"
 
         for pdf in batches:

@@ -438,6 +438,19 @@ def ann_banded_pairs_gemm(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # drop NULL / wrong-length vectors before stacking — the
+            # (n, dim) matrix requires rectangular input, and the JVM
+            # expression path this replaced silently dropped null-key
+            # rows rather than failing the stage
+            ok = np.fromiter(
+                (v is not None and len(v) == len(planes[0]) for v in pdf["_gv"]),
+                dtype=bool,
+                count=len(pdf),
+            )
+            if not ok.all():
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
             xs = [np.asarray(v, dtype=np.float64) for v in pdf["_gv"]]
             x = np.array(xs)
             keys = _nbk(x, planes, band_bits)

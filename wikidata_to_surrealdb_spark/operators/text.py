@@ -194,13 +194,13 @@ def fts_search_bm25(
     aggregates; the term filter prunes postings before anything
     shuffles; the dl join is doc-keyed between the pruned candidates
     and the doc-length relation (both partition by doc_id at scale);
-    the top-k window sees only the aggregated candidate set. The
+    the top-k is ``orderBy().limit(k)`` — TakeOrderedAndProject, a
+    parallel per-partition partial top-k with NO SinglePartition
+    exchange — and only the <= k survivors see the rank window. The
     (N, avgdl) attach shows up in the audit as a
     BroadcastNestedLoopJoin — deliberately: the build side is ONE row
     (a constant attach per task), not a pair blowup; the usual BNLJ
     scale hazard does not apply to a single-row broadcast relation."""
-    from pyspark.sql.window import Window
-
     from wikidata_to_surrealdb_spark.functions import fround
 
     dl = index.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("_dl"))
@@ -228,12 +228,24 @@ def fts_search_bm25(
         .groupBy("doc_id")
         .agg(fround(F.sum("_c").cast("double"), 4).alias("score"))
     )
+    return _rank_topk(scored, k).select("doc_id", "score", "rank")
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k of a ``(doc_id, score)`` relation WITHOUT a
+    SinglePartition exchange of the candidate set: ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject (each partition keeps a local
+    top-k heap, the driver merges k-row partials — the same shape
+    ``sample_quantiles`` uses), then ONLY the <= k survivors go through
+    the row_number window. A global ``row_number() OVER (ORDER BY ...)``
+    on the full candidate set would funnel every document matching any
+    query term through one reducer — tens of millions of rows for a
+    common term at corpus scale."""
+    from pyspark.sql.window import Window
+
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .select("doc_id", "score", "rank")
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 def fts_search_ranked(
@@ -250,11 +262,9 @@ def fts_search_ranked(
 
     Plan shape: df-per-term and N are tiny aggregates broadcast into the
     postings of the query terms only (the term filter prunes before any
-    shuffle); the final top-k window runs on the already-aggregated
-    candidate set, which is at most #docs-matching-query rows.
+    shuffle); the final top-k is TakeOrderedAndProject (see
+    :func:`_rank_topk`) — no SinglePartition exchange anywhere.
     """
-    from pyspark.sql.window import Window
-
     n_docs = index.select(
         F.countDistinct("doc_id").alias("_n_docs")
     )
@@ -274,11 +284,7 @@ def fts_search_ranked(
         .groupBy("doc_id")
         .agg(F.sum("_w").cast("bigint").alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
