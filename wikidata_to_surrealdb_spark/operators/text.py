@@ -157,6 +157,32 @@ def inverted_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def doc_lengths(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc_id, _dl)`` doc-length relation for ranked retrieval,
+    computed ARRAY-LOCALLY from the document table — ``size(tokens)``
+    per row, a pure map with no explode and no shuffle.
+
+    This equals ``sum(tf)`` over the doc's inverted-index rows because
+    the analyzer's stemmers never map a non-empty token to the empty
+    string (every suffix rule keeps >= 2 chars; Porter2 likewise), so
+    the post-stem ``length > 0`` filter drops nothing the tokenizer
+    kept. Docs with zero tokens are excluded, matching the
+    index-derived relation (they have no postings).
+
+    This is the index-build output a served deployment would persist
+    next to the postings: per-query ranked retrieval then touches only
+    term-pruned postings plus this map-only relation, instead of
+    re-aggregating the full index to recover doc lengths."""
+    folded = ascii_fold(F.lower(F.col(text_col)))
+    toks = tokens_col(folded, lowercase=False)
+    return (
+        df.select(F.col(id_col), F.size(toks).cast("bigint").alias("_dl"))
+        .where(F.col("_dl") > 0)
+    )
+
+
 def fts_search(index: DataFrame, query_terms: list[str]) -> DataFrame:
     """Look up analyzed terms in the inverted index, rank docs by summed
     tf. The term filter prunes before the aggregation shuffles."""
@@ -173,6 +199,7 @@ def fts_search_bm25(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    doclen: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 ranked retrieval (Robertson et al.) over the inverted
     index: per (doc, query term),
@@ -190,28 +217,35 @@ def fts_search_bm25(
     as exact DECIMAL (partition-order-immune), final score rounded to
     4 dp — scores and ranks hash-match cross-engine.
 
-    Plan shape: df-per-term and (N, avgdl) are tiny broadcast
-    aggregates; the term filter prunes postings before anything
-    shuffles; the dl join is doc-keyed between the pruned candidates
-    and the doc-length relation (both partition by doc_id at scale);
-    the top-k is ``orderBy().limit(k)`` — TakeOrderedAndProject, a
+    Pass ``doclen`` (the :func:`doc_lengths` relation a served index
+    persists at build time) to keep the query term-pruned end to end;
+    without it the doc-length relation is re-derived by aggregating the
+    FULL index — correct, but a corpus-sized pass per query.
+
+    Plan shape: the term filter prunes postings before anything
+    shuffles; per-term df is a count window OVER THE PRUNED candidates
+    (one term-keyed exchange of candidate rows — no second pass over
+    the corpus to pre-aggregate df); the dl join is doc-keyed between
+    the pruned candidates and the map-only doc-length relation; (N,
+    avgdl) is a tiny broadcast aggregate of that same relation; the
+    top-k is ``orderBy().limit(k)`` — TakeOrderedAndProject, a
     parallel per-partition partial top-k with NO SinglePartition
     exchange — and only the <= k survivors see the rank window. The
     (N, avgdl) attach shows up in the audit as a
     BroadcastNestedLoopJoin — deliberately: the build side is ONE row
     (a constant attach per task), not a pair blowup; the usual BNLJ
     scale hazard does not apply to a single-row broadcast relation."""
+    from pyspark.sql.window import Window
+
     from wikidata_to_surrealdb_spark.functions import fround
 
-    dl = index.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("_dl"))
-    stats = dl.agg(
+    if doclen is None:
+        doclen = index.groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("_dl")
+        )
+    stats = doclen.agg(
         F.count("*").cast("bigint").alias("_n_docs"),
         (F.sum("_dl").cast("double") / F.count("*")).alias("_avgdl"),
-    )
-    df_t = (
-        index.where(F.col("term").isin(query_terms))
-        .groupBy("term")
-        .agg(F.count("*").alias("_df"))
     )
     contrib = F.expr(
         f"(CAST(_n_docs AS BIGINT) * 1000000 div _df) * "
@@ -221,8 +255,11 @@ def fts_search_bm25(
     )
     scored = (
         index.where(F.col("term").isin(query_terms))
-        .join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
+        .withColumn(
+            "_df",
+            F.count("*").over(Window.partitionBy("term")).cast("bigint"),
+        )
+        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn("_c", fround(contrib, 6).cast("decimal(28,6)"))
         .groupBy("doc_id")
@@ -249,7 +286,10 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def fts_search_ranked(
-    index: DataFrame, query_terms: list[str], k: int = 20
+    index: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    doclen: DataFrame | None = None,
 ) -> DataFrame:
     """TF-IDF-style ranked retrieval over the inverted index: per doc,
     score = sum(tf * idf) over the query terms, top-k with a
@@ -260,22 +300,25 @@ def fts_search_ranked(
     idf but exact bigint arithmetic end to end, so rankings and scores
     are bit-identical across engines (float log() is not).
 
-    Plan shape: df-per-term and N are tiny aggregates broadcast into the
-    postings of the query terms only (the term filter prunes before any
-    shuffle); the final top-k is TakeOrderedAndProject (see
+    Plan shape: per-term df is a count window over the term-pruned
+    candidates; N is a tiny broadcast aggregate (of the map-only
+    :func:`doc_lengths` relation when supplied, else of the full index
+    — a corpus-sized distinct per query, the reason a served index
+    persists doclen); the final top-k is TakeOrderedAndProject (see
     :func:`_rank_topk`) — no SinglePartition exchange anywhere.
     """
-    n_docs = index.select(
-        F.countDistinct("doc_id").alias("_n_docs")
-    )
-    df_t = (
-        index.where(F.col("term").isin(query_terms))
-        .groupBy("term")
-        .agg(F.count("*").alias("_df"))
-    )
+    from pyspark.sql.window import Window
+
+    if doclen is None:
+        n_docs = index.select(F.countDistinct("doc_id").alias("_n_docs"))
+    else:
+        n_docs = doclen.agg(F.count("*").cast("bigint").alias("_n_docs"))
     scored = (
         index.where(F.col("term").isin(query_terms))
-        .join(F.broadcast(df_t), "term")
+        .withColumn(
+            "_df",
+            F.count("*").over(Window.partitionBy("term")).cast("bigint"),
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "_w",

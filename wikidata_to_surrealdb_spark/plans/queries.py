@@ -432,7 +432,10 @@ def b14_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b14_fts_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     index = text.inverted_index(t["documents"])
-    return text.fts_search_ranked(index, ["merge", "vector", "stream"], k=20)
+    doclen = text.doc_lengths(t["documents"])
+    return text.fts_search_ranked(
+        index, ["merge", "vector", "stream"], k=20, doclen=doclen
+    )
 
 
 def _bm25_oracle(terms: tuple[str, ...], k: int, k1: float, b: float) -> str:
@@ -507,7 +510,12 @@ def _bm25_oracle(terms: tuple[str, ...], k: int, k1: float, b: float) -> str:
 def b14_fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     index = text.inverted_index(t["documents"])
-    return text.fts_search_bm25(index, ["merge", "vector", "stream"], k=20)
+    # doc lengths come from the map-only index-build relation, not a
+    # per-query re-aggregation of the full index
+    doclen = text.doc_lengths(t["documents"])
+    return text.fts_search_bm25(
+        index, ["merge", "vector", "stream"], k=20, doclen=doclen
+    )
 
 
 @_q(
