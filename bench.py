@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "stream_sessionize_stateful",
     "sim_bruteforce",
     "mm_decode_features",
+    "mm_decode_jpeg",
     "curation_repetition",
     "curation_passage_dedup",
     "curation_pii_redact",

@@ -14,6 +14,7 @@ from wikidata_to_surrealdb_spark.functions.jpeg import (
     JpegError,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     jpeg_dimensions,
 )
 
@@ -145,15 +146,61 @@ def test_pixel_cap_rejected_before_plane_allocation():
         decode_jpeg(good, max_pixels=16)
 
 
-def test_progressive_rejected_but_dimensions_readable():
-    good = encode_jpeg(_gray_gradient(8, 8), 8, 8, 1, 85)
-    sof_at = good.find(b"\xff\xc0")
-    prog = bytearray(good)
-    prog[sof_at + 1] = 0xC2  # flip SOF0 -> SOF2
-    with pytest.raises(JpegError, match="progressive"):
-        decode_jpeg(bytes(prog))
-    d = jpeg_dimensions(bytes(prog))
-    assert d["progressive"] is True and d["width"] == 8
+def test_progressive_decodes_identical_to_baseline():
+    """SOF2 support (T.81 Annex G): the progressive encoder transmits
+    the SAME quantized coefficients as the baseline encoder (spectral
+    selection + successive approximation, libjpeg-style scan script),
+    so the decoded pixels must be bit-identical — exercising DC
+    first/refine, AC first/refine, EOB runs, and non-interleaved scan
+    geometry in one assertion per shape."""
+    rs = np.random.RandomState(7)
+    for w, h, ch, sub in [
+        (16, 16, 1, "444"),
+        (21, 13, 1, "444"),  # odd dims: partial edge blocks
+        (48, 32, 3, "444"),
+        (33, 17, 3, "420"),  # subsampled: nbw/nbh < bw/bh geometry
+    ]:
+        px = bytes(rs.randint(0, 256, w * h * ch).astype(np.uint8))
+        base = decode_jpeg(encode_jpeg(px, w, h, ch, 85, sub))
+        buf = encode_jpeg_progressive(px, w, h, ch, 85, sub)
+        d = jpeg_dimensions(buf)
+        assert d["progressive"] is True and d["width"] == w
+        assert decode_jpeg(buf)["pixels"] == base["pixels"], (w, h, ch, sub)
+
+
+def test_progressive_restart_markers_roundtrip():
+    """RSTn inside progressive scans must reset DC predictors AND the
+    EOB run; pixels stay identical to the unrestarted stream."""
+    import re
+
+    rs = np.random.RandomState(9)
+    px = bytes(rs.randint(0, 256, 48 * 32 * 3).astype(np.uint8))
+    base = decode_jpeg(encode_jpeg(px, 48, 32, 3, 85, "420"))
+    buf = encode_jpeg_progressive(px, 48, 32, 3, 85, "420", restart_interval=2)
+    assert len(re.findall(rb"\xff[\xd0-\xd7]", buf)) > 0
+    assert decode_jpeg(buf)["pixels"] == base["pixels"]
+
+
+def test_progressive_committed_fixture():
+    """Golden: a committed progressive (SOF2) file must keep decoding to
+    its committed pixels — catches silent drift in the multi-scan
+    decode paths from either direction."""
+    buf = (DATA / "golden_prog_24x16.jpg").read_bytes()
+    expect = (DATA / "golden_prog_24x16_decoded.bin").read_bytes()
+    d = jpeg_dimensions(buf)
+    assert d["progressive"] is True
+    out = decode_jpeg(buf)
+    assert (out["width"], out["height"], out["channels"]) == (24, 16, 3)
+    assert out["pixels"] == expect
+
+
+def test_progressive_truncation_contract():
+    """Every possible truncation of a progressive stream raises
+    JpegError — never a task-killing IndexError/ValueError."""
+    buf = encode_jpeg_progressive(_gray_gradient(16, 16), 16, 16, 1, 85)
+    for cut in range(1, len(buf)):
+        with pytest.raises(JpegError):
+            decode_jpeg(buf[:cut])
 
 
 def test_foreign_huffman_tables_decode():

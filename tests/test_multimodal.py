@@ -283,3 +283,38 @@ def test_documents_as_jpeg_assets_header_contract(spark):
     assert metas[3]["height"] == 1
     assert metas[4]["height"] == 1
     assert all(m["width"] == 32 and m["components"] == 1 for m in metas.values())
+
+
+def test_progressive_jpeg_assets_decode_in_spark(spark):
+    """documents_as_jpeg_assets(progressive=True) emits SOF2 streams and
+    decode_features(decoder='jpeg') runs the full multi-scan decode in
+    the workers — pixels must equal the baseline-encoded twin's (both
+    transmit the same quantized coefficients)."""
+    docs = spark.createDataFrame(
+        [(1, "progressive jpeg corpus row one"), (2, "row two " * 40), (3, "")],
+        "doc_id long, text string",
+    )
+    base = {
+        r["asset_id"]: r
+        for r in multimodal.decode_features(
+            multimodal.documents_as_jpeg_assets(docs, width=16),
+            decoder="jpeg",
+        ).collect()
+    }
+    meta = {
+        r["asset_id"]: r
+        for r in multimodal.jpeg_meta(
+            multimodal.documents_as_jpeg_assets(docs, width=16, progressive=True)
+        ).collect()
+    }
+    prog = {
+        r["asset_id"]: r
+        for r in multimodal.decode_features(
+            multimodal.documents_as_jpeg_assets(docs, width=16, progressive=True),
+            decoder="jpeg",
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert meta[i]["progressive"] is True
+        assert prog[i]["width"] == base[i]["width"] == 16
+        assert prog[i]["pixel_hash"] == base[i]["pixel_hash"], i

@@ -12,14 +12,18 @@ The reference only ever stores a media *pointer* (`CommonsMedia(String)`,
 JPEG-dominant, which is why the decode extension needs this codec.
 
 Scope (documented, raises beyond it):
-- decode: baseline + extended sequential DCT, Huffman (SOF0/SOF1),
-  8-bit precision, grayscale or 3-component YCbCr, sampling factors
-  up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, multi-table
-  DQT/DHT segments. Progressive (SOF2) and arithmetic coding raise
-  JpegError — re-encode upstream (same policy as PNG's Adam7).
-- encode: baseline sequential, 4:4:4 (no subsampling), Annex K
-  standard Huffman tables, Annex K quantization scaled by the usual
-  libjpeg-style quality formula; grayscale or RGB input.
+- decode: baseline + extended sequential DCT (SOF0/SOF1) AND
+  progressive DCT (SOF2, T.81 Annex G: spectral selection +
+  successive approximation, EOB-run coding, multi-scan,
+  non-interleaved scan geometry), Huffman entropy coding, 8-bit
+  precision, grayscale or 3-component YCbCr, sampling factors up to
+  2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, multi-table DQT/DHT
+  segments. Arithmetic coding and hierarchical modes raise JpegError.
+- encode: baseline sequential (Annex K standard Huffman tables) via
+  :func:`encode_jpeg`, or progressive via
+  :func:`encode_jpeg_progressive` (libjpeg-style scan script, flat
+  stream-supplied AC tables); Annex K quantization scaled by the
+  usual libjpeg-style quality formula; grayscale or RGB input.
 - Huffman/quantization tables are always read FROM THE STREAM when
   decoding, so files produced by other encoders (different tables)
   decode correctly; the Annex K tables here are only encoder defaults.
@@ -299,25 +303,9 @@ def _category(v: int) -> int:
 # --- encoder ----------------------------------------------------------------
 
 
-def encode_jpeg(
-    pixels: bytes,
-    width: int,
-    height: int,
-    channels: int = 1,
-    quality: int = 75,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode 8-bit samples to a baseline JFIF JPEG (Annex K Huffman
-    tables, quality-scaled Annex K quantization). ``channels`` 1 ->
-    grayscale, 3 -> RGB; ``subsampling`` "444" (no chroma subsampling)
-    or "420" (2x2 box-averaged chroma — what real corpora mostly use);
-    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
-    every that many MCUs (what real encoders do for error resilience —
-    and what exercises the decoder's restart path).
-    Deterministic for a given input."""
-    import numpy as np
-
+def _validate_encode_args(
+    pixels, width: int, height: int, channels: int, subsampling: str
+) -> None:
     if channels not in (1, 3):
         raise JpegError(f"channels must be 1 or 3, got {channels}")
     if subsampling not in ("444", "420"):
@@ -336,6 +324,12 @@ def encode_jpeg(
             f"dimensions {width}x{height} exceed the JPEG u16 limit (65535)"
         )
 
+
+def _prepare_planes(pixels, width, height, channels, subsampling):
+    """Color-convert, chroma-subsample, and pad each component plane to
+    its MCU block grid. Returns (comp_planes, sampling, mcux, mcuy)."""
+    import numpy as np
+
     img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
         height, width, channels
     ).astype(np.float64)
@@ -348,16 +342,6 @@ def encode_jpeg(
         ]
     else:
         planes = [img[..., 0]]
-
-    q_luma = _quality_scale(QUANT_LUMA, quality)
-    q_chroma = _quality_scale(QUANT_CHROMA, quality)
-    qtabs = [q_luma] + ([q_chroma] if channels == 3 else [])
-    enc_dc = [_canonical_codes(*DC_LUMA)] + (
-        [_canonical_codes(*DC_CHROMA)] if channels == 3 else []
-    )
-    enc_ac = [_canonical_codes(*AC_LUMA)] + (
-        [_canonical_codes(*AC_CHROMA)] if channels == 3 else []
-    )
 
     sampling = (
         [(2, 2), (1, 1), (1, 1)]
@@ -387,20 +371,75 @@ def encode_jpeg(
             mode="edge",
         )
         comp_planes.append(p)
+    return comp_planes, sampling, mcux, mcuy
+
+
+def _coef_blocks(comp_planes, sampling, qtab_for, mcux, mcuy):
+    """Quantized DCT coefficients for every block of every component, in
+    ZIGZAG order: a list of int ``(bh*bw, 64)`` arrays (block raster
+    order over the padded plane). Per-block math is kept IDENTICAL to
+    the historical emit loop (same op order) so baseline output bytes
+    are unchanged by the refactor."""
+    import numpy as np
 
     C = _dct_matrix()
+    out = []
+    for ci, ((h, v), plane) in enumerate(zip(sampling, comp_planes)):
+        bw_, bh_ = mcux * h, mcuy * v
+        q = np.asarray(qtab_for(ci), dtype=np.float64).reshape(8, 8)
+        blocks = np.empty((bh_ * bw_, 64), dtype=np.int64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = C @ (block - 128.0) @ C.T
+                quant = np.round(coef / q).astype(np.int64)
+                blocks[by * bw_ + bx] = quant.flat[ZIGZAG]
+        out.append(blocks)
+    return out
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 8-bit samples to a baseline JFIF JPEG (Annex K Huffman
+    tables, quality-scaled Annex K quantization). ``channels`` 1 ->
+    grayscale, 3 -> RGB; ``subsampling`` "444" (no chroma subsampling)
+    or "420" (2x2 box-averaged chroma — what real corpora mostly use);
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (what real encoders do for error resilience —
+    and what exercises the decoder's restart path).
+    Deterministic for a given input."""
+    _validate_encode_args(pixels, width, height, channels, subsampling)
+    q_luma = _quality_scale(QUANT_LUMA, quality)
+    q_chroma = _quality_scale(QUANT_CHROMA, quality)
+    qtabs = [q_luma] + ([q_chroma] if channels == 3 else [])
+    enc_dc = [_canonical_codes(*DC_LUMA)] + (
+        [_canonical_codes(*DC_CHROMA)] if channels == 3 else []
+    )
+    enc_ac = [_canonical_codes(*AC_LUMA)] + (
+        [_canonical_codes(*AC_CHROMA)] if channels == 3 else []
+    )
+
+    comp_planes, sampling, mcux, mcuy = _prepare_planes(
+        pixels, width, height, channels, subsampling
+    )
+    coefs = _coef_blocks(
+        comp_planes, sampling, lambda ci: qtabs[0 if ci == 0 else 1], mcux, mcuy
+    )
+
     bw = _BitWriter()
     prev_dc = [0] * channels
 
-    def emit_block(block, ci: int) -> None:
+    def emit_block(zz, ci: int) -> None:
         ti = 0 if ci == 0 else 1
-        coef = C @ (block - 128.0) @ C.T
-        # qtabs are in natural (row-major) order
-        q = np.asarray(qtabs[ti], dtype=np.float64).reshape(8, 8)
-        quant = np.round(coef / q).astype(np.int64)
-        zz = [int(quant.flat[ZIGZAG[i]]) for i in range(64)]
-        diff = zz[0] - prev_dc[ci]
-        prev_dc[ci] = zz[0]
+        diff = int(zz[0]) - prev_dc[ci]
+        prev_dc[ci] = int(zz[0])
         s = _category(diff)
         code, ln = enc_dc[ti][s]
         bw.write(code, ln)
@@ -408,7 +447,7 @@ def encode_jpeg(
             bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
         run = 0
         for k in range(1, 64):
-            v = zz[k]
+            v = int(zz[k])
             if v == 0:
                 run += 1
                 continue
@@ -438,13 +477,11 @@ def encode_jpeg(
                 prev_dc[:] = [0] * channels
             for ci in range(channels):
                 h, v = sampling[ci]
+                bw_blocks = mcux * h
                 for by in range(v):
                     for bx in range(h):
-                        r0 = (my * v + by) * 8
-                        c0 = (mx * h + bx) * 8
-                        emit_block(
-                            comp_planes[ci][r0 : r0 + 8, c0 : c0 + 8], ci
-                        )
+                        idx = (my * v + by) * bw_blocks + (mx * h + bx)
+                        emit_block(coefs[ci][idx], ci)
             mcu_index += 1
     bw.flush()
 
@@ -478,6 +515,295 @@ def encode_jpeg(
     out += seg(0xDA, bytes([channels]) + sos_comps + b"\x00\x3f\x00")
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder ----------------------------------------------------
+
+# Flat Huffman table for progressive AC scans: 128 symbols at 8 bits +
+# 128 at 9 (Kraft sum 0.75, all-ones code unused — both T.81 table
+# constraints hold). Progressive AC coding needs the EOBn symbols
+# (r<<4 | 0, r=1..14) that the Annex K baseline tables do not define;
+# a complete table keeps the encoder simple and — since tables are
+# always read FROM THE STREAM — exercises the decoder's foreign-table
+# path on every progressive fixture.
+AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+# libjpeg-style default scan scripts: (component ids, Ss, Se, Ah, Al).
+# DC first with one bit of successive approximation, AC spectral bands
+# at Al=2/1 with two refinement passes, DC refinement last — together
+# they exercise every progressive scan type the decoder implements.
+_PROG_SCANS_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+    ((0,), 0, 0, 1, 0),
+)
+_PROG_SCANS_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: wraps _BitWriter with the
+    EOB-run and correction-bit buffering T.81 G.1.2 requires."""
+
+    def __init__(self, enc_dc, enc_ac):
+        self.bw = _BitWriter()
+        self.enc_dc = enc_dc
+        self.enc_ac = enc_ac
+        self.eobrun = 0
+        self.pending_bits: list[int] = []  # corrections owed after EOBn
+
+    def sym_dc(self, ti, s):
+        code, ln = self.enc_dc[ti][s]
+        self.bw.write(code, ln)
+
+    def sym_ac(self, ti, s):
+        code, ln = self.enc_ac[ti][s]
+        self.bw.write(code, ln)
+
+    def flush_eobrun(self, ti):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym_ac(ti, r << 4)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            self.bw.write(b, 1)
+        self.pending_bits = []
+
+    def dc_first(self, ti, zz, pred, ci, al):
+        val = int(zz[0]) >> al  # DC point transform is an arithmetic shift
+        diff = val - pred[ci]
+        pred[ci] = val
+        s = _category(diff)
+        self.sym_dc(ti, s)
+        if s:
+            self.bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def dc_refine(self, zz, al):
+        self.bw.write((int(zz[0]) >> al) & 1, 1)
+
+    def ac_first(self, ti, zz, ss, se, al):
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al  # AC point transform divides toward zero
+            if t == 0:
+                run += 1
+                continue
+            self.flush_eobrun(ti)
+            while run > 15:
+                self.sym_ac(ti, 0xF0)
+                run -= 16
+            s = _category(t)
+            tv = t if v >= 0 else -t
+            self.sym_ac(ti, (run << 4) | s)
+            self.bw.write(tv if tv >= 0 else tv + (1 << s) - 1, s)
+            run = 0
+        if run > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun(ti)
+
+    def ac_refine(self, ti, zz, ss, se, al):
+        absvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob_rel = -1
+        for i, t in enumerate(absvals):
+            if t == 1:
+                eob_rel = i
+        run = 0
+        br_bits: list[int] = []  # corrections within the current run
+        for i, k in enumerate(range(ss, se + 1)):
+            t = absvals[i]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_rel:
+                self.flush_eobrun(ti)
+                self.sym_ac(ti, 0xF0)
+                run -= 16
+                for b in br_bits:
+                    self.bw.write(b, 1)
+                br_bits = []
+            if t > 1:
+                # already nonzero at the previous precision: one
+                # correction bit, run of zero-history coeffs continues
+                br_bits.append((abs(int(zz[k])) >> al) & 1)
+                continue
+            # newly nonzero at this precision
+            self.flush_eobrun(ti)
+            self.sym_ac(ti, (run << 4) | 1)
+            self.bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br_bits:
+                self.bw.write(b, 1)
+            br_bits = []
+            run = 0
+        if run > 0 or br_bits:
+            self.eobrun += 1
+            self.pending_bits.extend(br_bits)
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun(ti)
+
+
+def encode_jpeg_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) JFIF JPEG: spectral selection +
+    successive approximation per T.81 Annex G, with a libjpeg-style
+    scan script (DC successive approximation, split AC bands, two AC
+    refinement passes). The quantized coefficients are byte-for-byte
+    the ones :func:`encode_jpeg` computes, so
+    ``decode_jpeg(encode_jpeg_progressive(px)) ==
+    decode_jpeg(encode_jpeg(px))`` exactly — the round-trip test the
+    decoder's progressive paths are pinned by. ``restart_interval``
+    emits RSTn markers inside every scan (resetting DC predictors and
+    EOB runs, as the spec requires)."""
+    _validate_encode_args(pixels, width, height, channels, subsampling)
+    q_luma = _quality_scale(QUANT_LUMA, quality)
+    q_chroma = _quality_scale(QUANT_CHROMA, quality)
+    qtabs = [q_luma] + ([q_chroma] if channels == 3 else [])
+    enc_dc = [_canonical_codes(*DC_LUMA)] + (
+        [_canonical_codes(*DC_CHROMA)] if channels == 3 else []
+    )
+    enc_ac = [_canonical_codes(*AC_PROG), _canonical_codes(*AC_PROG)]
+
+    comp_planes, sampling, mcux, mcuy = _prepare_planes(
+        pixels, width, height, channels, subsampling
+    )
+    coefs = _coef_blocks(
+        comp_planes, sampling, lambda ci: qtabs[0 if ci == 0 else 1], mcux, mcuy
+    )
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    # per-component block geometry: full padded grid (interleaved scans)
+    # and the visible-sample grid (non-interleaved AC scans cover only
+    # ceil(ceil(dim * f / fmax) / 8) blocks — T.81 A.2.2/B.2.3)
+    geom = []
+    for h, v in sampling:
+        bw_ = mcux * h
+        nbw = (-(-width * h // hmax) + 7) // 8
+        nbh = (-(-height * v // vmax) + 7) // 8
+        geom.append({"bw": bw_, "nbw": nbw, "nbh": nbh})
+
+    scans = _PROG_SCANS_GRAY if channels == 1 else _PROG_SCANS_COLOR
+
+    def encode_scan(comp_ids, ss, se, ah, al) -> bytes:
+        w = _ProgScanWriter(enc_dc, enc_ac)
+        pred = [0] * channels
+        rst_n = 0
+        n_units = 0
+
+        def maybe_restart():
+            nonlocal rst_n
+            if restart_interval and n_units and n_units % restart_interval == 0:
+                # flush EOB run + pad, raw RSTn, reset predictors/EOB state
+                w.flush_eobrun(0 if comp_ids[0] == 0 else 1)
+                w.bw.flush()
+                w.bw.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+                rst_n += 1
+                pred[:] = [0] * channels
+
+        def do_block(ci, idx):
+            ti = 0 if ci == 0 else 1
+            zz = coefs[ci][idx]
+            if ss == 0:
+                if ah == 0:
+                    w.dc_first(ti, zz, pred, ci, al)
+                else:
+                    w.dc_refine(zz, al)
+            else:
+                if ah == 0:
+                    w.ac_first(ti, zz, ss, se, al)
+                else:
+                    w.ac_refine(ti, zz, ss, se, al)
+
+        if len(comp_ids) > 1:  # interleaved (DC scans only)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for ci in comp_ids:
+                        h, v = sampling[ci]
+                        for by in range(v):
+                            for bx in range(h):
+                                idx = (my * v + by) * geom[ci]["bw"] + (
+                                    mx * h + bx
+                                )
+                                do_block(ci, idx)
+                    n_units += 1
+        else:
+            ci = comp_ids[0]
+            g = geom[ci]
+            for by in range(g["nbh"]):
+                for bx in range(g["nbw"]):
+                    maybe_restart()
+                    do_block(ci, by * g["bw"] + bx)
+                    n_units += 1
+        w.flush_eobrun(0 if comp_ids[0] == 0 else 1)
+        w.bw.flush()
+        return bytes(w.bw.out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qtabs):
+        zzq = bytes(qt[ZIGZAG[i]] for i in range(64))
+        out += seg(0xDB, bytes([ti]) + zzq)
+    comp_specs = b""
+    for ci in range(channels):
+        h, v = sampling[ci]
+        comp_specs += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    out += seg(
+        0xC2,  # SOF2: progressive DCT, Huffman
+        struct.pack(">BHHB", 8, height, width, channels) + comp_specs,
+    )
+    tables = [(0x00, DC_LUMA), (0x10, AC_PROG)]
+    if channels == 3:
+        tables += [(0x01, DC_CHROMA), (0x11, AC_PROG)]
+    for tclass, (bits, vals) in tables:
+        out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for comp_ids, ss, se, ah, al in scans:
+        if channels == 1 and comp_ids != (0,):
+            continue
+        sos_comps = b""
+        for ci in comp_ids:
+            dc_id = 0 if ci == 0 else 1
+            ac_id = 0 if ci == 0 else 1
+            sos_comps += bytes([ci + 1, (dc_id << 4) | ac_id])
+        out += seg(
+            0xDA,
+            bytes([len(comp_ids)])
+            + sos_comps
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+        out += encode_scan(comp_ids, ss, se, ah, al)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -521,8 +847,223 @@ def jpeg_dimensions(buf: bytes) -> dict:
     raise JpegError("no SOF marker found")
 
 
+def _dec_block_full(br: _BitReader, dc_tab: dict, ac_tab: dict, pred: int, zz) -> int:
+    """Baseline full-band block: DC diff + AC run-length (T.81 F.2.2)."""
+    s = _huff_decode(br, dc_tab)
+    if s > 11:
+        raise JpegError(f"invalid DC category {s}")
+    diff = _extend(br.bits(s), s) if s else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run past block end")
+        zz[k] = _extend(br.bits(s), s)
+        k += 1
+    return pred
+
+
+def _dec_dc_first(br: _BitReader, dc_tab: dict, pred: int, zz, al: int) -> int:
+    """Progressive DC first scan (T.81 G.2): baseline DC diff coding of
+    the point-transformed value, stored shifted up by Al."""
+    s = _huff_decode(br, dc_tab)
+    if s > 11:
+        raise JpegError(f"invalid DC category {s}")
+    diff = _extend(br.bits(s), s) if s else 0
+    pred += diff
+    zz[0] = pred << al
+    return pred
+
+
+def _dec_dc_refine(br: _BitReader, zz, al: int) -> None:
+    """Progressive DC refinement: one bit per block, ORed into bit Al
+    (two's-complement OR — correct for negative coefficients too)."""
+    if br.bit():
+        zz[0] = int(zz[0]) | (1 << al)
+
+
+def _dec_ac_first(
+    br: _BitReader, ac_tab: dict, zz, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC first scan (T.81 G.1.2.2): run-length coding of
+    point-transformed coefficients within the band, with EOBn run codes
+    spanning whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun - 1  # current block consumed
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise JpegError("AC run past band end")
+        zz[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _dec_ac_refine(
+    br: _BitReader, ac_tab: dict, zz, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC refinement scan (T.81 G.1.2.3): corrections for
+    already-nonzero coefficients ride along as raw bits while newly
+    nonzero ones are placed by zero-history run counts."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(kk: int) -> None:
+        coef = int(zz[kk])
+        if coef != 0 and br.bit() and (coef & p1) == 0:
+            zz[kk] = coef + (p1 if coef >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break  # rest of the block joins the EOB sweep below
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("invalid AC refinement magnitude")
+                newval = p1 if br.bit() else m1
+            # advance: corrections at nonzero-history positions, run
+            # count consumed at zero-history ones
+            while k <= se:
+                coef = int(zz[k])
+                if coef != 0:
+                    if br.bit() and (coef & p1) == 0:
+                        zz[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    # EOB region: every remaining nonzero coefficient gets a correction
+    for kk in range(k, se + 1):
+        correct(kk)
+    if eobrun > 0:
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    buf: bytes,
+    pos: int,
+    scan_comps: list,
+    htables: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    progressive: bool,
+    mcux: int,
+    mcuy: int,
+) -> int:
+    """Decode one scan's entropy-coded data (baseline or any of the four
+    progressive scan types), updating each component's coefficient
+    array in place. Returns the buffer position after the scan data.
+
+    Interleaved scans walk the MCU grid; single-component scans walk
+    the component's visible-sample block grid (T.81 A.2.2) in raster
+    order. Restart markers reset DC predictors and the EOB run."""
+    br = _BitReader(buf, pos)
+    preds = [0] * len(scan_comps)
+    eobrun = 0
+    n_units = 0
+    state = {"eobrun": 0}
+
+    def tables_for(c):
+        dc_tab = htables.get((0, c.get("dc", 0)))
+        ac_tab = htables.get((1, c.get("ac", 0)))
+        return dc_tab, ac_tab
+
+    def do_block(i: int, c: dict, idx: int) -> None:
+        zz = c["coef"][idx]
+        dc_tab, ac_tab = tables_for(c)
+        if not progressive:
+            if dc_tab is None or ac_tab is None:
+                raise JpegError("missing Huffman table for scan")
+            preds[i] = _dec_block_full(br, dc_tab, ac_tab, preds[i], zz)
+        elif ss == 0:
+            if ah == 0:
+                if dc_tab is None:
+                    raise JpegError("missing DC Huffman table for scan")
+                preds[i] = _dec_dc_first(br, dc_tab, preds[i], zz, al)
+            else:
+                _dec_dc_refine(br, zz, al)
+        else:
+            if ac_tab is None:
+                raise JpegError("missing AC Huffman table for scan")
+            if ah == 0:
+                state["eobrun"] = _dec_ac_first(
+                    br, ac_tab, zz, ss, se, al, state["eobrun"]
+                )
+            else:
+                state["eobrun"] = _dec_ac_refine(
+                    br, ac_tab, zz, ss, se, al, state["eobrun"]
+                )
+
+    def check_restart() -> None:
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            br.align_to_rst()
+            for i in range(len(preds)):
+                preds[i] = 0
+            state["eobrun"] = 0
+
+    if len(scan_comps) > 1:  # interleaved: MCU order
+        for my in range(mcuy):
+            for mx in range(mcux):
+                check_restart()
+                for i, c in enumerate(scan_comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = (my * c["v"] + by) * c["bw"] + (
+                                mx * c["h"] + bx
+                            )
+                            do_block(i, c, idx)
+                n_units += 1
+    else:  # single component: visible-sample block grid, raster order
+        c = scan_comps[0]
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                check_restart()
+                do_block(0, c, by * c["bw"] + bx)
+                n_units += 1
+    return br.pos
+
+
 def decode_jpeg(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
-    """Decode a baseline/extended-sequential Huffman JPEG.
+    """Decode a baseline, extended-sequential, or PROGRESSIVE Huffman
+    JPEG (SOF0/SOF1/SOF2) — multi-scan, spectral selection, successive
+    approximation, restart markers, non-interleaved scans.
 
     Returns ``{"width", "height", "bit_depth", "channels", "pixels"}``
     like :func:`..png.decode_png` — 8-bit samples, row-major
@@ -538,19 +1079,22 @@ def decode_jpeg(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     htables: dict[tuple[int, int], dict] = {}
     sof = None
     comps = None
+    progressive = False
     restart_interval = 0
+    mcux = mcuy = hmax = vmax = 0
+    n_scans = 0
 
     while True:
         if pos + 2 > len(buf):
-            raise JpegError("truncated before SOS")
+            raise JpegError("truncated before EOI")
         if buf[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
         marker = buf[pos + 1]
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:
-            raise JpegError("EOI before image data")
+        if marker == 0xD9:  # EOI
+            break
         if pos + 2 > len(buf):
             raise JpegError("truncated segment header")
         (length,) = struct.unpack(">H", buf[pos : pos + 2])
@@ -592,7 +1136,7 @@ def decode_jpeg(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                 vals = list(data[i : i + nvals])
                 i += nvals
                 htables[(tc, th)] = _decode_table(bits, vals)
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
             if len(data) < 6:
                 raise JpegError("truncated SOF header")
             precision, height, width, ncomp = struct.unpack(">BHHB", data[:6])
@@ -608,6 +1152,7 @@ def decode_jpeg(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                 raise JpegError(
                     f"image is {width}x{height} px, cap is {max_pixels}"
                 )
+            progressive = marker == 0xC2
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
@@ -616,10 +1161,17 @@ def decode_jpeg(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                     raise JpegError(f"unsupported sampling factors {h}x{v}")
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
             sof = (width, height, ncomp)
-        elif marker == 0xC2:
-            raise JpegError(
-                "progressive JPEG not supported (re-encode upstream)"
-            )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcux * c["h"]  # blocks across the padded plane
+                c["bh"] = mcuy * c["v"]
+                # visible-sample block grid (non-interleaved scans)
+                c["nbw"] = (-(-width * c["h"] // hmax) + 7) // 8
+                c["nbh"] = (-(-height * c["v"] // vmax) + 7) // 8
+                c["coef"] = np.zeros((c["bw"] * c["bh"], 64), dtype=np.int32)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
@@ -635,81 +1187,66 @@ def decode_jpeg(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             # ns component specs (2 bytes each) + Ss/Se/AhAl trailer
             if len(data) < 1 + 2 * ns + 3:
                 raise JpegError("truncated SOS component list")
-            if ns != len(comps):
-                raise JpegError("non-interleaved scans not supported")
-            sel = {}
+            if not 1 <= ns <= len(comps):
+                raise JpegError(f"invalid scan component count {ns}")
+            by_id = {c["id"]: c for c in comps}
+            scan_comps = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
-                sel[cs] = (tt >> 4, tt & 0x0F)
-            for comp in comps:
-                if comp["id"] not in sel:
-                    raise JpegError(f"component {comp['id']} missing in SOS")
-                comp["dc"], comp["ac"] = sel[comp["id"]]
-            pos += length
-            break
+                comp = by_id.get(cs)
+                if comp is None:
+                    raise JpegError(f"unknown component {cs} in SOS")
+                comp["dc"], comp["ac"] = tt >> 4, tt & 0x0F
+                scan_comps.append(comp)
+            s_s, s_e = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            ah, alo = ahal >> 4, ahal & 0x0F
+            if progressive:
+                if s_s == 0 and s_e != 0:
+                    raise JpegError("progressive DC scan must have Se=0")
+                if s_s > 0 and ns != 1:
+                    raise JpegError("progressive AC scans are single-component")
+                if s_s > s_e or s_e > 63 or ah > 13 or alo > 13:
+                    raise JpegError("invalid spectral selection parameters")
+                if ah and ah != alo + 1:
+                    raise JpegError("successive approximation must step by 1 bit")
+            else:
+                if (s_s, s_e, ah, alo) != (0, 63, 0, 0):
+                    raise JpegError("invalid baseline scan parameters")
+            pos = _decode_scan(
+                buf,
+                pos + length,
+                scan_comps,
+                htables,
+                s_s,
+                s_e,
+                ah,
+                alo,
+                restart_interval,
+                progressive,
+                mcux,
+                mcuy,
+            )
+            n_scans += 1
+            # the next marker follows the entropy data; tolerate stray
+            # pad bytes some encoders leave before it
+            while pos < len(buf) and buf[pos] != 0xFF:
+                pos += 1
+            continue
         pos += length
 
+    if sof is None or n_scans == 0:
+        raise JpegError("EOI before image data")
+
     width, height, ncomp = sof
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-
-    for c in comps:
-        c["bw"] = mcux * c["h"]  # blocks across the padded plane
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = [None] * (c["bw"] * c["bh"])
-
-    br = _BitReader(buf, pos)
-    prev_dc = [0] * ncomp
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_to_rst()
-                prev_dc = [0] * ncomp
-            for ci, c in enumerate(comps):
-                dc_tab = htables.get((0, c["dc"]))
-                ac_tab = htables.get((1, c["ac"]))
-                if dc_tab is None or ac_tab is None:
-                    raise JpegError("missing Huffman table for scan")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        s = _huff_decode(br, dc_tab)
-                        if s > 11:
-                            raise JpegError(f"invalid DC category {s}")
-                        diff = _extend(br.bits(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC run past block end")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        idx = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
-                        c["coef"][idx] = zz
-            mcu_count += 1
-
     C = _dct_matrix()
     planes = []
     for c in comps:
         qt = qtables.get(c["tq"])
         if qt is None:
             raise JpegError(f"missing quantization table {c['tq']}")
-        n = len(c["coef"])
-        zzm = np.stack(
-            [z if z is not None else np.zeros(64, np.int32) for z in c["coef"]]
-        ).astype(np.float64)
+        n = c["coef"].shape[0]
+        zzm = c["coef"].astype(np.float64)
         qzz = np.asarray([qt[ZIGZAG[i]] for i in range(64)], dtype=np.float64)
         zzm *= qzz  # dequantize in zigzag order
         blocks = np.zeros((n, 64))

@@ -218,6 +218,7 @@ def documents_as_jpeg_assets(
     text_col: str = "text",
     width: int = 32,
     quality: int = 90,
+    progressive: bool = False,
 ) -> DataFrame:
     """JPEG twin of :func:`documents_as_png_assets`: each document's
     UTF-8 bytes become the gray pixels of a ``width``-wide image
@@ -230,7 +231,12 @@ def documents_as_jpeg_assets(
     ``width * 65535`` UTF-8 bytes cannot be represented at this width;
     such payloads are deterministically TRUNCATED to the representable
     prefix (rather than NULL-flagged or task-killed) so every document
-    still yields exactly one asset row."""
+    still yields exactly one asset row.
+
+    ``progressive=True`` encodes SOF2 progressive streams (spectral
+    selection + successive approximation) — the encoding real Commons
+    thumbnails predominantly use — so the decode operators downstream
+    exercise the multi-scan path on corpus-shaped data."""
 
     load_jpeg = _make_jpeg_loader(_PKG_ROOT)
 
@@ -239,7 +245,10 @@ def documents_as_jpeg_assets(
 
         import pandas as pd
 
-        encode_jpeg = load_jpeg().encode_jpeg
+        _jpeg = load_jpeg()
+        encode_jpeg = (
+            _jpeg.encode_jpeg_progressive if progressive else _jpeg.encode_jpeg
+        )
 
         for pdf in batches:
             rows = []

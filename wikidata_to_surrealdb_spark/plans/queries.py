@@ -3935,6 +3935,53 @@ def mm_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_meta(assets).orderBy("asset_id")
 
 
+@_q(
+    "mm_decode_jpeg",
+    # full entropy decode of PROGRESSIVE (SOF2) streams: the geometry
+    # fields of the decoded raster are exact functions of the text
+    # length (gray, width=32, 8-bit), which DuckDB recomputes without
+    # touching a JPEG byte; pixel values are lossy/codec-specific and
+    # pinned separately by goldens in tests/test_jpeg.py
+    """
+    SELECT doc_id AS asset_id,
+           CAST(32 AS INT) AS width,
+           CAST(greatest(1, CAST(ceil(
+             octet_length(encode(coalesce(text, ''))) / 32.0) AS INT)) AS INT)
+             AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(32 * greatest(1, CAST(ceil(
+             octet_length(encode(coalesce(text, ''))) / 32.0) AS INT)) AS BIGINT)
+             AS pixel_bytes
+    FROM documents
+    ORDER BY asset_id
+    """,
+    "Progressive JPEG decode end to end: every document becomes a REAL "
+    "SOF2 stream (spectral selection + successive approximation, "
+    "T.81 Annex G — the encoding real Commons thumbnails use), then the "
+    "from-spec decoder runs the full multi-scan entropy decode + "
+    "vectorized IDCT inside Arrow-batched mapInPandas; the oracle "
+    "recomputes the exact raster geometry from the text length alone",
+)
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    t = register_views(spark, sf_dir)
+    assets = multimodal.documents_as_jpeg_assets(t["documents"], progressive=True)
+    return (
+        multimodal.decode_features(assets, decoder="jpeg")
+        .select(
+            "asset_id",
+            "width",
+            "height",
+            "channels",
+            "bit_depth",
+            F.col("pixel_bytes").cast("bigint").alias("pixel_bytes"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 # 2-D box over the z-ordered events copy: identical SQL text runs on
 # both engines (value is a plain double, ts reduced to epoch micros at
 # write time so the pushed filter is a plain long comparison). Bounds =
