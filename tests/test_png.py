@@ -119,6 +119,17 @@ def test_error_paths():
     with pytest.raises(PngError, match="CRC"):
         decode_png(good[:-4] + b"\x00\x00\x00\x00")
     with pytest.raises(PngError, match="interlace"):
+        # interlace method 2 does not exist (0 = sequential, 1 = Adam7)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
+        decode_png(
+            SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(GOLDEN_RGB_RAW))
+            + _chunk(b"IEND", b"")
+        )
+    with pytest.raises(PngError):
+        # sequential-layout data mislabeled as Adam7 must fail cleanly
+        # (pass-size mismatch), not mis-decode
         ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
         decode_png(
             SIG
@@ -183,3 +194,65 @@ def test_unknown_critical_chunk_rejected_ancillary_skipped():
     # ancillary (lowercase first letter) chunks are still skipped
     out = decode_png(head + _chunk(b"tEXt", b"k\x00v") + rest)
     assert out["pixels"] == bytes(range(12))
+
+
+def test_adam7_roundtrip_matches_sequential():
+    """Adam7 (interlace method 1): seven independently filtered pass
+    sub-images scattered on the spec's 8x8 grid. Filter-0 encoding is
+    lossless, so interlaced and sequential decodes must both equal the
+    original samples — including shapes where some passes are empty."""
+    rng = random.Random(3)
+    for w, h, ch in [(16, 16, 1), (17, 13, 3), (8, 8, 4), (1, 1, 1), (3, 2, 3), (9, 1, 1), (1, 9, 2)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        buf = encode_png(px, w, h, ch, interlace=True)
+        out = decode_png(buf)
+        assert out["pixels"] == px, (w, h, ch)
+        assert decode_png(encode_png(px, w, h, ch))["pixels"] == px
+
+
+def test_adam7_subbyte_depth():
+    """Hand-built 1-bit gray Adam7 stream: pass scanlines are byte-
+    aligned PER PASS, so sub-byte unpacking must run per sub-image."""
+    from wikidata_to_surrealdb_spark.functions.png import _ADAM7
+
+    w = h = 4
+    bits = [[(x + y) % 2 for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        for i in range(ph):
+            raw.append(0)
+            y = y0 + i * dy
+            b = 0
+            for j in range(pw):
+                b |= bits[y][x0 + j * dx] << (7 - j)
+            raw.append(b)
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 1)
+    buf = (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    expect = bytes(255 * bits[y][x] for y in range(h) for x in range(w))
+    assert decode_png(buf)["pixels"] == expect
+
+
+def test_adam7_corrupt_payloads_still_pngerror():
+    """Corrupt-payload contract is unchanged for interlaced streams:
+    truncations and short IDAT raise PngError, never IndexError."""
+    px = bytes(range(48))
+    buf = encode_png(px, 4, 4, 3, interlace=True)
+    for cut in range(9, len(buf)):
+        try:
+            decode_png(buf[:cut])
+        except PngError:
+            pass
+    # undersized pass data (valid zlib, wrong length)
+    head = buf[: buf.index(b"IDAT") - 4]
+    bad = head + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
+    with pytest.raises(PngError):
+        decode_png(bad)

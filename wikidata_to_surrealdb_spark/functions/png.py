@@ -12,8 +12,9 @@ deterministic fake.
 Scope (documented, raises beyond it):
 - bit depths 1/2/4/8/16, colour types 0 (gray), 2 (RGB), 3 (palette),
   4 (gray+alpha), 6 (RGBA);
-- interlace method 0 only (Adam7 raises — rare in training corpora and
-  trivially re-encodable upstream);
+- interlace methods 0 (sequential) and 1 (Adam7: seven sub-images,
+  each independently filtered, scattered back on the 8x8 pattern grid
+  per the spec);
 - samples are returned widened/narrowed to 8 bits per sample (sub-byte
   gray scaled to 0..255 per the spec's sample-depth scaling note;
   16-bit narrowed to the high byte), which is what the feature /
@@ -55,6 +56,31 @@ _ALLOWED_DEPTHS = {
 
 class PngError(ValueError):
     """Malformed or out-of-scope PNG stream."""
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per the PNG spec.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_sizes(width: int, height: int, bits_per_px: int):
+    """Per-pass (pw, ph, stride) — passes that cover no pixels of this
+    image contribute NO scanlines at all (spec: empty passes are
+    entirely absent from the data stream)."""
+    sizes = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        stride = (pw * bits_per_px + 7) // 8
+        sizes.append((pw, ph, stride))
+    return sizes
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -204,8 +230,8 @@ def decode_png(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         raise PngError("zero-dimension image")
     if comp != 0 or filt != 0:
         raise PngError("unknown compression/filter method")
-    if interlace != 0:
-        raise PngError("Adam7 interlace not supported (re-encode upstream)")
+    if interlace not in (0, 1):
+        raise PngError(f"unknown interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise PngError(f"unknown colour type {color_type}")
     if depth not in _ALLOWED_DEPTHS[color_type]:
@@ -221,15 +247,44 @@ def decode_png(buf: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     bpp = max(1, bits_per_px // 8)
     # Inflate bounded to the exact size IHDR implies; one extra byte so
     # oversized streams are detectable without unbounded allocation.
-    expect = height * (1 + stride)
+    if interlace == 1:
+        pass_sizes = _adam7_pass_sizes(width, height, bits_per_px)
+        expect = sum(ph * (1 + ps) for pw, ph, ps in pass_sizes if pw and ph)
+    else:
+        expect = height * (1 + stride)
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), expect + 1)
     if len(raw) <= expect:
         raw += dec.flush(expect + 1 - len(raw))
     if len(raw) > expect or dec.unconsumed_tail:
         raise PngError(f"decompressed IDAT exceeds expected {expect} bytes")
-    recon = _unfilter(raw, width, height, bpp, stride)
-    samples = _expand_samples(recon, width, height, depth, channels, stride)
+    if interlace == 1:
+        # Adam7: each pass is an independently filtered sub-image;
+        # unfilter + widen it, then scatter its samples onto the pass
+        # grid. Per-pass memory is one sub-image — the full-image buffer
+        # is the same one the sequential path allocates.
+        nsamp = width * height * channels
+        scattered = bytearray(nsamp)
+        off = 0
+        for (x0, y0, dx, dy), (pw, ph, ps) in zip(_ADAM7, pass_sizes):
+            if pw == 0 or ph == 0:
+                continue
+            seg = raw[off : off + ph * (1 + ps)]
+            off += ph * (1 + ps)
+            recon = _unfilter(seg, pw, ph, bpp, ps)
+            psamp = _expand_samples(recon, pw, ph, depth, channels, ps)
+            for i in range(ph):
+                y = y0 + i * dy
+                row = (y * width + x0) * channels
+                src = i * pw * channels
+                for j in range(pw):
+                    d = row + j * dx * channels
+                    s = src + j * channels
+                    scattered[d : d + channels] = psamp[s : s + channels]
+        samples = scattered
+    else:
+        recon = _unfilter(raw, width, height, bpp, stride)
+        samples = _expand_samples(recon, width, height, depth, channels, stride)
 
     if color_type == 3:
         if plte is None:
@@ -266,11 +321,19 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(
-    pixels: bytes, width: int, height: int, channels: int = 3, level: int = 6
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 3,
+    level: int = 6,
+    interlace: bool = False,
 ) -> bytes:
     """Encode 8-bit samples to a minimal valid PNG (filter 0 scanlines).
 
     ``channels`` 1 -> grayscale, 2 -> gray+alpha, 3 -> RGB, 4 -> RGBA.
+    ``interlace=True`` writes Adam7: the seven pass sub-images in spec
+    order, each scanline filter-0 (lossless, so interlaced and
+    sequential encodes decode to identical pixels).
     Deterministic for a given input (fixed zlib level, single IDAT).
     """
     ct = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
@@ -282,10 +345,26 @@ def encode_png(
         )
     stride = width * channels
     raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter type None
-        raw += pixels[y * stride : (y + 1) * stride]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty passes emit no scanlines (spec)
+            for i in range(ph):
+                raw.append(0)  # filter type None
+                y = y0 + i * dy
+                for j in range(pw):
+                    x = x0 + j * dx
+                    s = (y * width + x) * channels
+                    raw += pixels[s : s + channels]
+    else:
+        for y in range(height):
+            raw.append(0)  # filter type None
+            raw += pixels[y * stride : (y + 1) * stride]
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, ct, 0, 0, 1 if interlace else 0
+    )
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
