@@ -556,3 +556,149 @@ def test_bucketed_merge_rejects_object_store_uri():
     # file: URIs are fine — stripped to a plain local path
     assert _require_local_path("file:///tmp/x") == "/tmp/x"
     assert _require_local_path("/plain/path") == "/plain/path"
+
+
+def _mk_dump(path, ents):
+    import json
+
+    lines = [
+        json.dumps(
+            {
+                "id": f"Q{i}",
+                "type": "item",
+                "labels": {"en": {"language": "en", "value": label}},
+                "descriptions": {},
+                "aliases": {},
+                "claims": {},
+                "sitelinks": {},
+            }
+        )
+        for i, label in ents
+    ]
+    with open(path, "w") as fh:
+        fh.write("[\n" + ",\n".join(lines) + "\n]\n")
+    return str(path)
+
+
+def test_manifest_merge_rewrites_only_touched_generations(spark, tmp_path):
+    """Manifest-pointer layout: a merge writes NEW generation dirs for
+    touched buckets and commits by atomically replacing _MANIFEST.json;
+    untouched buckets keep their generation dirs byte-identical."""
+    import hashlib
+    import json
+    import os
+
+    from wikidata_to_surrealdb_spark.operators.ingest import (
+        merge_into_bucketed_manifest,
+        read_bucketed_manifest,
+        write_tables_bucketed_manifest,
+    )
+
+    base = load_dump(
+        spark,
+        _mk_dump(tmp_path / "base.json", [(i, f"base{i}") for i in range(1, 9)]),
+        "json",
+        lang="en",
+    )
+    out = str(tmp_path / "tables")
+    write_tables_bucketed_manifest(base, out, n_buckets=4)
+    ent_dir = f"{out}/Entity.parquet"
+    m1 = json.load(open(f"{ent_dir}/_MANIFEST.json"))
+    assert m1["version"] == 1 and set(m1["buckets"]) <= {"0", "1", "2", "3"}
+
+    def snapshot(skip_bucket):
+        snap = {}
+        for dirpath, _d, files in os.walk(out):
+            if f"bucket={skip_bucket}-" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    snap[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return snap
+
+    before = snapshot(2)
+    upd = load_dump(
+        spark,
+        _mk_dump(tmp_path / "upd.json", [(2, "updated2"), (10, "new10")]),
+        "json",
+        lang="en",
+    )
+    touched = merge_into_bucketed_manifest(spark, out, upd, n_buckets=4)
+    assert touched["Entity"] == [2]
+    assert snapshot(2) == before  # untouched generations byte-identical
+    m2 = json.load(open(f"{ent_dir}/_MANIFEST.json"))
+    assert m2["version"] == 2
+    assert m2["buckets"]["2"] != m1["buckets"]["2"]  # new generation
+    for b in ("0", "1", "3"):
+        if b in m1["buckets"]:
+            assert m2["buckets"][b] == m1["buckets"][b]
+
+    got = {
+        r["id"]["id"]: r["label"]
+        for r in read_bucketed_manifest(spark, ent_dir).collect()
+    }
+    assert got[2] == "updated2" and got[10] == "new10"
+    assert got[1] == "base1" and len(got) == 9
+    # pruned read touches only the asked-for bucket
+    pruned = read_bucketed_manifest(spark, ent_dir, [2]).collect()
+    assert {r["_bucket"] for r in pruned} == {2}
+
+
+def test_manifest_merge_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
+    """Failure injection at the commit point: new generation dirs exist
+    but the manifest replace never ran — readers resolve the OLD
+    manifest and see the exact pre-merge table; a retry succeeds."""
+    import json
+
+    from wikidata_to_surrealdb_spark.operators import ingest as ingest_mod
+    from wikidata_to_surrealdb_spark.operators.ingest import (
+        merge_into_bucketed_manifest,
+        read_bucketed_manifest,
+        write_tables_bucketed_manifest,
+    )
+
+    base = load_dump(
+        spark,
+        _mk_dump(tmp_path / "base.json", [(i, f"base{i}") for i in range(1, 9)]),
+        "json",
+        lang="en",
+    )
+    out = str(tmp_path / "tables")
+    write_tables_bucketed_manifest(base, out, n_buckets=4)
+    ent_dir = f"{out}/Entity.parquet"
+    m1 = json.load(open(f"{ent_dir}/_MANIFEST.json"))
+
+    upd = load_dump(
+        spark,
+        _mk_dump(tmp_path / "upd.json", [(2, "updated2"), (10, "new10")]),
+        "json",
+        lang="en",
+    )
+    real_commit = ingest_mod._commit_manifest
+
+    def boom(table_dir, version, buckets):
+        if version > 1:
+            raise RuntimeError("injected crash at manifest commit")
+        return real_commit(table_dir, version, buckets)
+
+    monkeypatch.setattr(ingest_mod, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_into_bucketed_manifest(spark, out, upd, n_buckets=4)
+
+    # live manifest unchanged -> readers see the pre-merge table exactly
+    assert json.load(open(f"{ent_dir}/_MANIFEST.json")) == m1
+    got = {
+        r["id"]["id"]: r["label"]
+        for r in read_bucketed_manifest(spark, ent_dir).collect()
+    }
+    assert got == {i: f"base{i}" for i in range(1, 9)}
+
+    # retry with the real commit succeeds despite orphan generations
+    monkeypatch.setattr(ingest_mod, "_commit_manifest", real_commit)
+    merge_into_bucketed_manifest(spark, out, upd, n_buckets=4)
+    got = {
+        r["id"]["id"]: r["label"]
+        for r in read_bucketed_manifest(spark, ent_dir).collect()
+    }
+    assert got[2] == "updated2" and got[10] == "new10" and len(got) == 9

@@ -664,3 +664,170 @@ def _swap_buckets(path: str, staging: str, touched: list[int]) -> None:
         if swapped:
             shutil.rmtree(trash, ignore_errors=True)
             shutil.rmtree(staging, ignore_errors=True)
+
+
+# --- manifest-pointer bucketed layout (object-store-safe commit) ------------
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _read_manifest(table_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(table_dir, MANIFEST_NAME)) as fh:
+        m = json.load(fh)
+    return {"version": m["version"], "buckets": {int(k): v for k, v in m["buckets"].items()}}
+
+
+def _commit_manifest(table_dir: str, version: int, buckets: dict[int, str]) -> None:
+    """THE commit for the manifest layout: write the new manifest to a
+    temp name, then replace the live one with a SINGLE atomic
+    file-replace. That primitive (atomic single-object put) is the one
+    every major object store offers, unlike directory rename — which is
+    why readers resolve bucket dirs through this pointer instead of
+    relying on dirs being swapped in place."""
+    import json
+
+    tmp = os.path.join(table_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"version": version, "buckets": {str(k): v for k, v in buckets.items()}},
+            fh,
+        )
+    os.replace(tmp, os.path.join(table_dir, MANIFEST_NAME))
+
+
+def _place_bucket_generations(
+    df: DataFrame, table_dir: str, n_buckets: int
+) -> dict[int, str]:
+    """Materialize ``df``'s rows as one generation-named directory per
+    present bucket (``bucket=<b>-<gen>``), WITHOUT touching the live
+    manifest. ``_bucket`` rides inside the files as a data column, so a
+    manifest reader gets it back without partition-dir discovery.
+
+    The staged-write-then-rename here is driver-local data PLACEMENT,
+    not the commit — a crash leaves unreferenced directories the
+    reader never sees (cleaned up opportunistically). On a real object
+    store the writer targets the generation keys directly; correctness
+    never depends on these renames being atomic."""
+    gen = uuid.uuid4().hex[:8]
+    staging = f"{table_dir}.genstage-{gen}"
+    (
+        df.withColumn("_pb", F.col("_bucket"))
+        .repartition(F.col("_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("_pb")
+        .parquet(staging)
+    )
+    placed: dict[int, str] = {}
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith("_pb="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        dirname = f"bucket={b}-{gen}"
+        os.rename(os.path.join(staging, entry), os.path.join(table_dir, dirname))
+        placed[b] = dirname
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return placed
+
+
+def write_tables_bucketed_manifest(
+    tables: WikidataTables, out_dir: str, n_buckets: int = 64
+) -> None:
+    """Manifest-pointer twin of :func:`write_tables_bucketed`: each
+    table directory holds generation-named bucket dirs plus a
+    ``_MANIFEST.json`` naming the live generation per bucket. Readers
+    (:func:`read_bucketed_manifest`) resolve through the manifest, so
+    commits are a single atomic file replace — the protocol that stays
+    atomic on object stores where directory rename is not."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    out_dir = _require_local_path(out_dir)
+    for name, df in tables.as_dict().items():
+        table_dir = f"{out_dir}/{name}.parquet"
+        os.makedirs(table_dir, exist_ok=True)
+        placed = _place_bucket_generations(
+            df.withColumn("_bucket", _id_bucket(n_buckets)), table_dir, n_buckets
+        )
+        _commit_manifest(table_dir, 1, placed)
+
+
+def read_bucketed_manifest(
+    spark: SparkSession, table_dir: str, buckets: list[int] | None = None
+) -> DataFrame:
+    """Read a manifest-layout table, optionally pruned to ``buckets``.
+    Pruning is driver-side directory selection — untouched buckets are
+    never listed, opened, or read (stronger than a partition filter)."""
+    m = _read_manifest(table_dir)
+    dirs = [
+        os.path.join(table_dir, d)
+        for b, d in sorted(m["buckets"].items())
+        if buckets is None or b in buckets
+    ]
+    if not dirs:
+        raise ValueError(f"no live buckets selected from {table_dir}")
+    return spark.read.parquet(*dirs)
+
+
+def merge_into_bucketed_manifest(
+    spark: SparkSession,
+    out_dir: str,
+    update: WikidataTables,
+    n_buckets: int = 64,
+) -> dict[str, list[int]]:
+    """Bucket-local incremental merge with a MANIFEST-POINTER commit —
+    the object-store-safe sibling of :func:`merge_into_bucketed`
+    (which swaps directories in place and therefore needs atomic
+    rename). Per table:
+
+    1. read the live manifest; compute the update's touched buckets;
+    2. read ONLY those buckets' live generation dirs, last-load-wins
+       merge with the update;
+    3. place the merged rows as NEW generation dirs (never referenced
+       by the live manifest — a crash here is invisible to readers);
+    4. COMMIT by atomically replacing ``_MANIFEST.json`` with one
+       pointing touched buckets at the new generations;
+    5. best-effort delete the superseded generation dirs (failure
+       leaves orphans that no reader resolves; retried merges and
+       vacuum jobs may clean them any time).
+
+    The crash window around the commit is a single file replace; at no
+    point can a reader observe a half-merged table."""
+    out_dir = _require_local_path(out_dir)
+    touched_by_table: dict[str, list[int]] = {}
+    for name, new_df in update.as_dict().items():
+        table_dir = f"{out_dir}/{name}.parquet"
+        manifest = _read_manifest(table_dir)
+        new_b = new_df.withColumn("_bucket", _id_bucket(n_buckets))
+        touched = sorted(
+            r["_bucket"] for r in new_b.select("_bucket").distinct().collect()
+        )
+        touched_by_table[name] = touched
+        if not touched:
+            continue
+        live_touched = [b for b in touched if b in manifest["buckets"]]
+        if live_touched:
+            base = read_bucketed_manifest(spark, table_dir, live_touched).drop(
+                "_bucket"
+            )
+            merged = _last_wins(base, new_df)
+        else:
+            merged = new_df
+        placed = _place_bucket_generations(
+            merged.withColumn("_bucket", _id_bucket(n_buckets)),
+            table_dir,
+            n_buckets,
+        )
+        old_dirs = [
+            manifest["buckets"][b] for b in touched if b in manifest["buckets"]
+        ]
+        new_map = dict(manifest["buckets"])
+        new_map.update(placed)
+        _commit_manifest(table_dir, manifest["version"] + 1, new_map)
+        import shutil
+
+        for d in old_dirs:  # superseded generations: best-effort cleanup
+            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+    return touched_by_table

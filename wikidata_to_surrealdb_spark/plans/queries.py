@@ -3626,6 +3626,71 @@ def wd_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "wd_manifest_merge",
+    """
+    SELECT id, label, episodes FROM (VALUES
+      ('Entity:100', 'Graph Wars', CAST(NULL AS DOUBLE)),
+      ('Entity:101', 'Graph Wars, season 1 remastered', CAST(13.0 AS DOUBLE)),
+      ('Entity:102', 'Graph Wars, season 2', CAST(8.0 AS DOUBLE)),
+      ('Entity:103', 'Standalone documentary', CAST(NULL AS DOUBLE)),
+      ('Entity:104', 'Graph Wars, season 3', CAST(6.0 AS DOUBLE))
+    ) AS v(id, label, episodes)
+    """,
+    "bucket-local incremental merge through the MANIFEST-POINTER layout "
+    "(ingest.merge_into_bucketed_manifest): generation-named bucket dirs "
+    "resolved through _MANIFEST.json, commit = one atomic file replace "
+    "(the primitive object stores provide, unlike directory rename); "
+    "same v1+v2 fixture and hand-derived oracle as wd_bucketed_merge — "
+    "the two commit protocols must converge to the identical table",
+)
+def wd_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from wikidata_to_surrealdb_spark.functions import (
+        first_claim_value,
+        link_join,
+    )
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+
+    data_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+    )
+    v1 = _ingest.load_dump(
+        spark, os.path.join(data_dir, "media_dump.json"), "json", lang="en"
+    )
+    v2 = _ingest.load_dump(
+        spark, os.path.join(data_dir, "media_dump_v2.json"), "json", lang="en"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"wd_manifest_merge_{spark.sparkContext.applicationId}",
+    )
+    # generation dirs accumulate across re-runs within a session; start
+    # from a clean slate so the bootstrap write is deterministic
+    shutil.rmtree(out, ignore_errors=True)
+    _ingest.write_tables_bucketed_manifest(v1, out, n_buckets=8)
+    _ingest.merge_into_bucketed_manifest(spark, out, v2, n_buckets=8)
+    entity = _ingest.read_bucketed_manifest(
+        spark, f"{out}/Entity.parquet"
+    ).drop("_bucket")
+    claims = _ingest.read_bucketed_manifest(
+        spark, f"{out}/Claims.parquet"
+    ).drop("_bucket")
+    joined = link_join(entity, claims, broadcast_right=True)
+    return joined.where(entity["id.tb"] == "Entity").select(
+        F.concat_ws(
+            ":", entity["id.tb"], entity["id.id"].cast("string")
+        ).alias("id"),
+        entity["label"].alias("label"),
+        first_claim_value(claims["claims"], 1113, "quantity.amount").alias(
+            "episodes"
+        ),
+    )
+
+
+@_q(
     "skew_autodetect_join",
     f"""
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_lines,
