@@ -170,18 +170,31 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict:
     return out
 
 
-def _decode_table(bits: list[int], values: list[int]) -> dict:
-    """{(length, code): value} for decoding."""
-    out = {}
+def _decode_table(bits: list[int], values: list[int]) -> tuple:
+    """Decoding table: ``(codes, lut8)`` where ``codes`` maps
+    ``(length, code) -> value`` (the canonical assignment, used for
+    codes longer than 8 bits) and ``lut8`` is a 256-entry first-byte
+    lookup — every 8-bit prefix of a code of length <= 8 resolves the
+    symbol AND its length in one indexed read, which is where the vast
+    majority of real Huffman decodes land (Annex K tables put all
+    common symbols at <= 8 bits). The LUT turns the per-symbol cost
+    from up-to-16 Python bit reads into one."""
+    codes = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = values[k]
+            codes[(length, code)] = values[k]
             code += 1
             k += 1
         code <<= 1
-    return out
+    lut8 = [None] * 256
+    for (length, code), value in codes.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for pad in range(1 << (8 - length)):
+                lut8[base | pad] = (value, length)
+    return codes, lut8
 
 
 def _quality_scale(table: list[int], quality: int) -> list[int]:
@@ -220,7 +233,9 @@ class _BitWriter:
 
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing; leaves the
-    cursor on any non-RST marker it encounters."""
+    cursor on any non-RST marker it encounters. Reads are batched: the
+    accumulator is topped up a byte at a time and multi-bit reads are
+    one shift+mask, not a Python loop per bit."""
 
     def __init__(self, buf: bytes, pos: int):
         self.buf = buf
@@ -229,35 +244,57 @@ class _BitReader:
         self.nbits = 0
         self.marker = None  # set when a non-stuffing marker is hit
 
-    def _fill(self) -> None:
+    def _try_fill(self) -> bool:
+        """Append one data byte to the accumulator; False (without
+        consuming) when the next bytes are a marker or the buffer end."""
         if self.pos >= len(self.buf):
-            raise JpegError("truncated entropy-coded data")
+            return False
         b = self.buf[self.pos]
         if b == 0xFF:
             if self.pos + 1 >= len(self.buf):
-                raise JpegError("truncated at 0xFF")
+                return False
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:  # stuffed 0xFF data byte
                 self.pos += 2
             else:
                 self.marker = nxt
-                raise JpegError(f"marker 0x{nxt:02x} inside entropy data")
+                return False
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # drop already-consumed high bits so acc stays machine-int sized
+        # over arbitrarily long scans
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
+        return True
+
+    def _raise_exhausted(self) -> None:
+        # preserve the historical error messages per exhaustion cause
+        if self.marker is not None:
+            raise JpegError(f"marker 0x{self.marker:02x} inside entropy data")
+        if self.pos < len(self.buf) and self.buf[self.pos] == 0xFF:
+            raise JpegError("truncated at 0xFF")
+        raise JpegError("truncated entropy-coded data")
+
+    def _ensure(self, n: int) -> int:
+        """Best-effort top-up to >= n buffered bits; returns what's
+        actually available (less only at a marker / buffer end)."""
+        while self.nbits < n and self._try_fill():
+            pass
+        return self.nbits
 
     def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
+        if self.nbits == 0 and not self._try_fill():
+            self._raise_exhausted()
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        if self._ensure(n) < n:
+            self._raise_exhausted()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def align_to_rst(self) -> None:
         """Consume padding + one RSTn marker (T.81 restart handling)."""
@@ -274,11 +311,29 @@ class _BitReader:
         raise JpegError("expected RST marker")
 
 
-def _huff_decode(br: _BitReader, table: dict) -> int:
+def _huff_decode(br: _BitReader, table: tuple) -> int:
+    codes, lut8 = table
+    # fast path: resolve symbol + length from the next 8 bits in one
+    # table read (covers every code of length <= 8 — the hot set)
+    if br._ensure(8) >= 8:
+        hit = lut8[(br.acc >> (br.nbits - 8)) & 0xFF]
+        if hit is not None:
+            br.nbits -= hit[1]
+            return hit[0]
+        # long code (9..16 bits): extend the known-unmatched 8-bit prefix
+        code = (br.acc >> (br.nbits - 8)) & 0xFF
+        br.nbits -= 8
+        for length in range(9, 17):
+            code = (code << 1) | br.bit()
+            v = codes.get((length, code))
+            if v is not None:
+                return v
+        raise JpegError("invalid Huffman code")
+    # tail: fewer than 8 bits before a marker/end — bit-by-bit
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.bit()
-        v = table.get((length, code))
+        v = codes.get((length, code))
         if v is not None:
             return v
     raise JpegError("invalid Huffman code")
@@ -437,31 +492,43 @@ def encode_jpeg(
     prev_dc = [0] * channels
 
     def emit_block(zz, ci: int) -> None:
+        # one array->list conversion per block, symbol+value bits fused
+        # into single writer calls (MSB-first concatenation: identical
+        # bitstream to the historical two-call form)
         ti = 0 if ci == 0 else 1
-        diff = int(zz[0]) - prev_dc[ci]
-        prev_dc[ci] = int(zz[0])
+        zzl = zz.tolist()
+        dc = zzl[0]
+        diff = dc - prev_dc[ci]
+        prev_dc[ci] = dc
         s = _category(diff)
         code, ln = enc_dc[ti][s]
-        bw.write(code, ln)
         if s:
-            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            bw.write(
+                (code << s) | ((diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1)),
+                ln + s,
+            )
+        else:
+            bw.write(code, ln)
+        ac = enc_ac[ti]
         run = 0
         for k in range(1, 64):
-            v = int(zz[k])
+            v = zzl[k]
             if v == 0:
                 run += 1
                 continue
             while run > 15:
-                code, ln = enc_ac[ti][0xF0]  # ZRL
+                code, ln = ac[0xF0]  # ZRL
                 bw.write(code, ln)
                 run -= 16
             s = _category(v)
-            code, ln = enc_ac[ti][(run << 4) | s]
-            bw.write(code, ln)
-            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            code, ln = ac[(run << 4) | s]
+            bw.write(
+                (code << s) | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)),
+                ln + s,
+            )
             run = 0
         if run:
-            code, ln = enc_ac[ti][0x00]  # EOB
+            code, ln = ac[0x00]  # EOB
             bw.write(code, ln)
 
     mcu_index = 0
@@ -600,61 +667,82 @@ class _ProgScanWriter:
     def dc_refine(self, zz, al):
         self.bw.write((int(zz[0]) >> al) & 1, 1)
 
-    def ac_first(self, ti, zz, ss, se, al):
-        run = 0
-        for k in range(ss, se + 1):
-            v = int(zz[k])
-            t = abs(v) >> al  # AC point transform divides toward zero
-            if t == 0:
-                run += 1
-                continue
-            self.flush_eobrun(ti)
+    def ac_first(self, ti, pos, tv, sg, band_len):
+        """AC first scan for one block, given the precomputed nonzero
+        structure (``pos``/``tv``/``sg`` from :func:`_scan_nonzeros`,
+        computed vectorized over the WHOLE component — the per-block
+        path is pure-list iteration over the typically-few nonzeros).
+        Symbol and value bits are fused into one writer call (MSB-first
+        concatenation is associative: identical bitstream)."""
+        if not pos:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun(ti)
+            return
+        self.flush_eobrun(ti)
+        enc = self.enc_ac[ti]
+        w = self.bw.write
+        prev = -1
+        for j, i in enumerate(pos):
+            run = i - prev - 1
+            prev = i
             while run > 15:
-                self.sym_ac(ti, 0xF0)
+                c, ln = enc[0xF0]
+                w(c, ln)
                 run -= 16
-            s = _category(t)
-            tv = t if v >= 0 else -t
-            self.sym_ac(ti, (run << 4) | s)
-            self.bw.write(tv if tv >= 0 else tv + (1 << s) - 1, s)
-            run = 0
-        if run > 0:
+            t = tv[j]
+            s = t.bit_length()
+            v = t if sg[j] else -t
+            c, ln = enc[(run << 4) | s]
+            w((c << s) | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)), ln + s)
+        if prev < band_len - 1:  # trailing zeros end the block early
             self.eobrun += 1
             if self.eobrun == 0x7FFF:
                 self.flush_eobrun(ti)
 
-    def ac_refine(self, ti, zz, ss, se, al):
-        absvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    def ac_refine(self, ti, pos, tv, sg, band_len):
+        if not pos:
+            # all zero-history: pure EOB block, no correction bits
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun(ti)
+            return
+        enc = self.enc_ac[ti]
+        w = self.bw.write
         eob_rel = -1
-        for i, t in enumerate(absvals):
-            if t == 1:
-                eob_rel = i
+        for j in range(len(pos) - 1, -1, -1):
+            if tv[j] == 1:
+                eob_rel = pos[j]
+                break
         run = 0
         br_bits: list[int] = []  # corrections within the current run
-        for i, k in enumerate(range(ss, se + 1)):
-            t = absvals[i]
-            if t == 0:
-                run += 1
-                continue
+        prev = -1
+        for j, i in enumerate(pos):
+            run += i - prev - 1  # zero-history positions skipped over
+            prev = i
+            t = tv[j]
             while run > 15 and i <= eob_rel:
                 self.flush_eobrun(ti)
-                self.sym_ac(ti, 0xF0)
+                c, ln = enc[0xF0]
+                w(c, ln)
                 run -= 16
                 for b in br_bits:
-                    self.bw.write(b, 1)
+                    w(b, 1)
                 br_bits = []
             if t > 1:
                 # already nonzero at the previous precision: one
                 # correction bit, run of zero-history coeffs continues
-                br_bits.append((abs(int(zz[k])) >> al) & 1)
+                br_bits.append(t & 1)
                 continue
-            # newly nonzero at this precision
+            # newly nonzero at this precision: fuse symbol + sign bit
             self.flush_eobrun(ti)
-            self.sym_ac(ti, (run << 4) | 1)
-            self.bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+            c, ln = enc[(run << 4) | 1]
+            w((c << 1) | (1 if sg[j] else 0), ln + 1)
             for b in br_bits:
-                self.bw.write(b, 1)
+                w(b, 1)
             br_bits = []
             run = 0
+        run += (band_len - 1) - prev  # trailing zero-history positions
         if run > 0 or br_bits:
             self.eobrun += 1
             self.pending_bits.extend(br_bits)
@@ -716,6 +804,27 @@ def encode_jpeg_progressive(
         rst_n = 0
         n_units = 0
 
+        ac_pre = None
+        if ss > 0:
+            # Precompute the point-transformed nonzero structure for the
+            # WHOLE component in one vectorized pass; per-block encoding
+            # then iterates plain Python lists of the few nonzeros.
+            import numpy as np
+
+            band = coefs[comp_ids[0]][:, ss : se + 1]
+            tmat = np.abs(band) >> al
+            rows, cols = np.nonzero(tmat)
+            starts = np.searchsorted(
+                rows, np.arange(band.shape[0] + 1)
+            ).tolist()
+            ac_pre = (
+                starts,
+                cols.tolist(),
+                tmat[rows, cols].tolist(),
+                (band[rows, cols] >= 0).tolist(),
+                se - ss + 1,
+            )
+
         def maybe_restart():
             nonlocal rst_n
             if restart_interval and n_units and n_units % restart_interval == 0:
@@ -728,17 +837,19 @@ def encode_jpeg_progressive(
 
         def do_block(ci, idx):
             ti = 0 if ci == 0 else 1
-            zz = coefs[ci][idx]
             if ss == 0:
+                zz = coefs[ci][idx]
                 if ah == 0:
                     w.dc_first(ti, zz, pred, ci, al)
                 else:
                     w.dc_refine(zz, al)
             else:
+                starts, pos_a, tv_a, sg_a, blen = ac_pre
+                s0, s1 = starts[idx], starts[idx + 1]
                 if ah == 0:
-                    w.ac_first(ti, zz, ss, se, al)
+                    w.ac_first(ti, pos_a[s0:s1], tv_a[s0:s1], sg_a[s0:s1], blen)
                 else:
-                    w.ac_refine(ti, zz, ss, se, al)
+                    w.ac_refine(ti, pos_a[s0:s1], tv_a[s0:s1], sg_a[s0:s1], blen)
 
         if len(comp_ids) > 1:  # interleaved (DC scans only)
             for my in range(mcuy):
