@@ -243,3 +243,59 @@ def test_hex12_num_is_order_preserving(hashes):
     nums = [r[1] for r in rows]
     # strings sorted ascending -> hex12 prefix values non-decreasing
     assert nums == sorted(nums)
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, ch, interlace, seed):
+    """PNG filter-0 encoding is lossless for ANY shape/channel count,
+    sequential or Adam7 — decode(encode(px)) == px exactly (Adam7 found
+    its own edge cases this way: empty passes, 1-pixel dims)."""
+    import numpy as np
+
+    from wikidata_to_surrealdb_spark.functions.png import decode_png, encode_png
+
+    px = bytes(
+        np.random.RandomState(seed).randint(0, 256, w * h * ch).astype(np.uint8)
+    )
+    out = decode_png(encode_png(px, w, h, ch, interlace=interlace))
+    assert out["pixels"] == px
+    assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.sampled_from([1, 3]),
+    st.sampled_from(["444", "420"]),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(w, h, ch, sub, ri, seed):
+    """The progressive encoder transmits the SAME quantized coefficients
+    as the baseline encoder, so for any shape / subsampling / restart
+    interval the two decodes are bit-identical — one property covering
+    DC/AC first+refine, EOB runs, restarts, and scan geometry at once."""
+    import numpy as np
+
+    from wikidata_to_surrealdb_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        jpeg_dimensions,
+    )
+
+    px = bytes(
+        np.random.RandomState(seed).randint(0, 256, w * h * ch).astype(np.uint8)
+    )
+    base = decode_jpeg(encode_jpeg(px, w, h, ch, 85, sub))
+    prog_buf = encode_jpeg_progressive(px, w, h, ch, 85, sub, ri)
+    assert jpeg_dimensions(prog_buf)["progressive"] is True
+    assert decode_jpeg(prog_buf)["pixels"] == base["pixels"]

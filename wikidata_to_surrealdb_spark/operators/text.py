@@ -157,6 +157,78 @@ def inverted_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def inverted_index_positional(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index: ``(term, doc_id, positions)`` where
+    ``positions`` is the sorted array of the term's 0-based offsets in
+    the doc's analyzed token stream — the structure phrase and
+    proximity queries need. Tokenize + stem run array-locally
+    (``transform`` with the same rule chain the exploded analyzer
+    uses), then one shuffle on (term, doc_id) aggregates positions.
+    Postings stay bounded: one row per (term, doc), positions array
+    length = tf."""
+    folded = ascii_fold(F.lower(F.col(text_col)))
+    toks = tokens_col(folded, lowercase=False)
+    staged = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .select(id_col, F.expr(f"transform(_t, t -> {_stem_sql('t')})").alias("_s"))
+    )
+    return (
+        staged.select(
+            id_col, F.posexplode("_s").alias("pos", "term")
+        )
+        .groupBy("term", id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def fts_search_phrase(
+    pindex: DataFrame, phrase: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase search over the positional index: a match is an
+    occurrence of ``phrase[0]`` at position p with ``phrase[i]`` at
+    p+i for every following term. Returns ``(doc_id, n_matches)`` for
+    docs with at least one occurrence.
+
+    Plan shape: the term filter prunes postings before the one
+    doc-keyed shuffle that assembles each candidate doc's
+    term->positions map; the adjacency check is an array-local
+    higher-order filter over the FIRST term's positions (positions
+    arrays are tf-sized — tiny), so no position-level join ever
+    happens. Scale: candidates = docs containing the rarest... any
+    phrase term; the map per doc holds only the phrase's terms."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    first = phrase[0].replace("'", "")
+    conds = " AND ".join(
+        f"array_contains(m['{t.replace(chr(39), '')}'], p + {i})"
+        for i, t in enumerate(phrase[1:], 1)
+    )
+    count_expr = (
+        f"size(filter(m['{first}'], p -> {conds}))" if conds
+        else f"size(m['{first}'])"
+    )
+    present = " AND ".join(
+        f"m['{t.replace(chr(39), '')}'] IS NOT NULL" for t in set(phrase)
+    )
+    return (
+        pindex.where(F.col("term").isin(list(set(phrase))))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("m")
+        )
+        .where(F.expr(present))
+        .select(
+            id_col,
+            F.expr(count_expr).cast("bigint").alias("n_matches"),
+        )
+        .where(F.col("n_matches") > 0)
+    )
+
+
 def doc_lengths(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -518,6 +518,56 @@ def b14_fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHRASE = ("value", "table")
+
+
+def _phrase_oracle(phrase: tuple[str, ...]) -> str:
+    n = len(phrase)
+    adj = " AND ".join(
+        f"toks[i + {i}] = '{t}'" for i, t in enumerate(phrase)
+    )
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, list_filter(
+        regexp_split_to_array(translate(lower(text), 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿāēīōūąćęłńśźż', 'aaaaaaceeeeiiiinooooouuuuyyaeiouacelnszz'), '[^a-z0-9]+'), t -> length(t) > 0) AS r
+      FROM documents
+    ), stemmed AS (
+      SELECT doc_id, list_transform(r, raw_term ->
+        CASE
+          WHEN length(raw_term) > 5 AND raw_term LIKE '%ing' THEN substring(raw_term, 1, length(raw_term) - 3)
+          WHEN length(raw_term) > 4 AND raw_term LIKE '%ed' THEN substring(raw_term, 1, length(raw_term) - 2)
+          WHEN length(raw_term) > 3 AND raw_term LIKE '%es' THEN substring(raw_term, 1, length(raw_term) - 2)
+          WHEN length(raw_term) > 3 AND raw_term LIKE '%s' AND raw_term NOT LIKE '%ss'
+            THEN substring(raw_term, 1, length(raw_term) - 1)
+          ELSE raw_term END) AS toks
+      FROM raw
+    ), counts AS (
+      SELECT doc_id, CAST(len(list_filter(
+        range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+        i -> {adj})) AS BIGINT) AS n_matches
+      FROM stemmed
+    )
+    SELECT doc_id, n_matches FROM counts WHERE n_matches > 0
+    """
+
+
+@_q(
+    "b14_fts_phrase",
+    _phrase_oracle(_PHRASE),
+    "B14+++: exact phrase search over a POSITIONAL inverted index "
+    "(term -> doc -> sorted offsets in the analyzed token stream): a "
+    "match is phrase[0] at p with phrase[i] at p+i. Term-pruned "
+    "postings, one doc-keyed shuffle to assemble each candidate's "
+    "term->positions map, adjacency checked by an array-local "
+    "higher-order filter (never a position-level join); the oracle "
+    "recomputes the count from the token arrays directly",
+)
+def b14_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    pindex = text.inverted_index_positional(t["documents"])
+    return text.fts_search_phrase(pindex, list(_PHRASE))
+
+
 @_q(
     "b15_scalar",
     f"SELECT {fround_sql(dsum_sql('o_totalprice', 2) + ' / count(*)', 2)} AS avg_price FROM orders",
