@@ -229,6 +229,56 @@ def fts_search_phrase(
     )
 
 
+def fts_highlight(
+    docs: DataFrame,
+    index: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    open_tag: str = "<b>",
+    close_tag: str = "</b>",
+) -> DataFrame:
+    """Search-result highlighting — the engine-side mirror of
+    SurrealDB's ``search::highlight`` (its FTS surface alongside the
+    analyzer the reference defines, Useful queries.md:28): for every
+    document matching ANY query term, return the analyzed token stream
+    with each matching token wrapped in the given tags, plus the hit
+    count. A token matches when its STEM equals a query term — the same
+    analyzer semantics the index was built with, so highlights agree
+    with what the search actually matched.
+
+    Plan shape: candidate doc ids come from the term-PRUNED inverted
+    index (an aggregation of matching postings only), joined back to
+    the doc table on doc_id — non-matching documents' text never flows
+    through the highlighter; the wrapping itself is one array-local
+    ``transform`` + ``array_join``. Output is the token stream (not
+    the raw text with original whitespace) — deterministic across
+    engines, which the oracle checks verbatim."""
+    in_list = ", ".join(f"'{t.replace(chr(39), '')}'" for t in query_terms)
+    folded = ascii_fold(F.lower(F.col(text_col)))
+    toks = tokens_col(folded, lowercase=False)
+    stem_t = _stem_sql("t")
+    hl = (
+        f"array_join(transform(_toks, t -> CASE WHEN {stem_t} IN ({in_list}) "
+        f"THEN concat('{open_tag}', t, '{close_tag}') ELSE t END), ' ')"
+    )
+    nhits = f"size(filter(_toks, t -> {stem_t} IN ({in_list})))"
+    cand = (
+        index.where(F.col("term").isin(query_terms))
+        .select(id_col)
+        .distinct()
+    )
+    return (
+        docs.join(cand, id_col)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            F.expr(nhits).cast("bigint").alias("n_hits"),
+            F.expr(hl).alias("highlighted"),
+        )
+    )
+
+
 def doc_lengths(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -569,6 +569,52 @@ def b14_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "b14_fts_highlight",
+    """
+    WITH raw AS (
+      SELECT doc_id, list_filter(
+        regexp_split_to_array(translate(lower(text), 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿāēīōūąćęłńśźż', 'aaaaaaceeeeiiiinooooouuuuyyaeiouacelnszz'), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+      FROM documents
+    ), marked AS (
+      SELECT doc_id,
+        CAST(len(list_filter(toks, raw_term ->
+          CASE
+            WHEN length(raw_term) > 5 AND raw_term LIKE '%ing' THEN substring(raw_term, 1, length(raw_term) - 3)
+            WHEN length(raw_term) > 4 AND raw_term LIKE '%ed' THEN substring(raw_term, 1, length(raw_term) - 2)
+            WHEN length(raw_term) > 3 AND raw_term LIKE '%es' THEN substring(raw_term, 1, length(raw_term) - 2)
+            WHEN length(raw_term) > 3 AND raw_term LIKE '%s' AND raw_term NOT LIKE '%ss'
+              THEN substring(raw_term, 1, length(raw_term) - 1)
+            ELSE raw_term END IN ('merge', 'vector', 'stream'))) AS BIGINT) AS n_hits,
+        array_to_string(list_transform(toks, raw_term ->
+          CASE WHEN
+            CASE
+              WHEN length(raw_term) > 5 AND raw_term LIKE '%ing' THEN substring(raw_term, 1, length(raw_term) - 3)
+              WHEN length(raw_term) > 4 AND raw_term LIKE '%ed' THEN substring(raw_term, 1, length(raw_term) - 2)
+              WHEN length(raw_term) > 3 AND raw_term LIKE '%es' THEN substring(raw_term, 1, length(raw_term) - 2)
+              WHEN length(raw_term) > 3 AND raw_term LIKE '%s' AND raw_term NOT LIKE '%ss'
+                THEN substring(raw_term, 1, length(raw_term) - 1)
+              ELSE raw_term END IN ('merge', 'vector', 'stream')
+          THEN '<b>' || raw_term || '</b>' ELSE raw_term END), ' ') AS highlighted
+      FROM raw
+    )
+    SELECT doc_id, n_hits, highlighted FROM marked WHERE n_hits > 0
+    """,
+    "B14 surface parity with SurrealDB's search::highlight: matching "
+    "documents (candidates from the term-pruned inverted index, joined "
+    "back on doc_id — non-matching text never flows through the "
+    "highlighter) get their analyzed token stream with every token "
+    "whose STEM matches a query term wrapped in <b></b>, plus the hit "
+    "count; one array-local transform, verbatim-compared cross-engine",
+)
+def b14_fts_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    index = text.inverted_index(t["documents"])
+    return text.fts_highlight(
+        t["documents"], index, ["merge", "vector", "stream"]
+    )
+
+
+@_q(
     "b15_scalar",
     f"SELECT {fround_sql(dsum_sql('o_totalprice', 2) + ' / count(*)', 2)} AS avg_price FROM orders",
     "B15: typed scalar return",
