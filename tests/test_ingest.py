@@ -702,3 +702,67 @@ def test_manifest_merge_crash_before_commit_is_invisible(spark, tmp_path, monkey
         for r in read_bucketed_manifest(spark, ent_dir).collect()
     }
     assert got[2] == "updated2" and got[10] == "new10" and len(got) == 9
+
+
+def test_manifest_vacuum_removes_only_orphans(spark, tmp_path, monkeypatch):
+    """vacuum_bucketed_manifest deletes generations a crashed merge
+    orphaned (placed but never committed) while leaving every
+    manifest-referenced dir untouched; the table reads identically
+    before and after."""
+    import json
+    import os
+
+    from wikidata_to_surrealdb_spark.operators import ingest as ingest_mod
+    from wikidata_to_surrealdb_spark.operators.ingest import (
+        merge_into_bucketed_manifest,
+        read_bucketed_manifest,
+        vacuum_bucketed_manifest,
+        write_tables_bucketed_manifest,
+    )
+
+    base = load_dump(
+        spark,
+        _mk_dump(tmp_path / "base.json", [(i, f"base{i}") for i in range(1, 9)]),
+        "json",
+        lang="en",
+    )
+    out = str(tmp_path / "tables")
+    write_tables_bucketed_manifest(base, out, n_buckets=4)
+    upd = load_dump(
+        spark,
+        _mk_dump(tmp_path / "upd.json", [(2, "updated2")]),
+        "json",
+        lang="en",
+    )
+    real_commit = ingest_mod._commit_manifest
+
+    def boom(table_dir, version, buckets):
+        if version > 1:
+            raise RuntimeError("injected")
+        return real_commit(table_dir, version, buckets)
+
+    monkeypatch.setattr(ingest_mod, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError):
+        merge_into_bucketed_manifest(spark, out, upd, n_buckets=4)
+    monkeypatch.setattr(ingest_mod, "_commit_manifest", real_commit)
+
+    ent_dir = f"{out}/Entity.parquet"
+    live = set(
+        json.load(open(f"{ent_dir}/_MANIFEST.json"))["buckets"].values()
+    )
+    on_disk = {e for e in os.listdir(ent_dir) if e.startswith("bucket=")}
+    assert on_disk - live, "crash should have left orphan generations"
+
+    before = {
+        r["id"]["id"]: r["label"]
+        for r in read_bucketed_manifest(spark, ent_dir).collect()
+    }
+    removed = vacuum_bucketed_manifest(out)
+    assert set(removed["Entity.parquet"]) == on_disk - live
+    after_disk = {e for e in os.listdir(ent_dir) if e.startswith("bucket=")}
+    assert after_disk == live
+    after = {
+        r["id"]["id"]: r["label"]
+        for r in read_bucketed_manifest(spark, ent_dir).collect()
+    }
+    assert after == before

@@ -831,3 +831,40 @@ def merge_into_bucketed_manifest(
         for d in old_dirs:  # superseded generations: best-effort cleanup
             shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
     return touched_by_table
+
+
+def vacuum_bucketed_manifest(out_dir: str) -> dict[str, list[str]]:
+    """Delete generation dirs (and stray genstage/manifest temp files)
+    that the live manifest does not reference — the debris a crashed
+    merge legitimately leaves behind (placement ran, commit didn't).
+    Safe to run any time: readers only ever resolve through the live
+    manifest, and the manifest replace is atomic, so nothing removable
+    here can be visible to a reader. Returns the removed entries per
+    table."""
+    import shutil
+
+    out_dir = _require_local_path(out_dir)
+    removed: dict[str, list[str]] = {}
+    for name in sorted(os.listdir(out_dir)):
+        table_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(table_dir) or not os.path.exists(
+            os.path.join(table_dir, MANIFEST_NAME)
+        ):
+            continue
+        live = set(_read_manifest(table_dir)["buckets"].values())
+        gone: list[str] = []
+        for entry in sorted(os.listdir(table_dir)):
+            p = os.path.join(table_dir, entry)
+            if entry.startswith("bucket=") and entry not in live:
+                shutil.rmtree(p, ignore_errors=True)
+                gone.append(entry)
+            elif entry.startswith(f".{MANIFEST_NAME}.tmp-"):
+                os.remove(p)
+                gone.append(entry)
+        # genstage leftovers live as SIBLINGS of the table dir
+        removed[name] = gone
+    for entry in sorted(os.listdir(out_dir)):
+        if ".genstage-" in entry:
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+            removed.setdefault("_staging", []).append(entry)
+    return removed
