@@ -256,3 +256,61 @@ def test_banded_lsh_tolerates_null_and_ragged_vectors(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     assert (1, 2) in pairs
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_pq_adc_rerank_recall_vs_exact(spark):
+    """PQ quality, measured not asserted: on the (near-random — the
+    hardest case for 32x compression) synthetic embeddings, the
+    two-stage ADC + exact-rerank top-10 must recover most of the true
+    exact-distance top-10, and substantially more of it than the raw
+    ADC ordering alone."""
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        pq_encode,
+        pq_search_adc,
+        pq_search_rerank,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([np.asarray(r["embedding"], np.float64) for r in rows])
+    Xi = np.floor(X * 1e6 + 0.5).astype(np.int64)
+    codes = pq_encode(emb, PQ_CODEBOOKS)
+
+    rs = np.random.RandomState(3)
+    adc_rec, rr_rec = [], []
+    for qpos in rs.choice(len(ids), 5, replace=False):
+        qv = [float(x) for x in X[qpos]]
+        true = set(
+            ids[np.argsort(((Xi - Xi[qpos]) ** 2).sum(axis=1), kind="stable")[:10]]
+        )
+        adc = {
+            r["vec_id"]
+            for r in pq_search_adc(codes, PQ_CODEBOOKS, qv, k=10).collect()
+        }
+        rr = {
+            r["vec_id"]
+            for r in pq_search_rerank(
+                emb, PQ_CODEBOOKS, qv, k=10, refine=50
+            ).collect()
+        }
+        adc_rec.append(len(true & adc) / 10)
+        rr_rec.append(len(true & rr) / 10)
+    assert np.mean(rr_rec) >= 0.55, (adc_rec, rr_rec)
+    assert np.mean(rr_rec) > np.mean(adc_rec), (adc_rec, rr_rec)
+    # the query's own vector must always come back first from rerank
+    q0 = [float(x) for x in X[0]]
+    top = pq_search_rerank(emb, PQ_CODEBOOKS, q0, k=1).collect()[0]
+    assert top["vec_id"] == ids[0] and top["dist"] == 0
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+    from wikidata_to_surrealdb_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(emb, PQ_CODEBOOKS).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(emb, PQ_CODEBOOKS).collect()}
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())

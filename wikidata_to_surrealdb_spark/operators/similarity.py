@@ -590,3 +590,163 @@ def normalize_quantize(
             F.md5(F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))),
         ).alias("q_checksum"),
     )
+
+
+# --- product quantization (PQ) ----------------------------------------------
+
+
+def pq_codebooks_int(codebooks: list[list[list[float]]]) -> list[list[list[int]]]:
+    """Codebook coefficients scaled to exact 1e6 integers (the trained
+    literals carry <= 6 decimals, so this is lossless). PQ here runs on
+    a SCALED-INTEGER grid: embeddings are quantized once with the repo's
+    fround rule (floor(x*1e6 + 0.5)), after which every distance is
+    exact BIGINT arithmetic — summation-order-immune and bit-identical
+    across engines by construction, with no IEEE-order choreography."""
+    return [
+        [[round(c * 1_000_000) for c in cent] for cent in book]
+        for book in codebooks
+    ]
+
+
+def _pq_geometry(codebooks: list[list[list[float]]]) -> tuple[int, int, int]:
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    k = len(codebooks[0])
+    return m, sub, k
+
+
+_VI_EXPR = (
+    "transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+)
+
+
+def _pq_code_exprs(codebooks: list[list[list[float]]], vi: str = "_vi") -> list[str]:
+    """Per-subspace Spark SQL: squared scaled-int distance to each of
+    the k centroids (exact BIGINT fold), argmin with a deterministic
+    first-minimum tie-break."""
+    m, sub, _k = _pq_geometry(codebooks)
+    ints = pq_codebooks_int(codebooks)
+    out = []
+    for j in range(m):
+        cb = ", ".join(
+            "array(" + ", ".join(str(c) for c in cent) + ")" for cent in ints[j]
+        )
+        ds = (
+            f"transform(array({cb}), c -> aggregate("
+            f"zip_with(slice({vi}, {j * sub + 1}, {sub}), c, "
+            f"(x, cc) -> (x - cc) * (x - cc)), 0L, (a, t) -> a + t))"
+        )
+        out.append(f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)")
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: each vector becomes M small codes
+    (``codes[j]`` = nearest centroid of subspace j), compressing a
+    64-dim float vector to M=8 nibble-sized ints — the ~16-64x memory
+    shrink that makes billion-vector ANN serveable. Pure map (no
+    shuffle, no Python): quantize to the scaled-int grid, then per
+    subspace an exact-integer distance fold + argmin over codebook
+    literals embedded in the plan."""
+    exprs = _pq_code_exprs(codebooks)
+    return (
+        embeddings.select(
+            F.col(id_col), F.expr(_VI_EXPR.format(v=vec_col)).alias("_vi")
+        )
+        .select(
+            id_col,
+            F.expr("array(" + ", ".join(exprs) + ")").alias("codes"),
+        )
+    )
+
+
+def pq_search_adc(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search over a PQ-encoded table: the
+    query is NOT quantized — per subspace, its exact scaled-int squared
+    distance to every centroid is precomputed on the driver into an
+    M x K table of BIGINT literals, and each row's approximate distance
+    is M table lookups + an exact sum. Returns the top-k
+    (id, adc_dist) by (distance, id) — compiled to
+    TakeOrderedAndProject, so the scan is map-only with a parallel
+    partial top-k and NO full exchange at any corpus size. The encoded
+    table is the ONLY thing read: the raw vectors never flow through a
+    query."""
+    m, sub, _k = _pq_geometry(codebooks)
+    if len(query) != m * sub:
+        raise ValueError(f"query must have {m * sub} dims, got {len(query)}")
+    ints = pq_codebooks_int(codebooks)
+    # same fround rule the encode applies: floor(x*1e6 + 0.5) on doubles
+    import math
+
+    qi = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query]
+    dt = [
+        [
+            sum(
+                (qi[j * sub + i] - cent[i]) ** 2 for i in range(sub)
+            )
+            for cent in ints[j]
+        ]
+        for j in range(m)
+    ]
+    lookups = " + ".join(
+        "element_at(array("
+        + ", ".join(f"{d}L" for d in dt[j])
+        + f"), element_at(codes, {j + 1}) + 1)"
+        for j in range(m)
+    )
+    return (
+        codes.select(
+            F.col(id_col), F.expr(lookups).cast("bigint").alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_search_rerank(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ ANN — the production shape: ADC over the compressed
+    codes proposes ``refine`` candidates (map-only scan +
+    TakeOrderedAndProject), then ONLY those <= ``refine`` rows have
+    their raw vectors read back and exact-ranked. At corpus scale the
+    expensive full-width vector column is touched for a constant number
+    of rows per query; the candidate set attaches by broadcast join
+    (it is k-sized by construction). Distances are exact scaled-int
+    squared L2, same grid as the encode — engine-exact."""
+    import math
+
+    m, sub, _k = _pq_geometry(codebooks)
+    if len(query) != m * sub:
+        raise ValueError(f"query must have {m * sub} dims, got {len(query)}")
+    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    cand = pq_search_adc(codes, codebooks, query, k=refine, id_col=id_col)
+    qi = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query]
+    qarr = "array(" + ", ".join(f"{v}L" for v in qi) + ")"
+    exact = (
+        f"aggregate(zip_with({_VI_EXPR.format(v=vec_col)}, {qarr}, "
+        f"(x, q) -> (x - q) * (x - q)), 0L, (a, t) -> a + t)"
+    )
+    return (
+        embeddings.join(F.broadcast(cand.select(id_col)), id_col)
+        .select(F.col(id_col), F.expr(exact).cast("bigint").alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col))
+        .limit(k)
+    )

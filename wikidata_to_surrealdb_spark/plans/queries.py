@@ -1566,6 +1566,198 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_int_books() -> list[list[list[int]]]:
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        pq_codebooks_int,
+    )
+
+    return pq_codebooks_int(PQ_CODEBOOKS)
+
+
+_PQ_VI_DUCK = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+)
+
+
+def _pq_duck_book(j: int) -> str:
+    ints = _pq_int_books()
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(c) for c in cent) + "]" for cent in ints[j]
+        )
+        + "]"
+    )
+
+
+def _pq_duck_codes_expr(vi: str = "vi") -> str:
+    """DuckDB twin of similarity._pq_code_exprs: the M-code list, exact
+    scaled-int distances + first-minimum argmin per subspace."""
+    ints = _pq_int_books()
+    m, sub = len(ints), len(ints[0][0])
+    codes = []
+    for j in range(m):
+        terms = " + ".join(
+            f"({vi}[{j * sub + i + 1}] - c[{i + 1}]) * "
+            f"({vi}[{j * sub + i + 1}] - c[{i + 1}])"
+            for i in range(sub)
+        )
+        ds = f"list_transform({_pq_duck_book(j)}, c -> {terms})"
+        codes.append(f"CAST(list_position({ds}, list_min({ds})) - 1 AS INT)")
+    return "[" + ", ".join(codes) + "]"
+
+
+@_q(
+    "sim_pq_codes",
+    f"""
+    WITH vi AS (
+      SELECT vec_id, {_PQ_VI_DUCK} AS vi FROM embeddings
+    )
+    SELECT vec_id, {_pq_duck_codes_expr()} AS codes FROM vi
+    """,
+    "Product-quantization encode with TRAINED per-subspace codebooks "
+    "(fixed-seed pyspark.ml KMeans over each 8-dim slice of the sf0.01 "
+    "embeddings, embedded as literals in both engines): vectors are "
+    "quantized once to a 1e6 scaled-integer grid, after which every "
+    "centroid distance is EXACT BIGINT arithmetic — order-immune and "
+    "bit-identical across engines by construction; codes = 8 nibble "
+    "ints per 64-dim vector, a pure map (the 16-64x shrink that makes "
+    "billion-vector ANN serveable)",
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+
+    t = register_views(spark, sf_dir)
+    return similarity.pq_encode(t["embeddings"], PQ_CODEBOOKS)
+
+
+def _pq_search_oracle(k: int) -> str:
+    ints = _pq_int_books()
+    m, sub = len(ints), len(ints[0][0])
+    cents = ",\n             ".join(
+        f"list_extract({_pq_duck_book(j)}, codes[{j + 1}] + 1) AS c{j}"
+        for j in range(m)
+    )
+    dist = " + ".join(
+        f"(q.qi[{j * sub + i + 1}] - w.c{j}[{i + 1}]) * "
+        f"(q.qi[{j * sub + i + 1}] - w.c{j}[{i + 1}])"
+        for j in range(m)
+        for i in range(sub)
+    )
+    return f"""
+    WITH vi AS (
+      SELECT vec_id, {_PQ_VI_DUCK} AS vi FROM embeddings
+    ), codes_t AS (
+      SELECT vec_id, {_pq_duck_codes_expr()} AS codes FROM vi
+    ), q AS (
+      SELECT {_PQ_VI_DUCK} AS qi FROM embeddings
+      WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+    ), withcent AS (
+      SELECT vec_id,
+             {cents}
+      FROM codes_t
+    )
+    SELECT vec_id, CAST({dist} AS BIGINT) AS adc_dist
+    FROM withcent w, q
+    ORDER BY adc_dist, vec_id
+    LIMIT {k}
+    """
+
+
+@_q(
+    "sim_pq_search",
+    _pq_search_oracle(10),
+    "PQ asymmetric-distance (ADC) search: the query stays unquantized — "
+    "its exact scaled-int distance to every centroid becomes an M x K "
+    "BIGINT lookup table in the plan, each row's approximate distance "
+    "is 8 lookups + an exact sum over the CODES ONLY (raw vectors never "
+    "flow through the query), and the deterministic top-10 compiles to "
+    "TakeOrderedAndProject — map-only scan, parallel partial top-k, no "
+    "full exchange at any corpus size",
+)
+def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = [
+        float(x)
+        for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
+    ]
+    codes = similarity.pq_encode(emb, PQ_CODEBOOKS)
+    return similarity.pq_search_adc(codes, PQ_CODEBOOKS, qv, k=10)
+
+
+def _pq_rerank_oracle(k: int, refine: int) -> str:
+    ints = _pq_int_books()
+    m, sub = len(ints), len(ints[0][0])
+    cents = ",\n             ".join(
+        f"list_extract({_pq_duck_book(j)}, codes[{j + 1}] + 1) AS c{j}"
+        for j in range(m)
+    )
+    adc = " + ".join(
+        f"(q.qi[{j * sub + i + 1}] - w.c{j}[{i + 1}]) * "
+        f"(q.qi[{j * sub + i + 1}] - w.c{j}[{i + 1}])"
+        for j in range(m)
+        for i in range(sub)
+    )
+    exact = " + ".join(
+        f"(v.vi[{i + 1}] - q.qi[{i + 1}]) * (v.vi[{i + 1}] - q.qi[{i + 1}])"
+        for i in range(m * sub)
+    )
+    return f"""
+    WITH vi AS (
+      SELECT vec_id, {_PQ_VI_DUCK} AS vi FROM embeddings
+    ), codes_t AS (
+      SELECT vec_id, {_pq_duck_codes_expr()} AS codes FROM vi
+    ), q AS (
+      SELECT {_PQ_VI_DUCK} AS qi FROM embeddings
+      WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+    ), withcent AS (
+      SELECT vec_id,
+             {cents}
+      FROM codes_t
+    ), cand AS (
+      SELECT vec_id, CAST({adc} AS BIGINT) AS adc_dist
+      FROM withcent w, q
+      ORDER BY adc_dist, vec_id
+      LIMIT {refine}
+    )
+    SELECT v.vec_id, CAST({exact} AS BIGINT) AS dist
+    FROM vi v JOIN cand ON cand.vec_id = v.vec_id, q
+    ORDER BY dist, v.vec_id
+    LIMIT {k}
+    """
+
+
+@_q(
+    "sim_pq_search_rerank",
+    _pq_rerank_oracle(10, 50),
+    "Two-stage PQ ANN (the production shape): ADC over the compressed "
+    "codes proposes 50 candidates via TakeOrderedAndProject, then ONLY "
+    "those rows have their raw vectors read back (broadcast candidate "
+    "join) and exact-ranked on the scaled-int grid — at corpus scale "
+    "the full-width vector column is touched for a constant number of "
+    "rows per query; measured recall@10 vs exact search ~0.7 on the "
+    "synthetic (near-random, hardest-case) embeddings vs ~0.3 for raw "
+    "ADC order",
+)
+def sim_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = [
+        float(x)
+        for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
+    ]
+    return similarity.pq_search_rerank(
+        emb, PQ_CODEBOOKS, qv, k=10, refine=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extensions
 # ---------------------------------------------------------------------------
