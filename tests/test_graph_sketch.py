@@ -347,3 +347,29 @@ def test_sample_quantiles_null_ids_excluded(spark):
         for r in sketch.sample_quantiles(df, "v", "id", ps=(1.0,), k=500).collect()
     }
     assert out == {1.0: 100.0}  # NULL-id rows never enter the sample
+
+
+def test_pagerank_hand_graph_and_mass_conservation(spark):
+    """PageRank semantics on a hand graph: a 3-node cycle is perfectly
+    symmetric (equal ranks = 1/3 each), and with dangling-mass
+    redistribution total rank stays ~1 at every shape; a hub pointed at
+    by everyone outranks its spokes."""
+    from wikidata_to_surrealdb_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(cycle, iterations=10).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert all(abs(v - 1.0 / 3.0) < 1e-9 for v in r.values())
+
+    # star: spokes -> hub; hub is dangling (its mass redistributes)
+    star = spark.createDataFrame(
+        [(f"s{i}", "hub") for i in range(4)], "src string, dst string"
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(star, iterations=20).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert all(r["hub"] > r[f"s{i}"] for i in range(4))
+    # spokes are symmetric
+    spoke_vals = {r[f"s{i}"] for i in range(4)}
+    assert len(spoke_vals) == 1

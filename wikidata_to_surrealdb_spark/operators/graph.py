@@ -204,3 +204,91 @@ def connected_components(
             F.coalesce(F.col("component"), F.col("node")).alias("component"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank with dangling-mass redistribution:
+
+        rank'(v) = (1-d)/N + d * ( sum_{u->v} rank(u)/outdeg(u)
+                                   + dangling/N )
+
+    where ``dangling`` is the total rank held by nodes without
+    out-edges (redistributed uniformly — the standard correction;
+    without it rank mass leaks every iteration).
+
+    Cross-engine determinism: per-edge contributions are rounded to 12
+    decimals and summed as exact DECIMAL (partition-order-immune), the
+    dangling total likewise, and each new rank is re-rounded to 12
+    decimals — so the DuckDB oracle's unrolled iterations reproduce the
+    doubles bit-for-bit with no IEEE-summation-order choreography.
+
+    Scale shape: per iteration ONE shuffle join of edges with the rank
+    relation (both keyed on node ids) + one aggregation; the dangling
+    total is a 1-row broadcast; lineage is truncated per iteration with
+    ``localCheckpoint`` (the plan tree would otherwise double per
+    round). ``iterations`` is a fixed count — power iteration
+    converges geometrically at rate ~d, and a fixed count keeps the
+    result deterministic and oracle-checkable."""
+    from wikidata_to_surrealdb_spark.functions import fround
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / float(n)
+    outdeg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
+    ranks = nodes.withColumn(
+        "rank", fround(F.lit(1.0) / F.lit(float(n)), 12)
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["_s"] == ranks["node"])
+            .join(outdeg, "_s")
+            .select(
+                F.col("_d").alias("node"),
+                fround(F.col("rank") / F.col("_outdeg").cast("double"), 12)
+                .cast("decimal(28,12)")
+                .alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").cast("double").alias("_in"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["_s"], "left_anti")
+            .agg(
+                (
+                    F.coalesce(
+                        F.sum(F.col("rank").cast("decimal(28,12)")),
+                        F.lit(0).cast("decimal(28,12)"),
+                    ).cast("double")
+                    / F.lit(float(n))
+                ).alias("_g")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                fround(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_g")),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    outdeg.unpersist()
+    return ranks

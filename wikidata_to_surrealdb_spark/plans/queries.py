@@ -3390,6 +3390,83 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.khop(edges, start, k=2)
 
 
+def _pagerank_oracle(iters: int, damping: float = 0.85) -> str:
+    ctes = [
+        """e AS (
+      SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS s,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS d
+      FROM lineitem
+    )""",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "od AS (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY s)",
+        f"r0 AS (SELECT node, {fround_sql('1.0 / CAST(nn.n AS DOUBLE)', 12)} AS rank FROM nodes, nn)",
+    ]
+    contrib = fround_sql("r.rank / CAST(od.outdeg AS DOUBLE)", 12)
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""c{t} AS (
+      SELECT e.d AS node,
+             CAST(SUM(CAST({contrib} AS DECIMAL(28,12))) AS DOUBLE) AS cin
+      FROM e JOIN r{t - 1} r ON r.node = e.s JOIN od ON od.s = e.s
+      GROUP BY e.d
+    )"""
+        )
+        ctes.append(
+            f"""g{t} AS (
+      SELECT CAST(COALESCE((SELECT SUM(CAST(r.rank AS DECIMAL(28,12)))
+                            FROM r{t - 1} r
+                            WHERE r.node NOT IN (SELECT s FROM od)),
+                           CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(nn.n AS DOUBLE) AS g
+      FROM nn
+    )"""
+        )
+        newrank = fround_sql(
+            f"(1.0 - {damping!r}) / CAST(nn.n AS DOUBLE) + "
+            f"{damping!r} * (COALESCE(c.cin, 0.0) + g.g)",
+            12,
+        )
+        ctes.append(
+            f"""r{t} AS (
+      SELECT n.node, {newrank} AS rank
+      FROM nodes n LEFT JOIN c{t} c ON c.node = n.node, g{t} g, nn
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, rank FROM r{iters}"
+    )
+
+
+_PAGERANK_ITERS = 6
+
+
+@_q(
+    "graph_pagerank",
+    _pagerank_oracle(_PAGERANK_ITERS),
+    "power-iteration PageRank (6 rounds, d=0.85) with dangling-mass "
+    "redistribution over the DIRECTED part->supplier graph from "
+    "lineitem (every supplier is dangling, so the correction path is "
+    "live); per-edge contributions rounded to 12dp and summed as exact "
+    "DECIMAL so the unrolled-CTE oracle reproduces every double "
+    "bit-for-bit; per iteration one node-keyed join + one aggregation, "
+    "dangling total a 1-row broadcast, lineage checkpoint-truncated",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import graph
+
+    t = register_views(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.pagerank(edges, iterations=_PAGERANK_ITERS).select("node", "rank")
+
+
 @_q(
     "dedup_clusters",
     f"""
