@@ -379,3 +379,61 @@ def test_stream_stream_attribution_join_matches_batch(spark):
     }
     assert got == want
     assert len(got) > 0  # the fixture actually exercises the join
+
+
+def test_stream_static_enrich_multibatch_equals_batch(spark, tmp_path):
+    """Stream-static enrichment must converge to the batch join+rollup
+    even when the stream arrives across several micro-batches (the
+    windowed aggregation merges partial state; the dim join is
+    stateless per batch)."""
+    import uuid as _uuid
+
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        segment_enrich_stream_df,
+        slice_events_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sliced = slice_events_table(
+        spark, f"{sf}/events.parquet", str(tmp_path / "ev4")
+    )
+    table = f"enrich_mb_{_uuid.uuid4().hex[:8]}"
+    q = (
+        segment_enrich_stream_df(spark, sliced, f"{sf}/customer.parquet")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["hour_start"], r["c_mktsegment"], r["event_type"]): (
+            r["n_events"],
+            r["total_cents"],
+        )
+        for r in spark.table(table).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    from pyspark.sql import functions as F
+
+    batch = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+            "c_mktsegment",
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    expect = {
+        (r["hour_start"], r["c_mktsegment"], r["event_type"]): (r["n"], r["cents"])
+        for r in batch.collect()
+    }
+    assert got == expect and len(got) > 0

@@ -2129,6 +2129,36 @@ def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_static_enrich",
+    """
+    SELECT CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS hour_start,
+           c.c_mktsegment,
+           e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2, 3
+    """,
+    "STREAM-STATIC enrichment join (the canonical serving shape: an "
+    "unbounded fact stream decorated with dimension attributes): "
+    "readStream events broadcast-joined to the static customer table — "
+    "stateless and map-side, unlike stream-stream joins — then a "
+    "watermarked (hour, segment, type) rollup with value in exact "
+    "integer cents; availableNow result == the batch join+group-by "
+    "oracle verbatim",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        segment_enrich_streaming,
+    )
+
+    return segment_enrich_streaming(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
+    )
+
+
+@_q(
     "stream_sessionize_stateful",
     f"""
     WITH flagged AS (

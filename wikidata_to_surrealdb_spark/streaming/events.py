@@ -541,3 +541,66 @@ def attribution_join_streaming(
         )
         q.awaitTermination()
     return spark.table(table)
+
+
+def segment_enrich_stream_df(
+    spark: SparkSession,
+    events_path: str,
+    customer_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STATIC enrichment join + windowed rollup: each streaming
+    event is joined to the static customer dimension (broadcast — the
+    dim rides to every task, the unbounded side never shuffles and the
+    join holds NO state, unlike stream-stream joins), then aggregated
+    per (hour, market segment, event type) with value kept in exact
+    integer cents so resumed/merged partial sums stay decimal-exact.
+
+    This is the canonical serving-pipeline shape: an infinite fact
+    stream decorated with slowly-changing dimension attributes. At
+    scale the only stateful operator is the watermark-bounded window
+    aggregation; the enrichment itself is map-side."""
+    stream = _event_stream_source(spark, events_path, max_files_per_trigger=8)
+    dim = spark.read.parquet(customer_path).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    return (
+        stream.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "c_mktsegment",
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+        .select(
+            F.unix_timestamp("hour").alias("hour_start"),
+            "c_mktsegment",
+            "event_type",
+            "n_events",
+            "total_cents",
+        )
+    )
+
+
+def segment_enrich_streaming(
+    spark: SparkSession, events_path: str, customer_path: str
+) -> DataFrame:
+    """Run the stream-static enrichment to completion (availableNow,
+    complete mode) into a memory sink — batch-equivalent, so a plain
+    join+group-by oracle applies verbatim."""
+    table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        segment_enrich_stream_df(spark, events_path, customer_path)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
