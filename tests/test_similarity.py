@@ -314,3 +314,32 @@ def test_pq_codes_shape_and_determinism(spark):
     b = {r["vec_id"]: r["codes"] for r in pq_encode(emb, PQ_CODEBOOKS).collect()}
     assert a == b
     assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_ivf_pq_includes_query_and_beats_random(spark):
+    """IVF+PQ composite: the query's own vector survives BOTH pruning
+    stages (its cell is always probed, its ADC distance is minimal) and
+    comes back first with exact distance 0; results are a subset of the
+    probed cells' members."""
+    from wikidata_to_surrealdb_spark.data.ivf_centroids import IVF_CENTROIDS
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    out = ivf_pq_search(
+        emb, IVF_CENTROIDS, PQ_CODEBOOKS, qv, k=5, nprobe=2, refine=30
+    ).collect()
+    assert out[0]["vec_id"] == row["vec_id"] and out[0]["dist"] == 0
+    assert len(out) == 5
+    # every result member is assigned to one of the probed cells
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, IVF_CENTROIDS).collect()
+    }
+    result_cells = {cells[r["vec_id"]] for r in out}
+    assert len(result_cells) <= 2

@@ -750,3 +750,92 @@ def pq_search_rerank(
         .orderBy(F.col("dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_search(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composite ANN — the full production stack: the IVF
+    coarse quantizer prunes the corpus to ``nprobe`` cells, ADC over
+    the PQ codes ranks ONLY those cells' members and proposes
+    ``refine`` candidates, and the exact scaled-int rerank touches raw
+    vectors for just those rows. At scale, with the (cell, codes) index
+    materialized ``partitionBy(cell)``, a query reads
+    ~``nprobe/n_cells`` of the compressed codes and a constant number
+    of raw vectors — the IVF pruning and the PQ compression multiply.
+
+    Cell probe + assignment use the SAME rounded-cosine arithmetic as
+    :func:`ivf_search` (both engines probe identical cells); ADC and
+    the rerank use the exact scaled-int grid of :func:`pq_encode`."""
+    import math
+
+    m, sub, _k = _pq_geometry(codebooks)
+    if len(query_vec) != m * sub:
+        raise ValueError(f"query must have {m * sub} dims, got {len(query_vec)}")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents_df = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell bigint, cv array<double>",
+    )
+    probe_cells = [
+        int(r["cell"])
+        for r in cents_df.select("cell", cosine_col(F.col("cv"), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col("cell"))
+        .limit(nprobe)
+        .collect()
+    ]
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    sims = F.transform(cents, lambda c: cosine_col(F.col("v"), c))
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("bigint")
+    code_exprs = _pq_code_exprs(codebooks)
+    # one map-only pass builds the (id, cell, codes) index rows — the
+    # relation a serving deployment materializes partitioned by cell
+    index = (
+        embeddings.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            F.expr(_VI_EXPR.format(v=vec_col)).alias("_vi"),
+        )
+        .select(
+            id_col,
+            cell.alias("cell"),
+            F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes"),
+        )
+    )
+    ints = pq_codebooks_int(codebooks)
+    qi = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query_vec]
+    dt = [
+        [sum((qi[j * sub + i] - cent[i]) ** 2 for i in range(sub)) for cent in ints[j]]
+        for j in range(m)
+    ]
+    lookups = " + ".join(
+        "element_at(array("
+        + ", ".join(f"{d}L" for d in dt[j])
+        + f"), element_at(codes, {j + 1}) + 1)"
+        for j in range(m)
+    )
+    cand = (
+        index.where(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), F.expr(lookups).cast("bigint").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(refine)
+    )
+    qarr = "array(" + ", ".join(f"{v}L" for v in qi) + ")"
+    exact = (
+        f"aggregate(zip_with({_VI_EXPR.format(v=vec_col)}, {qarr}, "
+        f"(x, qq) -> (x - qq) * (x - qq)), 0L, (a, t) -> a + t)"
+    )
+    return (
+        embeddings.join(F.broadcast(cand.select(id_col)), id_col)
+        .select(F.col(id_col), F.expr(exact).cast("bigint").alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col))
+        .limit(k)
+    )

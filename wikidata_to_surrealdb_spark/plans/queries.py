@@ -1758,6 +1758,94 @@ def sim_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pq_oracle(k: int, nprobe: int, refine: int) -> str:
+    ints = _pq_int_books()
+    m, sub = len(ints), len(ints[0][0])
+    cents = ",\n             ".join(
+        f"list_extract({_pq_duck_book(j)}, codes[{j + 1}] + 1) AS c{j}"
+        for j in range(m)
+    )
+    adc = " + ".join(
+        f"(q.qi[{j * sub + i + 1}] - w.c{j}[{i + 1}]) * "
+        f"(q.qi[{j * sub + i + 1}] - w.c{j}[{i + 1}])"
+        for j in range(m)
+        for i in range(sub)
+    )
+    exact = " + ".join(
+        f"(v.vi[{i + 1}] - q.qi[{i + 1}]) * (v.vi[{i + 1}] - q.qi[{i + 1}])"
+        for i in range(m * sub)
+    )
+    return f"""
+    WITH {_ivf_centroid_cte()}, qv AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv,
+             {_PQ_VI_DUCK} AS qi
+      FROM embeddings
+      WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+    ), q AS (SELECT qi FROM qv), probe AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               row_number() OVER (
+                 ORDER BY {fround_sql(_COS_SQL.format(a="c.cv", b="qv.qv"), 4)} DESC, c.cell
+               ) AS rn
+        FROM c, qv
+      ) WHERE rn <= {nprobe}
+    ), v0 AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             {_PQ_VI_DUCK} AS vi
+      FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT v0.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v0.vec_id ORDER BY
+                 {fround_sql(_COS_SQL.format(a="v0.v", b="c.cv"), 4)} DESC, c.cell) AS rn
+        FROM v0 CROSS JOIN c
+      ) WHERE rn = 1
+    ), codes_t AS (
+      SELECT vec_id, {_pq_duck_codes_expr()} AS codes FROM v0
+    ), withcent AS (
+      SELECT ct.vec_id,
+             {cents}
+      FROM codes_t ct
+      JOIN assigned a ON a.vec_id = ct.vec_id
+      WHERE a.cell IN (SELECT cell FROM probe)
+    ), cand AS (
+      SELECT vec_id, CAST({adc} AS BIGINT) AS adc_dist
+      FROM withcent w, q
+      ORDER BY adc_dist, vec_id
+      LIMIT {refine}
+    )
+    SELECT v.vec_id, CAST({exact} AS BIGINT) AS dist
+    FROM v0 v JOIN cand ON cand.vec_id = v.vec_id, q
+    ORDER BY dist, v.vec_id
+    LIMIT {k}
+    """
+
+
+@_q(
+    "sim_ivf_pq_search",
+    _ivf_pq_oracle(10, 2, 50),
+    "IVF+PQ composite ANN (the full production stack): the trained IVF "
+    "coarse quantizer prunes to the 2 nearest of 8 cells, ADC over the "
+    "trained PQ codes ranks only those cells' members and proposes 50 "
+    "candidates (TakeOrderedAndProject), exact scaled-int rerank reads "
+    "raw vectors for just those rows — with the (cell, codes) index "
+    "partitionBy(cell), a query touches ~nprobe/n_cells of the "
+    "compressed codes and a constant number of raw vectors",
+)
+def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = [
+        float(x)
+        for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
+    ]
+    return similarity.ivf_pq_search(
+        emb, _ivf_centroids(), PQ_CODEBOOKS, qv, k=10, nprobe=2, refine=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extensions
 # ---------------------------------------------------------------------------
