@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "tpch_q18",
     "b14_fts",
     "b14_fts_bm25",
+    "b14_fts_phrase",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding",
@@ -44,6 +45,8 @@ BENCH_QUERIES = [
     "events_range_join",
     "stream_sessionize_stateful",
     "sim_bruteforce",
+    "sim_pq_search",
+    "sim_ivf_pq_search",
     "mm_decode_features",
     "mm_decode_jpeg",
     "curation_repetition",
