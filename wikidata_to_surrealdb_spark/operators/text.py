@@ -667,3 +667,136 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram language model (KenLM-style quality scoring, Spark-first)
+# ---------------------------------------------------------------------------
+
+def _char_grams(text_col: str, n: int) -> Column:
+    """Overlapping lowercased character n-grams as an array — array-local
+    (one `transform` over a `sequence`, no explode until the caller asks).
+    Guarded so texts shorter than ``n`` yield an EMPTY array (Spark's
+    ``sequence(1, 0)`` would descend, not stop)."""
+    t = f"lower({text_col})"
+    return F.expr(
+        f"CASE WHEN length({t}) >= {n} THEN "
+        f"transform(sequence(1, length({t}) - {n - 1}), i -> substring({t}, i, {n})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+class CharLM:
+    """A trained char n-gram model: three tiny relations, all broadcastable.
+
+    - ``model``: (gram, logp_e12) — smoothed conditional log10-prob of the
+      gram's last char given its prefix, as an exact BIGINT in 1e-12 units.
+      Fixed-point integers sidestep BOTH float-sum ordering and
+      double->decimal cast divergence between engines: the per-gram value
+      is rounded once (floor(x*1e12 + 0.5), an exact integer double) and
+      every downstream aggregation is exact integer math.
+    - ``ctx``: (p, unseen_e12) — the add-k probability of an UNSEEN
+      continuation of a seen prefix.
+    - ``default_e12``: scalar fallback for a wholly unseen prefix (1/V).
+
+    log10 is :func:`~wikidata_to_surrealdb_spark.functions.plog10` — the
+    bit-portable sqrt-chain log — applied only to model rows (|V|^n of
+    them), never per-occurrence.
+    """
+
+    def __init__(self, model: DataFrame, ctx: DataFrame, default_e12: DataFrame, n: int):
+        self.model = model
+        self.ctx = ctx
+        self.default_e12 = default_e12
+        self.n = n
+
+
+def _e12(col: Column) -> Column:
+    return F.floor(col * F.lit(1000000000000.0) + F.lit(0.5)).cast("bigint")
+
+
+def train_char_lm(
+    corpus: DataFrame, text_col: str = "text", n: int = 2, k: float = 1.0
+) -> CharLM:
+    """Train an add-k-smoothed char n-gram LM over the corpus.
+
+    Shuffle story at 100 TB: the explode emits O(total chars) rows, but
+    the groupBy's map-side partial aggregation collapses them to at most
+    |alphabet|^n distinct grams PER PARTITION before the exchange, so
+    shuffle volume is ~|V|^n * partitions — constant-bounded, not
+    data-bounded. Everything downstream operates on the vocabulary-sized
+    model relation.
+    """
+    from wikidata_to_surrealdb_spark.functions import plog10
+
+    g = corpus.select(F.explode(_char_grams(text_col, n)).alias("gram"))
+    c = g.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    ctx_tot = c.groupBy(F.substring("gram", 1, n - 1).alias("p")).agg(
+        F.sum("c").alias("total")
+    )
+    v = c.select(
+        F.countDistinct(F.substring("gram", n, 1)).cast("double").alias("v")
+    )
+    kl = F.lit(float(k))
+    model = (
+        c.join(F.broadcast(ctx_tot), F.substring(c["gram"], 1, n - 1) == ctx_tot["p"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "gram",
+            _e12(plog10((F.col("c") + kl) / (F.col("total") + kl * F.col("v")))).alias(
+                "logp_e12"
+            ),
+        )
+    )
+    ctx = ctx_tot.crossJoin(F.broadcast(v)).select(
+        "p",
+        _e12(plog10(kl / (F.col("total") + kl * F.col("v")))).alias("unseen_e12"),
+    )
+    default = v.select(_e12(plog10(F.lit(1.0) / F.col("v"))).alias("default_e12"))
+    return CharLM(model=model, ctx=ctx, default_e12=default, n=n)
+
+
+def lm_score(
+    docs: DataFrame,
+    lm: CharLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score each doc: average per-gram conditional log10-probability.
+
+    Returns ``(id_col, n_grams, avg_logp10)``; docs too short to form a
+    gram keep ``n_grams = 0`` and a NULL score. Unseen grams fall back to
+    the context's unseen mass, unseen contexts to the uniform 1/V — so a
+    model trained on one corpus scores held-out text without NULL holes.
+
+    Plan shape: explode (map-local) -> TWO broadcast left joins (model and
+    ctx are vocabulary-sized) -> one groupBy id_col with exact BIGINT sums
+    -> broadcast-joined back to the doc spine. No shuffle except the final
+    id-keyed aggregation, which map-side-combines per doc.
+    """
+    n = lm.n
+    g = docs.select(F.col(id_col), F.explode(_char_grams(text_col, n)).alias("gram"))
+    scored = (
+        g.join(F.broadcast(lm.model), "gram", "left")
+        .withColumn("_p", F.substring("gram", 1, n - 1))
+        .join(F.broadcast(lm.ctx), F.col("_p") == lm.ctx["p"], "left")
+        .crossJoin(F.broadcast(lm.default_e12))
+        .select(
+            id_col,
+            F.coalesce("logp_e12", "unseen_e12", "default_e12").alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_lp").alias("_total"),
+        )
+    )
+    spine = docs.select(id_col)
+    return spine.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        (
+            (F.col("_total").cast("double") / F.lit(1000000000000.0))
+            / F.col("n_grams").cast("double")
+        ).alias("avg_logp10"),
+    )
