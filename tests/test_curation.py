@@ -322,3 +322,50 @@ def test_expectations_report_empty_input_matches_oracle_shape(spark):
     # one row per shipped rule, all-zero counts
     assert len(got) == 4
     assert all(r[1] == 0 and r[2] == 0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis-Spirakis deterministic priority sampling)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_partition_stable(spark):
+    rows = [(i, 1 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    a = {r.doc_id for r in curation.weighted_sample(df, "doc_id", "w", k=50).collect()}
+    b = {
+        r.doc_id
+        for r in curation.weighted_sample(df.repartition(13), "doc_id", "w", k=50).collect()
+    }
+    assert a == b and len(a) == 50
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    # half the rows weigh 10x more; across many seeds they should
+    # dominate the sample
+    rows = [(i, 10 if i < 250 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    heavy = 0
+    for seed in ("s1", "s2", "s3"):
+        got = curation.weighted_sample(df, "doc_id", "w", k=50, seed=seed).collect()
+        heavy += sum(1 for r in got if r.doc_id < 250)
+    # expectation ~85% heavy; require a clear majority
+    assert heavy > 0.7 * 150
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    rows = [(1, 0), (2, -5), (3, 4), (4, 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = {r.doc_id for r in curation.weighted_sample(df, "doc_id", "w", k=10).collect()}
+    assert got == {3, 4}
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(100)], ["doc_id", "w"])
+    plan = (
+        curation.weighted_sample(df, "doc_id", "w", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

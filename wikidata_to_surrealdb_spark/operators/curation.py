@@ -583,3 +583,53 @@ def expectations_report(
         )
         .orderBy("rule")
     )
+
+
+def _hex_u48_poly_sql(hex_expr: str) -> str:
+    """SQL text turning the first 12 hex chars of ``hex_expr`` into a
+    uniform double in (0, 1): explicit base-16 polynomial (position() is
+    ANSI, so the SAME text runs on Spark and DuckDB — neither engine has
+    a portable hex->int in common), then (v + 0.5) / 2^48."""
+    terms = " + ".join(
+        f"(position(substring({hex_expr}, {i + 1}, 1) IN '0123456789abcdef') - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"((({terms}) + 0.5) / 281474976710656.0)"
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 100,
+    seed: str = "ws-v1",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of size ``k``
+    (Efraimidis-Spirakis A-ES priority sampling): each row draws a
+    pseudo-uniform u from md5(seed ':' id) and is ranked by
+    u^(1/weight) — equivalently (log is monotone) by log10(u)/weight,
+    which we compute with the bit-portable plog10 so the DuckDB oracle
+    selects the IDENTICAL sample. The top-k keys ARE the sample; the
+    probability a row makes it scales with its weight.
+
+    No RNG state, no driver pass: membership is a pure function of
+    (seed, id, weight), stable under retries and re-partitioning. The
+    plan is a map (hash + key) followed by orderBy().limit(k) —
+    TakeOrderedAndProject, a parallel per-partition partial top-k with a
+    driver-side merge of k-row heads, NO global sort exchange. Rows with
+    weight <= 0 are excluded (they could never win a draw).
+    """
+    from wikidata_to_surrealdb_spark.functions import plog10
+
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    v = F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(281474976710656.0)
+    key = plog10(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_aes_key", key)
+        .orderBy(F.desc("_aes_key"), F.col(id_col))
+        .limit(k)
+        .drop("_aes_key")
+    )

@@ -4727,6 +4727,51 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_score(t["documents"], lm, "text", "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (operators/curation.py:weighted_sample)
+# ---------------------------------------------------------------------------
+
+def _weighted_sample_oracle(k: int, seed: str) -> str:
+    from wikidata_to_surrealdb_spark.functions import plog10_sql
+    from wikidata_to_surrealdb_spark.operators.curation import _hex_u48_poly_sql
+
+    u = _hex_u48_poly_sql("hx")
+    return f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents WHERE n_chars > 0
+    ),
+    keyed AS (
+      SELECT doc_id, n_chars,
+             {plog10_sql(u)} / CAST(n_chars AS DOUBLE) AS aes_key
+      FROM h
+    )
+    SELECT doc_id, n_chars
+    FROM (SELECT * FROM keyed ORDER BY aes_key DESC, doc_id LIMIT {k}) t
+    """
+
+
+@_q(
+    "curation_weighted_sample",
+    _weighted_sample_oracle(100, "ws-v1"),
+    "Efraimidis-Spirakis weighted sample without replacement, fully "
+    "deterministic: u = md5-derived 48-bit uniform, rank by "
+    "plog10(u)/weight (order-equivalent to u^(1/w), and bit-portable so "
+    "the oracle picks the identical 100 docs), top-k via "
+    "orderBy().limit() = TakeOrderedAndProject — parallel partial top-k "
+    "per partition, no global sort exchange, no RNG state to break "
+    "retries or re-partitioning at 100 TB",
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.weighted_sample(
+        t["documents"], "doc_id", "n_chars", k=100, seed="ws-v1"
+    ).select("doc_id", "n_chars")
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
