@@ -160,3 +160,67 @@ def test_asof_internal_names_do_not_collide(spark):
     got = asof_join(left, right, "user_id").collect()
     assert len(got) == 1
     assert got[0]["_m"] == "keep_l" and got[0]["_t"] == "keep_r"
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def _fun_events(spark, rows):
+    from datetime import datetime
+
+    data = [(u, datetime(2024, 1, 1, 0, 0, s), t) for u, s, t in rows]
+    return spark.createDataFrame(data, ["user_id", "ts", "event_type"])
+
+
+def test_funnel_requires_order(spark):
+    from wikidata_to_surrealdb_spark.operators.temporal import funnel
+
+    rows = [
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),  # full
+        (2, 0, "click"), (2, 10, "view"),  # click BEFORE view: only view
+        (3, 5, "view"),  # stalls at view
+    ]
+    out = funnel(_fun_events(spark, rows), ["view", "click", "purchase"])
+    got = {(r.user_id, r.step) for r in out.collect()}
+    assert got == {
+        (1, "view"), (1, "click"), (1, "purchase"),
+        (2, "view"),
+        (3, "view"),
+    }
+
+
+def test_funnel_strictly_after_and_first_touch(spark):
+    from wikidata_to_surrealdb_spark.operators.temporal import funnel
+
+    rows = [
+        # click at the SAME second as view: not strictly after -> no click
+        (1, 0, "view"), (1, 0, "click"),
+        # first touch: the EARLIEST view anchors; a click before it but
+        # after a later view must not count
+        (2, 10, "view"), (2, 5, "view"), (2, 7, "click"),
+    ]
+    out = funnel(_fun_events(spark, rows), ["view", "click"])
+    got = {(r.user_id, r.step, r.reached_ts.second) for r in out.collect()}
+    assert got == {(1, "view", 0), (2, "view", 5), (2, "click", 7)}
+
+
+def test_funnel_within_horizon(spark):
+    from wikidata_to_surrealdb_spark.operators.temporal import funnel
+
+    rows = [(1, 0, "view"), (1, 30, "click"), (2, 0, "view"), (2, 45, "click")]
+    out = funnel(
+        _fun_events(spark, rows), ["view", "click"], within_seconds=40
+    )
+    got = {(r.user_id, r.step) for r in out.collect()}
+    assert got == {(1, "view"), (1, "click"), (2, "view")}
+
+
+def test_funnel_empty_steps_raises(spark):
+    import pytest as _pytest
+
+    from wikidata_to_surrealdb_spark.operators.temporal import funnel
+
+    with _pytest.raises(ValueError):
+        funnel(_fun_events(spark, []), [])

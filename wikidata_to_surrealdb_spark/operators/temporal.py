@@ -177,3 +177,79 @@ def range_join_binned(
     for k in keys:
         out = out.drop(r_b[k])
     return out
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """First-touch ordered funnel: for each user, step i counts as
+    reached at the EARLIEST event of type ``steps[i]`` strictly after the
+    user's step i-1 reach time (step 0: the user's earliest such event).
+    Optional ``within_seconds`` additionally requires every later step to
+    land within that horizon of the step-0 time.
+
+    Returns ``(user_col, step, step_idx, reached_ts)`` — one row per
+    reached step.
+
+    Plan: filter to step events (pushed to the scan), ONE hash shuffle on
+    the user key, ``sort_array(collect_list(...))`` + an ``aggregate``
+    higher-order fold that threads the reach-times array through the
+    user's time-ordered events — all array-local JVM codegen, no
+    per-step self-joins (a k-step funnel as k joins would be k shuffles
+    and k scans at 100 TB; this is one of each). Per-user event counts
+    bound the array size, the usual streaming-analytics assumption.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    n = len(steps)
+    mp = "map(" + ", ".join(f"'{s}', {i}" for i, s in enumerate(steps)) + ")"
+    within = (
+        f" AND (i = 0 OR e.tp_ts <= element_at(acc, 1) "
+        f"+ make_interval(0, 0, 0, 0, 0, 0, {int(within_seconds)}))"
+        if within_seconds is not None
+        else ""
+    )
+    fold = f"""
+      aggregate(
+        _ev,
+        array_repeat(CAST(NULL AS TIMESTAMP), {n}),
+        (acc, e) -> transform(acc, (x, i) ->
+          CASE
+            WHEN x IS NULL AND i = element_at({mp}, e.tp)
+             AND (i = 0 OR (element_at(acc, i) IS NOT NULL
+                            AND e.tp_ts > element_at(acc, i))){within}
+            THEN e.tp_ts ELSE x END))
+    """
+    per_user = (
+        df.where(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("tp_ts"), F.col(type_col).alias("tp")
+                    )
+                )
+            ).alias("_ev")
+        )
+        .select(user_col, F.expr(fold).alias("_reached"))
+    )
+    steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    return (
+        per_user.select(
+            user_col,
+            F.posexplode(F.col("_reached")).alias("step_idx", "reached_ts"),
+        )
+        .where(F.col("reached_ts").isNotNull())
+        .select(
+            user_col,
+            F.expr(f"element_at({steps_arr}, step_idx + 1)").alias("step"),
+            (F.col("step_idx") + 1).cast("int").alias("step_idx"),
+            "reached_ts",
+        )
+    )

@@ -4772,6 +4772,65 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars")
 
 
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis (operators/temporal.py:funnel)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_funnel",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t
+        AND e.ts <= t1.t + INTERVAL 86400 SECONDS
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e
+      JOIN t2 ON t2.user_id = e.user_id
+      JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        AND e.ts <= t1.t + INTERVAL 86400 SECONDS
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, CAST(1 AS INTEGER) AS step_idx,
+           CAST(count(*) AS BIGINT) AS users FROM t1
+    UNION ALL
+    SELECT 'click', CAST(2 AS INTEGER), CAST(count(*) AS BIGINT) FROM t2
+    UNION ALL
+    SELECT 'purchase', CAST(3 AS INTEGER), CAST(count(*) AS BIGINT) FROM t3
+    """,
+    "first-touch ordered funnel view -> click -> purchase with a 24h "
+    "conversion horizon: ONE user-keyed shuffle + an array-local "
+    "aggregate() fold threading reach times through each user's "
+    "time-sorted events, vs the naive k-self-join formulation (k "
+    "shuffles, k scans). The oracle deliberately USES the min-chaining "
+    "join formulation, so the two independent algorithms cross-check "
+    "each other",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import temporal
+
+    t = register_views(spark, sf_dir)
+    reached = temporal.funnel(
+        t["events"],
+        ["view", "click", "purchase"],
+        "user_id",
+        "ts",
+        "event_type",
+        within_seconds=86400,
+    )
+    return reached.groupBy("step", "step_idx").agg(
+        F.count(F.lit(1)).alias("users")
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
