@@ -373,3 +373,39 @@ def test_pagerank_hand_graph_and_mass_conservation(spark):
     # spokes are symmetric
     spoke_vals = {r[f"s{i}"] for i in range(4)}
     assert len(spoke_vals) == 1
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_k4_square_and_zero_fill(spark):
+    from wikidata_to_surrealdb_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4}: C(4,3)=4 triangles, each node in 3 of them;
+    # square {10,11,12,13} (no diagonal): zero triangles but present
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    df = spark.createDataFrame(k4 + square, ["src", "dst"])
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 0, 11: 0, 12: 0, 13: 0}
+
+
+def test_triangle_count_dedups_directions_loops_and_dupes(spark):
+    from wikidata_to_surrealdb_spark.operators.graph import triangle_count
+
+    # one triangle given with reversed/duplicate/self-loop noise
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2), (1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_hub_star_has_none(spark):
+    from wikidata_to_surrealdb_spark.operators.graph import triangle_count
+
+    # star: hub 0 to 50 leaves — high degree, zero triangles
+    df = spark.createDataFrame([(0, i) for i in range(1, 51)], ["src", "dst"])
+    rows = triangle_count(df).collect()
+    assert all(r.triangles == 0 for r in rows) and len(rows) == 51

@@ -292,3 +292,71 @@ def pagerank(
     nodes.unpersist()
     outdeg.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via the degree-oriented compact-forward
+    algorithm (Latapy 2008 / the standard MapReduce formulation).
+
+    Orient every undirected edge from its lower-(degree, id) endpoint to
+    the higher one; each triangle {x, y, z} (ranked x < y < z) is then
+    found EXACTLY once, as the wedge (x->y, x->z) closed by the edge
+    y->z. Degree orientation bounds every node's out-degree by
+    O(sqrt(m)), so the wedge fan-out — the quadratic step — is
+    O(m^1.5) total instead of sum(deg^2), which is what lets a skewed
+    100 TB graph (a few celebrity nodes with 1e7-degree) pass: the hub's
+    edges all orient INTO it, and its wedge contribution collapses.
+
+    Plan: two self-joins keyed on node ids (hash shuffles), one
+    aggregation; returns ``(node, triangles)`` for every node incident
+    to at least one edge, zero-filled.
+    """
+    u = F.least(F.col(src), F.col(dst)).alias("u")
+    v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    e = (
+        edges.select(u, v)
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    fwd = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    e1 = fwd.select(F.col("a"), F.col("b"), F.col("db"))
+    e2 = fwd.select(
+        F.col("a").alias("a2"), F.col("b").alias("c"), F.col("db").alias("dc")
+    )
+    wedges = e1.join(e2, F.col("a") == F.col("a2")).where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = fwd.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    spine = deg.select(F.col("n").alias("node"))
+    return spine.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles")
+    )

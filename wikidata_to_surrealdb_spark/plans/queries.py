@@ -4831,6 +4831,57 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/graph.py:triangle_count)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "graph_triangles",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT v AS node, count(*) AS t FROM (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY v
+    ),
+    spine AS (SELECT a AS node FROM e UNION SELECT b FROM e)
+    SELECT s.node, CAST(coalesce(p.t, 0) AS BIGINT) AS triangles
+    FROM spine s LEFT JOIN per_node p ON p.node = s.node
+    """,
+    "per-node triangle counts on the co-ordered-parts graph via "
+    "degree-oriented compact-forward enumeration: orient edges toward "
+    "the higher-(degree,id) endpoint so each triangle is found exactly "
+    "once and hub nodes contribute NO wedges — O(m^1.5) total wedge "
+    "fan-out instead of sum(deg^2), the property that survives "
+    "celebrity-skewed graphs at 100 TB. Oracle enumerates by plain id "
+    "ordering — an independent algorithm, same triangle set",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import graph
+
+    t = register_views(spark, sf_dir)
+    edges = t["lineitem"].select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = edges.alias("x").join(
+        edges.alias("y"),
+        (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+    ).select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    return graph.triangle_count(pairs, "src", "dst")
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
