@@ -409,3 +409,52 @@ def test_triangle_count_hub_star_has_none(spark):
     df = spark.createDataFrame([(0, i) for i in range(1, 51)], ["src", "dst"])
     rows = triangle_count(df).collect()
     assert all(r.triangles == 0 for r in rows) and len(rows) == 51
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_at_scale(spark):
+    from wikidata_to_surrealdb_spark.operators import sketch
+
+    df = spark.range(0, 50000).selectExpr("CAST(id AS STRING) AS v")
+    regs = sketch.hll_registers(df, "v")
+    (row,) = sketch.hll_estimate(regs).collect()
+    # p=8 -> typical error 1.04/sqrt(256) = 6.5%; allow 3 sigma-ish
+    assert abs(row.approx_distinct - 50000) / 50000 < 0.15
+
+
+def test_hll_merge_equals_whole(spark):
+    from wikidata_to_surrealdb_spark.operators import sketch
+
+    a = spark.range(0, 3000).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(2000, 6000).selectExpr("CAST(id AS STRING) AS v")
+    whole = spark.range(0, 6000).selectExpr("CAST(id AS STRING) AS v")
+    merged_regs = sketch.hll_registers(a, "v").unionAll(
+        sketch.hll_registers(b, "v")
+    )
+    (m,) = sketch.hll_estimate(merged_regs).collect()
+    (w,) = sketch.hll_estimate(sketch.hll_registers(whole, "v")).collect()
+    assert m.approx_distinct == w.approx_distinct  # merge is lossless
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from wikidata_to_surrealdb_spark.operators import sketch
+
+    df = spark.range(0, 20).selectExpr("CAST(id AS STRING) AS v")
+    (row,) = sketch.hll_estimate(sketch.hll_registers(df, "v")).collect()
+    # linear counting is near-exact at tiny cardinalities
+    assert abs(row.approx_distinct - 20) < 2
+
+
+def test_hll_grouped_registers_bounded(spark):
+    from wikidata_to_surrealdb_spark.operators import sketch
+
+    df = spark.range(0, 5000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "CAST(id AS STRING) AS v"
+    )
+    regs = sketch.hll_registers(df, "v", ["g"]).collect()
+    assert len(regs) <= 3 * 256
+    assert all(1 <= r.m <= 49 for r in regs)

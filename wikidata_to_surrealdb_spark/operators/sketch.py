@@ -443,3 +443,110 @@ def kmv_distinct_by(
             .alias("kmv_estimate_raw"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (deterministic, engine-portable, mergeable)
+# ---------------------------------------------------------------------------
+#
+# Same motivation as KMV above: Spark's approx_count_distinct and DuckDB's
+# approx_* can never hash-match. This HLL is built from md5 + integer CASE
+# arithmetic only, so both engines compute IDENTICAL registers and — since
+# the estimator text below is shared verbatim — bit-identical estimates.
+# Registers are the classic Flajolet et al. 2007 sketch: p = 8 (m = 256
+# registers), register index = first byte of md5, rho = leading-zero count
+# of the next 48 hash bits + 1. Register relations are MERGEABLE: the
+# union of two sketches is groupBy(register).max(rho) — which is what
+# makes per-partition partial aggregation (and cross-group rollups) free.
+
+_HLL_M = 256  # registers (p = 8)
+_HLL_BITS = 48  # rho bits (12 hex chars)
+# CAST: DuckDB types a bare decimal literal as DECIMAL and overflows
+# multiplying it; both engines parse the literal to the same double.
+_HLL_ALPHA = f"CAST({0.7213 / (1 + 1.079 / 256)!r} AS DOUBLE)"
+
+
+def _hll_rho_sql(v: str) -> str:
+    """rho = leading zeros of the 48-bit value + 1, as a searched CASE
+    (exact integer comparisons — no log2, which is libm and not
+    bit-portable)."""
+    branches = "".join(
+        f" WHEN {v} >= {2 ** (47 - i)} THEN {i + 1}" for i in range(48)
+    )
+    return f"(CASE{branches} ELSE 49 END)"
+
+
+def _hll_term_sql(m: str) -> str:
+    """2^(49 - M) as an exact BIGINT (M in 1..49): the register's
+    2^-M indicator scaled by 2^49 so the harmonic-mean denominator sums
+    in exact integer arithmetic, immune to float-order drift."""
+    branches = "".join(
+        f" WHEN {m} = {j} THEN CAST({2 ** (49 - j)} AS BIGINT)" for j in range(1, 50)
+    )
+    return f"(CASE{branches} END)"
+
+
+def hll_reg_rho_sql(str_expr: str) -> tuple[str, str]:
+    """(register, rho) SQL texts for an already-string-cast value
+    expression. The same text runs on Spark and DuckDB."""
+    h = f"md5({str_expr})"
+    reg = (
+        f"(CAST(position(substring({h}, 1, 1) IN '0123456789abcdef') - 1 AS BIGINT)"
+        f" * 16"
+        f" + CAST(position(substring({h}, 2, 1) IN '0123456789abcdef') - 1 AS BIGINT))"
+    )
+    v48 = hex12_num_sql(f"substring({h}, 3, 12)")
+    return reg, _hll_rho_sql(f"({v48})")
+
+
+def hll_estimate_sql(sum_terms: str, n_regs: str) -> str:
+    """Estimate SQL from the summed non-empty register terms and the
+    non-empty register count — shared verbatim by both engines so the
+    double arithmetic is bit-identical. Includes the small-range
+    linear-counting correction (ln via the bit-portable plog10)."""
+    from wikidata_to_surrealdb_spark.functions import plog10_sql
+
+    # empty registers contribute 2^49 each (rho 0 -> 2^-0 = 1)
+    s = f"(({sum_terms}) + ({_HLL_M} - ({n_regs})) * CAST({2 ** 49} AS BIGINT))"
+    v = f"({_HLL_M} - ({n_regs}))"
+    raw = f"(({_HLL_ALPHA} * 65536.0) / (CAST({s} AS DOUBLE) / {float(2 ** 49)}))"
+    lc = f"(256.0 * ({plog10_sql(f'256.0 / {v}')}) * 2.302585092994046)"
+    return f"(CASE WHEN {raw} <= 640.0 AND {v} > 0 THEN {lc} ELSE {raw} END)"
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group HLL register relation ``group_cols + (reg, m)``.
+
+    ONE shuffle on (group, reg) — at most |groups| * 256 rows survive the
+    map-side partial max, so shuffle volume is sketch-sized, not
+    data-sized: the whole point of HLL at 100 TB. The output is a
+    first-class mergeable sketch table: persist it partitioned by group,
+    and any later union/rollup is a 256-row-per-group max."""
+    group_cols = group_cols or []
+    reg, rho = hll_reg_rho_sql(f"CAST({value_col} AS STRING)")
+    keyed = df.select(
+        *group_cols, F.expr(reg).alias("reg"), F.expr(rho).alias("rho")
+    )
+    return keyed.groupBy(*group_cols, "reg").agg(F.max("rho").alias("m"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimates from a register relation (per group, or
+    one global row when ``group_cols`` is empty — merging registers of
+    every group first, which is how sketches roll up)."""
+    group_cols = group_cols or []
+    merged = registers.groupBy(*group_cols, "reg").agg(F.max("m").alias("m"))
+    per_group = merged.groupBy(*group_cols).agg(
+        F.sum(F.expr(_hll_term_sql("m"))).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    est = F.expr(hll_estimate_sql("_s", "_n"))
+    from wikidata_to_surrealdb_spark.functions import fround
+
+    return per_group.select(
+        *group_cols, fround(est, 4).alias("approx_distinct")
+    )

@@ -4882,6 +4882,66 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(pairs, "src", "dst")
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog rollup (operators/sketch.py:hll_registers / hll_estimate)
+# ---------------------------------------------------------------------------
+
+def _hll_oracle() -> str:
+    from wikidata_to_surrealdb_spark.functions import fround_sql
+    from wikidata_to_surrealdb_spark.operators.sketch import (
+        _hll_term_sql,
+        hll_estimate_sql,
+        hll_reg_rho_sql,
+    )
+
+    reg, rho = hll_reg_rho_sql("CAST(user_id AS VARCHAR)")
+    term = _hll_term_sql("m")
+    est = fround_sql(hll_estimate_sql("s", "n"), 4)
+    return f"""
+    WITH keyed AS (
+      SELECT event_type, {reg} AS reg, {rho} AS rho FROM events
+    ),
+    regs AS (
+      SELECT event_type, reg, max(rho) AS m
+      FROM keyed GROUP BY event_type, reg
+    ),
+    per AS (
+      SELECT event_type, sum({term}) AS s, count(*) AS n
+      FROM regs GROUP BY event_type
+    ),
+    allregs AS (SELECT reg, max(m) AS m FROM regs GROUP BY reg),
+    allper AS (SELECT sum({term}) AS s, count(*) AS n FROM allregs)
+    SELECT event_type, {est} AS approx_distinct FROM per
+    UNION ALL
+    SELECT '(all)' AS event_type, {est} AS approx_distinct FROM allper
+    """
+
+
+@_q(
+    "sketch_hll_rollup",
+    _hll_oracle(),
+    "deterministic HyperLogLog (Flajolet 2007, p=8) built from md5 + "
+    "integer CASE arithmetic so both engines compute identical registers "
+    "AND identical estimates (harmonic mean summed as exact 2^(49-M) "
+    "BIGINTs; linear-counting correction's ln via the bit-portable "
+    "plog10). The register relation is a mergeable sketch table: "
+    "per-event-type distinct users AND the all-types rollup come from "
+    "the SAME registers via groupBy(reg).max — shuffle volume is "
+    "sketch-sized (<= groups x 256 rows after map-side max), never "
+    "data-sized, which is the whole point at 100 TB",
+)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import sketch
+
+    t = register_views(spark, sf_dir)
+    regs = sketch.hll_registers(t["events"], "user_id", ["event_type"])
+    per = sketch.hll_estimate(regs, ["event_type"])
+    total = sketch.hll_estimate(regs, []).select(
+        F.lit("(all)").alias("event_type"), "approx_distinct"
+    )
+    return per.unionAll(total)
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
