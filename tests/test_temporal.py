@@ -224,3 +224,53 @@ def test_funnel_empty_steps_raises(spark):
 
     with _pytest.raises(ValueError):
         funnel(_fun_events(spark, []), [])
+
+
+def test_retention_cohorts_known_matrix(spark):
+    from datetime import datetime
+
+    from wikidata_to_surrealdb_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        # user 1: joins Jan, active Feb and Apr
+        (1, datetime(2024, 1, 5)), (1, datetime(2024, 2, 10)), (1, datetime(2024, 4, 1)),
+        # user 2: joins Jan only
+        (2, datetime(2024, 1, 20)),
+        # user 3: joins Feb, active Feb twice (dedup to one)
+        (3, datetime(2024, 2, 1)), (3, datetime(2024, 2, 28)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r.cohort, r.offset_periods): r.users
+        for r in retention_cohorts(df, "user_id", "ts", period="month").collect()
+    }
+    assert got == {
+        ("2024-01", 0): 2,
+        ("2024-01", 1): 1,
+        ("2024-01", 3): 1,
+        ("2024-02", 0): 1,
+    }
+
+
+def test_retention_cohorts_year_crossing_quarters(spark):
+    from datetime import datetime
+
+    from wikidata_to_surrealdb_spark.operators.temporal import retention_cohorts
+
+    rows = [(1, datetime(2023, 11, 1)), (1, datetime(2024, 2, 1))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r.cohort, r.offset_periods)
+        for r in retention_cohorts(df, "user_id", "ts", period="quarter").collect()
+    }
+    # Q4-2023 -> Q1-2024 is offset 1, across the year boundary
+    assert got == {("2023-Q4", 0), ("2023-Q4", 1)}
+
+
+def test_retention_cohorts_bad_period_raises(spark):
+    import pytest as _pytest
+
+    from wikidata_to_surrealdb_spark.operators.temporal import retention_cohorts
+
+    with _pytest.raises(ValueError):
+        retention_cohorts(spark.range(1), "id", "id", period="fortnight")

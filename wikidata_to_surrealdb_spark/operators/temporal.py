@@ -253,3 +253,63 @@ def funnel(
             "reached_ts",
         )
     )
+
+
+_PERIODS = {"month": 12, "quarter": 4, "year": 1}
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "quarter",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their FIRST
+    activity, with distinct-user counts at each period offset since.
+
+    Returns ``(cohort, offset_periods, users)`` — cohort as a label like
+    ``1995-Q2``, offset 0 = the cohort period itself.
+
+    Plan: one user-keyed aggregation for first-activity, a user-keyed
+    join back (same key — AQE co-locates the exchanges), then one
+    (cohort, offset)-keyed count-distinct. Offsets are integer calendar
+    arithmetic (year/quarter/month extraction), not interval division, so
+    the same expressions run in the oracle.
+    """
+    if period not in _PERIODS:
+        raise ValueError(f"period must be one of {sorted(_PERIODS)}")
+    per_year = _PERIODS[period]
+
+    def pidx(c: Column) -> Column:
+        if period == "year":
+            return F.year(c)
+        if period == "quarter":
+            return F.year(c) * 4 + (F.quarter(c) - 1)
+        return F.year(c) * 12 + (F.month(c) - 1)
+
+    def label(c: Column) -> Column:
+        if period == "year":
+            return F.year(c).cast("string")
+        if period == "quarter":
+            return F.concat(
+                F.year(c).cast("string"), F.lit("-Q"), F.quarter(c).cast("string")
+            )
+        return F.concat(
+            F.year(c).cast("string"),
+            F.lit("-"),
+            F.lpad(F.month(c).cast("string"), 2, "0"),
+        )
+
+    first = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(ts_col).alias("_ft")
+    )
+    joined = df.join(first, df[user_col] == first["_u"])
+    return (
+        joined.groupBy(
+            label(F.col("_ft")).alias("cohort"),
+            (pidx(F.col(ts_col)) - pidx(F.col("_ft")))
+            .cast("int")
+            .alias("offset_periods"),
+        )
+        .agg(F.countDistinct(user_col).alias("users"))
+    )

@@ -4942,6 +4942,41 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionAll(total)
 
 
+# ---------------------------------------------------------------------------
+# Retention cohorts (operators/temporal.py:retention_cohorts)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "orders_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT o_custkey AS u, min(o_orderdate) AS ft FROM orders GROUP BY u
+    )
+    SELECT CAST(year(f.ft) AS VARCHAR) || '-Q'
+             || CAST(quarter(f.ft) AS VARCHAR) AS cohort,
+           CAST((year(o.o_orderdate) * 4 + quarter(o.o_orderdate) - 1)
+              - (year(f.ft) * 4 + quarter(f.ft) - 1) AS INTEGER)
+             AS offset_periods,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS users
+    FROM orders o JOIN f ON f.u = o.o_custkey
+    GROUP BY 1, 2
+    """,
+    "quarterly cohort retention over the 1995-2001 order history: cohort "
+    "= customer's first-order quarter, cell = distinct customers active "
+    "at each quarter offset. One user-keyed agg + one co-partitioned "
+    "join back + one (cohort, offset) count-distinct; offsets are "
+    "integer calendar arithmetic so the identical expressions run in "
+    "the oracle",
+)
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import temporal
+
+    t = register_views(spark, sf_dir)
+    return temporal.retention_cohorts(
+        t["orders"], "o_custkey", "o_orderdate", period="quarter"
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
