@@ -766,3 +766,81 @@ def test_manifest_vacuum_removes_only_orphans(spark, tmp_path, monkeypatch):
         for r in read_bucketed_manifest(spark, ent_dir).collect()
     }
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# scd2_merge
+# ---------------------------------------------------------------------------
+
+
+def _dim(spark, rows):
+    from datetime import date
+
+    data = [
+        (k, seg, bal, date.fromisoformat(vf), date.fromisoformat(vt), cur)
+        for k, seg, bal, vf, vt, cur in rows
+    ]
+    return spark.createDataFrame(
+        data, ["k", "seg", "bal", "valid_from", "valid_to", "is_current"]
+    )
+
+
+def test_scd2_merge_change_new_identical_absent(spark):
+    from datetime import date
+
+    from wikidata_to_surrealdb_spark.operators.mutations import scd2_merge
+
+    dim = _dim(
+        spark,
+        [
+            (1, "A", 10.0, "2024-01-01", "9999-12-31", True),  # will change
+            (2, "B", 20.0, "2024-01-01", "9999-12-31", True),  # identical in snap
+            (3, "C", 30.0, "2024-01-01", "9999-12-31", True),  # absent from snap
+        ],
+    )
+    snap = spark.createDataFrame(
+        [(1, "A", 11.0), (2, "B", 20.0), (9, "N", 1.0)], ["k", "seg", "bal"]
+    )
+    out = scd2_merge(dim, snap, ["k"], ["seg", "bal"], "2024-06-01")
+    rows = {(r.k, r.bal, r.valid_from, r.valid_to, r.is_current) for r in out.collect()}
+    eff, end, start = date(2024, 6, 1), date(9999, 12, 31), date(2024, 1, 1)
+    assert rows == {
+        (1, 10.0, start, eff, False),  # closed old version
+        (1, 11.0, eff, end, True),  # new version
+        (2, 20.0, start, end, True),  # identical -> untouched
+        (3, 30.0, start, end, True),  # absent -> untouched
+        (9, 1.0, eff, end, True),  # brand-new key
+    }
+
+
+def test_scd2_merge_preserves_history_and_null_safe_compare(spark):
+    from datetime import date
+
+    from wikidata_to_surrealdb_spark.operators.mutations import scd2_merge
+
+    dim = _dim(
+        spark,
+        [
+            (1, "A", 5.0, "2023-01-01", "2024-01-01", False),  # history row
+            (1, "A", 10.0, "2024-01-01", "9999-12-31", True),
+        ],
+    )
+    # NULL seg vs 'A': null-safe compare must see a CHANGE
+    snap = spark.createDataFrame(
+        [(1, None, 10.0)], "k: bigint, seg: string, bal: double"
+    )
+    out = scd2_merge(dim, snap, ["k"], ["seg", "bal"], "2024-06-01")
+    rows = {(r.seg, r.valid_to, r.is_current) for r in out.collect()}
+    assert ("A", date(2024, 1, 1), False) in rows  # history untouched
+    assert ("A", date(2024, 6, 1), False) in rows  # closed
+    assert (None, date(9999, 12, 31), True) in rows  # new NULL-seg version
+
+
+def test_scd2_merge_idempotent_on_identical_snapshot(spark):
+    from wikidata_to_surrealdb_spark.operators.mutations import scd2_merge
+
+    dim = _dim(spark, [(1, "A", 10.0, "2024-01-01", "9999-12-31", True)])
+    snap = spark.createDataFrame([(1, "A", 10.0)], ["k", "seg", "bal"])
+    out = scd2_merge(dim, snap, ["k"], ["seg", "bal"], "2024-06-01")
+    again = scd2_merge(out, snap, ["k"], ["seg", "bal"], "2024-07-01")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

@@ -41,3 +41,76 @@ def update_set(df: DataFrame, cond: Column, **assignments: Column) -> DataFrame:
             col_name, F.when(cond, new_val).otherwise(F.col(col_name))
         )
     return out
+
+
+def scd2_merge(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_date: str,
+    end_date: str = "9999-12-31",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge, the warehouse MERGE INTO
+    re-expressed as pure DataFrame set algebra (no Delta/Hudi needed).
+
+    ``dim`` carries ``key_cols + tracked_cols + (valid_from, valid_to,
+    is_current)``; ``snapshot`` carries ``key_cols + tracked_cols`` — the
+    new state for some or all keys. Per key:
+
+    - snapshot row differs from the CURRENT version (null-safe compare on
+      every tracked col) or is a new key -> the current version (if any)
+      is closed at ``effective_date`` and a new open version is inserted;
+    - snapshot row identical to the current version -> untouched;
+    - key absent from the snapshot -> untouched (partial snapshots are
+      the norm in CDC feeds).
+
+    History rows pass through untouched. Scale: every join is keyed on
+    the dimension key — and the interesting side (the changed rows) is
+    CDC-sized, not dimension-sized, so Spark broadcasts it; the
+    dimension itself is never shuffled, only scanned and unioned.
+    """
+    eff = F.lit(effective_date).cast("date")
+    end = F.lit(end_date).cast("date")
+    meta = ["valid_from", "valid_to", "is_current"]
+    out_cols = key_cols + tracked_cols + meta
+
+    cur = dim.where(F.col("is_current"))
+    hist = dim.where(~F.col("is_current"))
+
+    snap = snapshot.select(*key_cols, *tracked_cols)
+    joined = snap.alias("s").join(cur.alias("b"), key_cols, "left")
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(f"s.{c}").eqNullSafe(F.col(f"b.{c}"))
+    # b-side key cols are coalesced into the join output, so detect
+    # missing base rows via its valid_from instead
+    is_new = F.col("b.valid_from").isNull()
+    diff = joined.where(is_new | changed).select(
+        *key_cols, *[F.col(f"s.{c}").alias(c) for c in tracked_cols]
+    )
+
+    diff_keys = diff.select(*key_cols)
+    closed_or_kept = cur.alias("c").join(
+        diff_keys.withColumn("_hit", F.lit(True)).alias("d"), key_cols, "left"
+    ).select(
+        *key_cols,
+        *[F.col(f"c.{t}").alias(t) for t in tracked_cols],
+        F.col("c.valid_from").alias("valid_from"),
+        F.when(F.col("d._hit"), eff).otherwise(F.col("c.valid_to")).alias(
+            "valid_to"
+        ),
+        F.coalesce(~F.col("d._hit"), F.lit(True)).alias("is_current"),
+    )
+    inserts = diff.select(
+        *key_cols,
+        *tracked_cols,
+        eff.alias("valid_from"),
+        end.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        hist.select(*out_cols)
+        .unionAll(closed_or_kept.select(*out_cols))
+        .unionAll(inserts.select(*out_cols))
+    )

@@ -4977,6 +4977,96 @@ def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD2 dimension merge (operators/mutations.py:scd2_merge)
+# ---------------------------------------------------------------------------
+
+_SCD2_SNAP = """
+      SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 5 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEWSEG', 0.0
+      FROM customer WHERE c_custkey % 11 = 0
+"""
+
+
+@_q(
+    "scd2_merge",
+    f"""
+    WITH snap AS ({_SCD2_SNAP}),
+    base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             DATE '2024-01-01' AS valid_from,
+             DATE '9999-12-31' AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    diff AS (
+      SELECT s.* FROM snap s LEFT JOIN base b USING (c_custkey)
+      WHERE b.c_custkey IS NULL
+         OR s.c_acctbal IS DISTINCT FROM b.c_acctbal
+         OR s.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+    )
+    SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.valid_from,
+           CASE WHEN d.c_custkey IS NOT NULL
+                THEN DATE '2024-06-01' ELSE b.valid_to END AS valid_to,
+           d.c_custkey IS NULL AS is_current
+    FROM base b LEFT JOIN diff d USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           DATE '2024-06-01', DATE '9999-12-31', TRUE
+    FROM diff
+    """,
+    "warehouse MERGE INTO as pure DataFrame set algebra: a CDC snapshot "
+    "(some rows changed, some identical, some brand-new keys) merged "
+    "into a type-2 dimension — changed/new keys close the current "
+    "version at the effective date and insert an open one; identical "
+    "rows and absent keys pass through untouched. The joins are keyed "
+    "on the dimension key with the CDC-sized diff side broadcast; the "
+    "dimension itself is scanned + unioned, never shuffled",
+)
+def scd2_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    c = t["customer"]
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snap = (
+        c.where(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        )
+        .unionAll(
+            c.where((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 5 != 0))
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+        )
+        .unionAll(
+            c.where(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return mutations.scd2_merge(
+        base,
+        snap,
+        ["c_custkey"],
+        ["c_mktsegment", "c_acctbal"],
+        effective_date="2024-06-01",
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
