@@ -800,3 +800,59 @@ def lm_score(
             / F.col("n_grams").cast("double")
         ).alias("avg_logp10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text cleaning (curation pre-pass)
+# ---------------------------------------------------------------------------
+
+# Shared REGEX TEXTS: low controls via \xNN two-digit escapes (parsed
+# identically by Java regex and RE2), astral/zero-width chars as literal
+# codepoints (escape syntax differs between the engines — Java \uhhhh vs
+# RE2 \x{hhhh} — so literals are the only portable spelling).
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f​‌‍﻿]"
+WS_RE = "[ \\t\\n\\r\\f ]+"
+
+
+def nfc_udf():
+    """Vectorized NFC normalizer: pandas-masked so pure-ASCII rows (the
+    overwhelming majority of a real corpus) never enter the per-row
+    Python loop — only rows containing a non-ASCII byte are normalized.
+    Arrow-batched; the only Python in the clean_text pipeline."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        out = s.copy()
+        mask = s.notna() & s.str.contains("[^\\x00-\\x7f]", regex=True, na=False)
+        if mask.any():
+            out[mask] = [unicodedata.normalize("NFC", x) for x in s[mask]]
+        return out
+
+    return _nfc
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Curation text cleanup: NFC-normalize, strip control and zero-width
+    characters, collapse whitespace runs (incl. NBSP) to single spaces,
+    trim. Returns ``(id_col, clean_text, n_chars_clean, changed)``.
+
+    Everything except the NFC step is JVM regexp (codegen, no Python);
+    NFC itself is the masked Arrow UDF above, so an ASCII-dominant 100 TB
+    corpus pays ~zero Python time. The regex classes are engine-portable
+    by construction (see CONTROL_RE) and shared verbatim with the DuckDB
+    oracle."""
+    nfc = nfc_udf()(F.col(text_col))
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(nfc, CONTROL_RE, ""), WS_RE, " ")
+    )
+    return df.select(
+        id_col,
+        cleaned.alias("clean_text"),
+        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
+        (~cleaned.eqNullSafe(F.col(text_col))).alias("changed"),
+    )

@@ -5067,6 +5067,51 @@ def scd2_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unicode text cleaning (operators/text.py:clean_text)
+# ---------------------------------------------------------------------------
+
+def _text_clean_oracle() -> str:
+    from wikidata_to_surrealdb_spark.operators.text import CONTROL_RE, WS_RE
+
+    messy = "'  é​ ' || text || '  x  '"
+    cleaned = (
+        f"trim(regexp_replace(regexp_replace(nfc_normalize({messy}), "
+        f"'{CONTROL_RE}', '', 'g'), '{WS_RE}', ' ', 'g'))"
+    )
+    return f"""
+    SELECT doc_id, {cleaned} AS clean_text,
+           CAST(length({cleaned}) AS BIGINT) AS n_chars_clean
+    FROM documents
+    """
+
+
+@_q(
+    "text_clean",
+    _text_clean_oracle(),
+    "curation text cleanup over a deterministically-dirtied corpus "
+    "(decomposed accent + zero-width + NBSP + ragged spaces injected "
+    "identically in both engines): NFC via a pandas-masked Arrow UDF "
+    "whose per-row Python loop only sees rows containing a non-ASCII "
+    "byte — an ASCII-dominant corpus pays ~zero Python — then "
+    "control/zero-width strip + whitespace collapse as JVM regexp "
+    "codegen. Regex classes are engine-portable by construction: low "
+    "controls as \\xNN escapes (same syntax in Java regex and RE2), "
+    "higher codepoints as literals",
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    messy = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.lit("  é​ "), F.col("text"), F.lit("  x  ")
+        ).alias("text"),
+    )
+    return text.clean_text(messy, "text", "doc_id").select(
+        "doc_id", "clean_text", "n_chars_clean"
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
