@@ -369,3 +369,48 @@ def test_weighted_sample_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix (temperature-weighted training-mix materialization)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_mix_quota_math_and_determinism(spark):
+    # source a: weight-2 docs, source b: weight-1 docs -> alpha=2 gives
+    # per-doc mass 4 vs 1; totals: a = 10 docs * 4 = 40, b = 10 * 1 = 10
+    # -> quotas floor(20 * 40/50)=16 and floor(20 * 10/50)=4
+    rows = [(i, "a" if i < 10 else "b", 2 if i < 10 else 1) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = curation.corpus_mix(df, budget=20, alpha=2)
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    from collections import Counter
+
+    counts = Counter(s for _, s in got)
+    # quota caps at the source's own size (10): floor allocation = 16 -> 10
+    assert counts["a"] == 10 and counts["b"] == 4
+    again = {
+        (r.doc_id, r.source)
+        for r in curation.corpus_mix(df.repartition(7), budget=20, alpha=2).collect()
+    }
+    assert got == again
+
+
+def test_corpus_mix_alpha_one_natural_proportions(spark):
+    rows = [(i, "a" if i < 30 else "b", 1) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = curation.corpus_mix(df, budget=20, alpha=1)
+    from collections import Counter
+
+    counts = Counter(r.source for r in out.collect())
+    assert counts == {"a": 15, "b": 5}  # 30:10 mass -> 15:5
+
+
+def test_corpus_mix_rejects_bad_alpha(spark):
+    df = spark.createDataFrame([(1, "a", 1)], ["doc_id", "source", "n_chars"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curation.corpus_mix(df, alpha=0)
+    with _pytest.raises(ValueError):
+        curation.corpus_mix(df, alpha=1.5)

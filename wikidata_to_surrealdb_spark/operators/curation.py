@@ -633,3 +633,68 @@ def weighted_sample(
         .limit(k)
         .drop("_aes_key")
     )
+
+
+def corpus_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    budget: int = 250,
+    alpha: int = 2,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Training-mix materialization: allocate a document budget across
+    sources by temperature-scaled mass (rate_s ~ w_s^alpha, the standard
+    multilingual up/down-sampling curve), then pick each source's quota
+    deterministically by md5 order.
+
+    ``alpha`` is an INTEGER so w^alpha is exact integer arithmetic — a
+    float alpha would drag libm pow() into the allocation and break
+    cross-engine determinism (cf. plog10's rationale). alpha=1
+    reproduces natural proportions; higher alpha concentrates on heavy
+    sources; the classic alpha<1 smoothing maps to using 1/alpha on the
+    inverted ratio if needed.
+
+    Per-source quota: floor(budget * w_s^alpha / sum w^alpha) — floors,
+    so at most ``budget`` docs total. Selection: rank docs within each
+    source by (md5(seed:id), id) and keep the quota — no RNG state,
+    stable under retries/re-partitioning, same doc set from the oracle.
+
+    Scale: source stats are a tiny broadcast relation; the rank is a
+    per-source window — for a pathologically dominant source, swap in a
+    two-level top-k (per-partition limit quota, then per-source
+    TakeOrdered) exactly as sample_quantiles does; at normal source
+    cardinalities the window partitions are balanced.
+    """
+    if alpha < 1 or not isinstance(alpha, int):
+        raise ValueError("alpha must be an integer >= 1")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("bigint")
+    wa = w
+    for _ in range(alpha - 1):
+        wa = wa * w
+    stats = df.groupBy(source_col).agg(F.sum(wa).alias("_wa"))
+    total = stats.agg(F.sum("_wa").alias("_tot"))
+    quota = (
+        stats.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            F.floor(
+                F.lit(float(budget))
+                * (F.col("_wa").cast("double") / F.col("_tot").cast("double"))
+            )
+            .cast("int")
+            .alias("_quota"),
+        )
+    )
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    win = Window.partitionBy(source_col).orderBy(F.col("_h"), F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .join(F.broadcast(quota), source_col)
+        .withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= F.col("_quota"))
+        .drop("_h", "_rk", "_quota")
+    )

@@ -5112,6 +5112,54 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-mix materialization (operators/curation.py:corpus_mix)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "curation_corpus_mix",
+    """
+    WITH stats AS (
+      SELECT source, sum(n_chars * n_chars) AS wa
+      FROM documents GROUP BY source
+    ),
+    quota AS (
+      SELECT source,
+             CAST(floor(250.0 * (CAST(wa AS DOUBLE)
+                / CAST((SELECT sum(wa) FROM stats) AS DOUBLE))) AS INTEGER)
+               AS q
+      FROM stats
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, d.n_chars, q.q,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('mix-v1:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rk
+      FROM documents d JOIN quota q ON q.source = d.source
+    )
+    SELECT doc_id, source, n_chars FROM ranked WHERE rk <= q
+    """,
+    "LLM training-mix materialization: document budget allocated across "
+    "sources by temperature-scaled mass (w^2 — INTEGER alpha so the "
+    "allocation is exact integer arithmetic, no libm pow), each source's "
+    "quota picked deterministically by md5 order. No RNG state: the mix "
+    "is a pure function of (seed, ids), stable under retries and "
+    "re-partitioning; source stats broadcast, one per-source window "
+    "rank as the only shuffle",
+)
+def curation_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.corpus_mix(
+        t["documents"].select("doc_id", "source", "n_chars"),
+        budget=250,
+        alpha=2,
+        seed="mix-v1",
+    ).select("doc_id", "source", "n_chars")
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
