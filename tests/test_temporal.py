@@ -274,3 +274,38 @@ def test_retention_cohorts_bad_period_raises(spark):
 
     with _pytest.raises(ValueError):
         retention_cohorts(spark.range(1), "id", "id", period="fortnight")
+
+
+def test_top_paths_ordering_prefix_and_topk(spark):
+    from datetime import datetime
+
+    from wikidata_to_surrealdb_spark.operators.temporal import top_paths
+
+    def ev(u, i, t):
+        return (u, datetime(2024, 1, 1, 0, 0, i), i, t)
+
+    rows = [
+        # two users with the same a>b path, one with b>a
+        ev(1, 1, "a"), ev(1, 2, "b"),
+        ev(2, 1, "a"), ev(2, 2, "b"),
+        ev(3, 2, "a"), ev(3, 1, "b"),
+        # user 4: 4 events but prefix_len=2 keeps the first two
+        ev(4, 1, "a"), ev(4, 2, "b"), ev(4, 3, "c"), ev(4, 4, "d"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {(r.path, r.users) for r in top_paths(df, prefix_len=2, k=10).collect()}
+    assert got == {("a>b", 3), ("b>a", 1)}
+    top1 = top_paths(df, prefix_len=2, k=1).collect()
+    assert [(r.path, r.users) for r in top1] == [("a>b", 3)]
+
+
+def test_top_paths_tie_break_same_timestamp(spark):
+    from datetime import datetime
+
+    from wikidata_to_surrealdb_spark.operators.temporal import top_paths
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0, 2, "late"), (1, t0, 1, "early")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    (r,) = top_paths(df, prefix_len=2, k=5).collect()
+    assert r.path == "early>late"  # event_id breaks the ts tie

@@ -313,3 +313,56 @@ def retention_cohorts(
         )
         .agg(F.countDistinct(user_col).alias("users"))
     )
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+    prefix_len: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Path (user-journey) analysis: each user's first ``prefix_len``
+    events in (time, tie) order joined into a path string, counted across
+    users, top-``k`` paths returned.
+
+    Returns ``(path, users)``.
+
+    Plan: ONE user-keyed shuffle; the per-user ordering, prefix slice and
+    join are array-local (`sort_array` on a (ts, tie, type) struct — the
+    tie column makes the order total, so results are deterministic under
+    any partitioning); the final count groups on the path string and the
+    top-k is orderBy().limit() = TakeOrderedAndProject. Per-user event
+    counts bound the collected arrays.
+    """
+    per_user = (
+        df.groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(tie_col).alias("i"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ).alias("_ev")
+        )
+        .select(
+            user_col,
+            F.array_join(
+                F.transform(
+                    F.slice("_ev", 1, prefix_len), lambda s: s.getField("e")
+                ),
+                ">",
+            ).alias("path"),
+        )
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy(F.desc("users"), F.col("path"))
+        .limit(k)
+    )

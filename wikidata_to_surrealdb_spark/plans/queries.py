@@ -5160,6 +5160,43 @@ def curation_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+# ---------------------------------------------------------------------------
+# Path analysis (operators/temporal.py:top_paths)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_top_paths",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM ranked WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS users
+    FROM paths GROUP BY path
+    ORDER BY users DESC, path LIMIT 20
+    """,
+    "user-journey path analysis: each user's first 5 events in (ts, id) "
+    "order joined into a path string, counted, top-20. One user-keyed "
+    "shuffle with the ordering/slice/join array-local (total order via "
+    "the event-id tie column), one path-keyed count, top-k as "
+    "TakeOrderedAndProject. Oracle formulates it with window row_number "
+    "+ ordered string_agg — independent plan, same paths",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import temporal
+
+    t = register_views(spark, sf_dir)
+    return temporal.top_paths(t["events"], prefix_len=5, k=20)
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
