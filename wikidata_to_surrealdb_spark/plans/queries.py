@@ -5197,6 +5197,57 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.top_paths(t["events"], prefix_len=5, k=20)
 
 
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (operators/ivm.py)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ivm_delta_merge",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_o_totalprice,
+           min(o_orderdate) AS min_o_orderdate,
+           max(o_totalprice) AS max_o_totalprice
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "incremental view maintenance: the orders rollup is materialized "
+    "from 90% of the rows, then the remaining 10% arrive as an "
+    "insert-only delta and are folded in via the aggregate-monoid "
+    "combiners (count->sum, exact-DECIMAL sum->sum, min->min, "
+    "max->max) — cost O(groups), not O(rows). The ORACLE is the full "
+    "recompute over all rows: the IVM identity itself is what the "
+    "driver verifies. Sums stay DECIMAL inside the maintained table "
+    "(float sums are partition-order dependent and would drift from "
+    "the recompute), DOUBLE only at the presentation edge",
+)
+def ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import ivm
+
+    t = register_views(spark, sf_dir)
+    o = t["orders"]
+    spec = [
+        ("count", "*"),
+        ("dsum", "o_totalprice"),
+        ("min", "o_orderdate"),
+        ("max", "o_totalprice"),
+    ]
+    base = ivm.build_agg(
+        o.where(F.col("o_orderkey") % 10 != 0), ["o_orderpriority"], spec
+    )
+    merged = ivm.delta_merge_agg(
+        base, o.where(F.col("o_orderkey") % 10 == 0), ["o_orderpriority"], spec
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
+        "min_o_orderdate",
+        "max_o_totalprice",
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
