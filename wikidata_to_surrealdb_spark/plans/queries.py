@@ -5248,6 +5248,42 @@ def ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning (operators/runtime_filter.py)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "opt_bloom_semi_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+    "explicit runtime bloom filtering: a 4096-bit md5 bloom built from "
+    "the selective dim keys (build shuffles <= bits/64 rows after "
+    "map-side OR), attached to the fact side as a one-row broadcast map "
+    "and evaluated as a pure JVM bit test BEFORE the join's exchange — "
+    "non-matching fact rows never enter the shuffle. False positives "
+    "are removed by the exact semi-join that follows; false negatives "
+    "are impossible, so the plain-semi-join oracle must match "
+    "bit-for-bit — the optimization's correctness IS its invisibility",
+)
+def opt_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import runtime_filter as rf
+
+    t = register_views(spark, sf_dir)
+    small = t["customer"].where(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return rf.bloom_semi_join(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        small,
+        "o_custkey",
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
