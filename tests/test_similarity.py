@@ -343,3 +343,65 @@ def test_ivf_pq_includes_query_and_beats_random(spark):
     }
     result_cells = {cells[r["vec_id"]] for r in out}
     assert len(result_cells) <= 2
+
+
+# ---------------------------------------------------------------------------
+# knn_join
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vectors(spark, n_clusters=8, per_cluster=12, dim=16):
+    # deterministic clustered vectors: center c = one-hot(c), members
+    # perturbed by small fixed offsets -> nearest neighbors are cluster-mates
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for m in range(per_cluster):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + 1 + m % 3) % dim] = 0.05 + 0.01 * (m % 5)
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_knn_join_finds_cluster_mates(spark):
+    from wikidata_to_surrealdb_spark.operators.similarity import knn_join
+
+    df = _clustered_vectors(spark)
+    out = knn_join(df, k=3, bands=4, band_bits=4, dim=16, seed=7).collect()
+    assert all(r.vec_id != r.neighbor_id for r in out)
+    assert all(1 <= r.rank <= 3 for r in out)
+    # neighbors should overwhelmingly be same-cluster (id // 12)
+    same = sum(1 for r in out if r.vec_id // 12 == r.neighbor_id // 12)
+    assert same / len(out) > 0.9
+
+
+def test_knn_join_deterministic_under_partitioning(spark):
+    from wikidata_to_surrealdb_spark.operators.similarity import knn_join
+
+    df = _clustered_vectors(spark)
+    a = sorted(map(tuple, knn_join(df, k=3, bands=4, band_bits=4, dim=16, seed=7).collect()))
+    b = sorted(
+        map(
+            tuple,
+            knn_join(
+                df.repartition(11), k=3, bands=4, band_bits=4, dim=16, seed=7
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_knn_join_respects_k_and_dedups_bands(spark):
+    from wikidata_to_surrealdb_spark.operators.similarity import knn_join
+
+    df = _clustered_vectors(spark, n_clusters=2, per_cluster=20)
+    out = knn_join(df, k=4, bands=4, band_bits=2, dim=16, seed=7).collect()
+    from collections import Counter
+
+    per_node = Counter(r.vec_id for r in out)
+    assert max(per_node.values()) <= 4
+    # multi-band collisions must not produce duplicate (node, neighbor)
+    pairs = [(r.vec_id, r.neighbor_id) for r in out]
+    assert len(pairs) == len(set(pairs))

@@ -839,3 +839,78 @@ def ivf_pq_search(
         .orderBy(F.col("dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bands: int = 4,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN JOIN: every vector's top-``k`` cosine neighbors
+    among LSH candidates — the kNN-graph builder behind graph-based
+    near-dup clustering and diversity sampling.
+
+    Candidates are vector pairs sharing at least one sign-LSH band
+    bucket (band-prefixed keys so different bands never cross-match);
+    multi-band collisions are deduped BEFORE scoring so each pair's
+    cosine is computed once. Ranking is rounded-cosine-desc with the
+    neighbor id as tie-break — a total order, so the k-set is
+    deterministic and engine-portable.
+
+    Scale shape: explode = bands x rows (map-local); the bucket
+    self-join is the only data-sized shuffle and is confined to LSH
+    buckets exactly like ann_bucketed_pairs; per-node ranking partitions
+    by the node id — bounded by per-bucket occupancy, which band_bits
+    controls (raise it as the corpus grows). SHUFFLE_HASH hints for the
+    fat-vector rows, same rationale as ann_bucketed_pairs.
+    """
+    from pyspark.sql import Window
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    tagged = F.expr(
+        f"transform({_band_keys_sql(vec_col, bands, band_bits, dim, seed)},"
+        f" (x, i) -> concat('b', i, ':', x))"
+    )
+    side = respread(embeddings).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.explode(tagged).alias("key"),
+    )
+    a = side.alias("a").hint("shuffle_hash")
+    b = side.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = cand.select(
+        "id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine")
+    )
+    win = Window.partitionBy("id_a").orderBy(
+        F.desc("cosine"), F.col("id_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -5284,6 +5284,69 @@ def opt_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+# ---------------------------------------------------------------------------
+# Approximate kNN join (operators/similarity.py:knn_join)
+# ---------------------------------------------------------------------------
+
+def _knn_join_oracle(k: int) -> str:
+    buckets = similarity.hyperplane_bucket_sql(
+        "embedding", _EMB_BANDS, _EMB_BAND_BITS, _EMB_DIM, _EMB_SEED,
+        dialect="duckdb",
+    )
+    keys = ", ".join(
+        f"('b{i}:' || {b})" for i, b in enumerate(buckets)
+    )
+    cos = fround_sql(_COS_SQL.format(a="va.v", b="vb.v"), 4)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             [{keys}] AS keys
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id, unnest(keys) AS key FROM b),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM e a JOIN e b2 ON a.key = b2.key AND a.vec_id <> b2.vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b, {cos} AS cosine
+      FROM cand c
+      JOIN b va ON va.vec_id = c.id_a
+      JOIN b vb ON vb.vec_id = c.id_b
+    )
+    SELECT id_a AS vec_id, id_b AS neighbor_id, cosine,
+           CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY id_a ORDER BY cosine DESC, id_b
+      ) AS rk FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@_q(
+    "sim_knn_join",
+    _knn_join_oracle(5),
+    "approximate kNN JOIN (the kNN-graph builder): every vector's top-5 "
+    "cosine neighbors among sign-LSH candidates — band-prefixed bucket "
+    "keys so bands never cross-match, multi-band collisions deduped "
+    "before scoring, rounded-cosine + neighbor-id total order so the "
+    "k-set is deterministic. The bucket self-join is the only data-sized "
+    "shuffle (confined to LSH buckets, band_bits controls occupancy); "
+    "per-node ranking partitions on the node id",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return similarity.knn_join(
+        t["embeddings"],
+        k=5,
+        bands=_EMB_BANDS,
+        band_bits=_EMB_BAND_BITS,
+        dim=_EMB_DIM,
+        seed=_EMB_SEED,
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
