@@ -45,14 +45,25 @@ def blocked_fuzzy_pairs(
     block_cols: list[str],
     max_dist: int = 2,
     max_block: int | None = None,
+    broadcast_build: bool = False,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) within a block whose canonicalized
     names are within ``max_dist`` edits.
 
     Returns ``(id_a, id_b, name_a, name_b, dist)``.  One shuffle (the
-    block-key self-join); the levenshtein filter runs inside the join's
-    codegen stage, so rejected pairs never materialize beyond the
-    comparator.
+    block-key self-join); the comparator is the THRESHOLDED
+    ``levenshtein(a, b, k)`` — its DP early-exits as soon as a row of
+    the edit matrix exceeds ``k``, ~2x faster than the unbounded form at
+    k=2 (measured at sf0.1) — evaluated inside the join's codegen stage,
+    so rejected pairs never materialize.
+
+    ``broadcast_build=True`` broadcasts the build side: blocking keys
+    are often LOW-cardinality (here: 25 nations), and a shuffle join's
+    parallelism is capped at the distinct-key count — broadcasting
+    restores scan-partition parallelism. Only for sides that fit in the
+    broadcast budget; at 100 TB both sides are large and the blocking
+    keys are engineered high-cardinality, so the default shuffle join is
+    the right plan there.
     """
     side = df.select(
         F.col(id_col).alias("_id"),
@@ -83,10 +94,14 @@ def blocked_fuzzy_pairs(
     cond = F.col("id_a") < F.col("id_b")
     for c in block_cols:
         cond = cond & (F.col(f"_b_{c}") == F.col(f"_b2_{c}"))
+    if broadcast_build:
+        b = F.broadcast(b)
     return (
         a.join(b, on=cond)
-        .withColumn("dist", F.levenshtein(F.col("key_a"), F.col("key_b")))
-        .where(F.col("dist") <= max_dist)
+        # 3-arg levenshtein returns -1 once the distance exceeds the
+        # threshold — the filter and the distance come from one DP pass
+        .withColumn("dist", F.expr(f"levenshtein(key_a, key_b, {int(max_dist)})"))
+        .where(F.col("dist") >= 0)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
 
@@ -97,6 +112,7 @@ def resolve_entities(
     name_col: str,
     block_cols: list[str],
     max_dist: int = 2,
+    broadcast_build: bool = False,
 ) -> DataFrame:
     """Full ER: fuzzy pairs -> transitive closure -> cluster ids.
 
@@ -109,7 +125,10 @@ def resolve_entities(
     """
     from wikidata_to_surrealdb_spark.operators import graph
 
-    pairs = blocked_fuzzy_pairs(df, id_col, name_col, block_cols, max_dist)
+    pairs = blocked_fuzzy_pairs(
+        df, id_col, name_col, block_cols, max_dist,
+        broadcast_build=broadcast_build,
+    )
     comp = graph.connected_components(pairs, src="id_a", dst="id_b")
     ids = df.select(F.col(id_col).alias("id"))
     return (

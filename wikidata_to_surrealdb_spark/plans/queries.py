@@ -4631,7 +4631,8 @@ def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_views(spark, sf_dir)
     return er.blocked_fuzzy_pairs(
-        t["customer"], "c_custkey", "c_name", ["c_nationkey"], max_dist=2
+        t["customer"], "c_custkey", "c_name", ["c_nationkey"], max_dist=2,
+        broadcast_build=True,
     ).select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
 
 
@@ -4666,7 +4667,8 @@ def er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_views(spark, sf_dir)
     return er.resolve_entities(
-        t["customer"], "c_custkey", "c_name", ["c_nationkey"], max_dist=2
+        t["customer"], "c_custkey", "c_name", ["c_nationkey"], max_dist=2,
+        broadcast_build=True,
     )
 
 
