@@ -59,6 +59,14 @@ BENCH_QUERIES = [
     "events_pivot",
     "curation_expectations",
     "layout_zorder_scan",
+    # NOT benched (catalog/oracle-only): graph_triangles and
+    # text_lm_score are CPU-heavy enough that on this burstable host
+    # they land in the drained-credit regime at the end of the suite
+    # and record 6-20x their isolated cost — noise, not signal.
+    "sim_knn_join",
+    "opt_bloom_semi_join",
+    "events_funnel",
+    "curation_corpus_mix",
 ]
 
 
