@@ -437,3 +437,55 @@ def test_stream_static_enrich_multibatch_equals_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_stream_hll_matches_batch_sketch(spark, tmp_path):
+    """The streaming HLL's availableNow result must equal the batch
+    register build + estimate bit-for-bit — max-merge across micro-batches
+    is order-free, the property that makes the sketch streamable."""
+    from wikidata_to_surrealdb_spark.operators import sketch
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        hll_distinct_streaming,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(src)
+    streamed = sorted(map(tuple, hll_distinct_streaming(spark, src).collect()))
+
+    regs = sketch.hll_registers(events, "user_id", ["event_type"])
+    batch = sorted(
+        map(
+            tuple,
+            sketch.hll_estimate(regs, ["event_type"])
+            .unionAll(
+                sketch.hll_estimate(regs, []).selectExpr(
+                    "'(all)' AS event_type", "approx_distinct"
+                )
+            )
+            .collect(),
+        )
+    )
+    assert streamed == batch
+
+
+def test_stream_hll_state_is_sketch_sized(spark):
+    """The streaming aggregation's result relation (== its state) is
+    bounded by |types| x 256 registers regardless of row count."""
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        hll_registers_stream_df,
+    )
+    import uuid as _uuid
+
+    table = f"hll_state_{_uuid.uuid4().hex[:8]}"
+    q = (
+        hll_registers_stream_df(spark, "/root/testdata/sf0.001/events.parquet")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    regs = spark.table(table)
+    n_types = regs.select("event_type").distinct().count()
+    assert regs.count() <= n_types * 256

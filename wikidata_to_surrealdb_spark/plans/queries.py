@@ -5349,6 +5349,25 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stream_hll_distinct",
+    _hll_oracle(),
+    "STREAMING HyperLogLog: the sketch update is itself a streaming "
+    "aggregation (groupBy(type, reg).max(rho)) so the agg state IS the "
+    "sketch — bounded at |types| x 256 rows forever, no watermark, no "
+    "eviction policy, unlike dropDuplicates-style distinct whose state "
+    "grows with every key seen. availableNow result equals the batch "
+    "sketch_hll_rollup bit-for-bit (max-merge is order-free), so the "
+    "identical oracle applies",
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        hll_distinct_streaming,
+    )
+
+    return hll_distinct_streaming(spark, f"{sf_dir}/events.parquet")
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

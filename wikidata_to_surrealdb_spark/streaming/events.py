@@ -604,3 +604,50 @@ def segment_enrich_streaming(
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def hll_registers_stream_df(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming HLL registers per event_type: the sketch update IS a
+    streaming aggregation (groupBy(type, reg).max(rho)), so Spark's agg
+    state is the sketch itself — bounded at |types| x 256 rows FOREVER,
+    no watermark needed. That is the textbook streaming-sketch argument:
+    unlike count-distinct via dropDuplicates (state = every key seen),
+    the HLL register relation never grows past the sketch size, so an
+    unbounded stream can run for months without state eviction policy."""
+    from wikidata_to_surrealdb_spark.operators.sketch import hll_reg_rho_sql
+
+    stream = _event_stream_source(spark, events_path, max_files_per_trigger=8)
+    reg, rho = hll_reg_rho_sql("CAST(user_id AS STRING)")
+    return (
+        stream.select(
+            "event_type", F.expr(reg).alias("reg"), F.expr(rho).alias("rho")
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_distinct_streaming(spark: SparkSession, events_path: str) -> DataFrame:
+    """Run the streaming HLL to completion (availableNow, complete mode)
+    and estimate: per-event-type approx distinct users plus the '(all)'
+    rollup merged from the SAME registers. Equals the batch
+    sketch_hll_rollup bit-for-bit (registers are max-merged, order-free),
+    so the identical oracle applies."""
+    from wikidata_to_surrealdb_spark.operators.sketch import hll_estimate
+
+    table = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        hll_registers_stream_df(spark, events_path)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    regs = spark.table(table)
+    per = hll_estimate(regs, ["event_type"])
+    total = hll_estimate(regs, []).select(
+        F.lit("(all)").alias("event_type"), "approx_distinct"
+    )
+    return per.unionAll(total)
