@@ -5368,6 +5368,69 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_streaming(spark, f"{sf_dir}/events.parquet")
 
 
+# ---------------------------------------------------------------------------
+# Distribution window functions + unpivot (stock-SQL breadth)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "window_distribution",
+    f"""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INTEGER) AS balance_quartile,
+           {fround_sql("percent_rank() OVER w", 6)} AS pct_rank,
+           {fround_sql("cume_dist() OVER w", 6)} AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "distribution window family: ntile quartiles, percent_rank and "
+    "cume_dist per market segment with a (balance, id) total order so "
+    "every rank is deterministic; one segment-keyed sort window, state "
+    "never crosses executors",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from wikidata_to_surrealdb_spark.functions import fround
+
+    t = register_views(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@_q(
+    "lineitem_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, amount
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    UNPIVOT (amount FOR measure IN (l_extendedprice, l_discount, l_tax))
+    """,
+    "wide-to-long UNPIVOT (the inverse of events_pivot): three measure "
+    "columns melted to (measure, amount) rows via stack() — a pure map "
+    "expansion, no shuffle, filter pushed beneath it to the scan",
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_linenumber", F.expr(
+            "stack(3, 'l_extendedprice', l_extendedprice,"
+            " 'l_discount', l_discount, 'l_tax', l_tax)"
+        ).alias("measure", "amount"))
+        .select("l_orderkey", "l_linenumber", "measure", "amount")
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
