@@ -5431,6 +5431,79 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Volume anomaly detection (monitoring family)
+# ---------------------------------------------------------------------------
+
+# z-score from EXACT integer moments: hourly counts, their sum and
+# sum-of-squares are all BIGINTs, so mean/variance/σ come out of identical
+# IEEE doubles in both engines (sqrt is exactly rounded); population
+# variance via E[X^2] - E[X]^2 written as one shared expression.
+_ANOM_Z = (
+    "(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) / "
+    "sqrt(CAST(ss AS DOUBLE) / CAST(cnt AS DOUBLE) "
+    "- (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) "
+    "* (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)))"
+)
+
+
+@_q(
+    "events_anomaly",
+    f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, sum(n) AS s, sum(n * n) AS ss,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_start, h.n,
+           {fround_sql(_ANOM_Z, 6)} AS z
+    FROM hourly h JOIN stats USING (event_type)
+    WHERE cnt > 1 AND ss * cnt > s * s
+      AND abs({_ANOM_Z}) > 2.0
+    """,
+    "volume anomaly detection: hourly event counts z-scored against "
+    "each type's own distribution, |z| > 2 flagged. Moments are EXACT "
+    "BIGINT sums (counts and squared counts), so mean/sigma/z are "
+    "bit-identical doubles in both engines — no sampling, no libm "
+    "beyond exactly-rounded sqrt. Two aggregations (hour-keyed then "
+    "type-keyed on the hourly relation, already tiny) + a broadcast "
+    "join of per-type stats back to hourly rows",
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    from wikidata_to_surrealdb_spark.functions import fround
+
+    z = F.expr(_ANOM_Z)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(
+            (F.col("cnt") > 1)
+            & (F.col("ss") * F.col("cnt") > F.col("s") * F.col("s"))
+            & (F.abs(z) > 2.0)
+        )
+        .select("event_type", "hour_start", "n", fround(z, 6).alias("z"))
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
