@@ -856,3 +856,42 @@ def clean_text(
         F.length(cleaned).cast("bigint").alias("n_chars_clean"),
         (~cleaned.eqNullSafe(F.col(text_col))).alias("changed"),
     )
+
+
+def keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` terms by tf-idf.
+
+    Scores are EXACT BIGINTs — tf * (n_docs * 1e6 div df), the same
+    integer-idf device the ranked FTS uses (float log diverges across
+    engines; integer idf preserves the ranking) — so the per-doc top-k
+    is deterministic with the term string as tie-break.
+
+    Plan: the inverted index's term-keyed shuffle, a broadcast of the
+    vocabulary-sized df relation, a 1-row corpus-count attach, then one
+    doc-keyed rank window. Returns ``(id_col, term, score, rank)``.
+    """
+    from pyspark.sql import Window
+
+    index = inverted_index(df, text_col, id_col)
+    dfreq = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = index.agg(F.countDistinct(id_col).alias("n_docs"))
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        index.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            F.expr("tf * (n_docs * 1000000 div df)").alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "score", F.col("rank").cast("int").alias("rank"))
+    )

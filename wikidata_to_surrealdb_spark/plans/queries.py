@@ -5504,6 +5504,61 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Keyword extraction (operators/text.py:keywords)
+# ---------------------------------------------------------------------------
+
+def _keywords_oracle(k: int) -> str:
+    from wikidata_to_surrealdb_spark.operators.text import (
+        _stem_sql,
+        ascii_fold_sql,
+    )
+
+    fold = ascii_fold_sql("lower(text)")
+    stem = _stem_sql("raw_term")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array({fold}, '[^a-z0-9]+'),
+        t -> length(t) > 0)) AS raw_term
+      FROM documents
+    ), stemmed AS (
+      SELECT doc_id, {stem} AS term FROM toks
+    ), index_t AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM stemmed
+      WHERE length(term) > 0 GROUP BY term, doc_id
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM index_t GROUP BY term
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM index_t
+    )
+    SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT i.doc_id, i.term,
+             i.tf * (n.n_docs * 1000000 // d.df) AS score,
+             row_number() OVER (
+               PARTITION BY i.doc_id
+               ORDER BY i.tf * (n.n_docs * 1000000 // d.df) DESC, i.term
+             ) AS rank
+      FROM index_t i JOIN dfreq d ON d.term = i.term CROSS JOIN n
+    ) WHERE rank <= {k}
+    """
+
+
+@_q(
+    "text_keywords",
+    _keywords_oracle(3),
+    "per-document keyword extraction: top-3 terms by tf-idf with the "
+    "exact-integer idf device (tf * (n_docs * 1e6 div df) — float log "
+    "diverges across engines, integer idf preserves the ranking), term "
+    "string as tie-break so the k-set is total-ordered. Index shuffle + "
+    "broadcast vocabulary df + 1-row corpus count + one doc-keyed rank "
+    "window",
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return text.keywords(t["documents"], "text", "doc_id", k=3)
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
