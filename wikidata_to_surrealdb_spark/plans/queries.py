@@ -5559,6 +5559,47 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.keywords(t["documents"], "text", "doc_id", k=3)
 
 
+# ---------------------------------------------------------------------------
+# CUBE aggregation (stock-SQL breadth, complements agg_rollup)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "agg_cube",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+    "CUBE aggregation: all four grouping sets of (type, day) in one "
+    "pass — Spark expands the cube in a single Expand + hash aggregate "
+    "(one shuffle), not four scans; NULL grouping slots labeled '(all)' "
+    "and value summed in exact integer cents for portability",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    return (
+        t["events"]
+        .withColumn("_cents", cents)
+        .withColumn("_day", F.col("ts").cast("date"))
+        .cube("event_type", "_day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_cents").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("_day").cast("string"), F.lit("(all)")).alias("day"),
+            "n",
+            "total_cents",
+        )
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
