@@ -844,3 +844,58 @@ def test_scd2_merge_idempotent_on_identical_snapshot(spark):
     out = scd2_merge(dim, snap, ["k"], ["seg", "bal"], "2024-06-01")
     again = scd2_merge(out, snap, ["k"], ["seg", "bal"], "2024-07-01")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_snapshot_diff_classification(spark):
+    from wikidata_to_surrealdb_spark.operators.mutations import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k: bigint, seg: string, bal: double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k: bigint, seg: string, bal: double",
+    )
+    out = {r.k: (r.op, r.old_bal, r.new_bal) for r in
+           snapshot_diff(old, new, ["k"], ["seg", "bal"]).collect()}
+    assert 1 not in out  # unchanged -> silent
+    assert out[2] == ("U", 20.0, 25.0)
+    assert out[3] == ("D", 30.0, None)
+    assert out[4][0] == "U"  # NULL -> 'd' is a real update
+    assert out[5] == ("I", None, 50.0)
+
+
+def test_snapshot_diff_roundtrip_with_scd2(spark):
+    """The CDC producer and consumer compose: applying the diff's
+    updates+inserts as an SCD2 snapshot yields a dimension whose current
+    rows equal the new snapshot for those keys."""
+    from datetime import date
+
+    from wikidata_to_surrealdb_spark.operators.mutations import (
+        scd2_merge,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k: bigint, seg: string, bal: double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k: bigint, seg: string, bal: double",
+    )
+    diff = snapshot_diff(old, new, ["k"], ["seg", "bal"])
+    feed = diff.where("op IN ('I','U')").selectExpr(
+        "k", "new_seg AS seg", "new_bal AS bal"
+    )
+    from pyspark.sql import functions as F
+
+    dim = old.select(
+        "k", "seg", "bal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    merged = scd2_merge(dim, feed, ["k"], ["seg", "bal"], "2024-06-01")
+    current = {(r.k, r.bal) for r in merged.where("is_current").collect()}
+    assert current == {(1, 11.0), (2, 20.0), (3, 30.0)}

@@ -114,3 +114,58 @@ def scd2_merge(
         .unionAll(closed_or_kept.select(*out_cols))
         .unionAll(inserts.select(*out_cols))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC generation: classify every key across two table versions as
+    INSERT / DELETE / UPDATE, emitting one row per change with both the
+    old and new images (the producer side of CDC — scd2_merge is the
+    consumer). Unchanged keys emit nothing.
+
+    One full-outer join on the key (hash shuffle both sides — the honest
+    cost of diffing two snapshots; at 100 TB bucket both versions on the
+    key and the exchange disappears, same device as the bucketed ingest
+    tables). Null-safe comparison on every compare column, so NULL -> 
+    value and value -> NULL are UPDATEs, not noise."""
+    o = old.select(
+        *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_ok_{c}") == F.col(f"_nk_{c}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    op = (
+        F.when(F.col("_in_old").isNull(), "I")
+        .when(F.col("_in_new").isNull(), "D")
+        .when(changed, "U")
+    )
+    keys = [
+        F.coalesce(F.col(f"_nk_{c}"), F.col(f"_ok_{c}")).alias(c)
+        for c in key_cols
+    ]
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(
+            *keys,
+            "op",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -5600,6 +5600,63 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (operators/mutations.py:snapshot_diff)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "cdc_snapshot_diff",
+    """
+    WITH old_t AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey % 13 <> 0
+    ),
+    new_t AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer
+      WHERE c_custkey % 11 <> 0
+    )
+    SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.c_mktsegment AS old_c_mktsegment,
+           o.c_acctbal AS old_c_acctbal,
+           n.c_mktsegment AS new_c_mktsegment,
+           n.c_acctbal AS new_c_acctbal
+    FROM old_t o FULL OUTER JOIN new_t n ON n.c_custkey = o.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+    """,
+    "CDC generation (the producer side; scd2_merge is the consumer): "
+    "two deterministic customer snapshots (some keys deleted, some "
+    "added, some balances bumped, most unchanged) diffed into "
+    "INSERT/DELETE/UPDATE rows with old+new images via one full-outer "
+    "key join; null-safe compares make NULL transitions real UPDATEs. "
+    "At 100 TB, bucket both versions on the key and the exchange "
+    "disappears — same device as the bucketed ingest tables",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    c = t["customer"]
+    old = c.where(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    new = c.where(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 50.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return mutations.snapshot_diff(
+        old, new, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
