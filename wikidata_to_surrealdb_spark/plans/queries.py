@@ -5657,6 +5657,62 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# kNN-graph clustering (knn_join -> connected components)
+# ---------------------------------------------------------------------------
+
+def _knn_clusters_oracle(k: int, threshold: float) -> str:
+    knn = _knn_join_oracle(k)
+    return f"""
+    WITH RECURSIVE knn AS ({knn}),
+    ue AS (
+      SELECT vec_id AS ua, neighbor_id AS ub FROM knn WHERE cosine >= {threshold}
+      UNION
+      SELECT neighbor_id, vec_id FROM knn WHERE cosine >= {threshold}
+    ),
+    reach(src, dst) AS (
+      SELECT ua, ua FROM (SELECT DISTINCT ua FROM ue)
+      UNION
+      SELECT r.src, ue.ub FROM reach r JOIN ue ON ue.ua = r.dst
+    ),
+    comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src)
+    SELECT emb.vec_id,
+           CAST(coalesce(comp.component, emb.vec_id) AS BIGINT) AS cluster_id
+    FROM embeddings emb LEFT JOIN comp ON comp.src = emb.vec_id
+    """
+
+
+@_q(
+    "sim_knn_clusters",
+    _knn_clusters_oracle(5, 0.35),
+    "embedding clustering via the kNN graph: top-5 LSH neighbors "
+    "thresholded at cosine 0.35, undirected, then alternating large-star/"
+    "small-star connected components label every vector with its "
+    "cluster's minimum id (isolated vectors keep their own). The "
+    "graph-based route catches chains A~B~C that no pairwise threshold "
+    "alone would merge — the same closure the text near-dup pipeline "
+    "uses, now on the embedding side",
+)
+def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import graph
+
+    t = register_views(spark, sf_dir)
+    knn = similarity.knn_join(
+        t["embeddings"],
+        k=5,
+        bands=_EMB_BANDS,
+        band_bits=_EMB_BAND_BITS,
+        dim=_EMB_DIM,
+        seed=_EMB_SEED,
+    ).where(F.col("cosine") >= 0.35)
+    comp = graph.connected_components(knn, src="vec_id", dst="neighbor_id")
+    ids = t["embeddings"].select("vec_id")
+    return ids.join(comp, ids["vec_id"] == comp["node"], "left").select(
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_id"),
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
