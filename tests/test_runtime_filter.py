@@ -25,7 +25,7 @@ def test_bloom_prunes_before_join(spark):
 def test_bloom_build_is_word_bounded(spark):
     small = spark.range(0, 100000).selectExpr("id AS k")  # saturate
     (row,) = rf.bloom_build(small, "k", bits=1024).collect()
-    assert len(row.bloom) <= 1024 // 64
+    assert len(row["_bloom_words"]) <= 1024 // 64
 
 
 def test_bloom_handles_empty_small_side(spark):

@@ -46,8 +46,9 @@ def bloom_build(
     hashes: int = 3,
     seed: str = "bloom-v1",
 ) -> DataFrame:
-    """One-row DataFrame with column ``bloom``: map<int, bigint> from
-    64-bit word index to the OR of its set bits."""
+    """One-row DataFrame with column ``_bloom_words``: map<int,
+    bigint> from 64-bit word index to the OR of its set bits (reserved
+    name so it cannot collide with a fact-table column)."""
     key_sql = f"CAST({key} AS STRING)"
     pos = _positions(key_sql, bits, hashes, seed)
     exploded = small.select(
@@ -58,7 +59,7 @@ def bloom_build(
         F.expr("shiftleft(CAST(1 AS BIGINT), p % 64)").alias("m"),
     ).groupBy("w").agg(F.expr("bit_or(m)").alias("m"))
     return words.agg(
-        F.map_from_arrays(F.collect_list("w"), F.collect_list("m")).alias("bloom")
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("m")).alias("_bloom_words")
     )
 
 
@@ -66,10 +67,10 @@ def _member(key_sql: str, bits: int, hashes: int, seed: str) -> Column:
     cond = F.lit(True)
     for p in _positions(key_sql, bits, hashes, seed):
         test = (
-            f"(shiftright(element_at(bloom, CAST(({p}) / 64 AS INT)),"
+            f"(shiftright(element_at(_bloom_words, CAST(({p}) / 64 AS INT)),"
             f" CAST(({p}) % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
         )
-        word = f"element_at(bloom, CAST(({p}) / 64 AS INT))"
+        word = f"element_at(_bloom_words, CAST(({p}) / 64 AS INT))"
         cond = cond & F.expr(f"({word}) IS NOT NULL AND {test}")
     return cond
 
@@ -89,7 +90,7 @@ def bloom_semi_join(
     key_sql = f"CAST({key} AS STRING)"
     pruned = big.crossJoin(F.broadcast(bloom)).where(
         _member(key_sql, bits, hashes, seed)
-    ).drop("bloom")
+    ).drop("_bloom_words")
     return pruned.join(
         small.select(key).dropDuplicates(), key, "left_semi"
     )
