@@ -757,7 +757,15 @@ def test_manifest_vacuum_removes_only_orphans(spark, tmp_path, monkeypatch):
         r["id"]["id"]: r["label"]
         for r in read_bucketed_manifest(spark, ent_dir).collect()
     }
-    removed = vacuum_bucketed_manifest(out)
+    # default grace period: fresh unreferenced dirs could belong to an
+    # IN-FLIGHT merge (placed, not yet committed) — vacuum must not
+    # touch them
+    assert vacuum_bucketed_manifest(out).get("Entity.parquet") == []
+    assert {
+        e for e in os.listdir(ent_dir) if e.startswith("bucket=")
+    } == on_disk
+    # grace 0 = caller asserts single-writer: crash debris is removable
+    removed = vacuum_bucketed_manifest(out, grace_seconds=0)
     assert set(removed["Entity.parquet"]) == on_disk - live
     after_disk = {e for e in os.listdir(ent_dir) if e.startswith("bucket=")}
     assert after_disk == live

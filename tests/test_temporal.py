@@ -217,6 +217,22 @@ def test_funnel_within_horizon(spark):
     assert got == {(1, "view"), (1, "click"), (2, "view")}
 
 
+def test_funnel_quoted_step_names(spark):
+    # step names are spliced into SQL text; quotes/backslashes must be
+    # escaped, not break the expression
+    from wikidata_to_surrealdb_spark.operators.temporal import funnel
+
+    rows = [(1, 0, "add to cart's page"), (1, 10, 'say "buy\\now"')]
+    out = funnel(
+        _fun_events(spark, rows), ["add to cart's page", 'say "buy\\now"']
+    )
+    got = {(r.user_id, r.step) for r in out.collect()}
+    assert got == {
+        (1, "add to cart's page"),
+        (1, 'say "buy\\now"'),
+    }
+
+
 def test_funnel_empty_steps_raises(spark):
     import pytest as _pytest
 

@@ -675,7 +675,14 @@ def corpus_mix(
     wa = w
     for _ in range(alpha - 1):
         wa = wa * w
-    stats = df.groupBy(source_col).agg(F.sum(wa).alias("_wa"))
+    # accumulate the temperature mass as DECIMAL(38,0): a BIGINT sum of
+    # w^alpha silently wraps under non-ANSI Spark at corpus scale
+    # (e.g. n_chars ~1e6 per doc at alpha=3 over billions of rows);
+    # decimal can't wrap — overflow surfaces as NULL/error, never a
+    # skewed quota
+    stats = df.groupBy(source_col).agg(
+        F.sum(wa.cast("decimal(38,0)")).alias("_wa")
+    )
     total = stats.agg(F.sum("_wa").alias("_tot"))
     quota = (
         stats.crossJoin(F.broadcast(total))

@@ -833,17 +833,36 @@ def merge_into_bucketed_manifest(
     return touched_by_table
 
 
-def vacuum_bucketed_manifest(out_dir: str) -> dict[str, list[str]]:
+def vacuum_bucketed_manifest(
+    out_dir: str, grace_seconds: float = 3600.0
+) -> dict[str, list[str]]:
     """Delete generation dirs (and stray genstage/manifest temp files)
     that the live manifest does not reference — the debris a crashed
     merge legitimately leaves behind (placement ran, commit didn't).
-    Safe to run any time: readers only ever resolve through the live
-    manifest, and the manifest replace is atomic, so nothing removable
-    here can be visible to a reader. Returns the removed entries per
-    table."""
+
+    Concurrency: an IN-FLIGHT merge also has placed-but-uncommitted
+    generations and staging dirs that look identical to crash debris —
+    vacuuming those would make the merge's subsequent commit point the
+    live manifest at deleted directories (a corrupted table, not just a
+    failed merge). So vacuum only removes unreferenced entries whose
+    mtime is older than ``grace_seconds`` (default 1 h); any live merge
+    finishes (and commits its generations into the manifest) well
+    within that window, making the removal race-free without a lock.
+    Pass ``grace_seconds=0`` ONLY when you can guarantee no merge is
+    running (single-writer maintenance window). Returns the removed
+    entries per table."""
     import shutil
+    import time
 
     out_dir = _require_local_path(out_dir)
+    cutoff = time.time() - max(0.0, grace_seconds)
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= cutoff
+        except OSError:
+            return False  # vanished underneath us: someone else owns it
+
     removed: dict[str, list[str]] = {}
     for name in sorted(os.listdir(out_dir)):
         table_dir = os.path.join(out_dir, name)
@@ -855,6 +874,8 @@ def vacuum_bucketed_manifest(out_dir: str) -> dict[str, list[str]]:
         gone: list[str] = []
         for entry in sorted(os.listdir(table_dir)):
             p = os.path.join(table_dir, entry)
+            if not _old_enough(p):
+                continue
             if entry.startswith("bucket=") and entry not in live:
                 shutil.rmtree(p, ignore_errors=True)
                 gone.append(entry)
@@ -864,7 +885,8 @@ def vacuum_bucketed_manifest(out_dir: str) -> dict[str, list[str]]:
         # genstage leftovers live as SIBLINGS of the table dir
         removed[name] = gone
     for entry in sorted(os.listdir(out_dir)):
-        if ".genstage-" in entry:
-            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+        p = os.path.join(out_dir, entry)
+        if ".genstage-" in entry and _old_enough(p):
+            shutil.rmtree(p, ignore_errors=True)
             removed.setdefault("_staging", []).append(entry)
     return removed

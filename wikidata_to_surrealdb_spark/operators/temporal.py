@@ -207,7 +207,13 @@ def funnel(
     if not steps:
         raise ValueError("funnel needs at least one step")
     n = len(steps)
-    mp = "map(" + ", ".join(f"'{s}', {i}" for i, s in enumerate(steps)) + ")"
+
+    def _lit(s: str) -> str:
+        # step names are spliced into SQL text below; escape so a step
+        # containing a quote/backslash can't break the expression
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    mp = "map(" + ", ".join(f"{_lit(s)}, {i}" for i, s in enumerate(steps)) + ")"
     within = (
         f" AND (i = 0 OR e.tp_ts <= element_at(acc, 1) "
         f"+ make_interval(0, 0, 0, 0, 0, 0, {int(within_seconds)}))"
@@ -239,7 +245,7 @@ def funnel(
         )
         .select(user_col, F.expr(fold).alias("_reached"))
     )
-    steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    steps_arr = "array(" + ", ".join(_lit(s) for s in steps) + ")"
     return (
         per_user.select(
             user_col,

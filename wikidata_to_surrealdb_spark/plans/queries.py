@@ -1615,7 +1615,9 @@ def _pq_duck_codes_expr(vi: str = "vi") -> str:
     WITH vi AS (
       SELECT vec_id, {_PQ_VI_DUCK} AS vi FROM embeddings
     )
-    SELECT vec_id, {_pq_duck_codes_expr()} AS codes FROM vi
+    SELECT vec_id,
+           array_to_string({_pq_duck_codes_expr()}, ',') AS codes_csv
+    FROM vi
     """,
     "Product-quantization encode with TRAINED per-subspace codebooks "
     "(fixed-seed pyspark.ml KMeans over each 8-dim slice of the sf0.01 "
@@ -1624,13 +1626,20 @@ def _pq_duck_codes_expr(vi: str = "vi") -> str:
     "centroid distance is EXACT BIGINT arithmetic — order-immune and "
     "bit-identical across engines by construction; codes = 8 nibble "
     "ints per 64-dim vector, a pure map (the 16-64x shrink that makes "
-    "billion-vector ANN serveable)",
+    "billion-vector ANN serveable). The operator API (pq_encode) "
+    "returns the codes as array<int>; this catalog entry serializes "
+    "them to a CSV string so the driver's pandas canonicalizer (which "
+    "cannot sort/hash list cells) can verify values — lossless, "
+    "order-preserving reshape only.",
 )
 def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
 
     t = register_views(spark, sf_dir)
-    return similarity.pq_encode(t["embeddings"], PQ_CODEBOOKS)
+    enc = similarity.pq_encode(t["embeddings"], PQ_CODEBOOKS)
+    return enc.select(
+        "vec_id", F.concat_ws(",", F.col("codes")).alias("codes_csv")
+    )
 
 
 def _pq_search_oracle(k: int) -> str:
@@ -4458,7 +4467,8 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS asset_id,
            CAST(32 AS INT) AS width,
            CAST(greatest(1, CAST(ceil(
-             octet_length(encode(coalesce(text, ''))) / 32.0) AS INT)) AS INT)
+             least(octet_length(encode(coalesce(text, ''))), 32*65535)
+             / 32.0) AS INT)) AS INT)
              AS height,
            CAST(1 AS INT) AS components,
            CAST(8 AS INT) AS "precision",
@@ -4494,12 +4504,14 @@ def mm_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS asset_id,
            CAST(32 AS INT) AS width,
            CAST(greatest(1, CAST(ceil(
-             octet_length(encode(coalesce(text, ''))) / 32.0) AS INT)) AS INT)
+             least(octet_length(encode(coalesce(text, ''))), 32*65535)
+             / 32.0) AS INT)) AS INT)
              AS height,
            CAST(1 AS INT) AS channels,
            CAST(8 AS INT) AS bit_depth,
            CAST(32 * greatest(1, CAST(ceil(
-             octet_length(encode(coalesce(text, ''))) / 32.0) AS INT)) AS BIGINT)
+             least(octet_length(encode(coalesce(text, ''))), 32*65535)
+             / 32.0) AS INT)) AS BIGINT)
              AS pixel_bytes
     FROM documents
     ORDER BY asset_id
