@@ -172,6 +172,22 @@ def main() -> None:
 
     import tempfile
 
+    def _calibrate() -> float:
+        """Fixed-work CPU probe (pure JVM codegen sum over a range):
+        timing it at suite start AND end quantifies this burstable
+        host's credit-drain / steal noise so a cross-round timing swing
+        can be attributed to host drift vs a real plan change. Round-5
+        post-mortem: 17 'regressed' queries re-measured in isolation at
+        r4 speed — the host, not the code, had slowed ~25%."""
+        from pyspark.sql import functions as F
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).agg(F.sum("id")).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     with tempfile.TemporaryDirectory(prefix="wd_bench_") as tmp:
         # Warm-up: run every bench query once at the smallest scale factor
@@ -203,14 +219,20 @@ def main() -> None:
         else:
             spark.range(1000).count()
 
+        calibration_start = _calibrate()
+
         # ingest first: this host is a burstable VM whose CPU budget
         # drains over a sustained run — measured last (after ~40 query
         # executions) the identical ingest recorded 4-8x its isolated
         # cost. First-position puts the heaviest single measurement on
         # the fairest CPU.
-        # best-of-2 like the queries: single-shot ingest has shown 2x
-        # first-measurement swings on this burstable host, and ingest is
-        # the one number compared against the reference baseline
+        # one UNTIMED target-scale run first: the replication=1 warm
+        # above covers codegen but not first-touch of the sf-scale
+        # input (page cache + scale-sized shuffles) — measured +80% on
+        # the first sf0.1 run vs steady state. Ingest is the one number
+        # compared against the reference baseline, so the timed
+        # best-of-2 must start from steady state.
+        _bench_ingest(spark, sf_dir, tmp)
         ingest_sec, n_entities = _bench_ingest(spark, sf_dir, tmp)
         ingest_sec2, _ = _bench_ingest(spark, sf_dir, tmp)
         ingest_sec = min(ingest_sec, ingest_sec2)
@@ -322,6 +344,8 @@ def main() -> None:
                 del rows
             timings[name] = round(best, 3)
 
+        calibration_end = _calibrate()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -336,6 +360,13 @@ def main() -> None:
                 "sf": sf,
                 "ingest_entities_per_sec": round(n_entities / ingest_sec, 1),
                 "stream_batches": stream_batches,
+                # fixed-work CPU probe at suite start/end: compare across
+                # rounds to separate host drift (burstable VM credit
+                # drain / steal) from genuine plan regressions
+                "calibration_sec": {
+                    "start": calibration_start,
+                    "end": calibration_end,
+                },
             }
         )
     )
