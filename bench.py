@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "b14_fts",
     "b14_fts_bm25",
     "b14_fts_phrase",
+    # served path: searches off the PERSISTED index (built once, timed
+    # separately as fts_index_build below) — the split the reference's
+    # persistent DEFINE INDEX implies
+    "b14_fts_indexed",
+    "b14_fts_bm25_indexed",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding",
@@ -328,6 +333,23 @@ def main() -> None:
                 scan.collect()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+
+        # materialized FTS index: time the build on its own (best-of-2,
+        # evicting the cache between runs), leaving the cache warm so
+        # the b14_*_indexed entries below time PURE search — the
+        # build-once/query-many split a persistent index exists for.
+        from wikidata_to_surrealdb_spark.plans.queries import (
+            _FTS_INDEX_CACHE,
+            fts_index_dir,
+        )
+
+        best = float("inf")
+        for _ in range(2):
+            _FTS_INDEX_CACHE.pop(sf_dir, None)
+            t0 = time.perf_counter()
+            fts_index_dir(spark, sf_dir)
+            best = min(best, time.perf_counter() - t0)
+        timings["fts_index_build"] = round(best, 3)
 
         # best-of-2 per query: this host is virtualized and shows large
         # run-to-run CPU-steal noise; the minimum is the steady-state cost.

@@ -895,3 +895,188 @@ def keywords(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized (persistent) FTS index
+#
+# The reference's `DEFINE ANALYZER` + `DEFINE INDEX ... SEARCH ANALYZER`
+# (Useful queries.md:28) is a build-once persistent structure: every
+# subsequent search reuses it. The b14_* query functions above rebuild the
+# inverted index inside each run — correct, but a repeated-search user pays
+# the corpus-sized analyze/aggregate every time. This API is the
+# materialize-once path: `fts_index_build` persists the postings (bucketed
+# by term hash so a search prunes to the query terms' buckets at
+# file-listing time), the map-only doc-length relation, and the positional
+# postings; `fts_search_indexed` then serves tf / tf-idf / BM25 / phrase
+# searches off the persisted structure without touching the corpus.
+# ---------------------------------------------------------------------------
+
+FTS_META_NAME = "_FTS_META.json"
+
+
+def _fts_term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the `_tb` partition expression: zlib.crc32 of
+    the UTF-8 term — bit-identical to Spark's `crc32()` — mod buckets."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def fts_index_build(
+    docs: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stemmer: str = "suffix",
+    n_term_buckets: int = 16,
+    positional: bool = True,
+) -> dict:
+    """Build and persist the FTS index: one corpus pass for the postings
+    `(term, doc_id, tf)` written `partitionBy(_tb)` where
+    `_tb = crc32(term) % n_term_buckets` (a search for k terms lists at
+    most k bucket directories — partition pruning before any row is
+    read), one MAP-ONLY pass for the doc-length relation `(doc_id, _dl)`
+    (corpus stats for BM25 come from this tiny relation, never from the
+    corpus), and optionally the positional postings for phrase search,
+    bucketed the same way.
+
+    Scale: the postings write is the same single term-keyed shuffle the
+    in-query index build pays — but paid ONCE; `n_term_buckets` should
+    grow with the vocabulary (it bounds per-directory file counts, not
+    correctness). Build is crash-safe per table: parquet writes go to
+    `_staging-*` dirs and are atomically renamed into place, meta last —
+    a reader never resolves a half-built index."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from wikidata_to_surrealdb_spark.operators.ingest import (
+        _require_local_path,
+    )
+
+    out_dir = _require_local_path(out_dir)
+    _os.makedirs(out_dir, exist_ok=True)
+    tb = F.pmod(F.crc32(F.col("term")), F.lit(n_term_buckets)).cast("int")
+
+    def _swap_in(df: DataFrame, name: str, bucketed: bool) -> None:
+        stage = _os.path.join(out_dir, f"_staging-{name}-{_uuid.uuid4().hex}")
+        final = _os.path.join(out_dir, name)
+        w = df.write.mode("overwrite")
+        if bucketed:
+            w = w.partitionBy("_tb")
+        w.parquet(stage)
+        if _os.path.exists(final):
+            _shutil.rmtree(final)
+        _os.rename(stage, final)
+
+    postings = inverted_index(docs, text_col, id_col).select(
+        F.col("term"),
+        F.col(id_col).alias("doc_id"),
+        F.col("tf").cast("bigint").alias("tf"),
+        tb.alias("_tb"),
+    )
+    _swap_in(postings.repartition("_tb"), "postings", bucketed=True)
+    _swap_in(
+        doc_lengths(docs, text_col, id_col).select(
+            F.col(id_col).alias("doc_id"), F.col("_dl").cast("bigint")
+        ),
+        "doclen",
+        bucketed=False,
+    )
+    if positional:
+        pidx = inverted_index_positional(docs, text_col, id_col).select(
+            F.col("term"),
+            F.col(id_col).alias("doc_id"),
+            F.col("positions"),
+            tb.alias("_tb"),
+        )
+        _swap_in(pidx.repartition("_tb"), "positional", bucketed=True)
+
+    meta = {
+        "version": 1,
+        "n_term_buckets": n_term_buckets,
+        "stemmer": stemmer,
+        "positional": positional,
+        "analyzer": "lowercase>ascii_fold>tokenize>stem",
+    }
+    tmp = _os.path.join(out_dir, f".{FTS_META_NAME}.tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    _os.replace(tmp, _os.path.join(out_dir, FTS_META_NAME))
+    return meta
+
+
+def _fts_read_meta(out_dir: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out_dir, FTS_META_NAME)) as fh:
+        return _json.load(fh)
+
+
+def fts_index_postings(
+    spark, out_dir: str, query_terms: list[str] | None = None, table: str = "postings"
+) -> DataFrame:
+    """Read the persisted postings (or positional postings), pruned to
+    the query terms' hash buckets: the `_tb` predicate is a PARTITION
+    filter (directory pruning at listing time) and the term predicate
+    is pushed into the parquet row-group scan — for a k-term query the
+    bytes read are O(those terms' postings), not O(index)."""
+    import os as _os
+
+    meta = _fts_read_meta(out_dir)
+    df = spark.read.parquet(_os.path.join(out_dir, table))
+    if query_terms:
+        buckets = sorted(
+            {
+                _fts_term_bucket_py(t, meta["n_term_buckets"])
+                for t in query_terms
+            }
+        )
+        df = df.where(F.col("_tb").isin(buckets)).where(
+            F.col("term").isin(list(query_terms))
+        )
+    return df.drop("_tb")
+
+
+def fts_index_doclen(spark, out_dir: str) -> DataFrame:
+    import os as _os
+
+    return spark.read.parquet(_os.path.join(out_dir, "doclen"))
+
+
+def fts_search_indexed(
+    spark,
+    out_dir: str,
+    query_terms: list[str],
+    mode: str = "tf",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve a search from the persisted index. ``mode``: 'tf' (summed
+    term frequency, the b14 baseline), 'tfidf' (exact-integer idf
+    ranked top-k), 'bm25' (Okapi, deterministic top-k), or 'phrase'
+    (`query_terms` is the phrase, positional index required).
+
+    Every mode starts from the bucket-and-term-PRUNED postings read;
+    corpus stats (N, avgdl) come from the persisted map-only doclen
+    relation — the corpus itself is never touched at query time."""
+    if mode == "phrase":
+        if not _fts_read_meta(out_dir).get("positional"):
+            raise ValueError("index was built with positional=False")
+        pidx = fts_index_postings(spark, out_dir, query_terms, "positional")
+        return fts_search_phrase(pidx, list(query_terms))
+    post = fts_index_postings(spark, out_dir, query_terms)
+    if mode == "tf":
+        return fts_search(post, list(query_terms))
+    doclen = fts_index_doclen(spark, out_dir)
+    if mode == "tfidf":
+        return fts_search_ranked(post, list(query_terms), k=k, doclen=doclen)
+    if mode == "bm25":
+        return fts_search_bm25(
+            post, list(query_terms), k=k, k1=k1, b=b, doclen=doclen
+        )
+    raise ValueError(f"unknown mode {mode!r}: 'tf', 'tfidf', 'bm25', 'phrase'")

@@ -614,6 +614,63 @@ def b14_fts_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Materialized-index FTS: build-once (per process, per sf_dir), every
+# search serves off the persisted bucketed postings — the engine-side
+# mirror of the reference's persistent DEFINE ANALYZER/INDEX
+# (Useful queries.md:28). The in-query b14_* entries above measure the
+# cold path; these measure the served path.
+_FTS_INDEX_CACHE: dict[str, str] = {}
+
+
+def fts_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the persisted FTS index for ``sf_dir``'s documents,
+    building it on first use (cached per process)."""
+    path = _FTS_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = register_views(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="wd_ftsidx_")
+        text.fts_index_build(t["documents"], path, n_term_buckets=16)
+        _FTS_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@_q(
+    "b14_fts_indexed",
+    # identical result contract to b14_fts: the oracle recomputes the
+    # index inline (DuckDB has no persistent index to reuse), so a hash
+    # match proves the persisted structure serves exactly what the
+    # in-query build serves
+    QUERIES["b14_fts"].oracle,
+    "B14 (served): tf search over the PERSISTED bucketed inverted "
+    "index — build-once, query-many; the postings read prunes to the "
+    "query terms' crc32 hash buckets at file-listing time and pushes "
+    "the term predicate into the parquet scan, so bytes read are "
+    "O(matching postings), not O(corpus)",
+)
+def b14_fts_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = fts_index_dir(spark, sf_dir)
+    return text.fts_search_indexed(
+        spark, idx, ["spark", "query", "tabl"], mode="tf"
+    ).select("doc_id", F.col("score").cast("bigint").alias("score"))
+
+
+@_q(
+    "b14_fts_bm25_indexed",
+    QUERIES["b14_fts_bm25"].oracle,
+    "B14++ (served): Okapi BM25 off the PERSISTED index — candidate "
+    "postings from the pruned bucket read, corpus stats (N, avgdl) "
+    "from the persisted map-only doclen relation; the corpus itself is "
+    "never touched at query time",
+)
+def b14_fts_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = fts_index_dir(spark, sf_dir)
+    return text.fts_search_indexed(
+        spark, idx, ["merge", "vector", "stream"], mode="bm25", k=20
+    )
+
+
 @_q(
     "b15_scalar",
     f"SELECT {fround_sql(dsum_sql('o_totalprice', 2) + ' / count(*)', 2)} AS avg_price FROM orders",
