@@ -318,3 +318,31 @@ def test_progressive_jpeg_assets_decode_in_spark(spark):
         assert meta[i]["progressive"] is True
         assert prog[i]["width"] == base[i]["width"] == 16
         assert prog[i]["pixel_hash"] == base[i]["pixel_hash"], i
+
+
+def test_auto_decoder_matches_spec_path(spark, png_assets):
+    """png_auto must produce exactly the from-spec rows — trivially when
+    Pillow is absent (pure fallback), and bit-identically when present
+    (PNG is lossless; tobytes() == the unfiltered scanline string)."""
+    spec = sorted(
+        map(tuple, multimodal.decode_features(png_assets, "png").collect())
+    )
+    auto = sorted(
+        map(tuple, multimodal.decode_features(png_assets, "png_auto").collect())
+    )
+    assert auto == spec
+
+
+def test_pil_native_crosscheck(spark, png_assets):
+    """Golden cross-check between the native (Pillow) and from-spec
+    decoders — runs only where the native lib exists."""
+    pytest.importorskip("PIL")
+    spec = {
+        r["asset_id"]: r.asDict()
+        for r in multimodal.decode_features(png_assets, "png").collect()
+    }
+    native = {
+        r["asset_id"]: r.asDict()
+        for r in multimodal.decode_features(png_assets, "pil").collect()
+    }
+    assert native == spec  # lossless: every field, including pixel_hash

@@ -335,19 +335,62 @@ def _fake_decode(buf: bytes) -> dict:
     }
 
 
-def _pil_decode(buf: bytes) -> dict:
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - lib not in container
-        raise NotImplementedError(
-            "image decode requires Pillow, which is not installed in this "
-            "environment; use decoder='fake' for the deterministic "
-            "byte-statistics path"
-        ) from e
-    raise NotImplementedError("real image decode not wired up yet")
+def _make_pil_row():
+    """Factory for the native-codec (Pillow) decode closure — an
+    IMAGE_FEATURE_SCHEMA row per payload. Defined inside a factory so
+    cloudpickle ships it BY VALUE: a module-level function would pickle
+    by reference and require this package on the executor import path
+    (it isn't, when the driver runs from another directory — the same
+    rule as :func:`_make_png_loader`).
+
+    The closure raises ImportError when Pillow is absent (callers
+    choose whether that gates — decoder='pil' — or falls back to the
+    from-spec codec — 'png_auto'/'jpeg_auto'). Only 8-bit L/LA/RGB/RGBA
+    rasters are emitted: for those, ``Image.tobytes()`` is the same
+    unfiltered scanline byte string the from-spec PNG decoder produces,
+    so pixel_hash is BIT-IDENTICAL across the two paths (PNG is
+    lossless). Anything else (16-bit, palette, exotic modes) raises
+    ValueError so the per-asset fallback handles it — correctness never
+    depends on Pillow's mode conversions. JPEG pixel values are
+    codec-specific by spec (T.81 permits IDCT variation): the goldens
+    pin the from-spec path, and geometry fields agree on any codec."""
+
+    def pil_row(buf: bytes) -> dict:
+        import hashlib as _hl
+        import io as _io
+
+        from PIL import Image  # raises ImportError when absent
+
+        modes = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+        with Image.open(_io.BytesIO(buf)) as im:
+            im.load()
+            if im.mode not in modes:
+                raise ValueError(f"mode {im.mode!r} not bit-stable via Pillow")
+            px = im.tobytes()
+            return {
+                "asset_id": None,  # caller fills
+                "width": im.width,
+                "height": im.height,
+                "channels": modes[im.mode],
+                "bit_depth": 8,
+                "pixel_bytes": len(px),
+                "pixel_sum": sum(px),
+                "pixel_min": min(px) if px else None,
+                "pixel_max": max(px) if px else None,
+                "pixel_hash": _hl.md5(px).hexdigest(),
+            }
+
+    return pil_row
 
 
-_DECODERS = {"fake": _fake_decode, "png": None, "jpeg": None, "pil": _pil_decode}
+_DECODERS = {
+    "fake": _fake_decode,
+    "png": None,
+    "jpeg": None,
+    "png_auto": None,
+    "jpeg_auto": None,
+    "pil": None,
+}
 
 # header-only JPEG metadata (no entropy decode): exact and cheap, so it
 # is oracle-checkable even though decoded JPEG pixels are not
@@ -436,42 +479,84 @@ def decode_features(
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}; one of {sorted(_DECODERS)}")
 
-    if decoder == "png":
-
+    if decoder in ("png", "jpeg", "png_auto", "jpeg_auto", "pil"):
+        fmt = "jpeg" if decoder.startswith("jpeg") else "png"
+        native_first = decoder in ("png_auto", "jpeg_auto", "pil")
+        spec_fallback = decoder != "pil"
         load_png = _make_png_loader(_PKG_ROOT)
+        load_jpeg = _make_jpeg_loader(_PKG_ROOT)
+        pil_row = _make_pil_row()
 
-        def run_png(batches: Iterator) -> Iterator:
+        def run_img(batches: Iterator) -> Iterator:
             import hashlib as _hl
             import struct as _struct
             from zlib import error as zlib_error
 
             import pandas as pd
 
-            png = load_png()
-            PngError, decode_png = png.PngError, png.decode_png
+            if fmt == "jpeg":
+                mod = load_jpeg()
+                spec_decode, spec_errors = mod.decode_jpeg, (
+                    mod.JpegError, ValueError, IndexError, _struct.error,
+                )
+            else:
+                mod = load_png()
+                spec_decode, spec_errors = mod.decode_png, (
+                    mod.PngError, zlib_error, ValueError, IndexError,
+                    _struct.error,
+                )
+
+            have_pil = False
+            if native_first:
+                try:
+                    import PIL  # noqa: F401
+
+                    have_pil = True
+                except ImportError:
+                    if not spec_fallback:
+                        raise NotImplementedError(
+                            "decoder='pil' requires Pillow, which is not "
+                            "installed; use 'png'/'jpeg' (from-spec codecs) "
+                            "or 'png_auto'/'jpeg_auto' (native when "
+                            "available, from-spec otherwise)"
+                        ) from None
+
+            def spec_row(asset_id, buf):
+                img = spec_decode(buf)
+                px = img["pixels"]
+                return {
+                    "asset_id": asset_id,
+                    "width": img["width"],
+                    "height": img["height"],
+                    "channels": img["channels"],
+                    "bit_depth": img["bit_depth"],
+                    "pixel_bytes": len(px),
+                    "pixel_sum": sum(px),
+                    "pixel_min": min(px) if px else None,
+                    "pixel_max": max(px) if px else None,
+                    "pixel_hash": _hl.md5(px).hexdigest(),
+                }
 
             for pdf in batches:
                 rows = []
                 for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
-                    try:
-                        img = decode_png(bytes(buf))
-                        px = img["pixels"]
-                        rows.append(
-                            {
-                                "asset_id": asset_id,
-                                "width": img["width"],
-                                "height": img["height"],
-                                "channels": img["channels"],
-                                "bit_depth": img["bit_depth"],
-                                "pixel_bytes": len(px),
-                                "pixel_sum": sum(px),
-                                "pixel_min": min(px) if px else None,
-                                "pixel_max": max(px) if px else None,
-                                "pixel_hash": _hl.md5(px).hexdigest(),
-                            }
-                        )
-                    except (PngError, zlib_error, ValueError, IndexError, _struct.error):
-                        rows.append({"asset_id": asset_id})
+                    buf = bytes(buf)
+                    row = None
+                    if have_pil:
+                        # native fast path; per-asset fallback keeps
+                        # exotic modes (16-bit, palette) on the
+                        # from-spec codec instead of trusting Pillow's
+                        # mode conversions
+                        try:
+                            row = {**pil_row(buf), "asset_id": asset_id}
+                        except Exception:
+                            row = None
+                    if row is None:
+                        try:
+                            row = spec_row(asset_id, buf)
+                        except spec_errors:
+                            row = {"asset_id": asset_id}
+                    rows.append(row)
                 yield pd.DataFrame(
                     rows,
                     columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields],
@@ -479,53 +564,7 @@ def decode_features(
 
         from wikidata_to_surrealdb_spark.functions import respread
 
-        return respread(assets).mapInPandas(run_png, schema=IMAGE_FEATURE_SCHEMA)
-
-    if decoder == "jpeg":
-
-        load_jpeg = _make_jpeg_loader(_PKG_ROOT)
-
-        def run_jpeg(batches: Iterator) -> Iterator:
-            import hashlib as _hl
-            import struct as _struct
-
-            import pandas as pd
-
-            jpeg = load_jpeg()
-            JpegError, decode_jpeg = jpeg.JpegError, jpeg.decode_jpeg
-
-            for pdf in batches:
-                rows = []
-                for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
-                    try:
-                        img = decode_jpeg(bytes(buf))
-                        px = img["pixels"]
-                        rows.append(
-                            {
-                                "asset_id": asset_id,
-                                "width": img["width"],
-                                "height": img["height"],
-                                "channels": img["channels"],
-                                "bit_depth": img["bit_depth"],
-                                "pixel_bytes": len(px),
-                                "pixel_sum": sum(px),
-                                "pixel_min": min(px) if px else None,
-                                "pixel_max": max(px) if px else None,
-                                "pixel_hash": _hl.md5(px).hexdigest(),
-                            }
-                        )
-                    except (JpegError, ValueError, IndexError, _struct.error):
-                        rows.append({"asset_id": asset_id})
-                yield pd.DataFrame(
-                    rows,
-                    columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields],
-                )
-
-        from wikidata_to_surrealdb_spark.functions import respread
-
-        return respread(assets).mapInPandas(
-            run_jpeg, schema=IMAGE_FEATURE_SCHEMA
-        )
+        return respread(assets).mapInPandas(run_img, schema=IMAGE_FEATURE_SCHEMA)
 
     if decoder == "fake":
 
@@ -620,7 +659,17 @@ def resize_images(
     :func:`decode_features` / :func:`frame_sample`.
     """
     if codec == "pil":
-        _pil_decode(b"")  # raises NotImplementedError with the gate message
+        # gate on driver-side availability: the resample itself is the
+        # shared nearest-neighbour kernel either way, so 'pil' buys
+        # nothing unless the native decoder exists
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "codec='pil' requires Pillow, which is not installed; "
+                "use codec='png' or 'jpeg' (from-spec codecs)"
+            ) from None
+        codec = "png"  # decode via native path falls back per-asset
     if codec not in ("png", "jpeg"):
         raise ValueError(
             f"unknown codec {codec!r}; one of ['png', 'jpeg', 'pil']"

@@ -4511,7 +4511,12 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_views(spark, sf_dir)
     assets = multimodal.documents_as_png_assets(t["documents"])
-    return multimodal.decode_features(assets, decoder="png").orderBy("asset_id")
+    # png_auto: native codec when Pillow is present (bit-identical
+    # for these 8-bit gray rasters — PNG is lossless), from-spec
+    # fallback otherwise; the pixel_hash oracle holds on either path
+    return multimodal.decode_features(assets, decoder="png_auto").orderBy(
+        "asset_id"
+    )
 
 
 @_q(
@@ -4586,7 +4591,9 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     assets = multimodal.documents_as_jpeg_assets(t["documents"], progressive=True)
     return (
-        multimodal.decode_features(assets, decoder="jpeg")
+        # jpeg_auto: native codec when present; this entry checks only
+        # geometry fields, which agree on any T.81 decoder
+        multimodal.decode_features(assets, decoder="jpeg_auto")
         .select(
             "asset_id",
             "width",
