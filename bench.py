@@ -72,6 +72,14 @@ BENCH_QUERIES = [
     "opt_bloom_semi_join",
     "events_funnel",
     "curation_corpus_mix",
+    # heavy families tracked since r6 (VERDICT r05 #7): iterative
+    # PageRank (6 checkpointed rounds), end-to-end entity resolution
+    # (blocked fuzzy pairs -> connected components), and the SCD2/CDC
+    # mutation roundtrip
+    "graph_pagerank",
+    "er_resolve",
+    "scd2_merge",
+    "cdc_snapshot_diff",
 ]
 
 

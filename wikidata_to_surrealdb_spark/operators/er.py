@@ -95,6 +95,15 @@ def blocked_fuzzy_pairs(
     for c in block_cols:
         cond = cond & (F.col(f"_b_{c}") == F.col(f"_b2_{c}"))
     if broadcast_build:
+        # a broadcast join's parallelism equals the PROBE side's
+        # partition count — a single-row-group parquet scan (one
+        # partition) would run every thresholded-levenshtein candidate
+        # evaluation in ONE task. respread round-robins the probe side
+        # up to cluster parallelism first (a no-op on any real
+        # multi-split dataset), measured 11x on this join at sf0.1.
+        from wikidata_to_surrealdb_spark.functions import respread
+
+        a = respread(a)
         b = F.broadcast(b)
     return (
         a.join(b, on=cond)
