@@ -489,3 +489,97 @@ def test_stream_hll_state_is_sketch_sized(spark):
     regs = spark.table(table)
     n_types = regs.select("event_type").distinct().count()
     assert regs.count() <= n_types * 256
+
+
+# ---------------------------------------------------------------------------
+# streaming upserts into the bucketed manifest
+# ---------------------------------------------------------------------------
+
+
+def test_stream_upsert_equals_batch_merge(spark, tmp_path):
+    """The streamed v1,v2 micro-batch upsert must produce the IDENTICAL
+    table (every column, every table) as the batch bootstrap+merge
+    sequence — the multibatch==batch invariant."""
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+    from wikidata_to_surrealdb_spark.streaming import upserts as _up
+
+    data_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "wikidata_to_surrealdb_spark",
+        "data",
+    )
+    v1p = os.path.join(data_dir, "media_dump.json")
+    v2p = os.path.join(data_dir, "media_dump_v2.json")
+
+    # batch reference
+    bat = str(tmp_path / "batch")
+    _ingest.write_tables_bucketed_manifest(
+        _ingest.load_dump(spark, v1p, "json", lang="en"), bat, n_buckets=8
+    )
+    _ingest.merge_into_bucketed_manifest(
+        spark, bat, _ingest.load_dump(spark, v2p, "json", lang="en"),
+        n_buckets=8,
+    )
+
+    # streamed
+    stm = str(tmp_path / "stream")
+    slices = _up.copy_dumps_as_slices(
+        [v1p, v2p], str(tmp_path / "slices")
+    )
+    _up.stream_upsert_manifest(spark, slices, stm, n_buckets=8)
+
+    def rows(root, table):
+        try:
+            return sorted(
+                _ingest.read_bucketed_manifest(
+                    spark, f"{root}/{table}.parquet"
+                )
+                .drop("_bucket")
+                .toJSON()
+                .collect()
+            )
+        except ValueError:  # table empty in this fixture: no live buckets
+            return []
+
+    for table in ("Entity", "Property", "Lexeme", "Claims"):
+        assert rows(bat, table) == rows(stm, table), table
+    assert rows(bat, "Entity"), "fixture must not be empty"
+
+
+def test_stream_upsert_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the LAST batch's merge
+    (a crash-between-commit-and-checkpoint replay) must leave the table
+    unchanged — the id-keyed last-wins upsert makes replays converge."""
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+    from wikidata_to_surrealdb_spark.streaming import upserts as _up
+
+    data_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "wikidata_to_surrealdb_spark",
+        "data",
+    )
+    v1p = os.path.join(data_dir, "media_dump.json")
+    v2p = os.path.join(data_dir, "media_dump_v2.json")
+    out = str(tmp_path / "t")
+    slices = _up.copy_dumps_as_slices([v1p, v2p], str(tmp_path / "s"))
+    _up.stream_upsert_manifest(spark, slices, out, n_buckets=8)
+
+    def snapshot():
+        return sorted(
+            r
+            for r in _ingest.read_bucketed_manifest(
+                spark, f"{out}/Entity.parquet"
+            )
+            .drop("_bucket")
+            .toJSON()
+            .collect()
+        )
+
+    before = snapshot()
+    # replay batch 1 (v2) manually — the exact merge foreachBatch would
+    # re-run after a failure between manifest commit and checkpoint write
+    _ingest.merge_into_bucketed_manifest(
+        spark, out, _ingest.load_dump(spark, v2p, "json", lang="en"),
+        n_buckets=8,
+    )
+    assert snapshot() == before

@@ -4240,6 +4240,66 @@ def wd_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "wd_stream_upsert",
+    QUERIES["wd_manifest_merge"].oracle,
+    "STREAMING continuous ingest — the reference's steady state (its "
+    "main loop upserts every entity against the live database; "
+    "CREATE/UPDATE modes, main.rs:34): dump versions v1 and v2 arrive "
+    "as separate micro-batches (file source, maxFilesPerTrigger=1) and "
+    "foreachBatch applies each to the bucketed-manifest table — "
+    "bootstrap write, then bucket-local merge with the atomic "
+    "manifest-pointer commit. Replaying a batch converges to the same "
+    "table (id-keyed last-wins upsert = effectively-once), and the "
+    "final table must equal the BATCH v1+v2 merge — same hand-derived "
+    "oracle as wd_manifest_merge",
+)
+def wd_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from wikidata_to_surrealdb_spark.functions import (
+        first_claim_value,
+        link_join,
+    )
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+    from wikidata_to_surrealdb_spark.streaming import upserts as _up
+
+    data_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"wd_stream_upsert_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    slices = _up.copy_dumps_as_slices(
+        [
+            os.path.join(data_dir, "media_dump.json"),
+            os.path.join(data_dir, "media_dump_v2.json"),
+        ],
+        os.path.join(out, "slices"),
+    )
+    _up.stream_upsert_manifest(spark, slices, out, n_buckets=8)
+    entity = _ingest.read_bucketed_manifest(
+        spark, f"{out}/Entity.parquet"
+    ).drop("_bucket")
+    claims = _ingest.read_bucketed_manifest(
+        spark, f"{out}/Claims.parquet"
+    ).drop("_bucket")
+    joined = link_join(entity, claims, broadcast_right=True)
+    return joined.where(entity["id.tb"] == "Entity").select(
+        F.concat_ws(
+            ":", entity["id.tb"], entity["id.id"].cast("string")
+        ).alias("id"),
+        entity["label"].alias("label"),
+        first_claim_value(claims["claims"], 1113, "quantity.amount").alias(
+            "episodes"
+        ),
+    )
+
+
+@_q(
     "skew_autodetect_join",
     f"""
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_lines,
