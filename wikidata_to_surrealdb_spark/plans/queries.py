@@ -4240,6 +4240,73 @@ def wd_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "wd_surql_media",
+    QUERIES["wd_media_view"].oracle,
+    "the reference's flagship Media view executed from its VERBATIM "
+    "SurrealQL text (Useful queries.md:16-25) through the plans/surql.py "
+    "mini-translator — DEFINE TABLE ... AS SELECT with three claims-path "
+    "lookups, record-link traversal, array filters, variant projection "
+    "and [0] indexing, compiled to the same DataFrame plan the idiomatic "
+    "wd_media_view builds; sharing that entry's hand-derived oracle "
+    "proves translated and hand-written plans produce identical results",
+)
+def wd_surql_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+    from wikidata_to_surrealdb_spark.plans.surql import run_surql
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "media_dump.json",
+    )
+    t = _ingest.load_dump(spark, path, "json", lang="en")
+    script = """
+    DEFINE TABLE Media TYPE NORMAL AS
+    SELECT
+    *,
+    # Number of episodes
+    (claims.claims[WHERE id = Property:1113].value.ClaimValueData.Quantity.amount)[0] AS episodes,
+    # Part of the series (parent)
+    (claims.claims[WHERE id = Property:179].value.Thing)[0] AS parent,
+    # Has part(s) (children)
+    claims.claims[WHERE id = Property:527].value.Thing AS children
+    FROM Entity;
+
+    SELECT id, label, description, episodes, parent, children FROM Media
+    WHERE id.tb = "Entity";
+    """
+    results, _env = run_surql(
+        spark,
+        {
+            "Entity": t.entity,
+            "Property": t.property,
+            "Lexeme": t.lexeme,
+            "Claims": t.claims,
+        },
+        script,
+    )
+    media = results[-1]
+
+    def thing_str(x):
+        return F.when(
+            x.isNotNull(), F.concat_ws(":", x["tb"], x["id"].cast("string"))
+        )
+
+    return media.select(
+        thing_str(F.col("id")).alias("id"),
+        "label",
+        "description",
+        "episodes",
+        thing_str(F.col("parent")).alias("parent"),
+        F.concat_ws(
+            ",", F.transform(F.col("children"), thing_str)
+        ).alias("children"),
+    )
+
+
+@_q(
     "wd_stream_upsert",
     QUERIES["wd_manifest_merge"].oracle,
     "STREAMING continuous ingest — the reference's steady state (its "
