@@ -246,9 +246,14 @@ def main() -> None:
         # compared against the reference baseline, so the timed
         # best-of-2 must start from steady state.
         _bench_ingest(spark, sf_dir, tmp)
+        # best-of-3: ingest is THE number compared against the
+        # reference baseline, and isolated runs show it converging on
+        # the third target-scale execution — worth ~2s of extra suite
+        # wall for a stable headline
         ingest_sec, n_entities = _bench_ingest(spark, sf_dir, tmp)
-        ingest_sec2, _ = _bench_ingest(spark, sf_dir, tmp)
-        ingest_sec = min(ingest_sec, ingest_sec2)
+        for _ in range(2):
+            s, _n = _bench_ingest(spark, sf_dir, tmp)
+            ingest_sec = min(ingest_sec, s)
         timings["wd_ingest"] = round(ingest_sec, 3)
 
         # control: identical volume with per-entity-unique labels/

@@ -247,16 +247,23 @@ def pagerank(
     n = nodes.count()
     base = (1.0 - damping) / float(n)
     outdeg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
+    # out-degree is STATIC across iterations: attach it to the edge list
+    # once, outside the loop — one join per iteration instead of two
+    # (the edge-sized joins are the whole per-iteration cost)
+    ew = (
+        e.join(outdeg, "_s")
+        .select("_s", "_d", F.col("_outdeg").cast("double").alias("_od"))
+        .localCheckpoint()
+    )
     ranks = nodes.withColumn(
         "rank", fround(F.lit(1.0) / F.lit(float(n)), 12)
     ).localCheckpoint()
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e["_s"] == ranks["node"])
-            .join(outdeg, "_s")
+            ew.join(ranks, ew["_s"] == ranks["node"])
             .select(
                 F.col("_d").alias("node"),
-                fround(F.col("rank") / F.col("_outdeg").cast("double"), 12)
+                fround(F.col("rank") / F.col("_od"), 12)
                 .cast("decimal(28,12)")
                 .alias("_c"),
             )
