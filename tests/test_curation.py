@@ -414,3 +414,62 @@ def test_corpus_mix_rejects_bad_alpha(spark):
         curation.corpus_mix(df, alpha=0)
     with _pytest.raises(ValueError):
         curation.corpus_mix(df, alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# substring (span-level) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_hand_cases(spark):
+    """Known boilerplate: docs 1 and 2 share an 8-token run (kept in the
+    canonical first occurrence, removed from the second); doc 3 repeats
+    its own run twice (second occurrence removed); doc 4 is clean; doc 5
+    is shorter than the window (never fingerprinted)."""
+    import hashlib
+
+    from wikidata_to_surrealdb_spark.operators.dedup import substring_dedup
+
+    boiler = "the quick brown fox jumps over the lazy"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {boiler} omega"),
+            (2, f"start {boiler} end"),
+            (3, f"{boiler} {boiler}"),
+            (4, "totally unique words that never repeat anywhere here"),
+            (5, "tiny doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(docs, window=8).collect()
+    }
+
+    def h(tokens):
+        return hashlib.md5(" ".join(tokens).encode()).hexdigest()
+
+    b = boiler.split()
+    # doc 1 holds the canonical (smallest doc_id) occurrence: untouched
+    assert out[1]["n_removed"] == 0
+    assert out[1]["cleaned_hash"] == h(["alpha", *b, "omega"])
+    # doc 2's copy is covered by one window -> all 8 tokens removed
+    assert out[2]["n_tokens"] == 10 and out[2]["n_removed"] == 8
+    assert out[2]["cleaned_hash"] == h(["start", "end"])
+    # doc 3: BOTH its runs lose to doc 1's canonical occurrence
+    # (smallest (doc_id, start) across the corpus), so all 16 tokens go
+    assert out[3]["n_tokens"] == 16 and out[3]["n_removed"] == 16
+    assert out[3]["cleaned_hash"] == h([])
+    assert out[4]["n_removed"] == 0
+    assert out[5]["n_tokens"] == 2 and out[5]["n_removed"] == 0
+    assert out[5]["cleaned_hash"] == h(["tiny", "doc"])
+
+
+def test_substring_dedup_rejects_tiny_window(spark):
+    import pytest as _pytest
+
+    from wikidata_to_surrealdb_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        substring_dedup(docs, window=1)

@@ -338,3 +338,100 @@ def simhash_dedup(
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("copies"))
         .where(F.col("copies") > 1)
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Repeated-SUBSTRING removal — the span-level dedup of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"),
+    which document-level dedup cannot do: a boilerplate paragraph pasted
+    into thousands of otherwise-unique pages survives every whole-doc
+    and near-dup pass, but its token windows repeat verbatim.
+
+    Method: slide a ``window``-token fingerprint (md5 over the
+    space-joined lowercase tokens) across every document; any window
+    whose fingerprint occurs more than once in the corpus is a
+    duplicated span, and every occurrence EXCEPT the canonical first
+    (smallest ``(doc_id, start)`` — a total order, so the kept copy is
+    deterministic and engine-portable) is removed; a token goes if any
+    removed span covers it. Overlapping duplicated windows merge
+    naturally through the coverage test.
+
+    Returns ``(doc_id, n_tokens, n_removed, cleaned_hash)`` — the hash
+    is md5 of the space-joined surviving tokens, so two engines agree
+    bit-for-bit on the cleaned corpus without shipping the text.
+
+    Scale shape: the window explode is tokens-sized (same budget as the
+    MinHash shingle explode) and the fingerprint shuffle is the one
+    corpus-sized exchange — the standard scalable approximation of the
+    suffix-array approach (exact suffix arrays don't distribute; a
+    window fingerprint equals "duplicated substring of length >=
+    window" up to hash collisions). Span merging and token filtering
+    are array-local per document. The per-token coverage test is
+    O(spans) per token via an array `exists` — spans per doc are
+    boilerplate-sized, not corpus-sized.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    from pyspark.sql.window import Window
+
+    w = int(window)
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    d = respread(docs).select(F.col(id_col), toks.alias("_t"))
+
+    fps = F.when(
+        F.size("_t") >= w,
+        F.expr(
+            f"transform(sequence(0, size(_t) - {w}), "
+            f"i -> md5(concat_ws(' ', slice(_t, i + 1, {w}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = d.select(
+        id_col, F.posexplode(fps).alias("start", "_fp")
+    )
+    byfp = Window.partitionBy("_fp")
+    ranked = wins.select(
+        id_col,
+        "start",
+        F.count(F.lit(1)).over(byfp).alias("_c"),
+        F.row_number()
+        .over(byfp.orderBy(F.col(id_col), F.col("start")))
+        .alias("_rk"),
+    )
+    removals = (
+        ranked.where((F.col("_c") > 1) & (F.col("_rk") > 1))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("start")).alias("_spans"))
+    )
+    joined = d.join(removals, id_col, "left").select(
+        id_col,
+        "_t",
+        F.coalesce(F.col("_spans"), F.array().cast("array<int>")).alias(
+            "_spans"
+        ),
+    )
+    keep = F.when(
+        F.size("_t") > 0,
+        F.expr(
+            f"filter(sequence(0, size(_t) - 1), "
+            f"j -> NOT exists(_spans, s -> j >= s AND j < s + {w}))"
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return joined.select(
+        id_col,
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        (F.size("_t") - F.size(keep)).cast("bigint").alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(keep, lambda j: F.element_at(F.col("_t"), j + 1)),
+            )
+        ).alias("cleaned_hash"),
+    )

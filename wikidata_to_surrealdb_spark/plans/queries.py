@@ -3393,6 +3393,62 @@ def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_substring_spans",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(
+               lower(coalesce(text, '')), '[^a-z0-9]+'),
+               t -> length(t) > 0) AS t
+      FROM documents
+    ), w AS (
+      SELECT doc_id, CAST(u.i AS INT) AS start,
+             md5(array_to_string(t[u.i + 1 : u.i + 8], ' ')) AS fp
+      FROM d, LATERAL unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ), r AS (
+      SELECT doc_id, start,
+             count(*) OVER (PARTITION BY fp) AS c,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rk
+      FROM w
+    ), rm AS (
+      SELECT doc_id, list_sort(list(start)) AS spans
+      FROM r WHERE c > 1 AND rk > 1 GROUP BY doc_id
+    ), f AS (
+      SELECT d.doc_id, d.t, coalesce(rm.spans, []) AS spans
+      FROM d LEFT JOIN rm ON rm.doc_id = d.doc_id
+    ), k AS (
+      SELECT doc_id, t,
+             list_filter(range(0, len(t)),
+               j -> len(list_filter(spans, s -> j >= s AND j < s + 8)) = 0
+             ) AS keep
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(keep) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(
+             list_transform(keep, j -> t[CAST(j + 1 AS INT)]), ' '
+           ), '')) AS cleaned_hash
+    FROM k
+    """,
+    "repeated-SUBSTRING removal (Lee et al. 2022, the span-level dedup "
+    "document-level passes cannot do): 8-token window fingerprints, any "
+    "fingerprint occurring more than once is a duplicated span, every "
+    "occurrence except the canonical first (smallest (doc_id,start) — "
+    "total order, engine-portable) is removed, and a token goes if any "
+    "removed span covers it; cleaned_hash = md5 of the surviving token "
+    "stream, so the whole cleaned corpus is hash-compared cross-engine. "
+    "Scale: window explode is tokens-sized (the MinHash shingle budget), "
+    "the fingerprint exchange is the one corpus-sized shuffle — the "
+    "standard distributed stand-in for suffix arrays; span merge and "
+    "token filtering are array-local per doc",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return dedup.substring_dedup(t["documents"], window=8)
+
+
+@_q(
     "curation_stratified_sample",
     """
     SELECT doc_id, lang, sample_rank FROM (
