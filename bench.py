@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "er_resolve",
     "scd2_merge",
     "cdc_snapshot_diff",
+    # span-level substring dedup (since r6): tokens-sized window explode
+    # + one fingerprint-keyed exchange — the heaviest text-dedup shape
+    "dedup_substring_spans",
 ]
 
 

@@ -473,3 +473,29 @@ def test_substring_dedup_rejects_tiny_window(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with _pytest.raises(ValueError):
         substring_dedup(docs, window=1)
+
+
+def test_importance_weights_favor_target_domain(spark):
+    """DSIR sanity: docs from the target distribution must score higher
+    log-ratio than off-domain docs; gramless docs get NULL weight."""
+    from wikidata_to_surrealdb_spark.operators.curation import (
+        importance_weights,
+    )
+
+    rows = []
+    for i in range(20):  # target domain: repetitive 'aha' prose
+        rows.append((i, "aha aha haha ahah aaha", "t"))
+    for i in range(20, 40):  # background-only domain: 'zyx' prose
+        rows.append((i, "zyx xyz zzyy xxyz yzzx", "b"))
+    rows.append((99, "", "b"))  # no grams
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in importance_weights(docs, F.col("source") == "t").collect()
+    }
+    t_w = [out[i]["log10_weight"] for i in range(20)]
+    b_w = [out[i]["log10_weight"] for i in range(20, 40)]
+    assert min(t_w) > max(b_w)
+    assert all(w > 0 for w in t_w)  # target docs: p_t > p_b
+    assert out[99]["n_grams"] == 0 and out[99]["log10_weight"] is None
+    assert len(out) == 41

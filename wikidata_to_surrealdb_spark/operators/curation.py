@@ -705,3 +705,85 @@ def corpus_mix(
         .where(F.col("_rk") <= F.col("_quota"))
         .drop("_h", "_rk", "_quota")
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_cond: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): rate every document
+    by how target-domain-like it is, ``log10 w(x) = log10 p_target(x) -
+    log10 p_background(x)``, with both densities char-n-gram LMs — the
+    cheap proxy DSIR shows preserves the ordering of the intractable
+    true ratio. Sampling proportional to ``w`` then shifts a 100 TB
+    crawl toward the target domain; the weights column feeds straight
+    into :func:`weighted_sample`.
+
+    ``target_cond`` selects the target-domain rows of ``docs`` (e.g.
+    ``F.col("source") == "wiki"``); the background LM trains on the full
+    corpus. Docs too short to form a gram get ``n_grams = 0`` and a NULL
+    weight.
+
+    Determinism: per-gram log-probs are the fixed-point BIGINT e12
+    values of :func:`...text.train_char_lm` (bit-portable plog10), both
+    sums are exact integer math, and the final ratio is ONE double
+    division — engines agree bit for bit.
+
+    Plan shape: two vocabulary-sized LM trainings (map-side-combined
+    groupBys, shuffle bounded at |V|^n per partition), then a single
+    gram explode joined against FOUR broadcast vocabulary relations and
+    one doc-keyed aggregation — the corpus is scanned twice for
+    training, once for scoring, and nothing bigger than the vocabulary
+    ever crosses an exchange except the final per-doc sums.
+    """
+    from wikidata_to_surrealdb_spark.operators.text import (
+        _char_grams,
+        train_char_lm,
+    )
+
+    lm_t = train_char_lm(docs.where(target_cond), text_col, n, k)
+    lm_b = train_char_lm(docs, text_col, n, k)
+    g = docs.select(
+        F.col(id_col), F.explode(_char_grams(text_col, n)).alias("gram")
+    )
+    tm = lm_t.model.select("gram", F.col("logp_e12").alias("_t"))
+    bm = lm_b.model.select("gram", F.col("logp_e12").alias("_b"))
+    tcu = lm_t.ctx.select(F.col("p").alias("_tp"), F.col("unseen_e12").alias("_tu"))
+    bcu = lm_b.ctx.select(F.col("p").alias("_bp"), F.col("unseen_e12").alias("_bu"))
+    td = lm_t.default_e12.select(F.col("default_e12").alias("_td"))
+    bd = lm_b.default_e12.select(F.col("default_e12").alias("_bd"))
+    prefix = F.substring("gram", 1, n - 1)
+    scored = (
+        g.join(F.broadcast(tm), "gram", "left")
+        .join(F.broadcast(bm), "gram", "left")
+        .withColumn("_p", prefix)
+        .join(F.broadcast(tcu), F.col("_p") == F.col("_tp"), "left")
+        .join(F.broadcast(bcu), F.col("_p") == F.col("_bp"), "left")
+        .crossJoin(F.broadcast(td))
+        .crossJoin(F.broadcast(bd))
+        .select(
+            id_col,
+            F.coalesce("_t", "_tu", "_td").alias("_lt"),
+            F.coalesce("_b", "_bu", "_bd").alias("_lb"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("_lt").alias("_st"),
+            F.sum("_lb").alias("_sb"),
+        )
+    )
+    spine = docs.select(id_col)
+    return spine.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        (
+            (F.col("_st") - F.col("_sb")).cast("double")
+            / F.lit(1000000000000.0)
+        ).alias("log10_weight"),
+    )

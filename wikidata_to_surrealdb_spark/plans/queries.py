@@ -4969,6 +4969,92 @@ def _lm_oracle() -> str:
     """
 
 
+def _importance_oracle(target_where: str) -> str:
+    from wikidata_to_surrealdb_spark.functions import plog10_sql
+
+    def lm_ctes(tag: str, where: str) -> str:
+        logp = plog10_sql(
+            f"({tag}c.c + 1.0) / ({tag}ctx.total + 1.0 * {tag}v.v)"
+        )
+        unseen = plog10_sql(f"1.0 / ({tag}ctx.total + 1.0 * {tag}v.v)")
+        dflt = plog10_sql(f"1.0 / {tag}v.v")
+        return f"""
+    {tag}g AS (
+      SELECT unnest(list_transform(range(1, length(lower(text))),
+                                   i -> substring(lower(text), i, 2))) AS gram
+      FROM documents {where}
+    ),
+    {tag}c AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c FROM {tag}g GROUP BY gram),
+    {tag}ctx AS (SELECT substring(gram, 1, 1) AS p, sum(c) AS total
+                 FROM {tag}c GROUP BY p),
+    {tag}v AS (SELECT CAST(count(DISTINCT substring(gram, 2, 1)) AS DOUBLE) AS v
+               FROM {tag}c),
+    {tag}model AS (
+      SELECT {tag}c.gram,
+             CAST(floor(({logp}) * 1000000000000.0 + 0.5) AS BIGINT) AS lp
+      FROM {tag}c JOIN {tag}ctx ON substring({tag}c.gram, 1, 1) = {tag}ctx.p
+      CROSS JOIN {tag}v
+    ),
+    {tag}u AS (
+      SELECT {tag}ctx.p,
+             CAST(floor(({unseen}) * 1000000000000.0 + 0.5) AS BIGINT) AS lp
+      FROM {tag}ctx CROSS JOIN {tag}v
+    ),
+    {tag}d AS (
+      SELECT CAST(floor(({dflt}) * 1000000000000.0 + 0.5) AS BIGINT) AS lp
+      FROM {tag}v
+    )"""
+
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(lower(text))),
+                                   i -> substring(lower(text), i, 2))) AS gram
+      FROM documents
+    ),{lm_ctes("t", target_where)},{lm_ctes("b", "")},
+    scored AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             sum(coalesce(tm.lp, tu.lp, td.lp)) AS st,
+             sum(coalesce(bm.lp, bu.lp, bd.lp)) AS sb
+      FROM g
+      LEFT JOIN tmodel tm ON tm.gram = g.gram
+      LEFT JOIN bmodel bm ON bm.gram = g.gram
+      LEFT JOIN tu ON tu.p = substring(g.gram, 1, 1)
+      LEFT JOIN bu ON bu.p = substring(g.gram, 1, 1)
+      CROSS JOIN td CROSS JOIN bd
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_grams, 0) AS n_grams,
+           CAST(s.st - s.sb AS DOUBLE) / 1000000000000.0 AS log10_weight
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """
+
+
+@_q(
+    "curation_importance_weights",
+    _importance_oracle("WHERE source = 'src0'"),
+    "DSIR-style importance weights (Xie et al. 2023): log10 "
+    "p_target(x) - log10 p_background(x) per document, both densities "
+    "add-1-smoothed char-bigram LMs (target trained on the src0 slice, "
+    "background on the full corpus) — the cheap density-ratio proxy "
+    "that shifts a crawl toward a target domain when fed into "
+    "weighted sampling. Per-gram log-probs are fixed-point BIGINT e12 "
+    "values of the bit-portable plog10 with unseen-gram and "
+    "unseen-prefix fallbacks, both sums exact integer math, one double "
+    "division at the end — engines agree bit for bit. Plan: two "
+    "vocabulary-sized trainings, one gram explode joined against four "
+    "broadcast vocab relations, one doc-keyed aggregation",
+)
+def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.importance_weights(
+        t["documents"], F.col("source") == "src0"
+    )
+
+
 @_q(
     "text_lm_score",
     _lm_oracle(),
