@@ -405,3 +405,71 @@ def test_knn_join_respects_k_and_dedups_bands(spark):
     # multi-band collisions must not produce duplicate (node, neighbor)
     pairs = [(r.vec_id, r.neighbor_id) for r in out]
     assert len(pairs) == len(set(pairs))
+
+
+# ---------------------------------------------------------------------------
+# kmeans_train
+# ---------------------------------------------------------------------------
+
+
+def _blob_docs(spark):
+    # two well-separated 8-dim blobs around +1 and -1
+    rows = []
+    for i in range(12):
+        base = 1.0 if i < 6 else -1.0
+        rows.append((i, [base + ((i * 7 + j) % 5) * 0.01 for j in range(8)]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_separates_blobs(spark):
+    from wikidata_to_surrealdb_spark.operators.similarity import kmeans_train
+
+    df = _blob_docs(spark)
+    assign, cents = kmeans_train(df, k=2, iterations=3, dim=8)
+    got = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+    pos = {got[i] for i in range(6)}
+    neg = {got[i] for i in range(6, 12)}
+    assert len(pos) == 1 and len(neg) == 1 and pos != neg
+    c = {r["cluster"]: r for r in cents.collect()}
+    assert sorted(r["cnt"] for r in c.values()) == [6, 6]
+    means = sorted(sum(r["centroid"]) / 8 for r in c.values())
+    assert means[0] < -0.9 and means[1] > 0.9
+
+
+def test_kmeans_deterministic_under_partitioning(spark):
+    from wikidata_to_surrealdb_spark.operators.similarity import kmeans_train
+
+    df = _blob_docs(spark)
+    a = sorted(map(tuple, kmeans_train(df, k=3, iterations=2, dim=8)[0].collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmeans_train(df.repartition(5), k=3, iterations=2, dim=8)[0].collect(),
+        )
+    )
+    assert a == b
+
+
+def test_kmeans_plan_constant_in_iterations(spark):
+    # same lineage rule as pagerank: localCheckpoint per round keeps the
+    # final plan size independent of the iteration count
+    from wikidata_to_surrealdb_spark.operators.similarity import kmeans_train
+
+    df = _blob_docs(spark)
+    p2 = kmeans_train(df, k=2, iterations=1, dim=8)[0]
+    p8 = kmeans_train(df, k=2, iterations=6, dim=8)[0]
+    s2 = p2._jdf.queryExecution().optimizedPlan().toString()
+    s8 = p8._jdf.queryExecution().optimizedPlan().toString()
+    assert len(s8) < 2 * len(s2) + 500
+
+
+def test_kmeans_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from wikidata_to_surrealdb_spark.operators.similarity import kmeans_train
+
+    df = _blob_docs(spark)
+    with _pytest.raises(ValueError):
+        kmeans_train(df, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_train(df, iterations=0)

@@ -939,3 +939,140 @@ def knn_join(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# bound on |quantized coordinate| for the floor-division offset trick:
+# embeddings are unit-ish floats, quantized at 1e6 — 4e6 clears any
+# coordinate this module ever produces
+_KMEANS_OFF = 4_000_000
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """In-engine Lloyd's k-means over the embedding table — the training
+    loop behind the IVF/PQ families, distributed and ENGINE-EXACT (the
+    pretrained codebook literals elsewhere in this module came from an
+    offline pyspark.ml run; this closes the loop so a user can train
+    inside the engine, and the oracle can replay it bit for bit).
+
+    Determinism, the hard part of distributed k-means, comes from three
+    choices:
+
+    - init = the first ``k`` vectors in ``(md5(vec_id), vec_id)`` order
+      — a total order, no RNG;
+    - every vector is quantized ONCE to the 1e6 scaled-integer grid
+      (the PQ convention), and each round's new centroid is the integer
+      mean ROUNDED BACK ONTO THE SAME GRID — i.e. quantized Lloyd's,
+      exactly how the module's pretrained PQ/IVF codebook literals were
+      produced (floor(mean*1e6+0.5)). Centroid components and distances
+      are then plain BIGINTs: ``||x - m||^2`` sums 64 squares of
+      ~6e6-scale ints (~2e15, far inside bigint), and NO division ever
+      enters a comparison. The rounding division itself is pure integer
+      math — ``floor(s/c + 0.5)`` computed as
+      ``(2s + 2c*OFF + c) div (2c) - OFF`` with ``OFF`` bounding |x|,
+      so the numerator is positive and truncating division (Spark div,
+      DuckDB //) equals floor in both engines;
+    - argmin ties break on the smallest centroid index (total order).
+
+    Returns ``(assignments, centroids)``: ``(id, cluster)`` after the
+    final iteration, and ``(cluster, cnt, centroid)`` with the float
+    centroid for consumers (comparisons never used floats).
+
+    Scale shape per iteration: the k-row centroid relation broadcasts
+    into a map-only assignment pass (k * dim literal-free expression),
+    then ONE map-side-combined groupBy produces the next (sums, count)
+    relation — per-dim sums as ``dim`` aggregate columns, no explode.
+    The centroid relation is localCheckpoint-truncated each round, so
+    the final plan size is constant in ``iterations`` (same rule as
+    graph.pagerank). Empty clusters keep their previous centroid (the
+    standard Lloyd's fallback), deterministically.
+    """
+    if k < 1 or iterations < 1:
+        raise ValueError("k and iterations must be >= 1")
+    from pyspark.sql.window import Window
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    vi = (
+        respread(embeddings)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.expr(_VI_EXPR.format(v=vec_col)).alias("_x"),
+        )
+        .localCheckpoint()
+    )
+    # deterministic init: first k vectors by (md5(id), id) — already on
+    # the 1e6 grid
+    w0 = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+    cents = (
+        vi.withColumn("_rn", F.row_number().over(w0))
+        .where(F.col("_rn") <= k)
+        .select(
+            (F.col("_rn") - 1).cast("int").alias("_j"),
+            F.col("_x").alias("_m"),
+            F.lit(1).cast("bigint").alias("_c"),
+        )
+        .localCheckpoint()
+    )
+
+    # plain-BIGINT rank key: ||x - m||^2 on the shared integer grid —
+    # 64 squares of ~6e6-scale ints sum to ~2e15, far inside bigint
+    key = F.expr(
+        "aggregate(zip_with(_x, _m, (xi, mi) -> (xi - mi) * (xi - mi)), "
+        "CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+    # grid-rounded integer mean: floor(s/c + 0.5) via the positive-
+    # numerator trick so truncating division == floor in both engines
+    off = _KMEANS_OFF
+    mean_m = F.expr(
+        f"transform(_s, s -> (2 * s + 2 * _c * {off} + _c) div (2 * _c) - {off})"
+    )
+    assign = None
+    for _ in range(iterations):
+        wa = Window.partitionBy("_id").orderBy(key, F.col("_j"))
+        assign = (
+            vi.crossJoin(F.broadcast(cents))
+            .withColumn("_rk", F.row_number().over(wa))
+            .where(F.col("_rk") == 1)
+            .select("_id", "_x", "_j")
+        )
+        sums = assign.groupBy("_j").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c"),
+            F.array(
+                *[
+                    F.sum(F.element_at("_x", i + 1)).cast("bigint")
+                    for i in range(dim)
+                ]
+            ).alias("_s"),
+        )
+        # empty clusters keep their previous centroid
+        cents = (
+            cents.select("_j", F.col("_m").alias("_pm"))
+            .join(sums, "_j", "left")
+            .select(
+                "_j",
+                F.when(F.col("_s").isNotNull(), mean_m)
+                .otherwise(F.col("_pm"))
+                .alias("_m"),
+                F.coalesce("_c", F.lit(0).cast("bigint")).alias("_c"),
+            )
+            .localCheckpoint()
+        )
+
+    assignments = assign.select(
+        F.col("_id").alias(id_col), F.col("_j").cast("int").alias("cluster")
+    )
+    centroids = cents.select(
+        F.col("_j").cast("int").alias("cluster"),
+        F.col("_c").alias("cnt"),
+        F.expr(
+            "transform(_m, m -> CAST(m AS DOUBLE) / 1000000.0)"
+        ).alias("centroid"),
+    )
+    return assignments, centroids

@@ -1699,6 +1699,108 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int, iterations: int, dim: int = 64) -> str:
+    """CTE-unrolled quantized Lloyd's: init from (md5, id) order,
+    plain-BIGINT ``||x - m||^2`` assignment keys, per-dim sums via a
+    LATERAL dim unnest, each round's centroid the integer mean rounded
+    back onto the 1e6 grid with the positive-numerator floor-division
+    trick (truncating // == floor, same as the Spark side), empty
+    clusters keeping the previous centroid."""
+    from wikidata_to_surrealdb_spark.operators.similarity import _KMEANS_OFF
+
+    d2 = (
+        "list_sum(list_transform(range(1, {dim} + 1), i -> "
+        "(vi.x[CAST(i AS INT)] - cc.m[CAST(i AS INT)]) * "
+        "(vi.x[CAST(i AS INT)] - cc.m[CAST(i AS INT)])))"
+    ).format(dim=dim)
+    rank = (
+        f"row_number() OVER (PARTITION BY vi.vec_id ORDER BY {d2}, cc.j)"
+    )
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT vec_id, x, j FROM (
+        SELECT vi.vec_id, vi.x, cc.j, {rank} AS rk
+        FROM vi CROSS JOIN {cents} cc
+      ) WHERE rk = 1
+    )"""
+
+    def recenter(a: str, prev: str, out: str) -> str:
+        off = _KMEANS_OFF
+        return f"""
+    {out}_s AS (
+      SELECT j, u.i AS i, CAST(sum(x[CAST(u.i AS INT)]) AS BIGINT) AS sv,
+             CAST(count(*) AS BIGINT) AS c
+      FROM {a}, LATERAL unnest(range(1, {dim} + 1)) AS u(i)
+      GROUP BY j, u.i
+    ),
+    {out}_agg AS (
+      SELECT j,
+             list((2 * sv + 2 * c * {off} + c) // (2 * c) - {off}
+                  ORDER BY i) AS m,
+             any_value(c) AS c
+      FROM {out}_s GROUP BY j
+    ),
+    {out} AS (
+      SELECT p.j, coalesce(a.m, p.m) AS m, coalesce(a.c, 0) AS c
+      FROM {prev} p LEFT JOIN {out}_agg a ON a.j = p.j
+    )"""
+
+    parts = [
+        f"""
+    WITH vi AS (
+      SELECT vec_id, {_PQ_VI_DUCK} AS x FROM embeddings
+    ),
+    init AS (
+      SELECT CAST(rn - 1 AS INT) AS j, x AS m, CAST(1 AS BIGINT) AS c
+      FROM (
+        SELECT vec_id, x, row_number() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM vi
+      ) WHERE rn <= {k}
+    )"""
+    ]
+    cents = "init"
+    final_a = None
+    for it in range(1, iterations + 1):
+        final_a = f"a{it}"
+        parts.append("," + assign(cents, final_a))
+        if it < iterations:
+            parts.append("," + recenter(final_a, cents, f"c{it}"))
+            cents = f"c{it}"
+    parts.append(
+        f"\n    SELECT vec_id, CAST(j AS INT) AS cluster FROM {final_a}"
+    )
+    return "".join(parts)
+
+
+@_q(
+    "sim_kmeans_assign",
+    _kmeans_oracle(4, 2),
+    "in-engine distributed k-means training (quantized Lloyd's, k=4, "
+    "2 iterations) — the training loop behind the IVF/PQ families, run "
+    "INSIDE the engine instead of an offline tool, and ENGINE-EXACT: "
+    "init is the first k vectors in (md5, id) order (no RNG), vectors "
+    "quantize once to the 1e6 integer grid, and each round's centroid "
+    "is the integer mean rounded back onto that grid (floor(s/c+0.5) "
+    "as pure positive-numerator integer division — exactly how the "
+    "module's pretrained codebook literals were made), so every "
+    "assignment key is a plain-BIGINT ||x - m||^2 with index "
+    "tie-break: no float touches any comparison and the CTE-unrolled "
+    "oracle replays training bit for bit. Per iteration: k-row "
+    "broadcast into a map-only assignment + ONE map-side-combined "
+    "groupBy (per-dim sums as 64 aggregate columns, no explode); "
+    "centroid relation checkpoint-truncated per round",
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    assign, _cents = similarity.kmeans_train(
+        t["embeddings"], k=4, iterations=2
+    )
+    return assign
+
+
 def _pq_search_oracle(k: int) -> str:
     ints = _pq_int_books()
     m, sub = len(ints), len(ints[0][0])
