@@ -1076,3 +1076,61 @@ def kmeans_train(
         ).alias("centroid"),
     )
     return assignments, centroids
+
+
+def ivf_trained_search(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    kcells: int = 4,
+    iterations: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Fully IN-ENGINE IVF search: train the coarse quantizer with
+    :func:`kmeans_train` (no offline codebook step), assign every vector
+    to its cell, rank cells by the query's exact scaled-int distance to
+    the trained centroids (k rows collected driver-side — the bounded
+    ``nprobe``-centroid ranking this module's other IVF paths use), and
+    run the exact integer top-k over ONLY the probed cells' candidates.
+
+    Same search shape as ``ivf_search`` (cell filter = partition
+    pruning; top-k = TakeOrderedAndProject), but the cells come from
+    in-engine training, so the whole index build + search replays
+    bit-for-bit in the oracle."""
+    assign, cents = kmeans_train(
+        embeddings, k=kcells, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    import math
+
+    qi = [int(math.floor(float(x) * 1000000.0 + 0.5)) for x in query_vec]
+    ranked = sorted(
+        (
+            (
+                sum(
+                    (qi[i] - int(round(c * 1000000.0))) ** 2
+                    for i, c in enumerate(r["centroid"])
+                ),
+                r["cluster"],
+            )
+            for r in cents.collect()
+        )
+    )
+    probed = [j for _, j in ranked[:nprobe]]
+    qarr = "array(" + ", ".join(str(v) + "L" for v in qi) + ")"
+    dist = F.expr(
+        f"aggregate(zip_with({_VI_EXPR.format(v=vec_col)}, {qarr}, "
+        "(xi, qi) -> (xi - qi) * (xi - qi)), "
+        "CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+    cand = embeddings.join(
+        assign.where(F.col("cluster").isin(probed)).select(id_col), id_col
+    )
+    return (
+        cand.select(F.col(id_col), dist.alias("dist"))
+        .orderBy(F.col("dist"), F.col(id_col))
+        .limit(k)
+    )

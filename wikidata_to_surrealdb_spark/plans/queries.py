@@ -1699,13 +1699,15 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int, iterations: int, dim: int = 64) -> str:
+def _kmeans_ctes(k: int, iterations: int, dim: int = 64) -> tuple[str, str, str]:
     """CTE-unrolled quantized Lloyd's: init from (md5, id) order,
     plain-BIGINT ``||x - m||^2`` assignment keys, per-dim sums via a
     LATERAL dim unnest, each round's centroid the integer mean rounded
     back onto the 1e6 grid with the positive-numerator floor-division
     trick (truncating // == floor, same as the Spark side), empty
-    clusters keeping the previous centroid."""
+    clusters keeping the previous centroid. Returns (CTE text,
+    final-assignment CTE name, final-centroid CTE name) so search
+    oracles can build on the trained state."""
     from wikidata_to_surrealdb_spark.operators.similarity import _KMEANS_OFF
 
     d2 = (
@@ -1769,15 +1771,19 @@ def _kmeans_oracle(k: int, iterations: int, dim: int = 64) -> str:
         if it < iterations:
             parts.append("," + recenter(final_a, cents, f"c{it}"))
             cents = f"c{it}"
-    parts.append(
+    return "".join(parts), final_a, cents
+
+
+def _kmeans_assign_oracle(k: int, iterations: int, dim: int = 64) -> str:
+    ctes, final_a, _cents = _kmeans_ctes(k, iterations, dim)
+    return ctes + (
         f"\n    SELECT vec_id, CAST(j AS INT) AS cluster FROM {final_a}"
     )
-    return "".join(parts)
 
 
 @_q(
     "sim_kmeans_assign",
-    _kmeans_oracle(4, 2),
+    _kmeans_assign_oracle(4, 2),
     "in-engine distributed k-means training (quantized Lloyd's, k=4, "
     "2 iterations) — the training loop behind the IVF/PQ families, run "
     "INSIDE the engine instead of an offline tool, and ENGINE-EXACT: "
@@ -1799,6 +1805,66 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["embeddings"], k=4, iterations=2
     )
     return assign
+
+
+def _ivf_trained_oracle(
+    k: int, kcells: int, iterations: int, nprobe: int, dim: int = 64
+) -> str:
+    ctes, final_a, cents = _kmeans_ctes(kcells, iterations, dim)
+    cd2 = (
+        "list_sum(list_transform(range(1, {dim} + 1), i -> "
+        "(q.qx[CAST(i AS INT)] - cc.m[CAST(i AS INT)]) * "
+        "(q.qx[CAST(i AS INT)] - cc.m[CAST(i AS INT)])))"
+    ).format(dim=dim)
+    xd2 = (
+        "list_sum(list_transform(range(1, {dim} + 1), i -> "
+        "(a.x[CAST(i AS INT)] - q.qx[CAST(i AS INT)]) * "
+        "(a.x[CAST(i AS INT)] - q.qx[CAST(i AS INT)])))"
+    ).format(dim=dim)
+    return (
+        ctes
+        + f""",
+    q AS (
+      SELECT x AS qx FROM vi
+      WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+    ),
+    cellrank AS (
+      SELECT cc.j,
+             row_number() OVER (ORDER BY {cd2}, cc.j) AS rk
+      FROM {cents} cc CROSS JOIN q
+    ),
+    probed AS (SELECT j FROM cellrank WHERE rk <= {nprobe})
+    SELECT a.vec_id, CAST({xd2} AS BIGINT) AS dist
+    FROM {final_a} a JOIN probed p ON p.j = a.j CROSS JOIN q
+    ORDER BY dist, a.vec_id
+    LIMIT {k}
+    """
+    )
+
+
+@_q(
+    "sim_ivf_trained_search",
+    _ivf_trained_oracle(10, 4, 2, 2),
+    "fully IN-ENGINE IVF: the coarse quantizer comes from "
+    "sim_kmeans_assign's quantized-Lloyd's training (no offline "
+    "codebook step), cells are assigned in the same job, the query "
+    "probes the nprobe=2 nearest trained centroids (k-row bounded "
+    "driver ranking, the module's standard IVF shape), and the exact "
+    "integer top-10 runs over ONLY the probed cells' candidates "
+    "(TakeOrderedAndProject — map-only over the pruned cells, partial "
+    "top-k, no full exchange). The oracle replays training AND search "
+    "bit for bit — index build to result set, one CTE chain",
+)
+def sim_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    qrow = (
+        emb.orderBy(F.col("vec_id").desc()).select("embedding").first()
+    )
+    return similarity.ivf_trained_search(
+        emb, [float(x) for x in qrow["embedding"]],
+        k=10, kcells=4, iterations=2, nprobe=2,
+    )
 
 
 def _pq_search_oracle(k: int) -> str:
