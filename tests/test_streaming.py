@@ -583,3 +583,43 @@ def test_stream_upsert_replay_is_idempotent(spark, tmp_path):
         n_buckets=8,
     )
     assert snapshot() == before
+
+
+def test_outer_attribution_flushes_unmatched_and_hides_sentinel(
+    spark, tmp_path
+):
+    """The left-outer stream-stream join must emit purchases with no
+    qualifying view (NULL view cols) — drained by the sentinel batch —
+    and the sentinel rows themselves must never surface."""
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        _OUTER_SENTINEL_USER,
+        attribution_join_outer_streaming,
+    )
+
+    out = attribution_join_outer_streaming(
+        spark,
+        "/root/testdata/sf0.001/events.parquet",
+        str(tmp_path / "staging"),
+    ).collect()
+    assert all(r["user_id"] != _OUTER_SENTINEL_USER for r in out)
+    unmatched = [r for r in out if r["view_id"] is None]
+    assert unmatched, "outer rows must flush at end of stream"
+    # equals the batch left join
+    ev = normalize_ts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    v = ev.where(F.col("event_type") == "view").alias("v")
+    batch = p.join(
+        v,
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("v.ts") <= F.col("p.ts"))
+        & (F.col("v.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+    )
+    want = sorted((r["purchase_id"], r["view_id"]) for r in batch.collect())
+    got = sorted((r["purchase_id"], r["view_id"]) for r in out)
+    assert got == want

@@ -4671,6 +4671,58 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stream_join_attribution_outer",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           p.value AS purchase_value,
+           v.event_id AS view_id,
+           epoch_us(v.ts) AS view_ts_us
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.event_type = 'view'
+    WHERE p.event_type = 'purchase'
+    """,
+    "LEFT OUTER watermarked stream-stream join: purchases with no "
+    "qualifying view emit NULL view columns — which in streaming are "
+    "WATERMARK-GATED (a match could still arrive until the watermark "
+    "passes), so a stream that merely ends strands the tail's outer "
+    "state. The runner drains it deterministically with a sentinel "
+    "micro-batch that pushes both sides' watermarks past every real "
+    "event (the end-of-stream flush pattern, made explicit); the "
+    "result must equal the batch LEFT JOIN, which the oracle checks",
+)
+def stream_join_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        attribution_join_outer_streaming,
+    )
+
+    register_views(spark, sf_dir)
+    staging = os.path.join(
+        tempfile.gettempdir(),
+        f"wd_attr_outer_{spark.sparkContext.applicationId}",
+    )
+    out = attribution_join_outer_streaming(
+        spark, os.path.join(sf_dir, "events.parquet"), staging
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+        "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+
+
 _EXPECTATION_RULES = {
     "orderdate_not_null": "o_orderdate IS NOT NULL",
     "status_known": "o_orderstatus IN ('O', 'F', 'P')",

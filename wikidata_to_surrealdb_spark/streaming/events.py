@@ -651,3 +651,116 @@ def hll_distinct_streaming(spark: SparkSession, events_path: str) -> DataFrame:
         F.lit("(all)").alias("event_type"), "approx_distinct"
     )
     return per.unionAll(total)
+
+
+_OUTER_SENTINEL_USER = -987654321
+
+
+def attribution_join_outer_streaming(
+    spark: SparkSession,
+    events_path: str,
+    staging_dir: str,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: every purchase is
+    attributed to its preceding same-user views, and purchases with NO
+    qualifying view still emit (NULL view columns) — but only once the
+    watermark has passed them, because until then a matching view could
+    still arrive. That makes outer results watermark-gated: a stream
+    that simply ends leaves the last rows' outer state unemitted.
+
+    The deterministic drain: stage the events as micro-batch one, then
+    a SENTINEL batch (one far-future purchase+view for a reserved
+    user_id) whose event time pushes BOTH sides' watermarks beyond
+    every real event — the following trigger flushes all remaining
+    unmatched purchases. The sentinel rows are excluded from the
+    output by user id; this is the standard end-of-stream flush
+    pattern for outer stream-stream joins, made explicit and testable.
+
+    Scale contract is the inner join's: watermark + bounded event-time
+    range give a state eviction bound; the outer buffer holds only
+    not-yet-past-watermark purchases.
+    """
+    import os
+    import time as _time
+
+    from wikidata_to_surrealdb_spark.sources.tables import normalize_ts
+
+    ev = normalize_ts(spark.read.parquet(events_path))
+    os.makedirs(staging_dir, exist_ok=True)
+    # partition-style dir names so both the batch schema probe and
+    # the file stream treat the two batches as one table
+    real_dir = os.path.join(staging_dir, "batch=0")
+    ev.coalesce(1).write.mode("overwrite").parquet(real_dir)
+    far = (
+        ev.agg(F.max("ts").alias("m"))
+        .select(
+            F.col("m") + F.expr("INTERVAL 30 DAYS")
+        )
+        .first()[0]
+    )
+    sent = spark.createDataFrame(
+        [
+            (10**15, far, _OUTER_SENTINEL_USER, "purchase", 0.0, "{}"),
+            (10**15 + 1, far, _OUTER_SENTINEL_USER, "view", 0.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    sent_dir = os.path.join(staging_dir, "batch=1")
+    sent.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    base = _time.time()
+    for i, d in enumerate((real_dir, sent_dir)):
+        for root, _, files in os.walk(d):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (base + i, base + i))
+
+    purchases = (
+        _event_stream_source(spark, staging_dir, max_files_per_trigger=1)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        _event_stream_source(spark, staging_dir, max_files_per_trigger=1)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("view_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "left_outer",
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value",
+        "view_id", "view_ts",
+    )
+    table = f"stream_attr_outer_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark, state_partitions):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(table).where(
+        F.col("user_id") != _OUTER_SENTINEL_USER
+    )
