@@ -4923,6 +4923,79 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_resize_roundtrip",
+    # expected resized pixels computed straight from the document bytes:
+    # nearest-neighbour with pixel-centre mapping (sy = min(h-1,
+    # (2y+1)h/32), sx = 2x+1 for 32->16) over the zero-padded raster —
+    # per-byte hex extraction exactly like the mm_decode_png oracle.
+    # DuckDB's md5 is VARCHAR-only and resized byte subsets need not be
+    # valid UTF-8, so this pairing checks geometry + exact pixel
+    # sum/min/max instead of the hash (the hash path is pinned by
+    # tests/test_multimodal.py's resize goldens).
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             octet_length(encode(coalesce(text, ''))) AS n
+      FROM documents
+    ), g AS (
+      SELECT doc_id, t, n,
+             CAST(greatest(1, CAST(ceil(n / 32.0) AS INT)) AS INT) AS h
+      FROM d
+    ), px AS (
+      SELECT doc_id,
+             flatten(list_transform(range(0, 16), y ->
+               list_transform(range(0, 16), x ->
+                 CASE WHEN (least(h - 1, ((2*y + 1) * h) // 32) * 32
+                            + (2*x + 1)) < n
+                      THEN CAST(('0x' || substr(hex(encode(t)),
+                        CAST(2 * (least(h - 1, ((2*y + 1) * h) // 32) * 32
+                             + (2*x + 1)) + 1 AS INT), 2)) AS INT)
+                      ELSE 0 END))) AS b
+      FROM g
+    )
+    SELECT doc_id AS asset_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(256 AS BIGINT) AS pixel_bytes,
+           CAST(list_sum(b) AS BIGINT) AS pixel_sum,
+           CAST(list_min(b) AS INT) AS pixel_min,
+           CAST(list_max(b) AS INT) AS pixel_max
+    FROM px
+    ORDER BY asset_id
+    """,
+    "REAL image-resize pipeline end to end: document bytes -> gray PNG "
+    "(from-spec encoder) -> nearest-neighbour resize to 16x16 -> PNG "
+    "re-encode -> decode back to pixel statistics, all inside "
+    "Arrow-batched mapInPandas (bytes never touch the driver); the "
+    "oracle recomputes the expected resized pixels from the document "
+    "bytes alone via the exact pixel-centre index mapping, so a match "
+    "proves encode->resize->re-encode->decode byte for byte on the "
+    "selected samples",
+)
+def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    t = register_views(spark, sf_dir)
+    assets = multimodal.documents_as_png_assets(t["documents"])
+    resized = multimodal.resize_images(assets, 16, 16)
+    return (
+        multimodal.decode_features(resized, decoder="png")
+        .select(
+            "asset_id",
+            "width",
+            "height",
+            "channels",
+            F.col("pixel_bytes").cast("bigint").alias("pixel_bytes"),
+            F.col("pixel_sum").cast("bigint").alias("pixel_sum"),
+            "pixel_min",
+            "pixel_max",
+        )
+        .orderBy("asset_id")
+    )
+
+
+@_q(
     "mm_jpeg_meta",
     # decoded JPEG pixels are lossy and engine-specific, but the HEADER
     # is exact: the asset encode fixes width=32, gray, 8-bit baseline,
