@@ -217,3 +217,48 @@ def test_params_binding(spark, g1_tables):
         params={"target": "Towel Day"},
     )
     assert [r["label"] for r in results[0].collect()] == ["Towel Day"]
+
+
+def test_parser_never_crashes_on_garbage():
+    """Property: for arbitrary input, parse() either succeeds or raises
+    SurqlError — never IndexError/KeyError/RecursionError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200))
+    def check(src):
+        try:
+            parse(src)
+        except SurqlError:
+            pass
+
+    check()
+
+
+def test_parser_roundtrips_select_shapes():
+    """Property: SELECTs built from random identifier/literal fields
+    always parse into a Select with the right field count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ident = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,10}", fullmatch=True).filter(
+        lambda s: s.lower()
+        not in {
+            "select", "from", "where", "as", "let", "return", "delete",
+            "update", "set", "define", "table", "analyzer", "tokenizers",
+            "filters", "and", "or", "limit", "count", "type", "normal",
+            "overwrite",
+        }
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(ident, min_size=1, max_size=5), ident)
+    def check(fields, table):
+        from wikidata_to_surrealdb_spark.plans.surql import Select
+
+        stmts = parse(f"SELECT {', '.join(fields)} FROM {table}")
+        assert len(stmts) == 1 and isinstance(stmts[0], Select)
+        assert len(stmts[0].fields) == len(fields)
+
+    check()
