@@ -372,15 +372,19 @@ def main() -> None:
         for name in BENCH_QUERIES:
             fn = QUERIES[name].fn
             best = float("inf")
-            for _ in range(2):
-                # drop persisted intermediates so every repetition pays the
-                # full cost of its own plan (no cross-run cache hits)
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                rows = fn(spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-                del rows
-            timings[name] = round(best, 3)
+            try:
+                for _ in range(2):
+                    # drop persisted intermediates so every repetition pays
+                    # the full cost of its own plan (no cross-run cache hits)
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    rows = fn(spark, sf_dir).collect()
+                    best = min(best, time.perf_counter() - t0)
+                    del rows
+                timings[name] = round(best, 3)
+            except Exception as e:  # one bad query must not lose the record
+                print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
+                timings[name] = -1.0
 
         calibration_end = _calibrate()
 
