@@ -623,3 +623,49 @@ def test_outer_attribution_flushes_unmatched_and_hides_sentinel(
     want = sorted((r["purchase_id"], r["view_id"]) for r in batch.collect())
     got = sorted((r["purchase_id"], r["view_id"]) for r in out)
     assert got == want
+
+
+def test_stream_scd2_apply_replay_idempotent(spark, tmp_path):
+    """Re-applying the last snapshot at the same effective date (the
+    foreachBatch at-least-once replay) must leave the dimension
+    unchanged, and the pointer commit must leave no torn state."""
+    from wikidata_to_surrealdb_spark.operators.mutations import scd2_merge
+    from wikidata_to_surrealdb_spark.streaming import upserts as _up
+
+    dim_dir = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0)],
+        "k bigint, seg string, bal double",
+    ).select(
+        "k", "seg", "bal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    _up.write_dim_versioned(base, dim_dir, "bootstrap")
+    snap = spark.createDataFrame(
+        [(1, "A", 99.0), (3, "C", 5.0)], "k bigint, seg string, bal double"
+    )
+    merged = scd2_merge(
+        _up.read_dim_versioned(spark, dim_dir),
+        snap, ["k"], ["seg", "bal"], effective_date="2024-06-01",
+    )
+    _up.write_dim_versioned(merged, dim_dir, "b0")
+    once = sorted(
+        map(tuple, _up.read_dim_versioned(spark, dim_dir).collect())
+    )
+    # replay: same snapshot, same date
+    merged2 = scd2_merge(
+        _up.read_dim_versioned(spark, dim_dir),
+        snap, ["k"], ["seg", "bal"], effective_date="2024-06-01",
+    )
+    _up.write_dim_versioned(merged2, dim_dir, "b0r")
+    twice = sorted(
+        map(tuple, _up.read_dim_versioned(spark, dim_dir).collect())
+    )
+    assert once == twice
+    # the replayed dim: key 1 has a closed and an open version, key 3 new
+    cur = {(r["k"]): r["bal"] for r in
+           _up.read_dim_versioned(spark, dim_dir)
+           .where(F.col("is_current")).collect()}
+    assert cur == {1: 99.0, 2: 20.0, 3: 5.0}

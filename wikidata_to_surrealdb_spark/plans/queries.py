@@ -5707,6 +5707,163 @@ def scd2_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_SNAP2 = """
+      SELECT c_custkey, c_mktsegment, c_acctbal + 250.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEWSEG', 50.0
+      FROM customer WHERE c_custkey % 11 = 0
+"""
+
+
+@_q(
+    "stream_scd2_apply",
+    f"""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             DATE '2024-01-01' AS valid_from,
+             DATE '9999-12-31' AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    snap1 AS ({_SCD2_SNAP}),
+    diff1 AS (
+      SELECT s.* FROM snap1 s LEFT JOIN base b USING (c_custkey)
+      WHERE b.c_custkey IS NULL
+         OR s.c_acctbal IS DISTINCT FROM b.c_acctbal
+         OR s.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+    ),
+    dim1 AS (
+      SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.valid_from,
+             CASE WHEN d.c_custkey IS NOT NULL
+                  THEN DATE '2024-06-01' ELSE b.valid_to END AS valid_to,
+             d.c_custkey IS NULL AS is_current
+      FROM base b LEFT JOIN diff1 d USING (c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             DATE '2024-06-01', DATE '9999-12-31', TRUE
+      FROM diff1
+    ),
+    snap2 AS ({_SCD2_SNAP2}),
+    cur1 AS (SELECT * FROM dim1 WHERE is_current),
+    diff2 AS (
+      SELECT s.* FROM snap2 s LEFT JOIN cur1 b USING (c_custkey)
+      WHERE b.c_custkey IS NULL
+         OR s.c_acctbal IS DISTINCT FROM b.c_acctbal
+         OR s.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to,
+           is_current
+    FROM dim1 WHERE NOT is_current
+    UNION ALL
+    SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.valid_from,
+           CASE WHEN d.c_custkey IS NOT NULL
+                THEN DATE '2024-09-01' ELSE b.valid_to END AS valid_to,
+           d.c_custkey IS NULL AS is_current
+    FROM cur1 b LEFT JOIN diff2 d USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           DATE '2024-09-01', DATE '9999-12-31', TRUE
+    FROM diff2
+    """,
+    "STREAMING CDC consumer: two dimension snapshots (June and "
+    "September effective dates) arrive as micro-batches and foreachBatch "
+    "applies each to the versioned dimension with scd2_merge — read the "
+    "live generation, merge, write a new generation, commit via atomic "
+    "pointer replace (re-applying a snapshot at the same date is "
+    "idempotent, so replays converge: effectively-once). The final "
+    "dimension must equal the batch sequence of the two merges, which "
+    "the chained two-step oracle recomputes in SQL",
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from wikidata_to_surrealdb_spark.streaming import upserts as _up
+
+    t = register_views(spark, sf_dir)
+    c = t["customer"]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"wd_scd2_stream_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    dim_dir = os.path.join(root, "dim")
+    snaps_dir = os.path.join(root, "snaps")
+
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    _up.write_dim_versioned(base, dim_dir, "bootstrap")
+
+    snap1 = (
+        c.where(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        )
+        .unionAll(
+            c.where(
+                (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 5 != 0)
+            ).select("c_custkey", "c_mktsegment", "c_acctbal")
+        )
+        .unionAll(
+            c.where(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+        .withColumn("_eff", F.lit("2024-06-01"))
+    )
+    snap2 = (
+        c.where(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 250.0).alias("c_acctbal"),
+        )
+        .unionAll(
+            c.where(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(50.0).alias("c_acctbal"),
+            )
+        )
+        .withColumn("_eff", F.lit("2024-09-01"))
+    )
+    os.makedirs(snaps_dir, exist_ok=True)
+    tstamp = _time.time()
+    for i, snap in enumerate((snap1, snap2)):
+        d = os.path.join(snaps_dir, f"batch={i}")
+        snap.coalesce(1).write.mode("overwrite").parquet(d)
+        for r, _, files in os.walk(d):
+            for fname in files:
+                os.utime(
+                    os.path.join(r, fname), (tstamp + i, tstamp + i)
+                )
+
+    _up.stream_scd2_apply(
+        spark,
+        dim_dir,
+        snaps_dir,
+        ["c_custkey"],
+        ["c_mktsegment", "c_acctbal"],
+    )
+    return _up.read_dim_versioned(spark, dim_dir).select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unicode text cleaning (operators/text.py:clean_text)
 # ---------------------------------------------------------------------------

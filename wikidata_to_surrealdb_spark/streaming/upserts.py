@@ -117,3 +117,97 @@ def stream_upsert_manifest(
         )
         q.awaitTermination()
         _drain_progress(q, progress)
+
+
+DIM_POINTER_NAME = "_DIM_POINTER"
+
+
+def _read_dim_pointer(dim_dir: str) -> str:
+    with open(os.path.join(dim_dir, DIM_POINTER_NAME)) as fh:
+        return fh.read().strip()
+
+
+def _commit_dim_pointer(dim_dir: str, gen: str) -> None:
+    import uuid as _uuid
+
+    tmp = os.path.join(dim_dir, f".{DIM_POINTER_NAME}.tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(gen)
+    os.replace(tmp, os.path.join(dim_dir, DIM_POINTER_NAME))
+
+
+def write_dim_versioned(df: DataFrame, dim_dir: str, gen: str) -> None:
+    """Write a dimension generation and atomically point the dim at it
+    (the manifest-pointer commit, single-file flavor): readers resolve
+    through the pointer, so a crash mid-write leaves the previous
+    generation fully live."""
+    os.makedirs(dim_dir, exist_ok=True)
+    out = os.path.join(dim_dir, f"gen-{gen}")
+    df.write.mode("overwrite").parquet(out)
+    _commit_dim_pointer(dim_dir, f"gen-{gen}")
+
+
+def read_dim_versioned(spark: SparkSession, dim_dir: str) -> DataFrame:
+    return spark.read.parquet(
+        os.path.join(dim_dir, _read_dim_pointer(dim_dir))
+    )
+
+
+def stream_scd2_apply(
+    spark: SparkSession,
+    dim_dir: str,
+    snapshots_dir: str,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    eff_col: str = "_eff",
+    progress: list | None = None,
+) -> None:
+    """Streaming CDC consumer: each micro-batch is a dimension snapshot
+    (staged file with an effective-date column), applied to the
+    versioned dimension with :func:`...mutations.scd2_merge` inside
+    ``foreachBatch`` — the warehouse twin of
+    :func:`stream_upsert_manifest`. Per batch: read the live dimension
+    generation, SCD2-merge the snapshot at its effective date, write a
+    new generation, commit via atomic pointer replace.
+
+    Replay safety: SCD2 at the SAME effective date is idempotent — a
+    re-applied snapshot finds every key's current version already equal
+    (or already closed at that date), so the merge converges; combined
+    with the pointer commit this gives effectively-once application.
+
+    Scale: per-trigger cost is one dimension pass + a CDC-sized
+    broadcast diff (scd2_merge's contract); snapshots arrive bounded by
+    ``maxFilesPerTrigger``.
+    """
+    from wikidata_to_surrealdb_spark.operators.mutations import scd2_merge
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        _drain_progress,
+        _state_partitions,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        eff = batch_df.agg(F.max(eff_col)).first()[0]
+        snap = batch_df.drop(eff_col)
+        dim = read_dim_versioned(spark, dim_dir)
+        merged = scd2_merge(
+            dim, snap, key_cols, tracked_cols, effective_date=str(eff)
+        )
+        write_dim_versioned(merged, dim_dir, f"b{batch_id}")
+
+    checkpoint = os.path.join(dim_dir, "_stream_checkpoint")
+    with _state_partitions(spark, 8):
+        q = (
+            spark.readStream.schema(
+                spark.read.parquet(snapshots_dir).schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(snapshots_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _drain_progress(q, progress)
