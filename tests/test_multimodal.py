@@ -346,3 +346,49 @@ def test_pil_native_crosscheck(spark, png_assets):
         for r in multimodal.decode_features(png_assets, "pil").collect()
     }
     assert native == spec  # lossless: every field, including pixel_hash
+
+
+def test_audio_features_known_signal(spark):
+    """Hand-built PCM: a square wave with known energy, peak, and
+    crossings; an empty payload yields zeros, odd trailing byte is
+    dropped at encode time."""
+    import struct
+
+    from wikidata_to_surrealdb_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    wave = [1000, -1000, 1000, -1000, 0, 500]  # 4 strict sign flips? see below
+    buf = struct.pack("<6h", *wave)
+    assets = spark.createDataFrame(
+        [
+            (1, "audio/L16", bytearray(buf), len(buf), "x"),
+            (2, "audio/L16", bytearray(b""), 0, "y"),
+        ],
+        multimodal.ASSET_SCHEMA,
+    )
+    out = {r["asset_id"]: r for r in audio_features(assets, 1000).collect()}
+    r = out[1]
+    assert r["n_samples"] == 6
+    assert r["duration_ms"] == 6  # 6 samples at 1 kHz
+    assert r["sum_sq"] == 3 * 1000**2 + 1000**2 + 0 + 500**2
+    assert r["peak"] == 1000
+    # strict products<0: (1000,-1000),( -1000,1000),(1000,-1000) = 3;
+    # (-1000,0) and (0,500) are not strict flips
+    assert r["zero_crossings"] == 3
+    z = out[2]
+    assert (z["n_samples"], z["sum_sq"], z["peak"], z["zero_crossings"]) == (
+        0, 0, 0, 0,
+    )
+
+
+def test_pcm_assets_drop_odd_byte(spark):
+    from wikidata_to_surrealdb_spark.operators.multimodal import (
+        documents_as_pcm_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "ab")], "doc_id bigint, text string"
+    )
+    got = {r["asset_id"]: r["n_bytes"] for r in documents_as_pcm_assets(docs).collect()}
+    assert got == {1: 2, 2: 2}

@@ -730,3 +730,109 @@ def resize_images(
     from wikidata_to_surrealdb_spark.functions import respread
 
     return respread(assets).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def documents_as_pcm_assets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Audio twin of :func:`documents_as_png_assets`: each document's
+    UTF-8 bytes become a little-endian signed 16-bit PCM payload (the
+    last odd byte dropped — PCM frames are whole samples). Deterministic,
+    so the feature extraction downstream is exactly recomputable from
+    the document text — the same oracle trick the image family uses."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                buf = raw[: len(raw) - (len(raw) % 2)]
+                rows.append(
+                    {
+                        "asset_id": int(doc_id),
+                        "mime": "audio/L16",
+                        "payload": buf,
+                        "n_bytes": len(buf),
+                        "content_hash": _hl.md5(buf).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return respread(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=ASSET_SCHEMA
+    )
+
+
+def audio_features(
+    assets: DataFrame, sample_rate: int = 16000
+) -> DataFrame:
+    """PCM (s16le) feature extraction per asset: sample count, duration,
+    EXACT integer energy (sum of squared samples — rms is
+    sqrt(sum_sq/n), left to consumers so no float crosses the engine
+    boundary), peak |amplitude|, and zero crossings (strict sign flips,
+    zeros break runs). Arrow-batched ``mapInPandas``, numpy-vectorized
+    inside the worker — the same executor-side-bytes contract as the
+    image decoders: payloads never visit the driver, a corrupt (odd
+    length is impossible by construction, but empty) payload yields
+    zeros rather than a task failure.
+
+    Scale: pure map, no shuffle; per-batch memory is one Arrow batch of
+    payloads; all outputs are exact integers, so the DuckDB oracle
+    recomputes them from the document bytes bit for bit."""
+    if sample_rate <= 0:
+        raise ValueError("sample_rate must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
+                s = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                n = len(s)
+                if n:
+                    sum_sq = int(np.sum(s * s))
+                    peak = int(np.max(np.abs(s)))
+                    zc = int(np.sum((s[:-1] * s[1:]) < 0)) if n > 1 else 0
+                else:
+                    sum_sq, peak, zc = 0, 0, 0
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // sample_rate,
+                        "sum_sq": sum_sq,
+                        "peak": peak,
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return respread(assets).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

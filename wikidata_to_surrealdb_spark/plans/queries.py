@@ -4996,6 +4996,60 @@ def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_audio_features",
+    # samples recomputed straight from the document bytes: little-endian
+    # signed 16-bit pairs via per-byte hex extraction; every output is
+    # an exact integer, so both engines agree bit for bit
+    """
+    WITH d AS (
+      SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+             octet_length(encode(coalesce(text, ''))) // 2 AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n), i ->
+               CASE WHEN (CAST(('0x' || substr(hx, CAST(4*i + 1 AS INT), 2)) AS INT)
+                          + 256 * CAST(('0x' || substr(hx, CAST(4*i + 3 AS INT), 2)) AS INT)) >= 32768
+                    THEN (CAST(('0x' || substr(hx, CAST(4*i + 1 AS INT), 2)) AS INT)
+                          + 256 * CAST(('0x' || substr(hx, CAST(4*i + 3 AS INT), 2)) AS INT)) - 65536
+                    ELSE (CAST(('0x' || substr(hx, CAST(4*i + 1 AS INT), 2)) AS INT)
+                          + 256 * CAST(('0x' || substr(hx, CAST(4*i + 3 AS INT), 2)) AS INT))
+               END) AS smp
+      FROM d
+    )
+    SELECT doc_id AS asset_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(coalesce(list_sum(list_transform(smp, v -> v * v)), 0)
+             AS BIGINT) AS sum_sq,
+           CAST(coalesce(list_max(list_transform(smp, v -> abs(v))), 0)
+             AS INT) AS peak,
+           CAST(coalesce(list_sum(list_transform(range(1, n), i ->
+             CASE WHEN smp[CAST(i AS INT)] * smp[CAST(i + 1 AS INT)] < 0
+                  THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+    FROM s
+    ORDER BY asset_id
+    """,
+    "audio-modality plumbing with REAL signal math: document bytes "
+    "become s16le PCM payloads, and Arrow-batched mapInPandas extracts "
+    "numpy-vectorized per-asset features — sample count, duration, "
+    "EXACT integer energy (sum of squared samples; rms = "
+    "sqrt(sum_sq/n) left to consumers so no float crosses the engine "
+    "boundary), peak amplitude, strict-sign zero crossings. Pure map, "
+    "payloads never visit the driver; the oracle recomputes every "
+    "feature from the document bytes bit for bit",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    t = register_views(spark, sf_dir)
+    assets = multimodal.documents_as_pcm_assets(t["documents"])
+    return multimodal.audio_features(assets, sample_rate=16000).orderBy(
+        "asset_id"
+    )
+
+
+@_q(
     "mm_jpeg_meta",
     # decoded JPEG pixels are lossy and engine-specific, but the HEADER
     # is exact: the asset encode fixes width=32, gray, 8-bit baseline,
