@@ -83,6 +83,20 @@ BENCH_QUERIES = [
     # span-level substring dedup (since r6): tokens-sized window explode
     # + one fingerprint-keyed exchange — the heaviest text-dedup shape
     "dedup_substring_spans",
+    # in-engine training + served search (since r6)
+    "sim_kmeans_assign",
+    "sim_ivf_trained_search",
+    # audio-modality feature extraction (since r6)
+    "mm_audio_features",
+    # streaming continuous wikidata ingest (since r6): v1+v2 micro-batch
+    # upserts through the bucketed manifest — the reference's steady
+    # state as a stream (3.6 s at sf0.1, fixture-dump sized)
+    "wd_stream_upsert",
+    # NOT benched (oracle-verified, cost measured once in r6):
+    # stream_join_attribution_outer (7.7 s — double-batch stream-stream
+    # state machinery + sentinel drain) and stream_scd2_apply (2.2 s)
+    # would add ~10 s of suite wall for shapes whose scale story the
+    # inner attribution join and wd_stream_upsert already cover.
 ]
 
 
