@@ -499,3 +499,34 @@ def test_importance_weights_favor_target_domain(spark):
     assert all(w > 0 for w in t_w)  # target docs: p_t > p_b
     assert out[99]["n_grams"] == 0 and out[99]["log10_weight"] is None
     assert len(out) == 41
+
+
+def test_containment_catches_quote_in_larger_doc(spark):
+    """A short doc quoted verbatim inside a much larger doc: containment
+    ~1.0 even though Jaccard is tiny — the case this operator exists
+    for. Ubiquitous shingles (df > max_df) are excluded from pairing."""
+    from wikidata_to_surrealdb_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, f"{filler} {quote}"),
+            (3, "totally different content entirely here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r["containment"] == 1.0  # every quote shingle is in doc 2
+    assert r["size_a"] == 8  # 10 tokens -> 8 distinct 3-shingles
+    # Jaccard on the same pair is far below the containment score:
+    # |A∩B| = 8 shared shingles, |A∪B| = 8 + 198 filler+seam shingles
+    assert r["inter"] / (r["size_a"] + r["size_b"] - r["inter"]) < 0.1

@@ -435,3 +435,76 @@ def substring_dedup(
             )
         ).alias("cleaned_hash"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df: int = 100,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """CONTAINMENT near-dup pairs: ``|A ∩ B| / min(|A|, |B|)`` over
+    k-shingle sets — the asymmetric-size case Jaccard structurally
+    misses (a paragraph fully quoted inside a 100x larger page has
+    Jaccard ~1%, containment ~100%; it's the relation that matters for
+    quote/excerpt dedup and contamination tracing).
+
+    Shingle universe: distinct k-shingles whose corpus document
+    frequency is <= ``max_df`` — ubiquitous shingles (df beyond that)
+    carry no identity signal and only blow up posting lists, exactly
+    the stopword rationale; df=1 shingles can't generate a pair but DO
+    count in |A| (unique content is evidence AGAINST containment).
+    Within that universe the score is EXACT (not sketched).
+
+    Scale shape: one shingle-keyed exchange builds the bounded inverted
+    index (df <= max_df caps every posting list, so pair fan-out per
+    shingle is <= max_df^2 — the knob that keeps the self-join from
+    ever seeing a hot shingle); pair counting is one (id_a, id_b)
+    groupBy; sizes attach by two id-keyed joins. Returns
+    ``(id_a, id_b, inter, size_a, size_b, containment)`` for pairs at
+    or above ``threshold``, containment rounded portably to 4dp.
+    """
+    if k < 1 or max_df < 2:
+        raise ValueError("k must be >= 1 and max_df >= 2")
+    sh = (
+        shingle_sets(docs, text_col, id_col, k)
+        .select(F.col(id_col), F.explode(F.array_distinct("sh")).alias("s"))
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    uni = sh.join(dfreq.where(F.col("_df") <= max_df), "s")
+    sizes = uni.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+    pairable = uni.where(F.col("_df") >= 2).select(id_col, "s")
+    a = pairable.select(F.col(id_col).alias("id_a"), "s")
+    b = pairable.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("_size").alias("size_b")
+    )
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.col("size_a").cast("bigint").alias("size_a"),
+            F.col("size_b").cast("bigint").alias("size_b"),
+            fround(
+                F.col("inter")
+                / F.least("size_a", "size_b").cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    return out

@@ -3561,6 +3561,58 @@ def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_containment",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[u.i : u.i + 2], ' ') AS s
+      FROM toks, LATERAL unnest(
+        range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+    ), dfreq AS (
+      SELECT s, count(*) AS df FROM sh GROUP BY s
+    ), uni AS (
+      SELECT sh.doc_id, sh.s, d.df
+      FROM sh JOIN dfreq d USING (s) WHERE d.df <= 100
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM uni GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM uni a JOIN uni b ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE a.df >= 2
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT id_a, id_b, inter,
+             CAST(sa.sz AS BIGINT) AS size_a,
+             CAST(sb.sz AS BIGINT) AS size_b,
+             {fround_sql("inter / CAST(least(sa.sz, sb.sz) AS DOUBLE)", 4)}
+               AS containment
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE containment >= 0.2
+    """,
+    "CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) over 3-shingle "
+    "sets — the asymmetric-size relation Jaccard structurally misses "
+    "(a paragraph quoted inside a 100x larger page: Jaccard ~1%, "
+    "containment ~100%); the quote/excerpt dedup and contamination- "
+    "tracing primitive. Shingle universe bounded at df <= 100 "
+    "(ubiquitous shingles carry no identity signal and cap every "
+    "posting list, so pair fan-out per shingle is <= df^2 — the knob "
+    "that keeps the self-join off hot keys); within that universe the "
+    "score is EXACT, df=1 shingles count in the denominators",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return dedup.containment_pairs(
+        t["documents"], k=3, max_df=100, threshold=0.2
+    )
+
+
+@_q(
     "dedup_substring_spans",
     """
     WITH d AS (
