@@ -501,3 +501,33 @@ def test_iterative_graph_lineage_is_truncated(spark):
     assert "LogicalRDD" in s_big or "ExistingRDD" in s_big, s_big
     assert s_big.count("Join") == s_small.count("Join") <= 2
     assert len(s_big) < 2 * len(s_small) + 500, (len(s_small), len(s_big))
+
+
+def test_kmv_setops_exact_below_k_and_estimates(spark):
+    from wikidata_to_surrealdb_spark.operators.sketch import kmv_set_ops
+
+    # sub-k sides: the sketches ARE the sets, so every figure is exact
+    rows = (
+        [(i, "a") for i in range(20)]
+        + [(i, "b") for i in range(10, 40)]
+    )
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string")
+    r = kmv_set_ops(df, "event_type", "user_id", "a", "b", k=64).first()
+    assert r["n_union_hashes"] == 40
+    assert r["union_est"] == 40.0
+    assert r["inter_est"] == 10.0  # ids 10..19 shared
+    assert r["jaccard_est"] == 10 / 40
+
+    # estimate accuracy on the real fixture: within 30% of exact at k=64
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    est = kmv_set_ops(
+        ev, "event_type", "user_id", "view", "purchase", k=64
+    ).first()
+    import pyspark.sql.functions as F
+
+    va = {r[0] for r in ev.where(F.col("event_type") == "view").select("user_id").distinct().collect()}
+    pb = {r[0] for r in ev.where(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    exact_union, exact_inter = len(va | pb), len(va & pb)
+    assert abs(est["union_est"] - exact_union) / exact_union < 0.3
+    if exact_inter:
+        assert abs(est["inter_est"] - exact_inter) / exact_inter < 0.5

@@ -550,3 +550,87 @@ def hll_estimate(
     return per_group.select(
         *group_cols, fround(est, 4).alias("approx_distinct")
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+    seed: str = "kmv-v1",
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al. 2007): estimate the distinct
+    union, intersection, and Jaccard of two sets from their bottom-k
+    hash sketches alone — the primitive that answers "how much do these
+    two corpora overlap?" without ever joining them.
+
+    Method: per set, the k smallest md5(seed:value) hashes; the union
+    sketch is the k smallest of the merged sketches, giving the
+    standard KMV union estimate; within the union sketch, the fraction
+    ``rho`` of hashes present in BOTH input sketches estimates
+    Jaccard, and ``rho * union_est`` the intersection. When a side has
+    fewer than k distinct values its sketch IS the set, and small
+    unions are exact (the usual KMV fallback).
+
+    Determinism: md5 basis and first-minimum tie-freedom (hashes are
+    distinct with overwhelming probability; md5 collisions would break
+    far more than this) — the DuckDB oracle replays the estimator bit
+    for bit, estimates included.
+
+    Scale: each sketch is a distinct + TakeOrderedAndProject over one
+    group's values — bounded k-row outputs; everything after operates
+    on <= 3k rows. (For corpora where even the per-group distinct is
+    the bottleneck, the same threshold prefilter kmv_distinct uses
+    applies; at sketch sizes this small it has never been the cost.)
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(col).cast("string")))
+
+    def sketch(group: str) -> DataFrame:
+        return (
+            df.where(F.col(group_col) == group)
+            .select(h.alias("h"))
+            .where(F.col("h").isNotNull())
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    ha, hb = sketch(group_a), sketch(group_b)
+    u = ha.union(hb).distinct().orderBy("h").limit(k)
+    both = ha.join(hb, "h", "left_semi")
+    marked = u.join(
+        both.withColumn("_inboth", F.lit(True)), "h", "left"
+    )
+    num = F.expr(hex12_num_sql("h"))
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u"),
+        F.max(num).alias("vk"),
+        F.sum(F.when(F.col("_inboth"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")
+    ).otherwise(
+        (F.lit(k - 1) * F.lit(float(HEX_SPACE))) / F.col("vk").cast("double")
+    )
+    from wikidata_to_surrealdb_spark.functions import fround
+
+    return agg.select(
+        F.lit(k).cast("bigint").alias("kmv_k"),
+        F.col("n_u").alias("n_union_hashes"),
+        F.col("n_both").alias("n_shared_hashes"),
+        fround(union_est, 4).alias("union_est"),
+        fround(
+            (F.col("n_both").cast("double") / F.col("n_u").cast("double"))
+            * union_est,
+            4,
+        ).alias("inter_est"),
+        fround(
+            F.col("n_both").cast("double") / F.col("n_u").cast("double"), 4
+        ).alias("jaccard_est"),
+    )

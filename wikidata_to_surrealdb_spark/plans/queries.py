@@ -3560,6 +3560,74 @@ def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.hash_split(t["documents"]).select("doc_id", "lang", "split")
 
 
+def _kmv_setops_oracle(k: int, seed: str = "kmv-v1") -> str:
+    from wikidata_to_surrealdb_spark.operators.sketch import (
+        HEX_SPACE,
+        hex12_num_sql,
+    )
+
+    ue = (
+        f"CASE WHEN n_u < {k} THEN CAST(n_u AS DOUBLE) "
+        f"ELSE CAST({(k - 1) * HEX_SPACE} AS DOUBLE) / CAST(vk AS DOUBLE) END"
+    )
+    return f"""
+    WITH ha AS (
+      SELECT DISTINCT md5('{seed}:' || CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE event_type = 'view' ORDER BY h LIMIT {k}
+    ), hb AS (
+      SELECT DISTINCT md5('{seed}:' || CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE event_type = 'purchase' ORDER BY h LIMIT {k}
+    ), u AS (
+      SELECT DISTINCT h FROM (
+        SELECT h FROM ha UNION ALL SELECT h FROM hb
+      ) ORDER BY h LIMIT {k}
+    ), m AS (
+      SELECT h,
+             (h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)) AS inboth
+      FROM u
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_u,
+             max({hex12_num_sql("h")}) AS vk,
+             CAST(sum(CASE WHEN inboth THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both
+      FROM m
+    )
+    SELECT CAST({k} AS BIGINT) AS kmv_k,
+           n_u AS n_union_hashes,
+           n_both AS n_shared_hashes,
+           {fround_sql(ue, 4)} AS union_est,
+           {fround_sql(f"(CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE)) * ({ue})", 4)}
+             AS inter_est,
+           {fround_sql("CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE)", 4)}
+             AS jaccard_est
+    FROM agg
+    """
+
+
+@_q(
+    "sketch_kmv_setops",
+    _kmv_setops_oracle(64),
+    "KMV sketch SET ALGEBRA (Beyer et al. 2007): distinct union, "
+    "intersection, and Jaccard of the viewer and purchaser user sets "
+    "estimated from their bottom-64 md5 sketches ALONE — the 'how much "
+    "do these corpora overlap' primitive that never joins the sets. "
+    "Union sketch = k smallest of the merged sketches (standard KMV "
+    "estimate); the shared-hash fraction within it estimates Jaccard "
+    "and, scaled by the union estimate, the intersection; sub-k sides "
+    "are exact. Deterministic md5 basis, so the oracle replays the "
+    "ESTIMATOR bit for bit — sketches, estimates and all. Each sketch "
+    "is a distinct + TakeOrderedAndProject; everything downstream "
+    "touches <= 3k rows",
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import sketch
+
+    t = register_views(spark, sf_dir)
+    return sketch.kmv_set_ops(
+        t["events"], "event_type", "user_id", "view", "purchase", k=64
+    )
+
+
 @_q(
     "dedup_containment",
     f"""
