@@ -299,3 +299,37 @@ def test_jpeg_progressive_equals_baseline_property(w, h, ch, sub, ri, seed):
     prog_buf = encode_jpeg_progressive(px, w, h, ch, 85, sub, ri)
     assert jpeg_dimensions(prog_buf)["progressive"] is True
     assert decode_jpeg(prog_buf)["pixels"] == base["pixels"]
+
+
+def test_no_dead_public_operators():
+    """Every public function in operators/ must be referenced somewhere
+    else in the repo (a catalog query, another operator, a test, bench,
+    or the streaming/surql layers). A name appearing exactly once — its
+    own def — is dead surface: either exercise it or remove it."""
+    import importlib
+    import inspect
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    corpus = ""
+    for p in root.rglob("*.py"):
+        sp = str(p)
+        if "/.git/" in sp or "spark-warehouse" in sp:
+            continue
+        corpus += p.read_text()
+    mods = [
+        "dedup", "er", "curation", "graph", "ingest", "ivm", "multimodal",
+        "mutations", "runtime_filter", "similarity", "sketch", "skew",
+        "temporal", "text",
+    ]
+    dead = []
+    for m in mods:
+        mod = importlib.import_module(
+            f"wikidata_to_surrealdb_spark.operators.{m}"
+        )
+        for name, fn in inspect.getmembers(mod, inspect.isfunction):
+            if name.startswith("_") or fn.__module__ != mod.__name__:
+                continue
+            if corpus.count(name) <= 1:
+                dead.append(f"{m}.{name}")
+    assert dead == [], f"unreferenced public operators: {dead}"

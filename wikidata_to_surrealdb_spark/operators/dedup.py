@@ -48,15 +48,6 @@ TOKENS_EXPR = (
 )
 
 
-def shingles_expr(text_col: str, k: int = 3) -> str:
-    """SQL expr: ordered distinct k-word shingles of a text column."""
-    toks = TOKENS_EXPR.format(text=text_col)
-    return (
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {k - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {k}))))"
-    )
-
-
 def tokens_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

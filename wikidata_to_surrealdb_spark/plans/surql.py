@@ -791,22 +791,21 @@ def _exec_statement(env: SurqlEnv, stmt):
         ids = _eval_value(env, stmt.expr)
         if not isinstance(ids, DataFrame):
             raise SurqlError("DELETE expects a result set of record ids")
-        id_col = ids.columns[0]
-        idset = ids.select(F.col(id_col).alias("_surql_del")).dropDuplicates()
-        deleted = 0
+        from wikidata_to_surrealdb_spark.operators.mutations import (
+            delete_by_ids,
+        )
+
+        idset = ids.select(F.col(ids.columns[0]).alias("id"))
         for name in list(env.tables):
             t = env.tables[name]
             if "id" not in t.columns or not _is_link_struct(t, "id"):
                 continue
             # record ids carry their table in tb — the anti-join on the
             # full (tb,id) struct routes each id to its own table, the
-            # SurrealDB record-id delete semantics
-            env.tables[name] = t.join(
-                F.broadcast(idset),
-                t["id"] == F.col("_surql_del"),
-                "left_anti",
-            )
-        return deleted
+            # SurrealDB record-id delete semantics (B11,
+            # test_filter.surql:7-8)
+            env.tables[name] = delete_by_ids(t, idset)
+        return None
     if isinstance(stmt, Update):
         t = env.table(stmt.table)
         comp = _Compiler(env, t, None)
