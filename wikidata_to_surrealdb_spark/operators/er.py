@@ -105,8 +105,15 @@ def blocked_fuzzy_pairs(
 
         a = respread(a)
         b = F.broadcast(b)
+    # length lower bound: |len(a) - len(b)| <= max_dist is necessary for
+    # edit distance <= max_dist — a one-comparison JVM prefilter that
+    # prunes most candidate pairs before any DP runs (lossless)
+    lenband = (
+        F.abs(F.length("key_a") - F.length("key_b")) <= int(max_dist)
+    )
     return (
         a.join(b, on=cond)
+        .where(lenband)
         # 3-arg levenshtein returns -1 once the distance exceeds the
         # threshold — the filter and the distance come from one DP pass
         .withColumn("dist", F.expr(f"levenshtein(key_a, key_b, {int(max_dist)})"))
