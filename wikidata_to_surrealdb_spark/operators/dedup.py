@@ -459,12 +459,20 @@ def containment_pairs(
     """
     if k < 1 or max_df < 2:
         raise ValueError("k must be >= 1 and max_df >= 2")
+    from pyspark.sql.window import Window
+
+    # per-doc distinct via a shuffle dedup (array_distinct would be the
+    # O(len^2) interpreted-lambda trap shingles_from_tokens documents);
+    # df as a count window over the SAME s-keyed exchange the pair join
+    # needs anyway — one corpus-sized exchange fewer than groupBy+join
     sh = (
         shingle_sets(docs, text_col, id_col, k)
-        .select(F.col(id_col), F.explode(F.array_distinct("sh")).alias("s"))
+        .select(F.col(id_col), F.explode("sh").alias("s"))
+        .dropDuplicates([id_col, "s"])
     )
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-    uni = sh.join(dfreq.where(F.col("_df") <= max_df), "s")
+    uni = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).where(F.col("_df") <= max_df)
     sizes = uni.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
     pairable = uni.where(F.col("_df") >= 2).select(id_col, "s")
     a = pairable.select(F.col(id_col).alias("id_a"), "s")
