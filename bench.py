@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     # upserts through the bucketed manifest — the reference's steady
     # state as a stream (3.6 s at sf0.1, fixture-dump sized)
     "wd_stream_upsert",
+    # containment near-dup (since r6): the df-bounded shingle self-join
+    "dedup_containment",
+    # KMV set algebra (since r6): bounded sketch-only overlap estimates
+    "sketch_kmv_setops",
     # NOT benched (oracle-verified, cost measured once in r6):
     # stream_join_attribution_outer (7.7 s — double-batch stream-stream
     # state machinery + sentinel drain) and stream_scd2_apply (2.2 s)
