@@ -1,0 +1,150 @@
+"""Bench harness record-keeping guards (VERDICT r06 #1/#7).
+
+Round 6's permanent bench record was lost to stdout-tail truncation
+(`BENCH_r06.json: "parsed": null`), and round 6 added a per-query
+failure branch (`timings[name] = -1.0`) with no test.  These tests pin
+both behaviors so a refactor can't silently revert them:
+
+* a raising query records -1.0 and the rest of the suite still runs;
+* the emitted JSON line is compact, parseable, fits the driver's
+  2000-char tail window (or ends with a headline line that does), and
+  the full record lands in bench_full.json.
+"""
+
+from __future__ import annotations
+
+import json
+from types import SimpleNamespace
+
+import bench
+
+
+class _FakeDF:
+    def collect(self):
+        return [1]
+
+
+def _good(spark, sf_dir):
+    return _FakeDF()
+
+
+def _bad(spark, sf_dir):
+    raise RuntimeError("synthetic bench failure")
+
+
+class _FakeCatalog:
+    def clearCache(self):
+        pass
+
+
+class _FakeSpark:
+    catalog = _FakeCatalog()
+
+
+def test_failing_query_records_minus_one_and_suite_continues(capsys):
+    qmap = {
+        "ok_before": SimpleNamespace(fn=_good),
+        "boom": SimpleNamespace(fn=_bad),
+        "ok_after": SimpleNamespace(fn=_good),
+    }
+    timings: dict[str, float] = {}
+    bench.time_queries(
+        _FakeSpark(),
+        "/nonexistent",
+        ["ok_before", "boom", "ok_after"],
+        timings,
+        reps=1,
+        queries=qmap,
+    )
+    assert timings["boom"] == -1.0
+    assert timings["ok_before"] >= 0.0
+    assert timings["ok_after"] >= 0.0  # suite continued past the failure
+    assert "BENCH FAIL boom" in capsys.readouterr().err
+
+
+def test_emit_record_compact_line_and_full_file(tmp_path, capsys):
+    record = {
+        "queries": {"q1": 0.5, "q2": -1.0},
+        "stream_batches": {"s": {"n_batches": 2, "trigger_ms_total": 10}},
+        "metric": "m",
+        "value": 0.5,
+        "unit": "sec",
+        "sf": 0.01,
+        "ingest_entities_per_sec": 1.0,
+        "calibration_sec": {"start": 0.1, "end": 0.1},
+    }
+    detail = {"s": [{"batch_id": 0, "trigger_ms": 4}, {"batch_id": 1, "trigger_ms": 6}]}
+    out = tmp_path / "bench_full.json"
+    line = bench.emit_record(record, detail, out_path=str(out))
+    # printed line: compact separators, parses back to the record
+    assert ", " not in line and ": " not in line
+    assert json.loads(line) == record
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(printed[0]) == record
+    # full-detail file keeps the per-batch breakdown
+    full = json.loads(out.read_text())
+    assert full["stream_batches_detail"] == detail
+    assert full["queries"] == record["queries"]
+
+
+def test_emit_record_oversized_line_appends_headline(tmp_path, capsys):
+    # a queries map big enough to blow the 1900-byte budget must be
+    # followed by a final headline-only line that fits the tail window
+    record = {
+        "queries": {f"very_long_query_name_{i:04d}": 0.123 for i in range(200)},
+        "stream_batches": {},
+        "metric": "m",
+        "value": 24.6,
+        "unit": "sec",
+        "sf": 0.1,
+        "ingest_entities_per_sec": 66742.0,
+        "calibration_sec": {"start": 0.1, "end": 0.1},
+    }
+    bench.emit_record(record, None, out_path=str(tmp_path / "bench_full.json"))
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    tail = json.loads(lines[-1])
+    assert len(lines[-1]) < 1900
+    assert tail["value"] == 24.6
+    assert tail["ingest_entities_per_sec"] == 66742.0
+    assert tail["queries_in"] == "bench_full.json"
+
+
+def test_current_suite_line_fits_tail_window(tmp_path):
+    # with the real BENCH_QUERIES list and realistic timing widths, the
+    # compact line must fit the driver's 2000-char tail capture
+    record = {
+        "queries": {name: 12.345 for name in bench.BENCH_QUERIES},
+        "stream_batches": {
+            "stream_sessionize_multibatch": {
+                "n_batches": 4,
+                "trigger_ms_total": 1234,
+            },
+            "stream_dedup_multibatch": {"n_batches": 4, "trigger_ms_total": 1234},
+        },
+        "metric": (
+            f"headline suite wall time ({len(bench.BENCH_QUERIES)} queries"
+            " + wikidata ingest x2 + 2 multi-batch streaming)"
+        ),
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "ingest_entities_per_sec": 66742.1,
+        "calibration_sec": {"start": 0.123, "end": 0.123},
+    }
+    # extra entries main() adds outside BENCH_QUERIES
+    for name in (
+        "wd_ingest",
+        "wd_ingest_unique",
+        "stream_sessionize_multibatch",
+        "stream_dedup_multibatch",
+        "layout_scan_zorder",
+        "layout_scan_roundrobin",
+        "fts_index_build",
+    ):
+        record["queries"][name] = 12.345
+    line = bench.emit_record(record, None, out_path=str(tmp_path / "b.json"))
+    assert len(line) <= 1900, (
+        f"bench line is {len(line)} chars — over the driver tail budget; "
+        "trim the printed record (full detail belongs in bench_full.json)"
+    )
