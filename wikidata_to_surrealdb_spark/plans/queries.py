@@ -1321,11 +1321,25 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         "doc_id", "lang", F.expr(dedup.TOKENS_EXPR.format(text="text")).alias("toks")
     )
-    sh = F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks) - 1, 0)), "
-        "i -> concat_ws(' ', slice(toks, i, 2))))"
+    # 2-gram shingles via the zip_with chain (6x the slice/concat_ws
+    # formulation, see shingles_from_tokens), distinct via sort +
+    # adjacent-compare (array_distinct is the quadratic trap); sorting
+    # makes the blocking key FREE — it's element 1 of the sorted array,
+    # not a second array_min pass recomputed inside the join condition
+    m = "greatest(size(toks) - 1, 0)"
+    sh2 = (
+        f"zip_with(slice(toks, 1, {m}), slice(toks, 2, {m}),"
+        " (a, b) -> concat(a, ' ', b))"
     )
-    docs_sh = toks.select("doc_id", "lang", sh.alias("sh")).where(F.size("sh") > 0)
+    ss = toks.select(
+        "doc_id", "lang", F.sort_array(F.expr(sh2)).alias("_ss")
+    ).where(F.size("_ss") > 0)
+    docs_sh = ss.select(
+        "doc_id",
+        "lang",
+        dedup.sorted_distinct("_ss").alias("sh"),
+        F.element_at("_ss", 1).alias("blk"),
+    )
     a, b = docs_sh.alias("a"), docs_sh.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size("a.sh") + F.size("b.sh") - inter
@@ -1334,7 +1348,7 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.array_min("a.sh") == F.array_min("b.sh"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
