@@ -26,7 +26,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from wikidata_to_surrealdb_spark.functions import fround, respread
+from wikidata_to_surrealdb_spark.functions import (
+    fround,
+    respread,
+    rolling_concat_expr,
+)
 from wikidata_to_surrealdb_spark.operators.text import TOKEN_SPLIT_RE
 
 
@@ -60,12 +64,11 @@ def repetition_stats(
     toks = respread(df).select(F.col(id_col), _tokens(text_col).alias("_t"))
 
     def grams(n: int) -> Column:
-        g = F.expr(
-            f"transform(sequence(1, size(_t) - {n - 1}), "
-            f"i -> struct({n} AS n, concat_ws(' ', slice(_t, i, {n})) AS g))"
-        )
-        return F.when(F.size("_t") >= n, g).otherwise(
-            F.expr("array()").cast(f"array<struct<n:int,g:string>>")
+        # n-grams via the zip_with chain (empty when the doc is shorter
+        # than n, matching the old guarded form)
+        return F.expr(
+            f"transform({rolling_concat_expr('_t', n)}, "
+            f"g -> struct({n} AS n, g AS g))"
         )
 
     exploded = toks.select(
@@ -514,8 +517,8 @@ def decontaminate(
         # explode) — a dropDuplicates here would shuffle the full gram
         # stream, exactly the cost this operator exists to avoid
         h = F.expr(
-            f"array_distinct(transform(sequence(1, size(_t) - {n - 1}), "
-            f"i -> md5(concat_ws(' ', slice(_t, i, {n})))))"
+            f"array_distinct(transform({rolling_concat_expr('_t', n)},"
+            " x -> md5(x)))"
         )
         return (
             toks.where(F.size("_t") >= n)

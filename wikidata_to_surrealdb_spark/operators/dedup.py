@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wikidata_to_surrealdb_spark.functions import fround, respread
+from wikidata_to_surrealdb_spark.functions import (
+    fround,
+    respread,
+    rolling_concat_expr,
+)
 from wikidata_to_surrealdb_spark.operators.text import TOKEN_SPLIT_RE
 
 
@@ -73,23 +77,12 @@ def shingles_from_tokens(toks: DataFrame, id_col: str = "doc_id", k: int = 3) ->
     and :func:`ngram_jaccard` measures set overlap with
     ``array_intersect`` / ``array_union``, which dedupe internally.
 
-    Formed as a k-1-deep ``zip_with`` chain over shifted slices of the
-    token array rather than the obvious
-    ``transform(sequence(...), i -> concat_ws(' ', slice(toks, i, k)))``:
-    the per-position slice allocates a fresh k-array per shingle in the
-    interpreted higher-order-function evaluator and measured 6x slower
-    (3.70 s vs 0.59 s for the sf0.1 corpus' 270k shingles); zip_with
-    walks the arrays pairwise with no per-element allocation."""
-    n = f"greatest(size(toks) - {k - 1}, 0)"
-    sh_expr = f"slice(toks, 1, {n})"
-    for j in range(2, k + 1):
-        sh_expr = (
-            f"zip_with({sh_expr}, slice(toks, {j}, {n}),"
-            " (a, b) -> concat(a, ' ', b))"
-        )
-    return toks.select(id_col, F.expr(sh_expr).alias("sh")).where(
-        F.size("sh") > 0
-    )
+    Formed with :func:`~wikidata_to_surrealdb_spark.functions.
+    rolling_concat_expr` (a zip_with chain), measured 6x faster than the
+    per-position slice+concat_ws lambda it replaced."""
+    return toks.select(
+        id_col, F.expr(rolling_concat_expr("toks", k)).alias("sh")
+    ).where(F.size("sh") > 0)
 
 
 def sorted_distinct(col: str):
@@ -404,13 +397,11 @@ def substring_dedup(
     )
     d = respread(docs).select(F.col(id_col), toks.alias("_t"))
 
-    fps = F.when(
-        F.size("_t") >= w,
-        F.expr(
-            f"transform(sequence(0, size(_t) - {w}), "
-            f"i -> md5(concat_ws(' ', slice(_t, i + 1, {w}))))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # rolling w-token window fingerprints via the zip_with chain (empty
+    # for docs shorter than the window, matching the old guarded form)
+    fps = F.expr(
+        f"transform({rolling_concat_expr('_t', w)}, x -> md5(x))"
+    )
     wins = d.select(
         id_col, F.posexplode(fps).alias("start", "_fp")
     )

@@ -580,13 +580,21 @@ def winnow_fingerprints(
             lambda t: F.length(t) > 0,
         ).alias("_toks"),
     )
-    shingle_hashes = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)), "
-        f"i -> md5(concat_ws(' ', slice(_toks, i, {k}))))"
+    from wikidata_to_surrealdb_spark.functions import (
+        rolling_concat_expr,
+        rolling_min_expr,
     )
-    mins = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(_sh) - {window - 1}, 1)), "
-        f"i -> array_min(slice(_sh, i, {window}))))"
+
+    shingle_hashes = F.expr(
+        f"transform({rolling_concat_expr('_toks', k)}, x -> md5(x))"
+    )
+    # rolling window-min via the zip_with chain; a doc with fewer than
+    # ``window`` shingles still yields ONE fingerprint (min of all), as
+    # winnowing prescribes
+    mins = F.array_distinct(
+        F.when(
+            F.size("_sh") >= window, F.expr(rolling_min_expr("_sh", window))
+        ).otherwise(F.array(F.array_min("_sh")))
     )
     return (
         toks_df.select(F.col(id_col), shingle_hashes.alias("_sh"))
