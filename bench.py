@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     # mutation roundtrip
     "graph_pagerank",
     "er_resolve",
+    # engineered high-cardinality blocking (since r7): multi-pass
+    # prefix+suffix keys — the documented 100 TB recipe, ~2x the
+    # nation-blocked entry above
+    "er_resolve_prefix",
     "scd2_merge",
     "cdc_snapshot_diff",
     # span-level substring dedup (since r6): tokens-sized window explode

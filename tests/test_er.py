@@ -53,3 +53,49 @@ def test_resolve_entities_transitive_and_singletons(spark):
 def test_canonical_strips_and_lowercases(spark):
     df = spark.createDataFrame([("A  b-C_1!",)], ["s"])
     assert df.select(er.canonical(df["s"]).alias("k")).first().k == "abc1"
+
+
+def test_multipass_dist1_recall_total(spark):
+    # canonical keys are fixed-length 8; the pass regions are DISJOINT
+    # and COVERING (prefix chars 1-5, suffix chars 6-8), so any single
+    # substitution perturbs exactly one pass's key and the OTHER pass
+    # catches the pair: a suffix-region edit (1~2) is caught by the
+    # prefix pass, a prefix-region edit (1~3) by the suffix pass.
+    rows = [
+        (1, "id-000100", "x"),
+        (2, "id-000200", "x"),  # dist 1 from #1, edit at pos 6 (suffix)
+        (3, "id-100100", "x"),  # dist 1 from #1, edit at pos 3 (prefix)
+        (4, "zz-999999", "x"),  # singleton
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "country"])
+    from pyspark.sql import functions as F
+
+    side = df.withColumn("_k", er.canonical(F.col("name"))).select(
+        "id",
+        "name",
+        "country",
+        F.expr("substring(_k, 1, 5)").alias("_pre"),
+        F.expr("substring(_k, greatest(length(_k) - 2, 1), 3)").alias("_suf"),
+    )
+    passes = [["country", "_pre"], ["country", "_suf"]]
+    pairs = er.multipass_fuzzy_pairs(side, "id", "name", passes, max_dist=1)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3)}
+    # each single pass alone misses the pair whose edit is in ITS region
+    pre_only = {
+        (r.id_a, r.id_b)
+        for r in er.blocked_fuzzy_pairs(
+            side, "id", "name", ["country", "_pre"], max_dist=1
+        ).collect()
+    }
+    suf_only = {
+        (r.id_a, r.id_b)
+        for r in er.blocked_fuzzy_pairs(
+            side, "id", "name", ["country", "_suf"], max_dist=1
+        ).collect()
+    }
+    assert pre_only == {(1, 2)} and suf_only == {(1, 3)}
+
+    out = er.resolve_entities_multipass(side, "id", "name", passes, max_dist=1)
+    got = {(r.id, r.entity_id) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4)}

@@ -5412,6 +5412,78 @@ def er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "er_resolve_prefix",
+    f"""
+    WITH RECURSIVE side AS ({_ER_SIDE}),
+    s2 AS (
+      SELECT id, nk, key,
+             substring(key, 1, 15) AS pre,
+             substring(key, greatest(length(key) - 1, 1), 2) AS suf
+      FROM side
+    ), pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM s2 a JOIN s2 b
+          ON a.nk = b.nk AND a.pre = b.pre AND a.id < b.id
+        WHERE levenshtein(a.key, b.key) <= 2
+        UNION ALL
+        SELECT a.id, b.id
+        FROM s2 a JOIN s2 b
+          ON a.nk = b.nk AND a.suf = b.suf AND a.id < b.id
+        WHERE levenshtein(a.key, b.key) <= 2
+      )
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ), comp AS (
+      SELECT src, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT c.c_custkey AS id,
+           CAST(coalesce(comp.component, c.c_custkey) AS BIGINT) AS entity_id
+    FROM customer c LEFT JOIN comp ON comp.src = c.c_custkey
+    """,
+    "entity resolution with ENGINEERED high-cardinality blocking — the "
+    "module doc's 100 TB recipe demonstrated (er.py:20-27): instead of "
+    "one 25-value attribute block (quadratic within block), two cheap "
+    "complementary passes — (nation, 15-char canonical-key prefix) and "
+    "(nation, 2-char key suffix) — unioned and pair-deduped "
+    "(Hernandez-Stolfo multi-pass blocking). The regions are DISJOINT "
+    "and COVER the fixed-length 17-char key, so a single substitution "
+    "perturbs exactly one pass's key and the pair is always caught by "
+    "the other — total single-substitution recall; traded away: dist-2 "
+    "pairs with one edit in each region. Block sizes are bounded by "
+    "key cardinality, so the default shuffle join (parallelism = "
+    "distinct keys) replaces the broadcast the low-cardinality variant "
+    "needs",
+)
+def er_resolve_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import er
+
+    t = register_views(spark, sf_dir)
+    cust = t["customer"].withColumn(
+        "_k", er.canonical(F.col("c_name"))
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.expr("substring(_k, 1, 15)").alias("_pre"),
+        F.expr("substring(_k, greatest(length(_k) - 1, 1), 2)").alias("_suf"),
+    )
+    return er.resolve_entities_multipass(
+        cust,
+        "c_custkey",
+        "c_name",
+        [["c_nationkey", "_pre"], ["c_nationkey", "_suf"]],
+        max_dist=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Character n-gram LM scoring (operators/text.py:train_char_lm / lm_score)
 # ---------------------------------------------------------------------------
