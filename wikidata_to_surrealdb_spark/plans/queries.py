@@ -4665,6 +4665,79 @@ def wd_surql_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "wd_surql_filter",
+    """
+    SELECT id, label, n_claim_entries FROM (VALUES
+      ('Entity:200', 'kept alpha', CAST(1 AS BIGINT)),
+      ('Entity:201', 'kept beta', CAST(2 AS BIGINT))
+    ) AS v(id, label, n_claim_entries)
+    """,
+    "the reference's tests/data/test_filter.surql MUTATION script run "
+    "VERBATIM through plans/surql.py end to end — let-binding a "
+    "sub-select, scalar field fan-out (.id / .claims), and two DELETEs "
+    "cascading Entity AND Claims rows (integration.rs:56-75's count "
+    "check generalized): entities whose P1113 claims carry no "
+    "Thing-variant value are removed along with their claim rows. The "
+    "committed fixture has 5 entities — Quantity-only P1113, absent "
+    "P1113, and wrong-property Thing all must die; only the two with a "
+    "Thing-variant P1113 survive. The oracle is the hand-derived "
+    "survivor set with per-survivor claim-entry counts proving the "
+    "Claims side of the cascade",
+)
+def wd_surql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from wikidata_to_surrealdb_spark.functions import link_join
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+    from wikidata_to_surrealdb_spark.plans.surql import run_surql
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "filter_dump.json",
+    )
+    t = _ingest.load_dump(spark, path, "json", lang="en")
+    # tests/data/test_filter.surql, verbatim (reference repo)
+    script = """
+    let $delete = select claims, id from Entity
+    where claims.claims[where id = Property:1113].value.Thing == [];
+
+    let $entity = return (select id from $delete).id;
+    let $claims = return (select claims from $delete).claims;
+
+    delete $claims;
+    delete $entity;
+    """
+    _results, env = run_surql(
+        spark,
+        {
+            "Entity": t.entity,
+            "Property": t.property,
+            "Lexeme": t.lexeme,
+            "Claims": t.claims,
+        },
+        script,
+    )
+    # both mutated tables trace to ONE parsed dump DataFrame, so rename
+    # the Claims columns before the link join to avoid self-join
+    # ambiguity on 'claims'/'id'
+    ent = env.tables["Entity"]
+    cl = env.tables["Claims"].select(
+        F.col("id").alias("_cid"), F.col("claims").alias("_entries")
+    )
+    joined = ent.join(
+        F.broadcast(cl), ent["claims"] == cl["_cid"], "left"
+    )
+    return joined.select(
+        F.concat_ws(
+            ":", F.col("id.tb"), F.col("id.id").cast("string")
+        ).alias("id"),
+        "label",
+        F.size("_entries").cast("bigint").alias("n_claim_entries"),
+    )
+
+
+@_q(
     "wd_stream_upsert",
     QUERIES["wd_manifest_merge"].oracle,
     "STREAMING continuous ingest — the reference's steady state (its "
