@@ -328,6 +328,18 @@ def main() -> None:
             min(ingest_uniq_sec, ingest_uniq_sec2), 3
         )
 
+        # 10x scale probe: ~1M entities (replication=200 at sf0.1).
+        # One timed run — the sf-scale runs above already warmed codegen
+        # and the write path, so this measures whether the ingest shape
+        # (pure map + the single id-collision-window shuffle, which
+        # scales linearly in entity count) holds its per-entity cost at
+        # 10x volume rather than a best-of steady state. Done-criterion
+        # from the round-6 review: entities/s within ~2x of the sf0.1
+        # rate.
+        ingest10_sec, n10 = _bench_ingest(spark, sf_dir, tmp, replication=200)
+        timings["wd_ingest_10x"] = round(ingest10_sec, 3)
+        ingest_10x_eps = round(n10 / ingest10_sec, 1)
+
         # multi-batch streaming: slice the events table into 4 time-ordered
         # files (not timed) and replay them one per micro-batch, so the
         # CROSS-BATCH state path — resume open sessions / merge dedup
@@ -456,6 +468,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "ingest_entities_per_sec": round(n_entities / ingest_sec, 1),
+        "ingest_10x_entities_per_sec": ingest_10x_eps,
         # fixed-work CPU probe at suite start/end: compare across
         # rounds to separate host drift (burstable VM credit
         # drain / steal) from genuine plan regressions
