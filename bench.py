@@ -450,20 +450,19 @@ def main() -> None:
         # query entries from the FRONT while the headline survives.
         "queries": timings,
         "stream_batches": {
-            # printed line carries only the per-stream batch count +
-            # total trigger wall; the per-batch breakdown lives in
+            # printed line carries only the per-stream batch count (n) +
+            # total trigger wall ms; the per-batch breakdown lives in
             # bench_full.json (the round-6 truncation was largely this
             # field's 8 per-batch dicts)
             name: {
-                "n_batches": len(prog),
-                "trigger_ms_total": sum(b.get("trigger_ms", 0) for b in prog),
+                "n": len(prog),
+                "ms": sum(b.get("trigger_ms", 0) for b in prog),
             }
             for name, prog in stream_batches.items()
         },
-        "metric": (
-            f"headline suite wall time ({len(BENCH_QUERIES)} queries"
-            " + wikidata ingest x2 + 2 multi-batch streaming)"
-        ),
+        # kept terse: every byte of this line competes with query
+        # entries for the driver's 2000-char stdout tail window
+        "metric": f"suite wall ({len(BENCH_QUERIES)}q+ingest+streaming)",
         "value": total,
         "unit": "sec",
         "sf": sf,

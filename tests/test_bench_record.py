@@ -65,7 +65,7 @@ def test_failing_query_records_minus_one_and_suite_continues(capsys):
 def test_emit_record_compact_line_and_full_file(tmp_path, capsys):
     record = {
         "queries": {"q1": 0.5, "q2": -1.0},
-        "stream_batches": {"s": {"n_batches": 2, "trigger_ms_total": 10}},
+        "stream_batches": {"s": {"n": 2, "ms": 10}},
         "metric": "m",
         "value": 0.5,
         "unit": "sec",
@@ -98,6 +98,7 @@ def test_emit_record_oversized_line_appends_headline(tmp_path, capsys):
         "unit": "sec",
         "sf": 0.1,
         "ingest_entities_per_sec": 66742.0,
+        "ingest_10x_entities_per_sec": 180882.0,
         "calibration_sec": {"start": 0.1, "end": 0.1},
     }
     bench.emit_record(record, None, out_path=str(tmp_path / "bench_full.json"))
@@ -116,26 +117,22 @@ def test_current_suite_line_fits_tail_window(tmp_path):
     record = {
         "queries": {name: 12.345 for name in bench.BENCH_QUERIES},
         "stream_batches": {
-            "stream_sessionize_multibatch": {
-                "n_batches": 4,
-                "trigger_ms_total": 1234,
-            },
-            "stream_dedup_multibatch": {"n_batches": 4, "trigger_ms_total": 1234},
+            "stream_sessionize_multibatch": {"n": 4, "ms": 1234},
+            "stream_dedup_multibatch": {"n": 4, "ms": 1234},
         },
-        "metric": (
-            f"headline suite wall time ({len(bench.BENCH_QUERIES)} queries"
-            " + wikidata ingest x2 + 2 multi-batch streaming)"
-        ),
+        "metric": f"suite wall ({len(bench.BENCH_QUERIES)}q+ingest+streaming)",
         "value": 123.456,
         "unit": "sec",
         "sf": 0.1,
         "ingest_entities_per_sec": 66742.1,
+        "ingest_10x_entities_per_sec": 180882.1,
         "calibration_sec": {"start": 0.123, "end": 0.123},
     }
     # extra entries main() adds outside BENCH_QUERIES
     for name in (
         "wd_ingest",
         "wd_ingest_unique",
+        "wd_ingest_10x",
         "stream_sessionize_multibatch",
         "stream_dedup_multibatch",
         "layout_scan_zorder",
