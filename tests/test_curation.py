@@ -530,3 +530,28 @@ def test_containment_catches_quote_in_larger_doc(spark):
     # Jaccard on the same pair is far below the containment score:
     # |A∩B| = 8 shared shingles, |A∪B| = 8 + 198 filler+seam shingles
     assert r["inter"] / (r["size_a"] + r["size_b"] - r["inter"]) < 0.1
+
+
+def test_nb_classifier_separates_obvious_classes(spark):
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    rows = [
+        (1, "good good wholesome prose", "seed"),
+        (2, "good wholesome words", "seed"),
+        (3, "spam spam click here", "crawl"),
+        (4, "click spam junk", "crawl"),
+        (5, "wholesome good text", "crawl"),   # crawl doc that reads curated
+        (6, "", "crawl"),                      # token-less: prior only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = curation.nb_quality_classifier(df, F.col("source") == "seed")
+    got = {r.doc_id: (r.pred, r.n_tokens) for r in out.collect()}
+    assert got[1][0] == "hi" and got[2][0] == "hi"
+    assert got[3][0] == "lo" and got[4][0] == "lo"
+    assert got[5][0] == "hi"          # classified by content, not label
+    assert got[6] == ("lo", 0)        # prior: negatives outnumber positives
+    # log-odds are exact integers and monotone with spamminess
+    lo = {r.doc_id: r.logodds_e12 for r in out.collect()}
+    assert lo[3] < lo[5] and isinstance(lo[3], int)

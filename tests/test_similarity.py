@@ -473,3 +473,24 @@ def test_kmeans_rejects_bad_params(spark):
         kmeans_train(df, k=0)
     with _pytest.raises(ValueError):
         kmeans_train(df, iterations=0)
+
+
+def test_semantic_dedup_drops_in_cluster_neardups(spark):
+    from wikidata_to_surrealdb_spark.operators import dedup
+
+    # two tight groups far apart + one lone vector; within-group cosine
+    # ~1 -> dropped in favor of the lowest id, across-group cosine ~0
+    base_a = [1.0] * 4 + [0.0] * 4
+    base_b = [0.0] * 4 + [1.0] * 4
+    rows = [
+        (1, [x * 1.0 for x in base_a]),
+        (2, [x * 1.01 for x in base_a]),
+        (3, [x * 0.99 for x in base_a]),
+        (4, [x * 2.0 for x in base_b]),
+        (5, [x * 2.02 for x in base_b]),
+        (6, [0.5, -0.5, 0.5, -0.5, 0.5, -0.5, 0.5, -0.5]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.semantic_dedup(df, k=3, iterations=2, threshold=0.95, dim=8)
+    got = {r.drop_id: r.keep_id for r in out.collect()}
+    assert got == {2: 1, 3: 1, 5: 4}

@@ -790,3 +790,90 @@ def importance_weights(
             / F.lit(1000000000000.0)
         ).alias("log10_weight"),
     )
+
+
+def nb_quality_classifier(
+    docs: DataFrame,
+    pos_cond: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive-Bayes quality classifier over word unigrams —
+    the supervised quality-gate stage of the published web-corpus
+    pipelines (GPT-3 / CCNet / Gopher all score crawl documents with a
+    cheap linear classifier trained on a curated-vs-crawl seed and keep
+    the high scorers; multinomial NB with add-one smoothing is that
+    classifier in closed form, trainable in two aggregations with no
+    optimizer loop).
+
+    ``pos_cond`` labels the curated seed rows (e.g. ``F.col("source")
+    .isin(...)``); everything else is the negative seed. Training:
+    per-word class counts (ONE map-side-combined groupBy over the token
+    stream), plus a 1-row stats relation (class token totals, vocab
+    size, doc priors). Scoring: the token stream joins the
+    vocabulary-sized model broadcast (at web scale swap for a shuffle
+    join — the model is |V| rows) and ONE doc-keyed aggregation sums
+    exact BIGINT e12 log-probs; the class decision is a sign test, so
+    no float ever enters a comparison. Returns ``(doc_id, n_tokens,
+    logodds_e12, pred)`` with pred 'hi' when ``log10 P(pos|x) >=
+    log10 P(neg|x)``; token-less docs fall back to the prior alone.
+
+    Determinism: log-probs are bit-portable :func:`...functions.plog10`
+    e12 fixed-point values of ``(c + 1) / (t + V)`` (add-one smoothing)
+    and priors of ``n_c / n``; all sums integer — the DuckDB oracle
+    replays training and scoring bit for bit.
+    """
+    from wikidata_to_surrealdb_spark.functions import plog10
+
+    def e12(col: Column) -> Column:
+        return F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+
+    toks = respread(docs).select(
+        F.col(id_col), pos_cond.alias("_pos"), _tokens(text_col).alias("_t")
+    )
+    occ = toks.select(F.col(id_col), "_pos", F.explode("_t").alias("w"))
+    cw = occ.groupBy("w").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+        F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("c_neg"),
+    )
+    st = cw.agg(
+        F.sum("c_pos").cast("double").alias("t_pos"),
+        F.sum("c_neg").cast("double").alias("t_neg"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    pr = toks.agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("double").alias("n_pos"),
+        F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).cast("double").alias("n_neg"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    model = cw.crossJoin(F.broadcast(st)).select(
+        "w",
+        (
+            e12(plog10((F.col("c_pos") + 1.0) / (F.col("t_pos") + 1.0 * F.col("v"))))
+            - e12(plog10((F.col("c_neg") + 1.0) / (F.col("t_neg") + 1.0 * F.col("v"))))
+        ).alias("_dlp"),
+    )
+    sc = (
+        occ.join(F.broadcast(model), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_dlp").alias("_s"),
+        )
+    )
+    dp = (
+        e12(plog10(F.col("n_pos") / F.col("n")))
+        - e12(plog10(F.col("n_neg") / F.col("n")))
+    ).alias("_dp")
+    out = (
+        docs.select(F.col(id_col))
+        .join(sc, id_col, "left")
+        .crossJoin(F.broadcast(pr.select(dp)))
+    )
+    logodds = F.col("_dp") + F.coalesce(F.col("_s"), F.lit(0).cast("bigint"))
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+        logodds.alias("logodds_e12"),
+        F.when(logodds >= 0, "hi").otherwise("lo").alias("pred"),
+    )

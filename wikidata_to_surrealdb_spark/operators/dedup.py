@@ -534,3 +534,104 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
     )
     return out
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.5,
+    decimals: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering the embedding space and pruning
+    within-cluster cosine near-duplicates — the published recipe that
+    removed ~50% of LAION with no quality loss. Returns
+    ``(drop_id, keep_id, cluster)``: every vector with a lower-id
+    in-cluster neighbor at or above ``threshold`` is dropped in favor
+    of its lowest such neighbor (the same deterministic single-pass
+    survivorship as the LSH embedding dedup).
+
+    Shape: training is the engine-exact quantized-Lloyd's loop
+    (operators/similarity.py:kmeans_train — broadcast assignment + ONE
+    map-side-combined groupBy per iteration, no RNG anywhere), then
+    clusters play exactly the role LSH buckets play in
+    ``ann_bucketed_pairs_gemm``: the unit of parallelism AND of memory.
+    Each cluster ships its vectors over Arrow ONCE and scores all pairs
+    with one BLAS matrix product — transfer is O(docs x dim), never
+    O(pairs x dim). At scale you raise ``k`` so the largest cluster
+    fits one executor (SemDeDup's published runs use tens of thousands
+    of clusters); the quadratic term is confined within clusters by
+    construction. Cosines are computed on the shared 1e6 integer grid
+    (cast to double), so the DuckDB oracle replays training AND scoring
+    bit for bit.
+    """
+    import pandas as pd
+
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        _VI_EXPR,
+        kmeans_train,
+    )
+
+    assign, _cents = kmeans_train(
+        embeddings,
+        k=k,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("_gid"),
+        F.expr(
+            "transform(" + _VI_EXPR.format(v=vec_col) + ", e -> CAST(e AS DOUBLE))"
+        ).alias("_gv"),
+    )
+    grouped = vecs.join(
+        assign.withColumnRenamed(id_col, "_gid"), "_gid"
+    )
+    f = float(10**decimals)
+    thr = float(threshold)
+
+    def cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cluster": [], "id_a": [], "id_b": [], "cosine": []}
+            ).astype(
+                {
+                    "cluster": "int32",
+                    "id_a": "int64",
+                    "id_b": "int64",
+                    "cosine": "float64",
+                }
+            )
+        pdf = pdf.sort_values("_gid")
+        ids = pdf["_gid"].to_numpy()
+        x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_gv"]])
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cos = xn @ xn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = np.floor(cos[iu, ju] * f + 0.5) / f
+        keep = c >= thr
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(keep.sum()), pdf["cluster"].iloc[0]),
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cosine": c[keep],
+            }
+        )
+
+    pairs = grouped.groupBy("cluster").applyInPandas(
+        cluster_pairs, "cluster int, id_a long, id_b long, cosine double"
+    )
+    return pairs.groupBy(F.col("id_b").alias("drop_id")).agg(
+        F.min("id_a").alias("keep_id"),
+        F.min("cluster").alias("cluster"),
+    )

@@ -1821,6 +1821,49 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign
 
 
+def _semantic_dedup_oracle(k: int, iterations: int, threshold: float) -> str:
+    ctes, final_a, _cents = _kmeans_ctes(k, iterations)
+    cos = _EMB_COS.format(a="a.v", b="b.v")
+    return (
+        ctes
+        + f""",
+    v2 AS (
+      SELECT vec_id, j, list_transform(x, e -> CAST(e AS DOUBLE)) AS v
+      FROM {final_a}
+    ),
+    simpairs AS (
+      SELECT a.j AS cluster, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v2 a JOIN v2 b ON a.j = b.j AND a.vec_id < b.vec_id
+      WHERE {fround_sql(cos, 4)} >= {threshold}
+    )
+    SELECT id_b AS drop_id, min(id_a) AS keep_id,
+           CAST(min(cluster) AS INTEGER) AS cluster
+    FROM simpairs GROUP BY id_b
+    """
+    )
+
+
+@_q(
+    "dedup_semantic",
+    _semantic_dedup_oracle(8, 2, 0.3),
+    "SemDeDup (Abbas et al. 2023): semantic dedup by k-means clustering "
+    "the embedding space (the engine-exact quantized-Lloyd's trainer, "
+    "k=8, 2 iterations, no RNG) and pruning within-cluster cosine "
+    "near-dups, keep-lowest-id — the published recipe that halved LAION "
+    "with no quality loss. Clusters play the LSH-bucket role: unit of "
+    "parallelism AND memory, one Arrow transfer + one BLAS matrix "
+    "product per cluster (O(docs x dim) transfer, never O(pairs x "
+    "dim)); at scale k rises so the largest cluster fits an executor. "
+    "Cosines on the shared 1e6 integer grid, so the oracle replays "
+    "training AND scoring bit for bit",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return dedup.semantic_dedup(
+        t["embeddings"], k=8, iterations=2, threshold=0.3
+    )
+
+
 def _ivf_trained_oracle(
     k: int, kcells: int, iterations: int, nprobe: int, dim: int = 64
 ) -> str:
@@ -5678,6 +5721,87 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return curation.importance_weights(
         t["documents"], F.col("source") == "src0"
+    )
+
+
+def _nb_classifier_oracle(pos_in: str) -> str:
+    from wikidata_to_surrealdb_spark.functions import plog10_sql
+
+    def e12(expr: str) -> str:
+        return (
+            f"CAST(floor(({plog10_sql(expr)}) * 1000000000000.0 + 0.5)"
+            " AS BIGINT)"
+        )
+
+    dlp = (
+        e12("(c_pos + 1.0) / (t_pos + 1.0 * v)")
+        + " - "
+        + e12("(c_neg + 1.0) / (t_neg + 1.0 * v)")
+    )
+    dp = e12("n_pos / n") + " - " + e12("n_neg / n")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, (source IN {pos_in}) AS pos, {_TOKS_SQL} AS t
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, pos, unnest(t) AS w FROM d
+    ), cw AS (
+      SELECT w,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+      FROM occ GROUP BY w
+    ), st AS (
+      SELECT CAST(sum(c_pos) AS DOUBLE) AS t_pos,
+             CAST(sum(c_neg) AS DOUBLE) AS t_neg,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM cw
+    ), pr AS (
+      SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS n_pos,
+             CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS n_neg,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM d
+    ), model AS (
+      SELECT w, {dlp} AS dlp FROM cw CROSS JOIN st
+    ), sc AS (
+      SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(dlp) AS BIGINT) AS s
+      FROM occ JOIN model USING (w) GROUP BY occ.doc_id
+    ), ps AS (
+      SELECT {dp} AS dp FROM pr
+    )
+    SELECT d.doc_id,
+           coalesce(sc.n_tokens, 0) AS n_tokens,
+           ps.dp + coalesce(sc.s, 0) AS logodds_e12,
+           CASE WHEN ps.dp + coalesce(sc.s, 0) >= 0
+                THEN 'hi' ELSE 'lo' END AS pred
+    FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id CROSS JOIN ps
+    """
+
+
+_NB_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+@_q(
+    "curation_nb_classifier",
+    _nb_classifier_oracle(str(_NB_POS_SOURCES)),
+    "supervised quality-gate classifier — the GPT-3/CCNet stage that "
+    "scores every crawl document with a cheap linear model trained on "
+    "a curated-vs-crawl seed: multinomial Naive Bayes with add-one "
+    "smoothing over word unigrams, trainable in closed form (ONE "
+    "map-side-combined per-word class-count groupBy + a 1-row stats "
+    "relation, no optimizer loop). Scoring joins the token stream "
+    "against the vocabulary-sized broadcast model and sums exact "
+    "BIGINT e12 plog10 log-prob differences per doc; the hi/lo call "
+    "is a sign test, so no float enters a comparison and the oracle "
+    "replays training and scoring bit for bit; token-less docs fall "
+    "back to the prior",
+)
+def curation_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.nb_quality_classifier(
+        t["documents"], F.col("source").isin(*_NB_POS_SOURCES)
     )
 
 
