@@ -392,3 +392,46 @@ def test_pcm_assets_drop_odd_byte(spark):
     )
     got = {r["asset_id"]: r["n_bytes"] for r in documents_as_pcm_assets(docs).collect()}
     assert got == {1: 2, 2: 2}
+
+
+def test_perceptual_ahash_and_neardup(spark):
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "the quick brown fox jumps over the lazy dog " * 4),  # identical
+        (3, "the quick brown fox jumps over the lazy dgo " * 4),  # near
+        (4, "ZZZZ completely different content 0123456789 " * 7),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assets = multimodal.documents_as_png_assets(docs)
+    hashes = multimodal.perceptual_ahash(assets)
+    got = {r.asset_id: r for r in hashes.collect()}
+    assert len(got) == 4
+    # identical payloads -> identical hashes; hex string matches chunks
+    assert got[1].ahash == got[2].ahash
+    assert got[1].ahash == "".join(
+        f"{got[1][c]:04x}" for c in ("c0", "c1", "c2", "c3")
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.ahash_neardup_pairs(hashes, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_perceptual_ahash_corrupt_payload_yields_null(spark):
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not a png"))], "asset_id long, payload binary"
+    ).select(
+        "asset_id", F.lit("image/png").alias("mime"), "payload",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("content_hash"),
+    )
+    out = multimodal.perceptual_ahash(bad).collect()
+    assert len(out) == 1 and out[0].ahash is None and out[0].c0 is None

@@ -836,3 +836,145 @@ def audio_features(
     from wikidata_to_surrealdb_spark.functions import respread
 
     return respread(assets).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("c0", T.IntegerType(), True),
+        T.StructField("c1", T.IntegerType(), True),
+        T.StructField("c2", T.IntegerType(), True),
+        T.StructField("c3", T.IntegerType(), True),
+        T.StructField("ahash", T.StringType(), True),
+    ]
+)
+
+
+def perceptual_ahash(assets: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per image asset — the classic
+    perceptual fingerprint for NEAR-duplicate images (exact dedup on
+    content_hash misses any re-encode/resize/noise; aHash survives
+    them): decode, nearest-neighbour-sample an 8x8 grid with
+    pixel-centre mapping, threshold each sample against the grid mean,
+    pack the 64 bits. Returned both as a 16-hex-char string and as four
+    16-bit integer chunks ``c0..c3`` — the chunks are the LSH band keys
+    for :func:`ahash_neardup_pairs`.
+
+    All integer math (the threshold is ``64*p > sum``, no division), so
+    an oracle can recompute the hash straight from the source bytes.
+    Multi-channel images grayscale by the rounded channel mean. Corrupt
+    payloads yield NULL hash columns (the job survives bad files).
+    Arrow-batched ``mapInPandas``; per-asset cost is the decode plus 64
+    samples, independent of image size."""
+
+    load_png = _make_png_loader(_PKG_ROOT)
+
+    def run(batches: Iterator) -> Iterator:
+        import struct as _struct
+        from zlib import error as zlib_error
+
+        import pandas as pd
+
+        png = load_png()
+        errors = (png.PngError, zlib_error, ValueError, IndexError, _struct.error)
+
+        for pdf in batches:
+            rows = []
+            for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    img = png.decode_png(bytes(buf))
+                    w, h, ch = img["width"], img["height"], img["channels"]
+                    px = img["pixels"]
+                    p = []
+                    for y in range(8):
+                        sy = min(h - 1, ((2 * y + 1) * h) // 16)
+                        for x in range(8):
+                            sx = min(w - 1, ((2 * x + 1) * w) // 16)
+                            base = (sy * w + sx) * ch
+                            v = sum(px[base + c] for c in range(ch))
+                            p.append((v + ch // 2) // ch)
+                    s = sum(p)
+                    bits = [1 if 64 * v > s else 0 for v in p]
+                    cs = []
+                    for cidx in range(4):
+                        v = 0
+                        for j in range(16):
+                            v = (v << 1) | bits[cidx * 16 + j]
+                        cs.append(v)
+                    rows.append(
+                        {
+                            "asset_id": int(asset_id),
+                            "c0": cs[0],
+                            "c1": cs[1],
+                            "c2": cs[2],
+                            "c3": cs[3],
+                            "ahash": "".join(f"{c:04x}" for c in cs),
+                        }
+                    )
+                except errors:
+                    rows.append({"asset_id": int(asset_id)})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return respread(assets).mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate image pairs from aHash fingerprints: LSH-band the
+    64-bit hash into its four 16-bit chunks (a pair with Hamming
+    distance <= 3 is GUARANTEED to agree on at least one chunk by
+    pigeonhole; larger distances are found with partial, documented
+    recall — the standard banding trade), bucket-join on (band, chunk),
+    emit candidate pairs array-locally per bucket, then verify exact
+    Hamming distance with ``bit_count(xor)`` inside codegen. One
+    band-keyed exchange + one pair dedup; bucket sizes are bounded by
+    chunk cardinality (65536 values per band) so the pair explosion
+    never sees a full-corpus key. Returns ``(id_a, id_b, hamming)``.
+    """
+    banded = hashes.where(F.col("ahash").isNotNull()).select(
+        F.struct("asset_id", "c0", "c1", "c2", "c3").alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"c{b}").alias("chunk")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_b"),
+    )
+    buckets = (
+        banded.groupBy("_b.band", "_b.chunk")
+        .agg(F.array_sort(F.collect_list("_h")).alias("_hs"))
+        .where(F.size("_hs") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_hs, (a, i) -> "
+                "transform(slice(_hs, i + 2, size(_hs)), "
+                "b -> struct(a AS a, b AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.c{i}").bitwiseXOR(F.col(f"b.c{i}")).cast("long")
+        )
+        for i in range(4)
+    )
+    return (
+        pairs.dropDuplicates(["a", "b"])
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+    )

@@ -5173,6 +5173,78 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_ahash_neardup",
+    # the aHash is recomputable straight from the document bytes (the
+    # asset encode is the deterministic inverse, as in mm_decode_png):
+    # zero-padded raster -> 8x8 pixel-centre nearest-neighbour sample ->
+    # integer mean threshold (64*p > sum, no division) -> four 16-bit
+    # chunks; candidates = any-chunk-equal (the banding rule), verified
+    # by exact bit_count(xor) Hamming distance.
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             octet_length(encode(coalesce(text, ''))) AS n
+      FROM documents
+    ), g AS (
+      SELECT doc_id, t, n,
+             CAST(greatest(1, CAST(ceil(n / 32.0) AS INT)) AS INT) AS h
+      FROM d
+    ), raster AS (
+      SELECT doc_id, h,
+             [CAST(('0x' || substr(hex(encode(t)), 2*i+1, 2)) AS INT)
+              for i in range(0, n)]
+             || [0 for i in range(0, 32*h - n)] AS px
+      FROM g
+    ), samp AS (
+      SELECT doc_id,
+             [px[least(h-1, ((2*(i//8)+1)*h)//16)*32
+                 + least(31, ((2*(i%8)+1)*32)//16) + 1]
+              for i in range(0, 64)] AS p
+      FROM raster
+    ), hs AS (
+      SELECT doc_id,
+             CAST(list_sum([CASE WHEN 64*p[0*16+j+1] > list_sum(p)
+                  THEN (32768 >> j) ELSE 0 END for j in range(0, 16)]) AS INT) AS c0,
+             CAST(list_sum([CASE WHEN 64*p[1*16+j+1] > list_sum(p)
+                  THEN (32768 >> j) ELSE 0 END for j in range(0, 16)]) AS INT) AS c1,
+             CAST(list_sum([CASE WHEN 64*p[2*16+j+1] > list_sum(p)
+                  THEN (32768 >> j) ELSE 0 END for j in range(0, 16)]) AS INT) AS c2,
+             CAST(list_sum([CASE WHEN 64*p[3*16+j+1] > list_sum(p)
+                  THEN (32768 >> j) ELSE 0 END for j in range(0, 16)]) AS INT) AS c3
+      FROM samp
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+               AS INT) AS hamming
+      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+    ) WHERE hamming <= 6
+    """,
+    "perceptual-hash image NEAR-dedup end to end: every document's "
+    "bytes become a real gray PNG (from-spec encoder), decoded back "
+    "inside Arrow-batched mapInPandas into a 64-bit average-hash (8x8 "
+    "pixel-centre NN sample, integer 64*p>sum threshold — no float, no "
+    "division), then the four 16-bit chunks serve as LSH bands: "
+    "bucket-join, array-local pair emission, exact bit_count(xor) "
+    "Hamming verify in codegen. Hamming <= 3 recall is total by "
+    "pigeonhole; the oracle recomputes hash, banding rule, and "
+    "distance straight from the source bytes — a hash match proves "
+    "encode -> PNG -> decode -> fingerprint -> pair generation bit for "
+    "bit. content_hash exact dedup misses re-encodes; this is the "
+    "standard robust-fingerprint complement",
+)
+def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    t = register_views(spark, sf_dir)
+    assets = multimodal.documents_as_png_assets(t["documents"])
+    hashes = multimodal.perceptual_ahash(assets)
+    return multimodal.ahash_neardup_pairs(hashes, max_hamming=6)
+
+
+@_q(
     "mm_resize_roundtrip",
     # expected resized pixels computed straight from the document bytes:
     # nearest-neighbour with pixel-centre mapping (sy = min(h-1,
