@@ -114,3 +114,35 @@ def test_snowball_gate(spark):
     assert text.analyze_text(docs, stemmer="snowball").limit(5).count() > 0
     with pytest.raises(ValueError, match="unknown stemmer"):
         text.analyze_text(docs, stemmer="porter")
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_ngram_blocked", "curation_nb_classifier", "er_resolve_prefix"]
+)
+def test_round7_hot_paths_are_jvm_only(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["dedup_semantic", "mm_ahash_neardup"])
+def test_round7_pandas_stages_are_arrow_batched(spark, name):
+    # clusters/codecs go through applyInPandas/mapInPandas (Arrow), never
+    # row-at-a-time Python
+    plan = _plan(spark, name)
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_containment_reads_materialized_index_once(spark):
+    """The posting-list index is localCheckpoint-materialized, so the
+    final plan must NOT replay the corpus-sized shingle/window subtree
+    per join branch: zero Window nodes (the df window ran once, inside
+    the checkpointed subtree) and both size joins read the stored
+    index."""
+    plan = _plan(spark, "dedup_containment")
+    assert "Window [count(1)" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan  # sizes + pairs branches
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

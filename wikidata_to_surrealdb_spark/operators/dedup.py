@@ -471,12 +471,18 @@ def containment_pairs(
     ARRAY-LOCAL (sort + adjacent-compare filter — O(n log n), unlike the
     quadratic ``array_distinct`` trap :func:`shingles_from_tokens`
     documents), so the corpus pays exactly ONE shingle-keyed exchange:
-    the df count window. The bounded posting lists (df <= max_df) are
-    then grouped on the SAME s-partitioning (no new exchange) and pairs
-    are emitted array-locally from each <=max_df-id list — the round-6
-    s-keyed self-join (two more corpus-wide branches through the join
-    machinery) is gone. Pair counting is one (id_a, id_b) groupBy;
-    sizes attach by two id-keyed joins. Returns
+    the df count window. The bounded posting lists (df <= max_df,
+    including df=1 — unique content counts in the denominators) are
+    grouped on the SAME s-partitioning (no new exchange) and
+    MATERIALIZED once (localCheckpoint): this small relation IS the
+    inverted index, and both downstream consumers — doc sizes and the
+    array-local pair expansion (<= max_df^2/2 pairs a list; singleton
+    lists emit nothing) — derive from it, so the corpus-sized
+    shingle/window subtree is computed exactly once instead of being
+    replayed per join branch (the round-6 s-keyed self-join AND the
+    round-7-interim triple subtree are both gone). Pair counting is one
+    (id_a, id_b) groupBy; sizes attach by two id-keyed joins over
+    index-derived relations. Returns
     ``(id_a, id_b, inter, size_a, size_b, containment)`` for pairs at
     or above ``threshold``, containment rounded portably to 4dp.
     """
@@ -491,14 +497,18 @@ def containment_pairs(
     uni = sh.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("s"))
     ).where(F.col("_df") <= max_df)
-    sizes = uni.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
-    # posting lists: groupBy(s) rides the window's s-partitioning (no
-    # exchange); each list holds 2..max_df ids, so the pair expansion
-    # below is bounded array-local work (<= max_df^2/2 pairs a list)
     posts = (
-        uni.where(F.col("_df") >= 2)
-        .groupBy("s")
+        uni.groupBy("s")
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        # lazy: materializes with the first consuming job, then both the
+        # sizes and pair branches read the stored index instead of
+        # replaying the corpus subtree per branch
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        posts.select(F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_size"))
     )
     pairs = F.expr(
         "flatten(transform(_ids, (a, i) ->"
