@@ -96,8 +96,18 @@ BENCH_QUERIES = [
     # upserts through the bucketed manifest — the reference's steady
     # state as a stream (3.6 s at sf0.1, fixture-dump sized)
     "wd_stream_upsert",
-    # containment near-dup (since r6): the df-bounded shingle self-join
+    # containment near-dup (since r6, reworked r7: zip_with shingles +
+    # materialized posting-list index — 5.8 -> 2.0 s)
     "dedup_containment",
+    # round-7 additions: SemDeDup (kmeans clusters as GEMM buckets),
+    # perceptual-hash image near-dedup (decode -> aHash -> banded
+    # Hamming), NB quality classifier (closed-form train + broadcast
+    # score), and the blocked n-gram Jaccard now that the quadratic
+    # array_distinct is gone (11.7 -> 4.9 s)
+    "dedup_semantic",
+    "mm_ahash_neardup",
+    "curation_nb_classifier",
+    "dedup_ngram_blocked",
     # KMV set algebra (since r6): bounded sketch-only overlap estimates
     "sketch_kmv_setops",
     # NOT benched (oracle-verified, cost measured once in r6):
