@@ -555,3 +555,22 @@ def test_nb_classifier_separates_obvious_classes(spark):
     # log-odds are exact integers and monotone with spamminess
     lo = {r.doc_id: r.logodds_e12 for r in out.collect()}
     assert lo[3] < lo[5] and isinstance(lo[3], int)
+
+
+def test_c4_span_dedup_keeps_first_occurrence(spark):
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    shared = "One fine day. The cat sat down. It rained hard."
+    rows = [
+        (1, shared + " Unique tail one."),
+        (2, shared + " Different ending two."),   # repeats the 3-span
+        (3, "Totally separate. Nothing shared here. Short doc."),
+        (4, "Too short. Only two."),              # no 3-sentence span
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in curation.c4_sentence_span_dedup(df).collect()}
+    assert out[1].n_sentences == 4 and out[1].n_removed == 0
+    # doc 2's copy of the shared span is the LATER occurrence -> stripped
+    assert out[2].n_sentences == 4 and out[2].n_removed == 3
+    assert out[3].n_removed == 0
+    assert out[4].n_sentences == 2 and out[4].n_removed == 0

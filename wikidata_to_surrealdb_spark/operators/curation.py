@@ -877,3 +877,41 @@ def nb_quality_classifier(
         logodds.alias("logodds_e12"),
         F.when(logodds >= 0, "hi").otherwise("lo").alias("pred"),
     )
+
+
+def c4_sentence_span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+) -> DataFrame:
+    """C4's span deduplication at SENTENCE granularity (Raffel et al.
+    2020, the C4 cleaning recipe: "we discarded all but one of any
+    three-sentence span occurring more than once in the data set") —
+    the sentence-level sibling of the token-window
+    :func:`...dedup.substring_dedup` (Lee et al. 2022), sharing its
+    span-removal core. Sentences split on ``[.!?]+`` runs and trimmed
+    (deterministic, engine-portable); every ``window``-sentence rolling
+    span is md5-fingerprinted, the globally first occurrence (by
+    (doc_id, position)) survives, and later occurrences' sentences are
+    stripped. Returns ``(doc_id, n_sentences, n_removed,
+    cleaned_hash)``.
+
+    Scale: the explode is sentences-sized (far below the token-window
+    variant), the fingerprint shuffle is the one corpus exchange, span
+    merge and filtering are array-local — identical contract to the
+    substring dedup.
+    """
+    from wikidata_to_surrealdb_spark.operators.dedup import span_dedup_frame
+
+    sents = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    d = respread(docs).select(F.col(id_col), sents.alias("_t"))
+    return span_dedup_frame(
+        d, id_col, int(window), sep="|", count_alias="n_sentences"
+    )

@@ -388,19 +388,33 @@ def substring_dedup(
     """
     if window < 2:
         raise ValueError("window must be >= 2")
-    from pyspark.sql.window import Window
-
-    w = int(window)
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE),
         lambda t: F.length(t) > 0,
     )
     d = respread(docs).select(F.col(id_col), toks.alias("_t"))
+    return span_dedup_frame(d, id_col, int(window), sep=" ", count_alias="n_tokens")
 
-    # rolling w-token window fingerprints via the zip_with chain (empty
-    # for docs shorter than the window, matching the old guarded form)
+
+def span_dedup_frame(
+    d: DataFrame,
+    id_col: str,
+    w: int,
+    sep: str = " ",
+    count_alias: str = "n_tokens",
+) -> DataFrame:
+    """Shared core of the span-removal dedups: given ``(id, _t)`` where
+    ``_t`` is an array of units (tokens, sentences, ...), fingerprint
+    every ``w``-unit rolling window (zip_with chain, one md5 per
+    position), keep the globally FIRST occurrence of each fingerprint
+    ((doc, start) order), and strip every unit covered by a later
+    occurrence's span. One fingerprint-keyed exchange; span merge and
+    unit filtering array-local. Returns
+    ``(id, <count_alias>, n_removed, cleaned_hash)``."""
+    from pyspark.sql.window import Window
+
     fps = F.expr(
-        f"transform({rolling_concat_expr('_t', w)}, x -> md5(x))"
+        f"transform({rolling_concat_expr('_t', w, sep)}, x -> md5(x))"
     )
     wins = d.select(
         id_col, F.posexplode(fps).alias("start", "_fp")
@@ -435,11 +449,11 @@ def substring_dedup(
     ).otherwise(F.array().cast("array<int>"))
     return joined.select(
         id_col,
-        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.size("_t").cast("bigint").alias(count_alias),
         (F.size("_t") - F.size(keep)).cast("bigint").alias("n_removed"),
         F.md5(
             F.concat_ws(
-                " ",
+                sep,
                 F.transform(keep, lambda j: F.element_at(F.col("_t"), j + 1)),
             )
         ).alias("cleaned_hash"),

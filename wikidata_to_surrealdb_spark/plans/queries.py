@@ -4708,6 +4708,58 @@ def wd_surql_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "wd_surql_episodes",
+    """
+    SELECT label, number_of_episodes FROM (VALUES
+      ('Black Clover, season 1', CAST(51.0 AS DOUBLE)),
+      ('Towel Day', CAST(NULL AS DOUBLE))
+    ) AS v(label, number_of_episodes)
+    """,
+    "the reference's documented let/return/UPDATE flow (Useful "
+    "queries.md:44-50, the integration.rs G1 scenario) run VERBATIM "
+    "through plans/surql.py: scalar let-extraction of the first P1113 "
+    "Quantity amount via claims-path + [0] indexing, RETURN of the "
+    "bound scalar, then UPDATE ... SET with $param binding writing the "
+    "value back onto the filtered entity. The oracle is the reference's "
+    "own golden: Black Clover season 1 gains number_of_episodes = 51.0 "
+    "(integration.rs:25-54) and untouched entities stay NULL",
+)
+def wd_surql_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+    from wikidata_to_surrealdb_spark.plans.surql import run_surql
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "episodes_dump.json",
+    )
+    t = _ingest.load_dump(spark, path, "json", lang="en")
+    # Useful queries.md:44-50, verbatim
+    script = """
+    let $number_of_episodes = (select claims.claims[where id = Property:1113][0].value.ClaimValueData.Quantity.amount as number_of_episodes from Entity where label = "Black Clover, season 1")[0].number_of_episodes;
+
+    return $number_of_episodes;
+
+    update Entity SET number_of_episodes=$number_of_episodes where label = "Black Clover, season 1";
+    """
+    _results, env = run_surql(
+        spark,
+        {
+            "Entity": t.entity,
+            "Property": t.property,
+            "Lexeme": t.lexeme,
+            "Claims": t.claims,
+        },
+        script,
+    )
+    return env.tables["Entity"].select(
+        "label", F.col("number_of_episodes").cast("double")
+    )
+
+
+@_q(
     "wd_surql_filter",
     """
     SELECT id, label, n_claim_entries FROM (VALUES
@@ -5851,6 +5903,61 @@ def _nb_classifier_oracle(pos_in: str) -> str:
 
 
 _NB_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+@_q(
+    "curation_c4_span_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+               s -> trim(s)), s -> length(s) > 0) AS t
+      FROM documents
+    ), w AS (
+      SELECT doc_id, CAST(u.i AS INT) AS start,
+             md5(array_to_string(t[u.i + 1 : u.i + 3], '|')) AS fp
+      FROM d, LATERAL unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+    ), r AS (
+      SELECT doc_id, start,
+             count(*) OVER (PARTITION BY fp) AS c,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rk
+      FROM w
+    ), rm AS (
+      SELECT doc_id, list_sort(list(start)) AS spans
+      FROM r WHERE c > 1 AND rk > 1 GROUP BY doc_id
+    ), f AS (
+      SELECT d.doc_id, d.t, coalesce(rm.spans, []) AS spans
+      FROM d LEFT JOIN rm ON rm.doc_id = d.doc_id
+    ), k AS (
+      SELECT doc_id, t,
+             list_filter(range(0, len(t)),
+               j -> len(list_filter(spans, s -> j >= s AND j < s + 3)) = 0
+             ) AS keep
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_sentences,
+           CAST(len(t) - len(keep) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(
+             list_transform(keep, j -> t[CAST(j + 1 AS INT)]), '|'
+           ), '')) AS cleaned_hash
+    FROM k
+    """,
+    "C4's published cleaning rule executed corpus-wide (Raffel et al. "
+    "2020: discard all but one of any three-sentence span occurring "
+    "more than once): sentence split on [.!?]+ runs, rolling 3-sentence "
+    "md5 fingerprints via the zip_with chain, globally-first occurrence "
+    "survives ((doc, position) total order), later occurrences' "
+    "sentences stripped array-locally. One fingerprint-keyed exchange — "
+    "the sentence-level sibling of dedup_substring_spans (Lee et al. "
+    "2022), sharing its span-removal core",
+)
+def curation_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.c4_sentence_span_dedup(t["documents"], window=3)
 
 
 @_q(
