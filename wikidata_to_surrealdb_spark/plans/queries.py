@@ -1334,12 +1334,15 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = toks.select(
         "doc_id", "lang", F.sort_array(F.expr(sh2)).alias("_ss")
     ).where(F.size("_ss") > 0)
+    # materialize the shingle-set relation once (lazy checkpoint): both
+    # self-join branches read it instead of each replaying the corpus
+    # tokenize/shingle/sort subtree
     docs_sh = ss.select(
         "doc_id",
         "lang",
         dedup.sorted_distinct("_ss").alias("sh"),
         F.element_at("_ss", 1).alias("blk"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = docs_sh.alias("a"), docs_sh.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size("a.sh") + F.size("b.sh") - inter
