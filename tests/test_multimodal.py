@@ -435,3 +435,29 @@ def test_perceptual_ahash_corrupt_payload_yields_null(spark):
     )
     out = multimodal.perceptual_ahash(bad).collect()
     assert len(out) == 1 and out[0].ahash is None and out[0].c0 is None
+
+
+def test_audio_resample_block_mean_and_negatives(spark):
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    # samples: [100, 101] -> (201+1)//2 = 101 (round-half-up);
+    # [-5, -6] -> (-11+1)//2 = -5 (floor of -5.0); [7] tail dropped
+    samples = [100, 101, -5, -6, 7]
+    payload = struct.pack("<5h", *samples)
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload))], "asset_id long, payload binary"
+    ).select(
+        "asset_id", F.lit("audio/L16").alias("mime"), "payload",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("content_hash"),
+    )
+    row = multimodal.audio_resample_features(assets, factor=2).collect()[0]
+    assert row.n_samples == 2
+    assert row.sum_sq == 101 * 101 + 5 * 5
+    assert row.peak == 101
+    assert row.zero_crossings == 1  # 101 -> -5 sign flip
+    assert row.duration_ms == 2 * 1000 // 8000

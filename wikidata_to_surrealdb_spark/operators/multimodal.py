@@ -978,3 +978,66 @@ def ahash_neardup_pairs(
         )
         .where(F.col("hamming") <= int(max_hamming))
     )
+
+
+def audio_resample_features(
+    assets: DataFrame, factor: int = 2, sample_rate: int = 16000
+) -> DataFrame:
+    """Integer-exact PCM downsampling + feature extraction: decimate an
+    s16le signal by ``factor`` with a boxcar (block-mean) low-pass —
+    each output sample is the round-half-up integer mean of one
+    ``factor``-sample block (``(sum + factor//2) // factor``, floor
+    division, identical semantics in numpy and DuckDB; partial tail
+    blocks are dropped so frames stay whole) — then the same exact
+    integer features as :func:`audio_features` over the resampled
+    signal, with ``duration_ms`` at the NEW rate ``sample_rate /
+    factor``. The whole path is integer arithmetic, so the oracle
+    recomputes decimation and features straight from the source bytes.
+
+    Scale: pure map (Arrow-batched ``mapInPandas``, numpy-vectorized
+    reshape+mean per payload), no shuffle, payloads never visit the
+    driver."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    if sample_rate <= 0 or sample_rate % factor:
+        raise ValueError("sample_rate must be positive and divisible by factor")
+    f = int(factor)
+    out_rate = sample_rate // f
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
+                s = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                m = len(s) // f
+                r = (
+                    (s[: m * f].reshape(m, f).sum(axis=1) + f // 2) // f
+                    if m
+                    else np.empty(0, dtype=np.int64)
+                )
+                if m:
+                    sum_sq = int(np.sum(r * r))
+                    peak = int(np.max(np.abs(r)))
+                    zc = int(np.sum((r[:-1] * r[1:]) < 0)) if m > 1 else 0
+                else:
+                    sum_sq, peak, zc = 0, 0, 0
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "n_samples": m,
+                        "duration_ms": m * 1000 // out_rate,
+                        "sum_sq": sum_sq,
+                        "peak": peak,
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f_.name for f_ in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return respread(assets).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

@@ -5427,6 +5427,65 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_audio_resample",
+    # decimate-by-2 with a boxcar block mean — (sum + 1) // 2, floor
+    # division with identical negative-number semantics in numpy and
+    # DuckDB — then the exact integer features at the halved rate
+    """
+    WITH d AS (
+      SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+             octet_length(encode(coalesce(text, ''))) // 2 AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n), i ->
+               CASE WHEN (CAST(('0x' || substr(hx, CAST(4*i + 1 AS INT), 2)) AS INT)
+                          + 256 * CAST(('0x' || substr(hx, CAST(4*i + 3 AS INT), 2)) AS INT)) >= 32768
+                    THEN (CAST(('0x' || substr(hx, CAST(4*i + 1 AS INT), 2)) AS INT)
+                          + 256 * CAST(('0x' || substr(hx, CAST(4*i + 3 AS INT), 2)) AS INT)) - 65536
+                    ELSE (CAST(('0x' || substr(hx, CAST(4*i + 1 AS INT), 2)) AS INT)
+                          + 256 * CAST(('0x' || substr(hx, CAST(4*i + 3 AS INT), 2)) AS INT))
+               END) AS smp
+      FROM d
+    ), r AS (
+      SELECT doc_id, n // 2 AS m,
+             list_transform(range(0, n // 2), j ->
+               (smp[CAST(2*j + 1 AS INT)] + smp[CAST(2*j + 2 AS INT)] + 1) // 2
+             ) AS rs
+      FROM s
+    )
+    SELECT doc_id AS asset_id,
+           CAST(m AS BIGINT) AS n_samples,
+           CAST(m * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(coalesce(list_sum(list_transform(rs, v -> v * v)), 0)
+             AS BIGINT) AS sum_sq,
+           CAST(coalesce(list_max(list_transform(rs, v -> abs(v))), 0)
+             AS INT) AS peak,
+           CAST(coalesce(list_sum(list_transform(range(1, m), i ->
+             CASE WHEN rs[CAST(i AS INT)] * rs[CAST(i + 1 AS INT)] < 0
+                  THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+    FROM r
+    ORDER BY asset_id
+    """,
+    "integer-exact PCM downsampling: decimate the s16le signal by 2 "
+    "with a boxcar block mean — (sum + 1) // 2 floor division, "
+    "identical negative-number semantics in numpy and DuckDB, partial "
+    "tail blocks dropped so frames stay whole — then the same exact "
+    "integer features at the halved rate. Pure Arrow-batched map, no "
+    "shuffle; the oracle replays decimation AND features from the "
+    "source bytes bit for bit",
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import multimodal
+
+    t = register_views(spark, sf_dir)
+    assets = multimodal.documents_as_pcm_assets(t["documents"])
+    return multimodal.audio_resample_features(
+        assets, factor=2, sample_rate=16000
+    ).orderBy("asset_id")
+
+
+@_q(
     "mm_jpeg_meta",
     # decoded JPEG pixels are lossy and engine-specific, but the HEADER
     # is exact: the asset encode fixes width=32, gray, 8-bit baseline,
