@@ -6047,6 +6047,45 @@ def curation_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "curation_quality_topk",
+    f"""
+    WITH nb AS ({_nb_classifier_oracle(str(_NB_POS_SOURCES))})
+    SELECT lang, doc_id, logodds_e12, rank FROM (
+      SELECT d.lang, nb.doc_id, nb.logodds_e12,
+             CAST(row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY nb.logodds_e12 DESC, nb.doc_id) AS INT) AS rank
+      FROM nb JOIN documents d ON d.doc_id = nb.doc_id
+    ) WHERE rank <= 5
+    """,
+    "classifier-to-selection composition — the step after the quality "
+    "gate in every published pipeline: rank documents per language by "
+    "the NB log-odds (exact BIGINT, ties broken on doc_id — a total "
+    "order, so the selection is deterministic and replayable) and keep "
+    "the top 5 per language. One window over the lang partition; the "
+    "classifier subplan is shared verbatim with curation_nb_classifier",
+)
+def curation_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    nb = curation.nb_quality_classifier(
+        t["documents"], F.col("source").isin(*_NB_POS_SOURCES)
+    )
+    joined = nb.join(t["documents"].select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("logodds_e12").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("lang", "doc_id", "logodds_e12", "rank")
+    )
+
+
+@_q(
     "text_lm_score",
     _lm_oracle(),
     "KenLM-style fluency scoring, Spark-first: train an add-1-smoothed "
