@@ -2286,6 +2286,52 @@ def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_trailing_window",
+    f"""
+    SELECT event_id, user_id, ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+           {fround_sql(
+               "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)", 2
+           )} AS trailing_sum
+    FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                 value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "trailing time-window analytics — the RANGE-interval window frame "
+    "(each event's count/sum over ITS OWN preceding hour, not a "
+    "tumbling bucket): per-user partitions ordered by microsecond "
+    "epoch with RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW; "
+    "timestamp ties are frame peers (included together) so the result "
+    "is row-order independent, and the sum accumulates in "
+    "DECIMAL(18,6) — exact and associative — before one final "
+    "rounding. One user-keyed exchange; frames never cross partitions",
+)
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = register_views(spark, sf_dir)
+    base = t["events"].select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_n"),
+        fround(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"),
+            2,
+        ).alias("trailing_sum"),
+    )
+
+
 _SESSION_GAP_SEC = 1800
 
 
