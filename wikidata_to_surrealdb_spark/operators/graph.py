@@ -153,17 +153,20 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    e = sym.localCheckpoint()
+    # loop invariant: `e` is DISTINCT and canonically directed (_a > _b)
+    # — true initially (one orientation filtered out of the symmetric
+    # set) and preserved by _small_star's output (v -> m with v > m).
+    # Re-symmetrizing is then a plain union of the two orientations,
+    # which are DISJOINT under the invariant — no distinct, one fewer
+    # corpus-wide exchange per round than deduping a doubled edge set.
+    e = sym.where(F.col("_a") > F.col("_b")).localCheckpoint()
     prev_fp = None
     rounds = 0
     converged = False
     for _ in range(max_iter):
         rounds += 1
-        # large-star emits directed (v -> m); re-symmetrize for its
-        # neighborhood pass by unioning both orientations
         ls = _large_star(
             e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
-            .distinct()
         )
         e = _small_star(ls).localCheckpoint()
         # order-independent fingerprint: count + sum of per-edge crc32.
