@@ -6132,6 +6132,77 @@ def curation_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_quality_survivor",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ), comp AS (
+      SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY src
+    ), nb AS ({{NB}}),
+    j AS (
+      SELECT comp.cluster_id, comp.doc_id, nb.logodds_e12,
+             row_number() OVER (PARTITION BY comp.cluster_id
+               ORDER BY nb.logodds_e12 DESC, comp.doc_id) AS rn,
+             count(*) OVER (PARTITION BY comp.cluster_id) AS n_members
+      FROM comp JOIN nb ON nb.doc_id = comp.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           logodds_e12 AS keep_logodds_e12
+    FROM j WHERE rn = 1 AND n_members > 1
+    """.replace("{NB}", _nb_classifier_oracle(str(_NB_POS_SOURCES))),
+    "quality-aware dedup survivorship — WHICH copy to keep, not just "
+    "that copies exist: MinHash near-dup clusters joined with the NB "
+    "quality gate, and each multi-member cluster keeps its "
+    "highest-log-odds member (ties on doc_id — a total order, so the "
+    "decision is deterministic and replayable). The min-id rule "
+    "dedup_clusters uses is the structural default; real pipelines "
+    "keep the cleanest mirror, which is exactly this composition. One "
+    "cluster-keyed window over the joined relation",
+)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from wikidata_to_surrealdb_spark.operators import curation, graph
+
+    t = register_views(spark, sf_dir)
+    pairs = dedup.minhash_dedup(
+        t["documents"], num_hashes=8, bands=4, k=3, threshold=0.1
+    )
+    comp = graph.connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    nb = curation.nb_quality_classifier(
+        t["documents"], F.col("source").isin(*_NB_POS_SOURCES)
+    ).select("doc_id", "logodds_e12")
+    j = comp.join(nb, "doc_id")
+    byc = Window.partitionBy("cluster_id")
+    ranked = j.select(
+        "cluster_id",
+        "doc_id",
+        "logodds_e12",
+        F.row_number()
+        .over(byc.orderBy(F.col("logodds_e12").desc(), F.col("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(byc).alias("n_members"),
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("n_members") > 1)).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("logodds_e12").alias("keep_logodds_e12"),
+    )
+
+
+@_q(
     "text_lm_score",
     _lm_oracle(),
     "KenLM-style fluency scoring, Spark-first: train an add-1-smoothed "
