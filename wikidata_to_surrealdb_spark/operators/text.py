@@ -1088,3 +1088,108 @@ def fts_search_indexed(
             post, list(query_terms), k=k, k1=k1, b=b, doclen=doclen
         )
     raise ValueError(f"unknown mode {mode!r}: 'tf', 'tfidf', 'bm25', 'phrase'")
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: int = 8,
+) -> DataFrame:
+    """In-engine BPE vocabulary training (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    the tokenizer-training stage of a data pipeline, run distributed
+    instead of in an offline single-machine tool. Learns ``merges``
+    merge rules: per round, count adjacent symbol pairs over the word
+    vocabulary weighted by word frequency, merge the most frequent pair
+    everywhere, repeat. Returns the learned merge table
+    ``(step, pair_a, pair_b, merged, pair_count)`` — deterministic: the
+    argmax tie-breaks on (count DESC, a, b), a total order.
+
+    Representation that makes the merge engine-portable: each word is a
+    SENTINEL-DELIMITED symbol string — ``|c1||c2||...||_|`` (tokens are
+    [a-z0-9] so ``|`` and the ``_`` end-of-word marker cannot collide)
+    — and applying a merge is a PLAIN substring replace of
+    ``|a||b|`` with ``|ab|``: no regex (DuckDB's RE2 lacks the
+    lookarounds the classic formulation needs), no per-row loop, and
+    left-to-right non-overlapping semantics identical in the JVM and
+    DuckDB, so the oracle replays training bit for bit.
+
+    Scale shape: the corpus is scanned ONCE (word-frequency groupBy,
+    vocabulary-sized output, localCheckpoint-materialized); each round
+    is one map-side-combined pair-count groupBy over the vocabulary +
+    a 1-row argmax collect (bounded driver action, same contract as the
+    k-row kmeans rankings) + a pure-map replace. Rounds are sequential
+    by nature (each merge depends on the last) — exactly how published
+    BPE trainers iterate; the per-round cost is vocabulary-sized, not
+    corpus-sized.
+    """
+    if merges < 1:
+        raise ValueError("merges must be >= 1")
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    toks = respread(docs).select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("w")
+    )
+    words = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.concat(
+                F.lit("|"),
+                F.concat_ws(
+                    "||",
+                    F.concat(
+                        F.split(F.col("w"), ""), F.array(F.lit("_"))
+                    ),
+                ),
+                F.lit("|"),
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+
+    # both slices length n-1: zip_with pads the shorter side with nulls
+    pair_expr = (
+        "zip_with(slice(_sym, 1, size(_sym) - 1),"
+        " slice(_sym, 2, size(_sym) - 1),"
+        " (a, b) -> struct(a AS a, b AS b))"
+    )
+    learned = []
+    cur = words
+    for step in range(1, merges + 1):
+        pairs = (
+            cur.select(
+                F.expr("split(substring(s, 2, length(s) - 2), '\\\\|\\\\|')").alias(
+                    "_sym"
+                ),
+                "freq",
+            )
+            .select(F.explode(F.expr(pair_expr)).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a"), F.col("b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        learned.append((step, a, b, a + b, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint()
+
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        learned, "step int, pair_a string, pair_b string, merged string, pair_count bigint"
+    )

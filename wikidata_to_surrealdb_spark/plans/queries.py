@@ -6202,6 +6202,74 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(merges: int) -> str:
+    parts = [
+        f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    w0 AS (
+      SELECT '|' || array_to_string(list_append(str_split(w, ''), '_'), '||')
+               || '|' AS s,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM toks GROUP BY w
+    )"""
+    ]
+    for i in range(1, merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""",
+    sym{i} AS (
+      SELECT str_split(substring(s, 2, length(s) - 2), '||') AS sym, freq
+      FROM {prev}
+    ),
+    p{i} AS (
+      SELECT sym[CAST(u.j AS INT)] AS a, sym[CAST(u.j + 1 AS INT)] AS b,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM sym{i}, LATERAL unnest(range(1, len(sym))) AS u(j)
+      GROUP BY 1, 2
+    ),
+    m{i} AS (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    w{i} AS (
+      SELECT replace(s, '|' || m.a || '||' || m.b || '|',
+                        '|' || m.a || m.b || '|') AS s, freq
+      FROM {prev} CROSS JOIN m{i} m
+    )"""
+        )
+    selects = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, a AS pair_a, b AS pair_b, "
+        f"a || b AS merged, cnt AS pair_count FROM m{i}"
+        for i in range(1, merges + 1)
+    )
+    parts.append(f"\n    {selects}\n    ORDER BY step\n")
+    return "".join(parts)
+
+
+_BPE_MERGES = 6
+
+
+@_q(
+    "text_bpe_train",
+    _bpe_oracle(_BPE_MERGES),
+    "in-engine BPE tokenizer training (Sennrich et al. 2016) — the "
+    "vocabulary-learning stage of a data pipeline run distributed: per "
+    "round, adjacent symbol pairs counted over the word vocabulary "
+    "weighted by word frequency (ONE map-side-combined groupBy, "
+    "vocabulary-sized), deterministic argmax (count DESC, a, b — a "
+    "total order), merge applied everywhere. The merge is a PLAIN "
+    "substring replace over sentinel-delimited symbol strings "
+    "(|a||b| -> |ab|) — identical left-to-right semantics in the JVM "
+    "and DuckDB, no regex (RE2 lacks lookarounds), so the oracle "
+    "unrolls and replays all rounds bit for bit. The corpus is scanned "
+    "once; rounds cost vocabulary, not corpus",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return text.bpe_train(t["documents"], merges=_BPE_MERGES)
+
+
 @_q(
     "text_lm_score",
     _lm_oracle(),
