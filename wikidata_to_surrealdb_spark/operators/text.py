@@ -1193,3 +1193,48 @@ def bpe_train(
     return spark.createDataFrame(
         learned, "step int, pair_a string, pair_b string, merged string, pair_count bigint"
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merge rules to every document — the serving
+    half of :func:`bpe_train`: tokenize, render each word as the same
+    sentinel-delimited symbol string training used, chain the plain
+    substring replaces in merge order (pure JVM expressions, one map —
+    no shuffle, no Python), and report the segmentation:
+    ``(doc_id, n_words, n_bpe_tokens, stream_hash)`` where
+    ``n_bpe_tokens`` counts post-merge symbols (each word contributes
+    separators+1) and ``stream_hash`` is md5 of the full segmented
+    stream — enough for an oracle to verify every doc's segmentation
+    without shipping token arrays."""
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    sym = (
+        "transform(_w, w -> concat('|',"
+        " array_join(concat(split(w, ''), array('_')), '||'), '|'))"
+    )
+    d = respread(docs).select(F.col(id_col), words.alias("_w"))
+    d = d.select(id_col, F.size("_w").alias("n_words"),
+                 F.array_join(F.expr(sym), " ").alias("_s"))
+    col = F.col("_s")
+    for a, b in merges:
+        col = F.replace(col, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    d = d.select(id_col, "n_words", col.alias("_s"))
+    seps = F.length("_s") - F.length(F.replace(F.col("_s"), F.lit("||"), F.lit("|")))
+    return d.select(
+        id_col,
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.when(F.col("n_words") == 0, F.lit(0))
+        .otherwise(F.col("n_words") + seps)
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.md5("_s").alias("stream_hash"),
+    )

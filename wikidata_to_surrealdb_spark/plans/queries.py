@@ -6202,7 +6202,8 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(merges: int) -> str:
+def _bpe_ctes(merges: int) -> str:
+    """The shared training CTE chain (w0, sym_i, p_i, m_i, w_i)."""
     parts = [
         f"""
     WITH toks AS (
@@ -6238,13 +6239,50 @@ def _bpe_oracle(merges: int) -> str:
       FROM {prev} CROSS JOIN m{i} m
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(merges: int) -> str:
     selects = "\n      UNION ALL ".join(
         f"SELECT CAST({i} AS INT) AS step, a AS pair_a, b AS pair_b, "
         f"a || b AS merged, cnt AS pair_count FROM m{i}"
         for i in range(1, merges + 1)
     )
-    parts.append(f"\n    {selects}\n    ORDER BY step\n")
-    return "".join(parts)
+    return _bpe_ctes(merges) + f"\n    {selects}\n    ORDER BY step\n"
+
+
+def _bpe_encode_oracle(merges: int) -> str:
+    expr = "s"
+    for i in range(1, merges + 1):
+        expr = (
+            f"replace({expr}, '|' || q{i}.a || '||' || q{i}.b || '|',"
+            f" '|' || q{i}.a || q{i}.b || '|')"
+        )
+    joins = " ".join(f"CROSS JOIN m{i} q{i}" for i in range(1, merges + 1))
+    return (
+        _bpe_ctes(merges)
+        + f""",
+    d AS (
+      SELECT doc_id, {{toks}} AS w FROM documents
+    ),
+    s0 AS (
+      SELECT doc_id, len(w) AS n_words,
+             coalesce(array_to_string(list_transform(w, x ->
+               '|' || array_to_string(list_append(str_split(x, ''), '_'),
+                                      '||') || '|'), ' '), '') AS s
+      FROM d
+    ),
+    sk AS (
+      SELECT doc_id, n_words, {expr} AS s FROM s0 {joins}
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(CASE WHEN n_words = 0 THEN 0
+                ELSE n_words + length(s) - length(replace(s, '||', '|'))
+           END AS BIGINT) AS n_bpe_tokens,
+           md5(s) AS stream_hash
+    FROM sk
+    """.replace("{toks}", _TOKS_SQL)
+    )
 
 
 _BPE_MERGES = 6
@@ -6268,6 +6306,25 @@ _BPE_MERGES = 6
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return text.bpe_train(t["documents"], merges=_BPE_MERGES)
+
+
+@_q(
+    "text_bpe_encode",
+    _bpe_encode_oracle(_BPE_MERGES),
+    "the serving half of BPE: apply the 6 learned merge rules to every "
+    "document — tokenize, render each word as the training-time "
+    "sentinel-delimited symbol string, chain the plain substring "
+    "replaces in merge order (pure JVM map, no shuffle, no Python) — "
+    "and report per-doc segmentation: word count, post-merge BPE token "
+    "count, and md5 of the full segmented stream. The oracle re-learns "
+    "the merges with the training CTE chain and applies them "
+    "identically, so a hash match proves train AND apply end to end",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    learned = text.bpe_train(t["documents"], merges=_BPE_MERGES).collect()
+    merges = [(r.pair_a, r.pair_b) for r in sorted(learned, key=lambda r: r.step)]
+    return text.bpe_apply(t["documents"], merges)
 
 
 @_q(
