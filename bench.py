@@ -108,6 +108,12 @@ BENCH_QUERIES = [
     "mm_ahash_neardup",
     "curation_nb_classifier",
     "dedup_ngram_blocked",
+    # in-engine BPE tokenizer training + corpus-wide apply (since r7)
+    "text_bpe_train",
+    "text_bpe_encode",
+    # RANGE-interval trailing frames + exact PCM decimation (since r7)
+    "events_trailing_window",
+    "mm_audio_resample",
     # KMV set algebra (since r6): bounded sketch-only overlap estimates
     "sketch_kmv_setops",
     # NOT benched (oracle-verified, cost measured once in r6):
