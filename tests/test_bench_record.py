@@ -135,6 +135,7 @@ def test_current_suite_final_line_fits_tail_window(tmp_path, capsys):
         "wd_ingest",
         "wd_ingest_unique",
         "wd_ingest_10x",
+        "dedup_minhash_10x",
         "stream_sessionize_multibatch",
         "stream_dedup_multibatch",
         "layout_scan_zorder",
