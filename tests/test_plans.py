@@ -117,7 +117,16 @@ def test_snowball_gate(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_ngram_blocked", "curation_nb_classifier", "er_resolve_prefix"]
+    "name",
+    [
+        "dedup_ngram_blocked",
+        "curation_nb_classifier",
+        "er_resolve_prefix",
+        "text_bpe_encode",
+        "events_trailing_window",
+        "curation_quality_topk",
+        "curation_c4_span_dedup",
+    ],
 )
 def test_round7_hot_paths_are_jvm_only(spark, name):
     plan = _plan(spark, name)
