@@ -1134,3 +1134,79 @@ def ivf_trained_search(
         .orderBy(F.col("dist"), F.col(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    bands: int = 4,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the ``k`` most-similar vectors carrying a DIFFERENT label —
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially separable; the hard ones live near the
+    anchor). Returns ``(anchor_id, negative_id, cosine, rank)``.
+
+    Shape: candidates come from the seeded multi-band hyperplane LSH
+    (same planes as the dedup family — any-band collision, one Arrow +
+    BLAS matrix product per bucket, never all-pairs), symmetrized so
+    every pair serves both anchors; labels attach by two id-keyed
+    joins; one anchor-keyed window takes the top ``k`` by (cosine DESC,
+    id) — a total order, deterministic. Recall is the banding
+    trade-off, identically mirrored in the oracle. Null labels never
+    match the inequality and drop out in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = ann_banded_pairs_gemm(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        bands=bands,
+        band_bits=band_bits,
+        dim=dim,
+        seed=seed,
+        threshold=-1.0,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("negative_id"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("negative_id"),
+            "cosine",
+        )
+    )
+    lab = embeddings.select(F.col(id_col), F.col(label_col))
+    j = (
+        sym.join(
+            lab.select(
+                F.col(id_col).alias("anchor_id"), F.col(label_col).alias("_la")
+            ),
+            "anchor_id",
+        )
+        .join(
+            lab.select(
+                F.col(id_col).alias("negative_id"),
+                F.col(label_col).alias("_ln"),
+            ),
+            "negative_id",
+        )
+        .where(F.col("_la") != F.col("_ln"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select("anchor_id", "negative_id", "cosine", "rank")
+    )

@@ -1400,6 +1400,72 @@ def _banded_pairs_oracle(threshold: float) -> str:
     """
 
 
+def _hard_negatives_oracle(k: int) -> str:
+    buckets = similarity.hyperplane_bucket_sql(
+        "embedding", _EMB_BANDS, _EMB_BAND_BITS, _EMB_DIM, _EMB_SEED,
+        dialect="duckdb",
+    )
+    ctes = ",\n    ".join(
+        f"b{i} AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
+        f" AS v, {b} AS bucket FROM embeddings)"
+        for i, b in enumerate(buckets)
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT a.vec_id AS id_a, b2.vec_id AS id_b, "
+        f"{fround_sql(_EMB_COS.format(a='a.v', b='b2.v'), 4)} AS cosine "
+        f"FROM b{i} a JOIN b{i} b2 ON a.bucket = b2.bucket"
+        f" AND a.vec_id < b2.vec_id"
+        for i in range(len(buckets))
+    )
+    return f"""
+    WITH {ctes},
+    pairs AS (
+      SELECT DISTINCT id_a, id_b, cosine FROM (
+      {unions}
+      )
+    ),
+    sym AS (
+      SELECT id_a AS anchor_id, id_b AS negative_id, cosine FROM pairs
+      UNION ALL
+      SELECT id_b, id_a, cosine FROM pairs
+    ),
+    j AS (
+      SELECT s.anchor_id, s.negative_id, s.cosine
+      FROM sym s
+      JOIN embeddings la ON la.vec_id = s.anchor_id
+      JOIN embeddings ln ON ln.vec_id = s.negative_id
+      WHERE la.label != ln.label
+    )
+    SELECT anchor_id, negative_id, cosine, rank FROM (
+      SELECT anchor_id, negative_id, cosine,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cosine DESC, negative_id) AS INT) AS rank
+      FROM j
+    ) WHERE rank <= {k}
+    """
+
+
+@_q(
+    "sim_hard_negatives",
+    _hard_negatives_oracle(3),
+    "hard-negative mining for contrastive training — per anchor, the "
+    "3 most-similar DIFFERENT-label vectors (the negatives that move a "
+    "contrastive loss; random negatives are trivially separable): "
+    "multi-band hyperplane-LSH candidates (any-band collision, "
+    "per-bucket Arrow+BLAS GEMM — never all-pairs), symmetrized so "
+    "each pair serves both anchors, labels by two id-keyed joins, one "
+    "anchor-keyed window with the (cosine DESC, id) total order. "
+    "Banding recall mirrored exactly in the oracle",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return similarity.hard_negatives(
+        t["embeddings"], k=3,
+        bands=_EMB_BANDS, band_bits=_EMB_BAND_BITS, dim=_EMB_DIM,
+        seed=_EMB_SEED,
+    )
+
+
 @_q(
     "dedup_embedding",
     _banded_pairs_oracle(0.5),
