@@ -4827,7 +4827,8 @@ def wd_surql_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT label, number_of_episodes FROM (VALUES
       ('Black Clover, season 1', CAST(51.0 AS DOUBLE)),
-      ('Towel Day', CAST(NULL AS DOUBLE))
+      ('Towel Day', CAST(NULL AS DOUBLE)),
+      ('Black Clover', CAST(NULL AS DOUBLE))
     ) AS v(label, number_of_episodes)
     """,
     "the reference's documented let/return/UPDATE flow (Useful "
@@ -4872,6 +4873,54 @@ def wd_surql_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return env.tables["Entity"].select(
         "label", F.col("number_of_episodes").cast("double")
     )
+
+
+@_q(
+    "wd_surql_parts",
+    """
+    SELECT part FROM (VALUES
+      ('Entity:60746544'), ('Entity:60746545')
+    ) AS v(part)
+    """,
+    "the reference's Get Parts flow (Useful queries.md:55-59) run "
+    "VERBATIM through the translator: let-binding an ARRAY-valued "
+    "claims-path collect (P527 Things) with an AS alias, [0].parts "
+    "scalar extraction, RETURN of the bound array. The oracle is the "
+    "hand-derived part list for the committed fixture's Black Clover "
+    "parent",
+)
+def wd_surql_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from wikidata_to_surrealdb_spark.operators import ingest as _ingest
+    from wikidata_to_surrealdb_spark.plans.surql import run_surql
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "episodes_dump.json",
+    )
+    t = _ingest.load_dump(spark, path, "json", lang="en")
+    # Useful queries.md:55-59, verbatim
+    script = """
+    let $parts = (select claims.claims[where id = Property:527].value.Thing as parts from Entity where label = "Black Clover")[0].parts;
+
+    return $parts;
+    """
+    results, _env = run_surql(
+        spark,
+        {
+            "Entity": t.entity,
+            "Property": t.property,
+            "Lexeme": t.lexeme,
+            "Claims": t.claims,
+        },
+        script,
+    )
+    parts = [
+        (f"{r['tb']}:{r['id']}",) for r in results[-1]
+    ]
+    return spark.createDataFrame(parts, "part string")
 
 
 @_q(
