@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     # in-engine BPE tokenizer training + corpus-wide apply (since r7)
     "text_bpe_train",
     "text_bpe_encode",
+    # contrastive hard-negative mining (since r7): LSH candidates +
+    # per-bucket GEMM + anchor-keyed top-k window
+    "sim_hard_negatives",
     # RANGE-interval trailing frames + exact PCM decimation (since r7)
     "events_trailing_window",
     "mm_audio_resample",
@@ -121,6 +124,12 @@ BENCH_QUERIES = [
     # state machinery + sentinel drain) and stream_scd2_apply (2.2 s)
     # would add ~10 s of suite wall for shapes whose scale story the
     # inner attribution join and wd_stream_upsert already cover.
+    # Also not benched (r7, costs measured once): sim_knn_clusters
+    # (8.3 s) and dedup_quality_survivor (6.2 s) are closure composites
+    # whose parts — sim_knn_join, dedup_minhash_lsh, er_resolve,
+    # curation_nb_classifier — are each benched individually; adding
+    # ~15 s of suite wall would re-measure the same connected-components
+    # machinery a third and fourth time.
 ]
 
 
