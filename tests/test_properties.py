@@ -333,3 +333,55 @@ def test_no_dead_public_operators():
             if corpus.count(name) <= 1:
                 dead.append(f"{m}.{name}")
     assert dead == [], f"unreferenced public operators: {dead}"
+
+
+def test_rolling_and_sorted_distinct_match_naive_forms(spark):
+    """The round-7 zip_with rolling-window chain and the sort+adjacent
+    distinct must be EXACTLY the semantics of the naive forms they
+    replaced for speed (per-position slice lambda; array_distinct):
+    500 seeded-random token arrays including empties, shorter-than-
+    window arrays, and duplicate-heavy runs, compared column-for-column
+    in one pass."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.functions import (
+        rolling_concat_expr,
+        rolling_min_expr,
+    )
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "ab", "zz", "q1"]
+    rows = [(i, [rng.choice(alphabet) for _ in range(rng.randint(0, 12))])
+            for i in range(500)]
+    rows += [(1000, []), (1001, ["a"]), (1002, ["a", "a", "a", "a"])]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    for w in (1, 2, 3, 5):
+        # the naive form needs an explicit short-array guard: Spark's
+        # sequence(1, 0) DESCENDS to [1, 0] and slice(toks, 0, w) throws
+        naive_cat = (
+            f"CASE WHEN size(toks) >= {w} THEN "
+            f"transform(sequence(1, size(toks) - {w - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {w}))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+        naive_min = (
+            f"CASE WHEN size(toks) >= {w} THEN "
+            f"transform(sequence(1, size(toks) - {w - 1}), "
+            f"i -> array_min(slice(toks, i, {w}))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+        bad = df.where(
+            (F.expr(rolling_concat_expr("toks", w)) != F.expr(naive_cat))
+            | (F.expr(rolling_min_expr("toks", w)) != F.expr(naive_min))
+        ).count()
+        assert bad == 0, f"w={w}: {bad} mismatching arrays"
+    # sorted_distinct == array_distinct . sort (staged sorted column)
+    from wikidata_to_surrealdb_spark.operators.dedup import sorted_distinct
+
+    staged = df.select("id", F.sort_array("toks").alias("_ss"), "toks")
+    bad = staged.where(
+        sorted_distinct("_ss") != F.array_sort(F.array_distinct("toks"))
+    ).count()
+    assert bad == 0
