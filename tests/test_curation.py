@@ -574,3 +574,30 @@ def test_c4_span_dedup_keeps_first_occurrence(spark):
     assert out[2].n_sentences == 4 and out[2].n_removed == 3
     assert out[3].n_removed == 0
     assert out[4].n_sentences == 2 and out[4].n_removed == 0
+
+
+def test_observed_profile_uses_collect_metrics(spark):
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    rows = [(1, "abc", "en"), (2, None, "de"), (3, "", "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.metric: r.value for r in curation.observed_profile(df).collect()}
+    assert out == {
+        "n_rows": 3,
+        "null_text": 1,
+        "empty_text": 2,   # NULL coalesces to '' and counts as empty too
+        "total_chars": 3,
+        "max_doc_id": 3,
+    }
+    # the mechanism: an observed plan carries a CollectMetrics node
+    obs = Observation("x")
+    plan = (
+        df.observe(obs, F.count(F.lit(1)).alias("n"))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "CollectMetrics" in plan

@@ -915,3 +915,49 @@ def c4_sentence_span_dedup(
     return span_dedup_frame(
         d, id_col, int(window), sep="|", count_alias="n_sentences"
     )
+
+
+def observed_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus profile metrics collected with ``DataFrame.observe``
+    (CollectMetrics): row count, null/empty text counts, total
+    characters, and max id ride the SAME pass as a real
+    consumer action instead of costing a second corpus scan — the
+    Spark-native way to attach data-quality telemetry to a production
+    job (at 100 TB a dedicated metrics scan is a full extra read; an
+    observation is free). Here the consumer action is a minimal
+    count(); in a real pipeline it is the job's own write.
+
+    Returns the metrics as ``(metric, value)`` BIGINT rows so the
+    result is engine-checkable; the observation mechanism itself is
+    pinned by a unit test asserting the CollectMetrics node in the
+    observed plan."""
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_profile")
+    observed = respread(docs).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col(text_col).isNull(), 1).otherwise(0)
+        ).alias("null_text"),
+        F.sum(
+            F.when(F.length(F.coalesce(F.col(text_col), F.lit(""))) == 0, 1)
+            .otherwise(0)
+        ).alias("empty_text"),
+        F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "total_chars"
+        ),
+        # observed metrics reject DISTINCT aggregates, so the profile
+        # sticks to plain folds (max id doubles as an ingest sanity check)
+        F.max(F.col(id_col)).alias("max_doc_id"),
+    )
+    observed.count()  # the consumer action the metrics piggyback on
+    got = obs.get
+    spark = docs.sparkSession
+    rows = [
+        (k, int(got[k]))
+        for k in ("n_rows", "null_text", "empty_text", "total_chars", "max_doc_id")
+    ]
+    return spark.createDataFrame(rows, "metric string, value bigint")

@@ -6184,6 +6184,44 @@ def curation_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "curation_observed_profile",
+    """
+    SELECT metric, value FROM (
+      SELECT 'n_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+      FROM documents
+      UNION ALL
+      SELECT 'null_text',
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'empty_text',
+             CAST(sum(CASE WHEN length(coalesce(text, '')) = 0
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'total_chars',
+             CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'max_doc_id', CAST(max(doc_id) AS BIGINT) FROM documents
+    )
+    """,
+    "data-quality telemetry via DataFrame.observe (CollectMetrics): "
+    "row/null/empty counts, total characters, and max id "
+    "ride the SAME pass as the job's own consumer action instead of a "
+    "second corpus scan — at 100 TB a dedicated metrics pass is a full "
+    "extra read, an observation is free. The oracle recomputes the "
+    "aggregates; the piggyback mechanism is pinned by a unit test on "
+    "the CollectMetrics plan node",
+)
+def curation_observed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    t = register_views(spark, sf_dir)
+    return curation.observed_profile(t["documents"])
+
+
+@_q(
     "curation_nb_classifier",
     _nb_classifier_oracle(str(_NB_POS_SOURCES)),
     "supervised quality-gate classifier — the GPT-3/CCNet stage that "
