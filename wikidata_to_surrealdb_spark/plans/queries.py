@@ -2398,6 +2398,100 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stream_lateness_audit",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), arr AS (
+      SELECT event_id, ts_us,
+             CAST(least(3, (4 * rn) // n
+               + CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+                      THEN 1 ELSE 0 END) AS INT) AS batch_id
+      FROM e
+    ), bmax AS (
+      SELECT batch_id, max(ts_us) AS mx FROM arr GROUP BY batch_id
+    ), wm AS (
+      SELECT batch_id,
+             max(mx) OVER (ORDER BY batch_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - 3600000000 AS wm_us
+      FROM bmax
+    )
+    SELECT a.batch_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN w.wm_us IS NOT NULL AND a.ts_us < w.wm_us
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM arr a JOIN wm w ON w.batch_id = a.batch_id
+    GROUP BY a.batch_id
+    """,
+    "watermark-lateness audit — the deterministic replay of Structured "
+    "Streaming's watermark policy used to TUNE allowed lateness before "
+    "deploying it: arrival batches modeled as exact time quartiles "
+    "(rank-based, ties on event_id) with 1/16 of rows (by md5) "
+    "arriving one batch late; the watermark entering batch b is "
+    "max(event time over batches < b) minus the 1h delay — exactly the "
+    "engine's advance rule — and the audit counts, per batch, the rows "
+    "a watermarked stateful operator would drop. Changes the delay "
+    "knob from a guess into a measured quantity; rank window + two "
+    "bounded aggregations, no state machinery needed",
+)
+def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = register_views(spark, sf_dir)
+    e = t["events"].select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.orderBy("ts_us", "event_id")
+    n_row = e.agg(F.count(F.lit(1)).alias("n"))
+    arr = e.select(
+        "event_id",
+        "ts_us",
+        (F.row_number().over(w) - 1).alias("rn"),
+    ).crossJoin(F.broadcast(n_row)).select(
+        "event_id",
+        "ts_us",
+        F.least(
+            F.lit(3),
+            ((4 * F.col("rn")) / F.col("n")).cast("long")
+            + F.when(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+                == "0",
+                1,
+            ).otherwise(0),
+        )
+        .cast("int")
+        .alias("batch_id"),
+    )
+    bmax = arr.groupBy("batch_id").agg(F.max("ts_us").alias("mx"))
+    wb = Window.orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = bmax.select(
+        "batch_id", (F.max("mx").over(wb) - F.lit(3_600_000_000)).alias("wm_us")
+    )
+    return (
+        arr.join(wm, "batch_id")
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("wm_us").isNotNull()
+                    & (F.col("ts_us") < F.col("wm_us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_late"),
+        )
+    )
+
+
 _SESSION_GAP_SEC = 1800
 
 
