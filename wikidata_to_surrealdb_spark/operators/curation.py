@@ -828,8 +828,15 @@ def nb_quality_classifier(
     def e12(col: Column) -> Column:
         return F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")
 
+    # NULL labels (e.g. a NULL source column) coalesce to the negative
+    # class: without this, ~NULL is NULL in Spark and the row silently
+    # drops out of BOTH class counts, while a CASE-based SQL oracle
+    # counts it as negative — a cross-engine divergence on any corpus
+    # with NULL label attributes. The oracle mirrors this coalesce.
     toks = respread(docs).select(
-        F.col(id_col), pos_cond.alias("_pos"), _tokens(text_col).alias("_t")
+        F.col(id_col),
+        F.coalesce(pos_cond, F.lit(False)).alias("_pos"),
+        _tokens(text_col).alias("_t"),
     )
     occ = toks.select(F.col(id_col), "_pos", F.explode("_t").alias("w"))
     cw = occ.groupBy("w").agg(
@@ -956,8 +963,10 @@ def observed_profile(
     observed.count()  # the consumer action the metrics piggyback on
     got = obs.get
     spark = docs.sparkSession
+    # on an empty corpus sum/max observe None — degrade to 0 instead of
+    # a TypeError so the profile is total over all inputs
     rows = [
-        (k, int(got[k]))
+        (k, int(got[k]) if got[k] is not None else 0)
         for k in ("n_rows", "null_text", "empty_text", "total_chars", "max_doc_id")
     ]
     return spark.createDataFrame(rows, "metric string, value bigint")

@@ -152,6 +152,8 @@ def multipass_fuzzy_pairs(
     key too). Each pass is one bounded self-join; the union is a
     pair-keyed dedup — no quadratic blow-up anywhere.
     """
+    if not passes:
+        raise ValueError("passes must be non-empty")
     pairs = None
     for cols in passes:
         p = blocked_fuzzy_pairs(

@@ -2440,6 +2440,16 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded aggregations, no state machinery needed",
 )
 def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATE bound: the arrival-batch rank uses a globally-ordered
+    window with no partitionBy, funnelling the table through one task.
+    That is the point of this query — the audit deterministically
+    replays ONE stream's arrival order, and a stream's watermark is a
+    single global sequence; the replay is run on a bounded sample of
+    the stream (here the whole bench-scale events table), not the
+    100 TB corpus. To audit at corpus scale, derive ``rn`` per
+    batch-candidate partition (e.g. rank within coarse time buckets)
+    and roll the per-bucket maxima up — the watermark rule composes
+    over partial maxima."""
     from pyspark.sql.window import Window
 
     t = register_views(spark, sf_dir)
@@ -6182,7 +6192,8 @@ def _nb_classifier_oracle(pos_in: str) -> str:
     dp = e12("n_pos / n") + " - " + e12("n_neg / n")
     return f"""
     WITH d AS (
-      SELECT doc_id, (source IN {pos_in}) AS pos, {_TOKS_SQL} AS t
+      SELECT doc_id, coalesce(source IN {pos_in}, FALSE) AS pos,
+             {_TOKS_SQL} AS t
       FROM documents
     ), occ AS (
       SELECT doc_id, pos, unnest(t) AS w FROM d
