@@ -111,6 +111,47 @@ def test_emit_record_oversized_line_appends_headline(tmp_path, capsys):
     assert tail["queries_in"] == "bench_full.json"
 
 
+def test_normalize_vs_prev_classifies_host_drift(tmp_path, capsys):
+    # round-7 shape: host ran 2x slower (calibration 0.1 -> 0.2), every
+    # query nominally 2x slower => normalized ratio 1.0 (drift, not a
+    # regression); one query genuinely 3x slower => normalized 1.5
+    prev = {
+        "queries": {"flat": 1.0, "regressed": 1.0, "gone": 2.0, "bad": -1.0},
+        "calibration_sec": {"start": 0.1, "end": 0.1},
+    }
+    cur = {
+        "queries": {"flat": 2.0, "regressed": 3.0, "new": 1.0, "bad": 0.5},
+        "calibration_sec": {"start": 0.2, "end": 0.2},
+        "metric": "m",
+        "value": 5.0,
+        "unit": "sec",
+        "sf": 0.1,
+    }
+    norm = bench.normalize_vs_prev(cur, prev)
+    assert norm["host_drift_ratio"] == 2.0
+    assert norm["normalized_vs_prev"] == {"flat": 1.0, "regressed": 1.5}
+    assert norm["normalized_worst"] == {"query": "regressed", "ratio": 1.5}
+    assert norm["normalized_regressed"] == ["regressed"]
+    # no usable previous record => empty merge, never raises
+    assert bench.normalize_vs_prev(cur, None) == {}
+    assert bench.normalize_vs_prev(cur, {"queries": {}}) == {}
+
+    # end-to-end through emit_record: prev on disk is read BEFORE the
+    # overwrite, the full record carries the map, the printed line only
+    # the 2-field headline
+    out = tmp_path / "bench_full.json"
+    out.write_text(json.dumps(prev))
+    line = bench.emit_record(dict(cur), None, out_path=str(out))
+    printed = json.loads(line)
+    assert printed["host_drift"] == 2.0
+    assert printed["norm_worst"] == "regressed:1.5"
+    assert "normalized_vs_prev" not in printed
+    full = json.loads(out.read_text())
+    assert full["normalized_vs_prev"] == {"flat": 1.0, "regressed": 1.5}
+    assert full["host_drift_ratio"] == 2.0
+    capsys.readouterr()
+
+
 def test_current_suite_final_line_fits_tail_window(tmp_path, capsys):
     # with the real BENCH_QUERIES list and realistic timing widths, the
     # FINAL printed line (the full record if it fits, else the headline
