@@ -63,3 +63,50 @@ def test_oracle_sql_order_matches_queries():
     qs = list(entry.queries())
     osql = list(entry.oracle_sql())
     assert [q for q in qs if q in set(osql)] == osql
+
+
+def test_staleness_stays_within_rotation_bandwidth():
+    """Gate: catalog growth must not outrun the 50-slot/round rotation.
+
+    The driver hash-verifies the first 50 ``queries()`` entries per
+    round; with N catalog queries a full refresh cycle is
+    ceil(N / 50) rounds, so no verified query should ever be staler
+    than that many rounds behind the latest CORRECTNESS file — the
+    moment adding queries outpaces verification bandwidth, this fails
+    the build instead of leaving the drift for the judge to notice.
+    Queries never seen by the driver must all fit in the next round's
+    window (<= 50), or some would be unverifiable next round too.
+    """
+    import glob
+    import math
+    import os
+    import re
+
+    from wikidata_to_surrealdb_spark.plans.queries import QUERIES
+
+    rounds = []
+    for path in glob.glob(os.path.join(entry._REPO_DIR, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.append(int(m.group(1)))
+    if not rounds:  # fresh clone without driver artifacts: nothing to gate
+        return
+    latest = max(rounds)
+    budget = math.ceil(len(QUERIES) / 50)
+    last = entry._last_verified_round()
+    stale = {
+        n: latest - max(last[n])
+        for n in QUERIES
+        if n in last
+    }
+    worst = max(stale.values(), default=0)
+    offenders = sorted(n for n, s in stale.items() if s > budget)
+    assert worst <= budget, (
+        f"verification staleness {worst} rounds exceeds the rotation "
+        f"budget ceil({len(QUERIES)}/50)={budget}; stalest: {offenders[:10]}"
+    )
+    never = [n for n in QUERIES if n not in last]
+    assert len(never) <= 50, (
+        f"{len(never)} never-driver-verified queries exceed one round's "
+        f"50-slot window: {never[:10]}..."
+    )
