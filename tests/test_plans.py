@@ -144,6 +144,38 @@ def test_round7_pandas_stages_are_arrow_batched(spark, name):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_nb_model_join_strategies(spark):
+    """curation.nb_quality_classifier(broadcast_model=...) — both plans
+    pinned: True broadcasts the |V|-row model into the token-stream
+    join (no exchange on w); False routes the same join through a plain
+    word-keyed shuffle join (the at-web-scale path for an over-budget
+    vocabulary). Same rows either way."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pos = F.col("source").isin("src0", "src1")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    bcast = curation.nb_quality_classifier(docs, pos, broadcast_model=True)
+    shuf = curation.nb_quality_classifier(docs, pos, broadcast_model=False)
+    # broadcast path: the model side of the w-join arrives by broadcast
+    p_b = plan_of(bcast)
+    assert "BroadcastHashJoin [w" in p_b, p_b
+    # shuffle path: the w-join is a shuffle join (SMJ or shuffled-hash
+    # in the initial plan — AQE may still improve it at runtime, which
+    # is exactly the behavior we want at scale)
+    p_s = plan_of(shuf)
+    assert "SortMergeJoin [w" in p_s or "ShuffledHashJoin [w" in p_s, p_s
+    # identical results
+    a = sorted(map(tuple, bcast.collect()))
+    b = sorted(map(tuple, shuf.collect()))
+    assert a == b
+
+
 def test_containment_reads_materialized_index_once(spark):
     """The posting-list index is localCheckpoint-materialized, so the
     final plan must NOT replay the corpus-sized shingle/window subtree

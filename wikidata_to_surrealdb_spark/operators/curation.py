@@ -797,6 +797,7 @@ def nb_quality_classifier(
     pos_cond: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Multinomial Naive-Bayes quality classifier over word unigrams —
     the supervised quality-gate stage of the published web-corpus
@@ -811,10 +812,18 @@ def nb_quality_classifier(
     per-word class counts (ONE map-side-combined groupBy over the token
     stream), plus a 1-row stats relation (class token totals, vocab
     size, doc priors). Scoring: the token stream joins the
-    vocabulary-sized model broadcast (at web scale swap for a shuffle
-    join — the model is |V| rows) and ONE doc-keyed aggregation sums
+    vocabulary-sized model and ONE doc-keyed aggregation sums
     exact BIGINT e12 log-probs; the class decision is a sign test, so
-    no float ever enters a comparison. Returns ``(doc_id, n_tokens,
+    no float ever enters a comparison.
+
+    ``broadcast_model`` picks the model-join strategy: True (default)
+    broadcasts the |V|-row model — right whenever the vocabulary fits
+    the broadcast budget (a few million words). At web scale a raw
+    unigram vocabulary can run to billions of keys; ``False`` routes
+    the same join through a plain word-keyed shuffle join instead
+    (both sides exchange on ``w`` — the honest cost of an over-budget
+    model). Results are identical; only the physical plan changes
+    (both pinned in tests/test_plans.py). Returns ``(doc_id, n_tokens,
     logodds_e12, pred)`` with pred 'hi' when ``log10 P(pos|x) >=
     log10 P(neg|x)``; token-less docs fall back to the prior alone.
 
@@ -860,8 +869,13 @@ def nb_quality_classifier(
             - e12(plog10((F.col("c_neg") + 1.0) / (F.col("t_neg") + 1.0 * F.col("v"))))
         ).alias("_dlp"),
     )
+    # broadcast_model=False must HOLD at scale, so it hints a sort-merge
+    # join rather than merely dropping the broadcast hint — otherwise
+    # the optimizer's size estimate (tiny at test scale, wrong at web
+    # scale where |V| blows the budget) would silently re-broadcast.
+    model_side = F.broadcast(model) if broadcast_model else model.hint("merge")
     sc = (
-        occ.join(F.broadcast(model), "w")
+        occ.join(model_side, "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
