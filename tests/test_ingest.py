@@ -907,3 +907,44 @@ def test_snapshot_diff_roundtrip_with_scd2(spark):
     merged = scd2_merge(dim, feed, ["k"], ["seg", "bal"], "2024-06-01")
     current = {(r.k, r.bal) for r in merged.where("is_current").collect()}
     assert current == {(1, 11.0), (2, 20.0), (3, 30.0)}
+
+
+def test_write_tables_observed_metrics(spark, tmp_path):
+    """write_tables(observe=True): telemetry rides the write action via
+    CollectMetrics (no extra scan) and the returned values match the
+    written data (VERDICT r07 #7 — the production home of
+    curation.observed_profile's mechanism)."""
+    dump = tmp_path / "dump.json"
+    fx.write_fixture(str(dump), fx.entity_fixture_lines(wrapper=True))
+    tables = load_dump(spark, str(dump), "json", lang="en")
+
+    # the observed write plan must carry the CollectMetrics node
+    from pyspark.sql import Observation
+
+    ob = Observation("pin")
+    observed = tables.entity.observe(ob, F.count(F.lit(1)).alias("n"))
+    plan = observed._jdf.queryExecution().analyzed().toString()
+    assert "CollectMetrics" in plan, plan
+
+    from wikidata_to_surrealdb_spark.operators.ingest import write_tables
+
+    out = tmp_path / "out"
+    metrics = write_tables(tables, str(out), observe=True)
+    assert metrics is not None
+    # values agree with what actually landed on disk
+    for name in ("Entity", "Property", "Lexeme", "Claims"):
+        on_disk = spark.read.parquet(f"{out}/{name}.parquet")
+        assert metrics[name]["n_rows"] == on_disk.count(), (name, metrics)
+    ent = spark.read.parquet(f"{out}/Entity.parquet")
+    assert metrics["Entity"]["empty_label"] == ent.where(
+        F.col("label") == ""
+    ).count()
+    assert metrics["Entity"]["empty_description"] == ent.where(
+        F.col("description") == ""
+    ).count()
+    cl = spark.read.parquet(f"{out}/Claims.parquet")
+    assert metrics["Claims"]["total_claims"] == (
+        cl.select(F.sum(F.size("claims"))).first()[0]
+    )
+    # the default path still returns None (unchanged contract)
+    assert write_tables(tables, str(tmp_path / "out2")) is None

@@ -438,8 +438,12 @@ def claims_long(claims: DataFrame) -> DataFrame:
 
 
 def write_tables(
-    tables: WikidataTables, out_dir: str, mode: str = "overwrite", stage: bool = True
-) -> None:
+    tables: WikidataTables,
+    out_dir: str,
+    mode: str = "overwrite",
+    stage: bool = True,
+    observe: bool = False,
+) -> dict[str, dict[str, int]] | None:
     """Persist the 4 tables as Parquet (the reference's bulk sink,
     utils.rs:152-160, minus the HTTP hop).
 
@@ -458,10 +462,42 @@ def write_tables(
     scheduler interleaves their tasks instead. The parent is materialized
     first so the concurrent jobs race on cached data, not on computing
     the cache.
+
+    ``observe=True`` attaches a ``DataFrame.observe`` (CollectMetrics)
+    per table so data-quality telemetry — row count, empty labels/
+    descriptions, total flattened claims — rides the WRITE itself: at
+    100 TB a dedicated metrics pass is a full extra corpus read, an
+    observation is free. Returns ``{table: {metric: value}}`` when
+    observing, else None.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import StorageLevel
+
+    obs_map: dict[str, object] = {}
+
+    def _observed(name: str, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Observation
+
+        metrics = [F.count(F.lit(1)).alias("n_rows")]
+        cols = set(df.columns)
+        if "label" in cols:
+            metrics.append(
+                F.sum(F.when(F.col("label") == "", 1).otherwise(0)).alias(
+                    "empty_label"
+                )
+            )
+        if "description" in cols:
+            metrics.append(
+                F.sum(
+                    F.when(F.col("description") == "", 1).otherwise(0)
+                ).alias("empty_description")
+            )
+        if "claims" in cols and "label" not in cols:  # the Claims table
+            metrics.append(F.sum(F.size("claims")).alias("total_claims"))
+        ob = Observation(f"ingest_{name}")
+        obs_map[name] = ob
+        return df.observe(ob, *metrics)
 
     parent = tables.staged_parent if stage else None
     if parent is not None:
@@ -469,6 +505,8 @@ def write_tables(
         parent.count()  # materialize once, before the writes race on it
     try:
         items = list(tables.as_dict().items())
+        if observe:
+            items = [(name, _observed(name, df)) for name, df in items]
         with ThreadPoolExecutor(max_workers=len(items)) as pool:
             futures = [
                 pool.submit(
@@ -483,6 +521,18 @@ def write_tables(
     finally:
         if parent is not None:
             parent.unpersist()
+    if not observe:
+        return None
+    # the writes completed, so every observation is resolved; empty
+    # tables observe None for sums — degrade to 0 (same rule as
+    # curation.observed_profile)
+    return {
+        name: {
+            k: int(v) if v is not None else 0
+            for k, v in ob.get.items()
+        }
+        for name, ob in obs_map.items()
+    }
 
 
 def merge_loads(base: WikidataTables, update: WikidataTables) -> WikidataTables:
