@@ -124,12 +124,25 @@ BENCH_QUERIES = [
     # state machinery + sentinel drain) and stream_scd2_apply (2.2 s)
     # would add ~10 s of suite wall for shapes whose scale story the
     # inner attribution join and wd_stream_upsert already cover.
-    # Also not benched (r7, costs measured once): sim_knn_clusters
-    # (8.3 s) and dedup_quality_survivor (6.2 s) are closure composites
-    # whose parts — sim_knn_join, dedup_minhash_lsh, er_resolve,
-    # curation_nb_classifier — are each benched individually; adding
-    # ~15 s of suite wall would re-measure the same connected-components
-    # machinery a third and fourth time.
+    # dedup_quality_survivor (6.2 s) stays unbenched: its parts
+    # (dedup_minhash_lsh, curation_nb_classifier, connected
+    # components) are each timed individually.
+    # closure composites, benched since r8 (VERDICT r07 #5): the
+    # alternating large-star/small-star connected-components loop is
+    # where lineage/exchange blowups hide, and the r7
+    # one-exchange-per-round improvement (commit e143e0c) deserves a
+    # timed guard — dedup_clusters (MinHash pairs -> components),
+    # sim_knn_clusters (kNN graph -> components), er_fuzzy_match
+    # (nation-blocked pair generation alone — also the x1 baseline
+    # for the er_pairs_4x_* scale probes below)
+    "dedup_clusters",
+    "sim_knn_clusters",
+    "er_fuzzy_match",
+    # batched BPE at realistic vocabulary scale (since r8): 16 rounds
+    # x up-to-4 disjoint merges/round ~= 64 merges in 16 jobs — the
+    # rounds ~= merges/batch shape a 30k-merge production tokenizer
+    # needs (VERDICT r07 #4)
+    "text_bpe_train_batched",
 ]
 
 
@@ -395,6 +408,67 @@ def main() -> None:
         ).count()
         timings["dedup_minhash_10x"] = round(time.perf_counter() - t0, 3)
 
+        # ER blocking-scheme scale probe (VERDICT r07 #3): the same
+        # duplicate-dense customer set (x4 replication, exact-copy
+        # names, unique keys — untimed build) through BOTH candidate
+        # generators. Nation blocking (25 values) is quadratic in
+        # replication — candidate pairs grow 16x at x4 (measured 100x
+        # at x10: 17.0M pairs, 57.6 s — too hot to run inside this
+        # burstable suite, hence x4) — while the engineered multipass
+        # keys (er.py:125-153: disjoint+covering (nation, 15-char
+        # prefix) + (nation, 2-char suffix), total single-substitution
+        # recall) bound block size by key cardinality and stay
+        # near-linear (x10 measured once: 5.1 s, 11x faster).
+        # x1 baselines: er_fuzzy_match above (nation) and the
+        # er_pairs_1x_multipass entry here — four points, two slopes.
+        from wikidata_to_surrealdb_spark.operators import er as _er
+
+        _cust = _load_sf(spark, sf_dir, ("customer",))["customer"]
+
+        def _with_keys(df):
+            return df.withColumn(
+                "_k", _er.canonical(F.col("c_name"))
+            ).select(
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                F.expr("substring(_k, 1, 15)").alias("_pre"),
+                F.expr(
+                    "substring(_k, greatest(length(_k) - 1, 1), 2)"
+                ).alias("_suf"),
+            )
+
+        _bigc = (
+            _cust.crossJoin(
+                spark.range(4).select(F.col("id").alias("_rep"))
+            )
+            .withColumn("c_custkey", F.col("c_custkey") * 4 + F.col("_rep"))
+            .repartition(32)
+            .localCheckpoint()
+        )
+        _bigc.count()
+        _mp_passes = [["c_nationkey", "_pre"], ["c_nationkey", "_suf"]]
+        t0 = time.perf_counter()
+        _er.multipass_fuzzy_pairs(
+            _with_keys(_cust), "c_custkey", "c_name", _mp_passes, max_dist=2
+        ).count()
+        timings["er_pairs_1x_multipass"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _er.blocked_fuzzy_pairs(
+            _bigc,
+            "c_custkey",
+            "c_name",
+            ["c_nationkey"],
+            max_dist=2,
+            broadcast_build=True,
+        ).count()
+        timings["er_pairs_4x_nation"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _er.multipass_fuzzy_pairs(
+            _with_keys(_bigc), "c_custkey", "c_name", _mp_passes, max_dist=2
+        ).count()
+        timings["er_pairs_4x_multipass"] = round(time.perf_counter() - t0, 3)
+
         # multi-batch streaming: slice the events table into 4 time-ordered
         # files (not timed) and replay them one per micro-batch, so the
         # CROSS-BATCH state path — resume open sessions / merge dedup
@@ -555,6 +629,15 @@ def normalize_vs_prev(record: dict, prev_full: dict | None) -> dict:
     corrupt file, no common queries) so the caller can merge
     unconditionally."""
     if not isinstance(prev_full, dict):
+        return {}
+    # a prev record from a different scale factor (e.g. a local
+    # sf0.001 smoke run) would make every ratio meaningless — compare
+    # only like with like
+    if (
+        "sf" in prev_full
+        and "sf" in record
+        and prev_full["sf"] != record["sf"]
+    ):
         return {}
     try:
         pc, cc = prev_full["calibration_sec"], record["calibration_sec"]

@@ -135,6 +135,9 @@ def test_normalize_vs_prev_classifies_host_drift(tmp_path, capsys):
     # no usable previous record => empty merge, never raises
     assert bench.normalize_vs_prev(cur, None) == {}
     assert bench.normalize_vs_prev(cur, {"queries": {}}) == {}
+    # a prev record at a different scale factor is not comparable
+    assert bench.normalize_vs_prev(cur, {**prev, "sf": 0.001}) == {}
+    assert bench.normalize_vs_prev(cur, {**prev, "sf": 0.1}) != {}
 
     # end-to-end through emit_record: prev on disk is read BEFORE the
     # overwrite, the full record carries the map, the printed line only

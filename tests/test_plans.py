@@ -176,6 +176,32 @@ def test_nb_model_join_strategies(spark):
     assert a == b
 
 
+def test_closure_round_exchange_budget(spark):
+    """One connected-components round (large-star -> small-star) has a
+    bounded exchange count — the closure loop multiplies whatever this
+    plan costs by the round count, so a regression here (e.g. reverting
+    the r7 one-fewer-exchange-per-round union-of-disjoint-orientations
+    invariant, commit e143e0c) taxes every closure consumer
+    (dedup_clusters, sim_knn_clusters, er_resolve*). Pinned against the
+    measured plan of the current implementation."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src bigint, dst bigint"
+    )
+    sym = graph._undirect(edges, "src", "dst").where(F.col("_a") != F.col("_b"))
+    e = sym.where(F.col("_a") > F.col("_b")).localCheckpoint()
+    one_round = graph._small_star(
+        graph._large_star(
+            e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        )
+    )
+    plan = one_round._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 11, plan
+
+
 def test_containment_reads_materialized_index_once(spark):
     """The posting-list index is localCheckpoint-materialized, so the
     final plan must NOT replay the corpus-sized shingle/window subtree

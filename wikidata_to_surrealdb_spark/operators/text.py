@@ -1195,6 +1195,129 @@ def bpe_train(
     )
 
 
+def bpe_train_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 8,
+    batch: int = 8,
+) -> DataFrame:
+    """Batched BPE training — the vocabulary-scale variant of
+    :func:`bpe_train`. A production tokenizer needs ~30k merges; one
+    Spark job per merge is 30k sequential jobs. The standard
+    approximation (used by every distributed BPE/WordPiece trainer,
+    e.g. the map-reduce WordPiece formulation in Song et al. 2021,
+    "Fast WordPiece Tokenization") merges SEVERAL pairs per round,
+    restricted to pairs that cannot interact: merging ``|x||y|`` only
+    creates/destroys adjacencies involving ``x`` or ``y``, so a set of
+    pairs over pairwise-DISJOINT symbols has exactly the counts a
+    sequential trainer would see, and the round collapses ``k`` jobs
+    into one.
+
+    Selection rule (deterministic, engine-replayable): rank the
+    round's pair counts by ``(count DESC, a, b)``; keep the top
+    ``4*batch`` pool; a candidate is accepted iff it shares NO symbol
+    with any higher-ranked candidate in the pool (blocking on every
+    higher-ranked CANDIDATE — not just accepted picks — keeps the rule
+    a single window + bounded anti-join instead of a sequential greedy
+    scan, so the DuckDB oracle replays it declaratively); the first
+    ``batch`` accepted merge. Rounds ~= merges/batch: at 30k merges
+    and batch=256 that is ~120 rounds, a schedulable number of
+    vocabulary-sized jobs.
+
+    Returns ``(step, round, pair_a, pair_b, merged, pair_count)``;
+    ``step`` numbers merges globally in (round, rank) order, exactly
+    ``row_number() OVER (ORDER BY round, sel)`` in the oracle.
+    """
+    if rounds < 1 or batch < 1:
+        raise ValueError("rounds and batch must be >= 1")
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    toks = respread(docs).select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("w")
+    )
+    words = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.concat(
+                F.lit("|"),
+                F.concat_ws(
+                    "||",
+                    F.concat(
+                        F.split(F.col("w"), ""), F.array(F.lit("_"))
+                    ),
+                ),
+                F.lit("|"),
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+
+    pair_expr = (
+        "zip_with(slice(_sym, 1, size(_sym) - 1),"
+        " slice(_sym, 2, size(_sym) - 1),"
+        " (a, b) -> struct(a AS a, b AS b))"
+    )
+    pool = 4 * batch
+    learned = []
+    cur = words
+    step = 0
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            cur.select(
+                F.expr("split(substring(s, 2, length(s) - 2), '\\\\|\\\\|')").alias(
+                    "_sym"
+                ),
+                "freq",
+            )
+            .select(F.explode(F.expr(pair_expr)).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        # bounded driver action: the pool is 4*batch rows, same contract
+        # as the sequential trainer's 1-row argmax
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a"), F.col("b")
+        ).limit(pool).collect()
+        accepted = []
+        for i, row in enumerate(top):
+            syms = {row["a"], row["b"]}
+            if any(
+                top[j]["a"] in syms or top[j]["b"] in syms for j in range(i)
+            ):
+                continue
+            accepted.append(row)
+            if len(accepted) == batch:
+                break
+        if not accepted:
+            break
+        col = F.col("s")
+        for sel, row in enumerate(accepted, start=1):
+            a, b = row["a"], row["b"]
+            step += 1
+            learned.append((step, rnd, a, b, a + b, int(row["cnt"])))
+            # disjoint symbols => replace order cannot matter; applied in
+            # rank order anyway to mirror the oracle's fold order
+            col = F.replace(
+                col, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            )
+        cur = cur.select(col.alias("s"), "freq").localCheckpoint()
+
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        learned,
+        "step int, round int, pair_a string, pair_b string, "
+        "merged string, pair_count bigint",
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -6585,6 +6585,116 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_apply(t["documents"], merges)
 
 
+def _bpe_batched_oracle(rounds: int, batch: int) -> str:
+    """Unrolled replay of text.bpe_train_batched: per round, rank pair
+    counts (cnt DESC, a, b), keep the 4*batch pool, accept candidates
+    sharing no symbol with any higher-ranked pool candidate (bounded
+    anti-join), merge the first `batch` accepted via a list_reduce fold
+    of plain replaces ordered by selection rank."""
+    pool = 4 * batch
+    parts = [
+        f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    w0 AS MATERIALIZED (
+      SELECT '|' || array_to_string(list_append(str_split(w, ''), '_'), '||')
+               || '|' AS s,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM toks GROUP BY w
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""",
+    sym{i} AS MATERIALIZED (
+      SELECT str_split(substring(s, 2, length(s) - 2), '||') AS sym, freq
+      FROM {prev}
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT sym[CAST(u.j AS INT)] AS a, sym[CAST(u.j + 1 AS INT)] AS b,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM sym{i}, LATERAL unnest(range(1, len(sym))) AS u(j)
+      GROUP BY 1, 2
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT a, b, cnt, rk FROM (
+        SELECT a, b, cnt,
+               row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+        FROM p{i}
+      ) WHERE rk <= {pool}
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT x.a, x.b, x.cnt, x.rk FROM c{i} x
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c{i} y
+        WHERE y.rk < x.rk AND (y.a IN (x.a, x.b) OR y.b IN (x.a, x.b))
+      )
+    ),
+    k{i} AS MATERIALIZED (
+      SELECT a, b, cnt, sel FROM (
+        SELECT a, b, cnt, row_number() OVER (ORDER BY rk) AS sel
+        FROM s{i}
+      ) WHERE sel <= {batch}
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT list_reduce(
+               list_prepend(s, coalesce(
+                 (SELECT list(a || '#' || b ORDER BY sel) FROM k{i}),
+                 CAST([] AS VARCHAR[]))),
+               (acc, v) -> replace(acc,
+                 '|' || split_part(v, '#', 1) || '||'
+                     || split_part(v, '#', 2) || '|',
+                 '|' || split_part(v, '#', 1)
+                     || split_part(v, '#', 2) || '|')) AS s,
+             freq
+      FROM {prev}
+    )"""
+        )
+    selects = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS round, sel, a AS pair_a, b AS pair_b, "
+        f"a || b AS merged, cnt AS pair_count FROM k{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "".join(parts) + f"""
+    SELECT CAST(row_number() OVER (ORDER BY round, sel) AS INT) AS step,
+           round, pair_a, pair_b, merged, pair_count
+    FROM (
+      {selects}
+    )
+    """
+
+
+_BPE_BATCH_ROUNDS = 16
+_BPE_BATCH = 4
+
+
+@_q(
+    "text_bpe_train_batched",
+    _bpe_batched_oracle(_BPE_BATCH_ROUNDS, _BPE_BATCH),
+    "BPE training at realistic vocabulary scale: a production tokenizer "
+    "needs ~30k merges and one Spark job per merge is 30k sequential "
+    "jobs, so each round merges up to `batch` pairs over pairwise-"
+    "DISJOINT symbols — merging |x||y| only touches adjacencies "
+    "involving x or y, so disjoint merges see exactly the counts a "
+    "sequential trainer would (the standard distributed-trainer "
+    "approximation, cf. Song et al. 2021). Selection is deterministic "
+    "and declarative — rank (count DESC, a, b), 4*batch pool, accept "
+    "iff no symbol is shared with ANY higher-ranked pool candidate "
+    "(one window + one bounded anti-join, no sequential greedy scan) — "
+    "so the oracle unrolls all rounds and replays selection and the "
+    "fold of plain replaces bit for bit. 16 rounds x batch 4 here "
+    "stands in for ~120 rounds x 256 at web scale; rounds ~= "
+    "merges/batch is the whole point",
+)
+def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return text.bpe_train_batched(
+        t["documents"], rounds=_BPE_BATCH_ROUNDS, batch=_BPE_BATCH
+    )
+
+
 @_q(
     "text_lm_score",
     _lm_oracle(),
