@@ -142,7 +142,19 @@ def entities(draw):
     )
 
 
-@given(st.lists(entities(), min_size=1, max_size=6, unique_by=lambda e: e[0]["id"]))
+# unique by NUMERIC id, not entity-id string: Q5 and P5 route to
+# different mini tables but share Claims-table id 5, where the
+# first-writer-wins collision dedup (SURVEY §1.3, covered by its own
+# test) would make the per-entity snak-count assertion ambiguous —
+# hypothesis eventually drew exactly that collision
+@given(
+    st.lists(
+        entities(),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda e: int(e[0]["id"][1:]),
+    )
+)
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 def test_ingest_invariants(spark, tmp_path_factory, drawn):
     """For arbitrary entity shapes: every entity routes to the table its
