@@ -610,24 +610,36 @@ def main() -> None:
 
 
 def normalize_vs_prev(record: dict, prev_full: dict | None) -> dict:
-    """Calibration-normalized cross-round per-query deltas.
+    """Drift-normalized cross-round per-query deltas, machine-readable.
 
-    Round 7 proved the fixed-work calibration probes' value — the
-    burstable host ran 1.7-2.3x slower than round 6, making 9 queries
-    look regressed when normalized times were flat — but the
-    normalization arithmetic lived in the reviewer's session, not the
-    artifact.  This makes it machine-readable: given the PREVIOUS
-    round's full record (bench_full.json read before overwrite — at
-    bench time the on-disk copy is the last committed round's), scale
-    each common query's previous time by the host-drift ratio
-    (current mean calibration / previous mean calibration, >1 = host
-    slower now) and report ``current / (prev * drift)`` — a value near
-    1.0 means "same plan cost, different host weather"; >1.3 after
-    normalization is a REAL regression.
+    Round 7 proved the burstable host swings 2x between rounds, making
+    flat queries look regressed (or improved); the normalization
+    arithmetic lived in the reviewer's session, not the artifact.
+    Given the PREVIOUS round's full record (bench_full.json read
+    before overwrite — at bench time the on-disk copy is the last
+    committed round's), estimate host drift and report
+    ``current / (prev * drift)`` per common query: ~1.0 means "same
+    plan cost, different host weather"; >1.3 after normalization is a
+    real regression.
+
+    TWO drift estimators, because they disagree and the disagreement
+    matters: the fixed-work CPU probe (``host_drift_ratio``) measures
+    pure whole-stage-codegen throughput, but real queries mix I/O,
+    shuffle, and Python orchestration — measured in round 8, the probe
+    ran 0.52x while the median query ran ~0.9x, so probe-scaling would
+    have misclassified ~65 flat queries as regressions. The PRIMARY
+    estimator is therefore ``median_nominal_ratio`` — the median of
+    per-query current/prev ratios, robust because most of the catalog
+    does not change between rounds — and ``normalized_vs_prev``
+    divides by it, making real outliers stand out. Caveat recorded
+    here for the reader: if most of the suite genuinely regressed at
+    once, the median would hide it — that is exactly when the
+    independent CPU probe disagrees with the median, so compare the
+    two fields before trusting either.
 
     Returns {} when no usable previous record exists (first round,
-    corrupt file, no common queries) so the caller can merge
-    unconditionally."""
+    corrupt file, scale-factor mismatch, no common queries) so the
+    caller can merge unconditionally."""
     if not isinstance(prev_full, dict):
         return {}
     # a prev record from a different scale factor (e.g. a local
@@ -649,7 +661,7 @@ def normalize_vs_prev(record: dict, prev_full: dict | None) -> dict:
         return {}
     if drift <= 0:
         return {}
-    norm = {}
+    nominal = {}
     for q, t in record.get("queries", {}).items():
         pt = prev_q.get(q)
         if (
@@ -658,12 +670,23 @@ def normalize_vs_prev(record: dict, prev_full: dict | None) -> dict:
             and isinstance(t, (int, float))
             and t > 0
         ):
-            norm[q] = round(t / (pt * drift), 3)
-    if not norm:
+            nominal[q] = t / pt
+    if not nominal:
         return {}
+    ratios = sorted(nominal.values())
+    mid = len(ratios) // 2
+    median = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2.0
+    )
+    if median <= 0:
+        return {}
+    norm = {q: round(r / median, 3) for q, r in nominal.items()}
     worst = max(norm, key=norm.get)
     return {
         "host_drift_ratio": round(drift, 3),
+        "median_nominal_ratio": round(median, 3),
         "normalized_vs_prev": norm,
         "normalized_worst": {"query": worst, "ratio": norm[worst]},
         # the machine classification the judge previously had to redo
@@ -709,6 +732,7 @@ def emit_record(
         # headline only on the printed line — the per-query map competes
         # with query timings for the driver's 2000-char tail window
         record["host_drift"] = norm["host_drift_ratio"]
+        record["median_drift"] = norm["median_nominal_ratio"]
         record["norm_worst"] = (
             f"{norm['normalized_worst']['query']}:"
             f"{norm['normalized_worst']['ratio']}"

@@ -112,15 +112,29 @@ def test_emit_record_oversized_line_appends_headline(tmp_path, capsys):
 
 
 def test_normalize_vs_prev_classifies_host_drift(tmp_path, capsys):
-    # round-7 shape: host ran 2x slower (calibration 0.1 -> 0.2), every
-    # query nominally 2x slower => normalized ratio 1.0 (drift, not a
-    # regression); one query genuinely 3x slower => normalized 1.5
+    # round-7 shape: host ran 2x slower — most queries nominally 2x
+    # slower => the MEDIAN nominal ratio (the primary drift estimator;
+    # the CPU probe over-corrects on mixed workloads, measured r8)
+    # is 2.0 and the flat queries normalize to 1.0; one query genuinely
+    # 3x slower => normalized 1.5, the only flagged regression
     prev = {
-        "queries": {"flat": 1.0, "regressed": 1.0, "gone": 2.0, "bad": -1.0},
+        "queries": {
+            "flat1": 1.0,
+            "flat2": 4.0,
+            "regressed": 1.0,
+            "gone": 2.0,
+            "bad": -1.0,
+        },
         "calibration_sec": {"start": 0.1, "end": 0.1},
     }
     cur = {
-        "queries": {"flat": 2.0, "regressed": 3.0, "new": 1.0, "bad": 0.5},
+        "queries": {
+            "flat1": 2.0,
+            "flat2": 8.0,
+            "regressed": 3.0,
+            "new": 1.0,
+            "bad": 0.5,
+        },
         "calibration_sec": {"start": 0.2, "end": 0.2},
         "metric": "m",
         "value": 5.0,
@@ -128,8 +142,13 @@ def test_normalize_vs_prev_classifies_host_drift(tmp_path, capsys):
         "sf": 0.1,
     }
     norm = bench.normalize_vs_prev(cur, prev)
-    assert norm["host_drift_ratio"] == 2.0
-    assert norm["normalized_vs_prev"] == {"flat": 1.0, "regressed": 1.5}
+    assert norm["host_drift_ratio"] == 2.0  # the independent CPU probe
+    assert norm["median_nominal_ratio"] == 2.0
+    assert norm["normalized_vs_prev"] == {
+        "flat1": 1.0,
+        "flat2": 1.0,
+        "regressed": 1.5,
+    }
     assert norm["normalized_worst"] == {"query": "regressed", "ratio": 1.5}
     assert norm["normalized_regressed"] == ["regressed"]
     # no usable previous record => empty merge, never raises
@@ -150,8 +169,13 @@ def test_normalize_vs_prev_classifies_host_drift(tmp_path, capsys):
     assert printed["norm_worst"] == "regressed:1.5"
     assert "normalized_vs_prev" not in printed
     full = json.loads(out.read_text())
-    assert full["normalized_vs_prev"] == {"flat": 1.0, "regressed": 1.5}
+    assert full["normalized_vs_prev"] == {
+        "flat1": 1.0,
+        "flat2": 1.0,
+        "regressed": 1.5,
+    }
     assert full["host_drift_ratio"] == 2.0
+    assert full["median_nominal_ratio"] == 2.0
     capsys.readouterr()
 
 
