@@ -1122,7 +1122,10 @@ def bpe_train(
     k-row kmeans rankings) + a pure-map replace. Rounds are sequential
     by nature (each merge depends on the last) — exactly how published
     BPE trainers iterate; the per-round cost is vocabulary-sized, not
-    corpus-sized.
+    corpus-sized. At production vocabulary scale (~30k merges), use
+    :func:`bpe_train_batched`, which merges up to ``batch``
+    symbol-disjoint pairs per round and cuts the job count to
+    merges/batch.
     """
     if merges < 1:
         raise ValueError("merges must be >= 1")
