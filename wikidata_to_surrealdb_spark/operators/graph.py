@@ -248,6 +248,12 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # an empty graph has nothing to rank: return the empty
+        # (node, rank) relation instead of dividing by N=0
+        out = nodes.withColumn("rank", F.lit(0.0))
+        nodes.unpersist()
+        return out
     base = (1.0 - damping) / float(n)
     outdeg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
     # out-degree is STATIC across iterations: attach it to the edge list
