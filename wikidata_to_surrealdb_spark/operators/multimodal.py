@@ -300,7 +300,7 @@ def jpeg_meta(assets: DataFrame) -> DataFrame:
             rows = []
             for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
                 try:
-                    d = jpeg_dimensions(bytes(buf))
+                    d = jpeg_dimensions(bytes(buf) if buf is not None else b"")
                     rows.append(
                         {
                             "asset_id": asset_id,
@@ -540,7 +540,7 @@ def decode_features(
             for pdf in batches:
                 rows = []
                 for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
-                    buf = bytes(buf)
+                    buf = bytes(buf) if buf is not None else b""
                     row = None
                     if have_pil:
                         # native fast path; per-asset fallback keeps
@@ -590,8 +590,21 @@ def decode_features(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        # a NULL payload yields a NULL feature row (asset_id kept), the
+        # same degrade rule as a corrupt file — and what a SQL oracle
+        # computes when every byte expression sees NULL
+        null_feats = {
+            "n_bytes": None,
+            "byte_sum": None,
+            "byte_min": None,
+            "byte_max": None,
+            "content_hash": None,
+        }
         for pdf in batches:
-            feats = [decode(bytes(b)) for b in pdf["payload"]]
+            feats = [
+                decode(bytes(b)) if b is not None else dict(null_feats)
+                for b in pdf["payload"]
+            ]
             out = pd.DataFrame(feats)
             out.insert(0, "asset_id", pdf["asset_id"].values)
             yield out
@@ -620,6 +633,8 @@ def frame_sample(
         for pdf in batches:
             ids, idxs, hashes, sizes = [], [], [], []
             for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
+                if buf is None:
+                    continue  # NULL payload -> no frames (oracle rule)
                 buf = bytes(buf)
                 n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
                 for k in range(0, n_frames, stride):
@@ -702,7 +717,7 @@ def resize_images(
             rows = []
             for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
                 try:
-                    img = dec(bytes(buf))
+                    img = dec(bytes(buf) if buf is not None else b"")
                     px = resize_nearest(
                         img["pixels"],
                         img["width"],
@@ -811,7 +826,9 @@ def audio_features(
         for pdf in batches:
             rows = []
             for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
-                s = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                s = np.frombuffer(
+                    bytes(buf) if buf is not None else b"", dtype="<i2"
+                ).astype(np.int64)
                 n = len(s)
                 if n:
                     sum_sq = int(np.sum(s * s))
@@ -1011,7 +1028,9 @@ def audio_resample_features(
         for pdf in batches:
             rows = []
             for asset_id, buf in zip(pdf["asset_id"], pdf["payload"]):
-                s = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                s = np.frombuffer(
+                    bytes(buf) if buf is not None else b"", dtype="<i2"
+                ).astype(np.int64)
                 m = len(s) // f
                 r = (
                     (s[: m * f].reshape(m, f).sum(axis=1) + f // 2) // f

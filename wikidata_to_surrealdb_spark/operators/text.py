@@ -537,7 +537,11 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         "es": ("el", "la", "los", "que", "es", "y"),
         "fr": ("le", "la", "les", "est", "et", "une"),
     }
-    toks = tokens_col(text_col)
+    # NULL text classifies as 'und' by the same path as empty text;
+    # without the coalesce the scores are NULL and the label only lands
+    # on 'und' through the final fallback (fragile, and the SQL oracle
+    # mirrors the explicit form)
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
 
     def marker_count(words: tuple[str, ...]):
         return F.size(F.filter(toks, lambda t: t.isin(*words)))

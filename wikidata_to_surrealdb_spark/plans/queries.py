@@ -2271,8 +2271,13 @@ _LANGID_MARKERS_SQL = {
     "text_langid",
     f"""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                 t -> length(t) > 0) AS t
+      -- NULL text scores like empty text ('und'), not ELSE-branch 'fr':
+      -- without the coalesce every score is NULL and the CASE falls
+      -- through all WHENs (three-valued logic), silently mislabeling
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                         t -> length(t) > 0) AS t
       FROM documents
     ), scores AS (
       SELECT doc_id,
@@ -6521,7 +6526,11 @@ def _bpe_encode_oracle(merges: int) -> str:
         _bpe_ctes(merges)
         + f""",
     d AS (
-      SELECT doc_id, {{toks}} AS w FROM documents
+      -- NULL text segments like empty text (0 words, 0 tokens): the
+      -- Spark side coalesces before tokenizing, so the oracle must not
+      -- let len(NULL) produce NULL counts
+      SELECT doc_id, coalesce({{toks}}, CAST([] AS VARCHAR[])) AS w
+      FROM documents
     ),
     s0 AS (
       SELECT doc_id, len(w) AS n_words,

@@ -80,7 +80,12 @@ SESSION_SCHEMA = "user_id bigint, session_id bigint, n_events bigint, duration_s
 # state carries the OPEN session's running aggregates, not just a cursor:
 # a session spanning micro-batches must resume its counts, and value is
 # kept in exact integer cents so resumed sums stay decimal-exact.
-_STATE_SCHEMA = "session_id bigint, n_events bigint, min_us bigint, last_us bigint, cents bigint"
+# n_vals counts NON-NULL values so an all-NULL session emits NULL like
+# SQL SUM (and like the JVM events_sessionize variant) instead of 0.
+_STATE_SCHEMA = (
+    "session_id bigint, n_events bigint, min_us bigint, last_us bigint, "
+    "cents bigint, n_vals bigint"
+)
 
 
 def sessionize_stateful_stream_df(
@@ -119,9 +124,23 @@ def apply_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
 
         (user_id,) = key
         if state.exists:
-            open_sid, open_n, open_min, open_last, open_cents = state.get
+            (
+                open_sid,
+                open_n,
+                open_min,
+                open_last,
+                open_cents,
+                open_nv,
+            ) = state.get
         else:
-            open_sid, open_n, open_min, open_last, open_cents = 0, 0, 0, None, 0
+            open_sid, open_n, open_min, open_last, open_cents, open_nv = (
+                0,
+                0,
+                0,
+                None,
+                0,
+                0,
+            )
 
         # Vectorized per batch: gap detection, session ids, and per-session
         # aggregates are numpy cumsum/segment ops; only the OPEN session's
@@ -140,8 +159,14 @@ def apply_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
             return
         batch = pd.concat(frames, ignore_index=True).sort_values("us")
         us = batch["us"].to_numpy(dtype=np.int64)
-        # exact cents so the decimal-sum oracle reproduces bit-for-bit
-        cents = np.round(batch["value"].to_numpy(dtype=np.float64) * 100).astype(
+        # exact cents so the decimal-sum oracle reproduces bit-for-bit.
+        # NULL values arrive as NaN; a blind astype(int64) would turn
+        # them into INT64_MIN and poison the session sum — accumulate 0
+        # for them and track the non-null count so an all-NULL session
+        # emits NULL exactly like SQL SUM (the JVM variant's behavior).
+        vals = batch["value"].to_numpy(dtype=np.float64)
+        present = ~np.isnan(vals)
+        cents = np.where(present, np.round(np.where(present, vals, 0.0) * 100), 0).astype(
             np.int64
         )
         gap_us = gap_sec * 1_000_000
@@ -159,6 +184,8 @@ def apply_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         seg_last = us[seg[1:] - 1]
         ccum = np.concatenate(([0], np.cumsum(cents)))
         seg_cents = ccum[seg[1:]] - ccum[seg[:-1]]
+        nvcum = np.concatenate(([0], np.cumsum(present.astype(np.int64))))
+        seg_nv = nvcum[seg[1:]] - nvcum[seg[:-1]]
         seg_sid = sid[seg[:-1]]
         # merge the carried open session into the first segment if the
         # first event continues it (no new-session flag at position 0)
@@ -166,13 +193,16 @@ def apply_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
             seg_n[0] += open_n
             seg_first[0] = open_min
             seg_cents[0] += open_cents
+            seg_nv[0] += open_nv
         rows = pd.DataFrame(
             {
                 "user_id": np.full(len(seg_sid), user_id, dtype=np.int64),
                 "session_id": seg_sid.astype(np.int64),
                 "n_events": seg_n.astype(np.int64),
                 "duration_sec": (seg_last - seg_first) // 1_000_000,
-                "session_value": seg_cents / 100.0,
+                "session_value": np.where(
+                    seg_nv > 0, seg_cents / 100.0, np.nan
+                ),
             }
         )
         state.update(
@@ -182,6 +212,7 @@ def apply_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
                 int(seg_first[-1]),
                 int(seg_last[-1]),
                 int(seg_cents[-1]),
+                int(seg_nv[-1]),
             )
         )
         yield rows
