@@ -143,23 +143,26 @@ def connected_components(
     wrong labels. Pass a dict as ``_stats`` to receive
     ``{"rounds": n}`` (used by tests to assert round counts).
     """
-    # one materialization up front: each round launches join jobs, and
-    # without the checkpoint every job re-runs the upstream edge
-    # pipeline (often an expensive MinHash pair generation)
-    sym = _undirect(edges, src, dst).where(F.col("_a") != F.col("_b"))
+    # ONE materialization of the symmetric edge set up front: each round
+    # launches join jobs, and without the checkpoint every job re-runs
+    # the upstream edge pipeline (often an expensive MinHash/GEMM pair
+    # generation). Both `nodes` and `e` derive from this single
+    # checkpoint — building them from separate _undirect() calls (the
+    # pre-round-8 shape) evaluated that upstream subtree twice.
+    sym_all = _undirect(edges, src, dst).localCheckpoint()
+    # symmetric set => _a alone covers every endpoint, including
+    # self-loop-only nodes (restored at the end as singletons)
     nodes = (
-        _undirect(edges, src, dst)
-        .select(F.col("_a").alias("node"))
-        .distinct()
-        .localCheckpoint()
+        sym_all.select(F.col("_a").alias("node")).distinct().localCheckpoint()
     )
     # loop invariant: `e` is DISTINCT and canonically directed (_a > _b)
     # — true initially (one orientation filtered out of the symmetric
-    # set) and preserved by _small_star's output (v -> m with v > m).
-    # Re-symmetrizing is then a plain union of the two orientations,
-    # which are DISJOINT under the invariant — no distinct, one fewer
-    # corpus-wide exchange per round than deduping a doubled edge set.
-    e = sym.where(F.col("_a") > F.col("_b")).localCheckpoint()
+    # set, which also drops self-loops) and preserved by _small_star's
+    # output (v -> m with v > m). Re-symmetrizing is then a plain union
+    # of the two orientations, which are DISJOINT under the invariant —
+    # no distinct, one fewer corpus-wide exchange per round than
+    # deduping a doubled edge set.
+    e = sym_all.where(F.col("_a") > F.col("_b")).localCheckpoint()
     prev_fp = None
     rounds = 0
     converged = False
