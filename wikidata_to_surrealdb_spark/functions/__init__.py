@@ -32,9 +32,17 @@ def fround(col: Column, decimals: int = 2) -> Column:
 
 
 def fround_sql(expr: str, decimals: int = 2) -> str:
-    """SQL-text twin of :func:`fround` (same text runs in Spark & DuckDB)."""
+    """SQL-text twin of :func:`fround` (same text runs in Spark & DuckDB).
+
+    The result is parenthesized so it composes safely inside larger
+    expressions: without the outer parens, ``a * {fround_sql(x)}``
+    parses as ``(a * floor(...)) / f`` — a different floating-point
+    evaluation path than ``a * (floor(...) / f)``, which flips 1-ulp
+    rounding-boundary cases (found via doc 481's quality score landing
+    on exactly .73305: misparsed 0.73304999... rounds down, correct
+    0.73305 rounds up)."""
     f = 10**decimals
-    return f"floor(({expr}) * {f} + 0.5) / {f}"
+    return f"(floor(({expr}) * {f} + 0.5) / {f})"
 
 
 def dsum(col: Column, scale: int = 6) -> Column:

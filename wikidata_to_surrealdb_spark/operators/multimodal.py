@@ -1003,9 +1003,11 @@ def audio_resample_features(
     """Integer-exact PCM downsampling + feature extraction: decimate an
     s16le signal by ``factor`` with a boxcar (block-mean) low-pass —
     each output sample is the round-half-up integer mean of one
-    ``factor``-sample block (``(sum + factor//2) // factor``, floor
-    division, identical semantics in numpy and DuckDB; partial tail
-    blocks are dropped so frames stay whole) — then the same exact
+    ``factor``-sample block (``(sum + factor//2) // factor``, numpy
+    FLOOR division — DuckDB's ``//`` truncates toward zero, so the
+    oracle emulates floor with a sign CASE; the two only differ on
+    negative odd block sums, i.e. payloads with bytes >= 0x80; partial
+    tail blocks are dropped so frames stay whole) — then the same exact
     integer features as :func:`audio_features` over the resampled
     signal, with ``duration_ms`` at the NEW rate ``sample_rate /
     factor``. The whole path is integer arithmetic, so the oracle

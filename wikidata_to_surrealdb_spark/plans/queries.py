@@ -2618,7 +2618,7 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_binary_meta",
     """
     SELECT doc_id,
-           CAST(octet_length(text::BLOB) AS BIGINT) AS payload_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
            md5(text) AS content_hash
     FROM documents
     """,
@@ -2641,21 +2641,36 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_decode_features",
     """
     WITH b AS (
-      SELECT doc_id AS asset_id, text,
-             list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+      -- UTF-8 byte-exact: hex(encode(text)) then hex-pair decode, so
+      -- the oracle matches the payload bytes on ANY text (the previous
+      -- per-character ascii() form was only valid on pure-ASCII data);
+      -- NULL text -> all-NULL features (same degrade as the operator)
+      SELECT doc_id AS asset_id, text, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
       FROM documents
+    ), e AS (
+      SELECT asset_id, text, nb,
+             list_transform(generate_series(1, CAST(nb AS BIGINT)),
+               i -> 16 * (strpos('0123456789ABCDEF',
+                                 substring(hx, CAST(2*i - 1 AS BIGINT), 1)) - 1)
+                    + (strpos('0123456789ABCDEF',
+                              substring(hx, CAST(2*i AS BIGINT), 1)) - 1)
+             ) AS bytes
+      FROM b
     )
     SELECT asset_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+           CAST(nb AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN nb IS NULL THEN NULL
+                     ELSE coalesce(list_sum(bytes), 0) END AS BIGINT)
+             AS byte_sum,
            CAST(list_min(bytes) AS INTEGER) AS byte_min,
            CAST(list_max(bytes) AS INTEGER) AS byte_max,
            md5(text) AS content_hash
-    FROM b
+    FROM e
     """,
     "multimodal decode via Arrow-batched mapInPandas: binary payload -> "
-    "typed feature row (deterministic byte-stats decoder; oracle valid "
-    "because the testdata text is pure ASCII so chars == bytes)",
+    "typed feature row (deterministic byte-stats decoder; oracle is "
+    "UTF-8 byte-exact via hex-pair decode, valid on any text)",
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.operators import multimodal
@@ -2682,7 +2697,13 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM frames
     """,
     "multimodal frame sampling: every 4th 64-byte frame per payload, "
-    "1 -> n fan-out inside the Arrow iterator (the video-frame shape)",
+    "1 -> n fan-out inside the Arrow iterator (the video-frame shape). "
+    "ORACLE SCOPE: exact where bytes == chars (ASCII corpora, incl. "
+    "the driver data); a byte-exact twin is not expressible in DuckDB "
+    "1.0 — md5 is VARCHAR-only and a 64-BYTE frame boundary can split "
+    "a UTF-8 codepoint, so the byte slice has no VARCHAR form. The "
+    "operator itself is byte-defined on any payload (frames are "
+    "bytes, as for real media)",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.operators import multimodal
@@ -5698,9 +5719,10 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "mm_audio_resample",
-    # decimate-by-2 with a boxcar block mean — (sum + 1) // 2, floor
-    # division with identical negative-number semantics in numpy and
-    # DuckDB — then the exact integer features at the halved rate
+    # decimate-by-2 with a boxcar block mean — (sum + 1) // 2 FLOOR
+    # division (numpy semantics; the oracle's CASE emulates floor since
+    # DuckDB // truncates) — then the exact integer features at the
+    # halved rate
     """
     WITH d AS (
       SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
@@ -5718,9 +5740,19 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                END) AS smp
       FROM d
     ), r AS (
+      -- FLOOR division like numpy: DuckDB's // truncates toward zero,
+      -- which differs on negative odd block sums (only reachable when
+      -- payload bytes >= 0x80 make samples negative — invisible on
+      -- pure-ASCII corpora, found by the unicode parity sweep)
       SELECT doc_id, n // 2 AS m,
              list_transform(range(0, n // 2), j ->
-               (smp[CAST(2*j + 1 AS INT)] + smp[CAST(2*j + 2 AS INT)] + 1) // 2
+               CASE WHEN (smp[CAST(2*j + 1 AS INT)]
+                          + smp[CAST(2*j + 2 AS INT)] + 1) >= 0
+                    THEN (smp[CAST(2*j + 1 AS INT)]
+                          + smp[CAST(2*j + 2 AS INT)] + 1) // 2
+                    ELSE (smp[CAST(2*j + 1 AS INT)]
+                          + smp[CAST(2*j + 2 AS INT)]) // 2
+               END
              ) AS rs
       FROM s
     )
