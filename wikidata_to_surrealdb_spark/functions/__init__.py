@@ -26,9 +26,21 @@ def fround(col: Column, decimals: int = 2) -> Column:
     (BigDecimal.valueOf) while DuckDB rounds the binary value — at
     .xx5 boundaries they disagree. floor() on the identical IEEE double
     is bit-deterministic in both engines, so oracle hashes match.
+
+    Total over the double range: NaN/±Inf and |x| >= 2^53/10^d pass
+    through unchanged. Beyond that magnitude a double has no
+    representable fractional part, so passthrough IS the rounded value
+    — and it sidesteps the structural engine split (Spark ``floor`` on
+    DOUBLE returns LONG, saturating or throwing on huge/non-finite
+    input; DuckDB's returns DOUBLE). The SQL twin applies the identical
+    threshold so both engines take the same branch on every row.
     """
     f = 10**decimals
-    return F.floor(col * f + F.lit(0.5)) / f
+    d = col.cast("double")
+    lim = 2.0**53 / f
+    return F.when(F.isnan(d) | (F.abs(d) >= F.lit(lim)), d).otherwise(
+        F.floor(col * f + F.lit(0.5)) / f
+    )
 
 
 def fround_sql(expr: str, decimals: int = 2) -> str:
@@ -40,20 +52,54 @@ def fround_sql(expr: str, decimals: int = 2) -> str:
     evaluation path than ``a * (floor(...) / f)``, which flips 1-ulp
     rounding-boundary cases (found via doc 481's quality score landing
     on exactly .73305: misparsed 0.73304999... rounds down, correct
-    0.73305 rounds up)."""
+    0.73305 rounds up).
+
+    Mirrors :func:`fround`'s totality rule: NaN/±Inf and
+    |x| >= 2^53/10^d pass through (same literal threshold, so both
+    engines branch identically per row)."""
     f = 10**decimals
-    return f"(floor(({expr}) * {f} + 0.5) / {f})"
+    lim = repr(2.0**53 / f)
+    return (
+        f"(CASE WHEN isnan(CAST(({expr}) AS DOUBLE))"
+        f" OR abs(CAST(({expr}) AS DOUBLE)) >= {lim}"
+        f" THEN CAST(({expr}) AS DOUBLE)"
+        f" ELSE floor(({expr}) * {f} + 0.5) / {f} END)"
+    )
+
+
+_F_INF = float("inf")
+
+
+def finite(col: Column) -> Column:
+    """Doubles with no finite value (NaN/±Inf) become NULL — the
+    precondition for exact-decimal/cents arithmetic: a non-finite
+    measure has no decimal representation, and without the guard the
+    engines fail DIFFERENTLY (DuckDB refuses the cast loudly, Spark
+    saturates to LONG_MIN/MAX silently or throws under ANSI mid-sum).
+    NULL means SQL aggregates simply skip the value on both engines.
+    SQL twin: :func:`finite_sql` (DuckDB ``isfinite``)."""
+    return F.when(~F.isnan(col) & (F.abs(col) != _F_INF), col)
+
+
+def finite_sql(expr: str) -> str:
+    """DuckDB twin of :func:`finite`."""
+    return f"(CASE WHEN isfinite({expr}) THEN ({expr}) ELSE NULL END)"
 
 
 def dsum(col: Column, scale: int = 6) -> Column:
     """Exact portable sum of a money/measure double column: cast each value
     to DECIMAL (exact, since inputs carry <= `scale` decimals), sum
-    exactly (associative — immune to partition order), return DOUBLE."""
-    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    exactly (associative — immune to partition order), return DOUBLE.
+    Non-finite inputs are excluded (see :func:`finite`) so the sum is
+    total over the double range on both engines."""
+    return F.sum(finite(col).cast(f"decimal(18,{scale})")).cast("double")
 
 
 def dsum_sql(expr: str, scale: int = 6) -> str:
-    return f"CAST(sum(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    return (
+        f"CAST(sum(CAST({finite_sql(expr)} AS DECIMAL(18,{scale})))"
+        " AS DOUBLE)"
+    )
 
 
 _PLOG_N = 30  # sqrt-chain depth: |rel err| ~ 3e-7, bit-identical everywhere

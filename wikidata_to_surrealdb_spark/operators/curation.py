@@ -400,8 +400,13 @@ def corpus_stats(
             fround(F.expr(f"percentile({size_col}, 0.5)"), 4).alias("p50_chars"),
             fround(F.expr(f"percentile({size_col}, 0.9)"), 4).alias("p90_chars"),
             fround(F.expr(f"percentile({size_col}, 0.99)"), 4).alias("p99_chars"),
+            # DECIMAL(38,0) accumulator: a BIGINT sum of sizes throws
+            # (ANSI) or wraps at adversarial magnitudes where DuckDB
+            # silently promotes to HUGEINT — decimal matches that
             fround(
-                F.sum(size_col).cast("double") / F.count("*").cast("double"), 4
+                F.sum(F.col(size_col).cast("decimal(38,0)")).cast("double")
+                / F.count("*").cast("double"),
+                4,
             ).alias("mean_chars"),
             F.sum("_nt").cast("bigint").alias("total_tokens"),
         )
@@ -674,18 +679,16 @@ def corpus_mix(
         raise ValueError("alpha must be an integer >= 1")
     from pyspark.sql import Window
 
-    w = F.col(weight_col).cast("bigint")
+    # DECIMAL(38,0) from the first multiply: w^alpha in BIGINT throws
+    # (ANSI) or wraps before the decimal sum could help (e.g. n_chars
+    # near 2^63 at alpha=2); decimal powers can't wrap — overflow
+    # surfaces as NULL/error, never a skewed quota. The oracle's
+    # HUGEINT does the same
+    w = F.col(weight_col).cast("decimal(38,0)")
     wa = w
     for _ in range(alpha - 1):
         wa = wa * w
-    # accumulate the temperature mass as DECIMAL(38,0): a BIGINT sum of
-    # w^alpha silently wraps under non-ANSI Spark at corpus scale
-    # (e.g. n_chars ~1e6 per doc at alpha=3 over billions of rows);
-    # decimal can't wrap — overflow surfaces as NULL/error, never a
-    # skewed quota
-    stats = df.groupBy(source_col).agg(
-        F.sum(wa.cast("decimal(38,0)")).alias("_wa")
-    )
+    stats = df.groupBy(source_col).agg(F.sum(wa).alias("_wa"))
     total = stats.agg(F.sum("_wa").alias("_tot"))
     quota = (
         stats.crossJoin(F.broadcast(total))

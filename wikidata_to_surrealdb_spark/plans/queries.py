@@ -33,7 +33,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wikidata_to_surrealdb_spark.functions import dsum, dsum_sql, fround, fround_sql
+from wikidata_to_surrealdb_spark.functions import (
+    dsum,
+    dsum_sql,
+    finite,
+    finite_sql,
+    fround,
+    fround_sql,
+)
 from wikidata_to_surrealdb_spark.operators import dedup, mutations, similarity, text
 from wikidata_to_surrealdb_spark.sources.tables import register_views
 
@@ -2363,7 +2370,8 @@ def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, ts_us,
            CAST(count(*) OVER w AS BIGINT) AS trailing_n,
            {fround_sql(
-               "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)", 2
+               "CAST(sum(CAST(" + finite_sql("value")
+               + " AS DECIMAL(18,6))) OVER w AS DOUBLE)", 2
            )} AS trailing_sum
     FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
                  value FROM events)
@@ -2397,7 +2405,9 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_n"),
         fround(
-            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"),
+            F.sum(finite(F.col("value")).cast("decimal(18,6)"))
+            .over(w)
+            .cast("double"),
             2,
         ).alias("trailing_sum"),
     )
@@ -2759,11 +2769,11 @@ def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.c_mktsegment,
            e.event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS total_cents
+           CAST(sum(CAST(floor({FINITE_VALUE} * 100.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS total_cents
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1, 2, 3
-    """,
+    """.replace("{FINITE_VALUE}", finite_sql("e.value")),
     "STREAM-STATIC enrichment join (the canonical serving shape: an "
     "unbounded fact stream decorated with dimension attributes): "
     "readStream events broadcast-joined to the static customer table — "
@@ -4400,12 +4410,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EV_CUMSUM = (
-    "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ("
+    f"CAST(sum(CAST({finite_sql('value')} AS DECIMAL(18,2))) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
 )
 _EV_MA3_SUM = (
-    "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ("
+    f"CAST(sum(CAST({finite_sql('value')} AS DECIMAL(18,2))) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)"
 )
@@ -4437,7 +4447,7 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame3 = w.rowsBetween(-2, Window.currentRow)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dec = F.col("value").cast("decimal(18,2)")
+    dec = finite(F.col("value")).cast("decimal(18,2)")
     return t["events"].select(
         "event_id",
         "user_id",
@@ -7305,7 +7315,10 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_corpus_mix",
     """
     WITH stats AS (
-      SELECT source, sum(n_chars * n_chars) AS wa
+      -- HUGEINT power: BIGINT n_chars^2 overflows loudly in DuckDB at
+      -- adversarial magnitudes; the Spark side's DECIMAL(38,0) matches
+      SELECT source,
+             sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS wa
       FROM documents GROUP BY source
     ),
     quota AS (
@@ -7752,11 +7765,11 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(event_type, '(all)') AS event_type,
            coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS total_cents
+           CAST(sum(CAST(floor({FINITE_VALUE} * 100.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS total_cents
     FROM events
     GROUP BY CUBE (event_type, CAST(ts AS DATE))
-    """,
+    """.replace("{FINITE_VALUE}", finite_sql("value")),
     "CUBE aggregation: all four grouping sets of (type, day) in one "
     "pass — Spark expands the cube in a single Expand + hash aggregate "
     "(one shuffle), not four scans; NULL grouping slots labeled '(all)' "
@@ -7764,7 +7777,7 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    cents = F.floor(finite(F.col("value")) * 100.0 + 0.5).cast("bigint")
     return (
         t["events"]
         .withColumn("_cents", cents)

@@ -160,12 +160,13 @@ def apply_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         batch = pd.concat(frames, ignore_index=True).sort_values("us")
         us = batch["us"].to_numpy(dtype=np.int64)
         # exact cents so the decimal-sum oracle reproduces bit-for-bit.
-        # NULL values arrive as NaN; a blind astype(int64) would turn
-        # them into INT64_MIN and poison the session sum — accumulate 0
-        # for them and track the non-null count so an all-NULL session
-        # emits NULL exactly like SQL SUM (the JVM variant's behavior).
+        # NULL values arrive as NaN, and ±Inf has no cents form; a
+        # blind astype(int64) would turn either into INT64_MIN and
+        # poison the session sum — accumulate 0 for them and track the
+        # finite count so an all-excluded session emits NULL exactly
+        # like the finite-guarded SQL SUM (the JVM variant's behavior).
         vals = batch["value"].to_numpy(dtype=np.float64)
-        present = ~np.isnan(vals)
+        present = np.isfinite(vals)
         cents = np.where(present, np.round(np.where(present, vals, 0.0) * 100), 0).astype(
             np.int64
         )
@@ -595,7 +596,12 @@ def segment_enrich_stream_df(
     dim = spark.read.parquet(customer_path).select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    # non-finite measures carry no cents representation: NULL them so
+    # the sum skips them (matching the batch oracle's isfinite guard)
+    # instead of saturating/throwing mid-stream
+    from wikidata_to_surrealdb_spark.functions import finite
+
+    cents = F.floor(finite(F.col("value")) * 100.0 + 0.5).cast("bigint")
     return (
         stream.withWatermark("ts", watermark)
         .join(F.broadcast(dim), "user_id")
