@@ -27,14 +27,28 @@ def fround(col: Column, decimals: int = 2) -> Column:
     .xx5 boundaries they disagree. floor() on the identical IEEE double
     is bit-deterministic in both engines, so oracle hashes match.
 
-    Total over the double range: NaN/±Inf and |x| >= 2^53/10^d pass
-    through unchanged. Beyond that magnitude a double has no
-    representable fractional part, so passthrough IS the rounded value
-    — and it sidesteps the structural engine split (Spark ``floor`` on
-    DOUBLE returns LONG, saturating or throwing on huge/non-finite
-    input; DuckDB's returns DOUBLE). The SQL twin applies the identical
-    threshold so both engines take the same branch on every row.
-    """
+    DOMAIN: finite x with |x * 10^d| inside the LONG range (every
+    count/ratio/percentile/guarded-decimal-sum in the catalog — their
+    magnitudes are structurally bounded). For measure-derived doubles
+    that can be NaN/±Inf (raw event values, differences of them), use
+    :func:`fround_total`: its passthrough guard references the input
+    THREE times, which re-evaluates expensive subexpressions —
+    measured 2.4x on the ngram-Jaccard ratio — so it must not be the
+    default."""
+    f = 10**decimals
+    return F.floor(col * f + F.lit(0.5)) / f
+
+
+def fround_total(col: Column, decimals: int = 2) -> Column:
+    """:func:`fround`, total over the double range: NaN/±Inf and
+    |x| >= 2^53/10^d pass through unchanged. Beyond that magnitude a
+    double has no representable fractional part, so passthrough IS the
+    rounded value — and it sidesteps the structural engine split
+    (Spark ``floor`` on DOUBLE returns LONG, saturating or throwing on
+    huge/non-finite input; DuckDB's returns DOUBLE). The SQL twin
+    applies the identical threshold so both engines take the same
+    branch on every row. Costs ~3 evaluations of ``col``: apply it to
+    CHEAP columns (raw measures), not to expensive subexpressions."""
     f = 10**decimals
     d = col.cast("double")
     lim = 2.0**53 / f
@@ -52,11 +66,17 @@ def fround_sql(expr: str, decimals: int = 2) -> str:
     evaluation path than ``a * (floor(...) / f)``, which flips 1-ulp
     rounding-boundary cases (found via doc 481's quality score landing
     on exactly .73305: misparsed 0.73304999... rounds down, correct
-    0.73305 rounds up).
+    0.73305 rounds up). Same finite-domain contract as :func:`fround`;
+    pair with :func:`fround_total_sql` wherever the Spark side uses
+    :func:`fround_total` — mixing the pairs breaks parity exactly on
+    the adversarial inputs the _total forms exist for."""
+    f = 10**decimals
+    return f"(floor(({expr}) * {f} + 0.5) / {f})"
 
-    Mirrors :func:`fround`'s totality rule: NaN/±Inf and
-    |x| >= 2^53/10^d pass through (same literal threshold, so both
-    engines branch identically per row)."""
+
+def fround_total_sql(expr: str, decimals: int = 2) -> str:
+    """DuckDB twin of :func:`fround_total` (identical passthrough
+    threshold literal, so both engines branch the same on every row)."""
     f = 10**decimals
     lim = repr(2.0**53 / f)
     return (

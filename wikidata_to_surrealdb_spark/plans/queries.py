@@ -40,6 +40,8 @@ from wikidata_to_surrealdb_spark.functions import (
     finite_sql,
     fround,
     fround_sql,
+    fround_total,
+    fround_total_sql,
 )
 from wikidata_to_surrealdb_spark.operators import dedup, mutations, similarity, text
 from wikidata_to_surrealdb_spark.sources.tables import register_views
@@ -2847,7 +2849,7 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
            v.view_event, epoch_us(v.ts) AS view_ts_us,
-           {fround_sql("c.value - v.view_value", 2)} AS uplift
+           {fround_total_sql("c.value - v.view_value", 2)} AS uplift
     FROM clicks c ASOF JOIN views v
       ON c.user_id = v.user_id AND v.ts <= c.ts
     """,
@@ -2888,7 +2890,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         "view_event",
         F.unix_micros("ts_r").alias("view_ts_us"),
-        fround(F.col("value") - F.col("view_value"), 2).alias("uplift"),
+        fround_total(F.col("value") - F.col("view_value"), 2).alias("uplift"),
     )
 
 
@@ -4430,7 +4432,7 @@ _EV_MA3_CNT = (
     f"""
     SELECT event_id, user_id, value,
            lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-           {fround_sql("value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)", 4)} AS delta,
+           {fround_total_sql("value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)", 4)} AS delta,
            {fround_sql(f"{_EV_MA3_SUM} / CAST({_EV_MA3_CNT} AS DOUBLE)", 4)} AS ma3,
            {fround_sql(_EV_CUMSUM, 4)} AS cum_value
     FROM events
@@ -4453,7 +4455,7 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "value",
         F.lag("value").over(w).alias("prev_value"),
-        fround(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        fround_total(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
         fround(
             F.sum(dec).over(frame3).cast("double")
             / F.count("value").over(frame3).cast("double"),
