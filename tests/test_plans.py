@@ -202,6 +202,17 @@ def test_closure_round_exchange_budget(spark):
     assert plan.count("Exchange") <= 11, plan
 
 
+def test_scaled_lateness_audit_has_no_global_window(spark):
+    """stream_lateness_audit_scaled exists to remove the rank variant's
+    single-partition global window: batch assignment must be a pure map
+    against a broadcast 1-row bounds relation. The only Window allowed
+    in the plan is the prefix-max over the 4-row per-batch maxima."""
+    plan = _plan(spark, "stream_lateness_audit_scaled")
+    assert plan.count("Window") <= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_containment_reads_materialized_index_once(spark):
     """The posting-list index is localCheckpoint-materialized, so the
     final plan must NOT replay the corpus-sized shingle/window subtree

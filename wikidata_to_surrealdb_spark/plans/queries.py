@@ -2519,6 +2519,94 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stream_lateness_audit_scaled",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+    ), bounds AS (
+      SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e
+    ), arr AS (
+      SELECT event_id, ts_us,
+             CAST(least(3, (4 * (ts_us - mn)) // (mx - mn + 1)
+               + CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+                      THEN 1 ELSE 0 END) AS INT) AS batch_id
+      FROM e CROSS JOIN bounds
+    ), bmax AS (
+      SELECT batch_id, max(ts_us) AS mx FROM arr GROUP BY batch_id
+    ), wm AS (
+      SELECT batch_id,
+             max(mx) OVER (ORDER BY batch_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - 3600000000 AS wm_us
+      FROM bmax
+    )
+    SELECT a.batch_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN w.wm_us IS NOT NULL AND a.ts_us < w.wm_us
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM arr a JOIN wm w ON w.batch_id = a.batch_id
+    GROUP BY a.batch_id
+    """,
+    "the watermark-lateness audit at CORPUS scale: arrival batches are "
+    "TIME quartiles of the [min, max] event-time span — assignment is "
+    "a pure map against a broadcast 1-row min/max relation, so unlike "
+    "stream_lateness_audit's rank quartiles there is NO globally-"
+    "ordered window anywhere; per-batch maxima and the prefix-max "
+    "watermark rule compose over partial aggregates exactly as the "
+    "single-partition variant's docstring promises. Same engine "
+    "semantics replayed: watermark entering batch b = max event time "
+    "over batches < b minus the 1h delay; 1/16 of rows (by md5) "
+    "arrive one batch late",
+)
+def stream_lateness_audit_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = register_views(spark, sf_dir)
+    e = t["events"].select("event_id", F.unix_micros("ts").alias("ts_us"))
+    bounds = e.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+    arr = e.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "ts_us",
+        F.least(
+            F.lit(3).cast("bigint"),
+            # integral BIGINT division on both engines (Spark `div`,
+            # DuckDB `//`): double `/`+floor could round a
+            # just-under-boundary quotient up and flip the batch
+            F.expr("(4 * (ts_us - mn)) div (mx - mn + 1)")
+            + F.when(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+                == "0",
+                1,
+            ).otherwise(0),
+        )
+        .cast("int")
+        .alias("batch_id"),
+    )
+    bmax = arr.groupBy("batch_id").agg(F.max("ts_us").alias("mx"))
+    wb = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bmax.select(
+        "batch_id",
+        (F.max("mx").over(wb) - F.lit(3_600_000_000)).alias("wm_us"),
+    )
+    return (
+        arr.join(F.broadcast(wm), "batch_id")
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("wm_us").isNotNull()
+                    & (F.col("ts_us") < F.col("wm_us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_late"),
+        )
+    )
+
+
 _SESSION_GAP_SEC = 1800
 
 
