@@ -397,3 +397,44 @@ def test_rolling_and_sorted_distinct_match_naive_forms(spark):
         sorted_distinct("_ss") != F.array_sort(F.array_distinct("toks"))
     ).count()
     assert bad == 0
+
+
+def test_fround_total_passthrough_matches_spark_semantics():
+    """fround_total_sql's passthrough branch (NaN/±Inf and
+    |x| >= 2^53/10^d) returns the input unchanged; inside the domain it
+    equals plain fround_sql. Both engines share the threshold literal,
+    so a Spark fround_total and this SQL can never branch differently."""
+    import math
+
+    from wikidata_to_surrealdb_spark.functions import fround_total_sql
+
+    cases = [
+        ("'nan'::DOUBLE", 2, math.nan),
+        ("'infinity'::DOUBLE", 2, math.inf),
+        ("'-infinity'::DOUBLE", 2, -math.inf),
+        (f"CAST({2.0**53} AS DOUBLE)", 2, 2.0**53),  # over 2^53/100
+        ("CAST(1.005 AS DOUBLE)", 2, math.floor(1.005 * 100 + 0.5) / 100),
+        ("CAST(-2.5 AS DOUBLE)", 0, math.floor(-2.5 + 0.5)),
+    ]
+    for expr, d, expect in cases:
+        got = duckdb.sql(f"SELECT {fround_total_sql(expr, d)}").fetchone()[0]
+        if isinstance(expect, float) and math.isnan(expect):
+            assert math.isnan(got), (expr, got)
+        else:
+            assert got == expect, (expr, d, got, expect)
+
+
+def test_finite_sql_excludes_only_nonfinite():
+    """finite_sql NULLs exactly NaN/±Inf; finite values (including -0.0
+    and denormals) and NULL pass through."""
+    from wikidata_to_surrealdb_spark.functions import finite_sql
+
+    rows = duckdb.sql(
+        f"""SELECT {finite_sql('x')} FROM (VALUES
+          ('nan'::DOUBLE), ('infinity'::DOUBLE), ('-infinity'::DOUBLE),
+          (-0.0), (5e-324), (1.5), (NULL::DOUBLE)) t(x)"""
+    ).fetchall()
+    got = [r[0] for r in rows]
+    assert got[:3] == [None, None, None]
+    assert got[3] == 0.0 and got[4] == 5e-324 and got[5] == 1.5
+    assert got[6] is None
