@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     # rounds ~= merges/batch shape a 30k-merge production tokenizer
     # needs (VERDICT r07 #4)
     "text_bpe_train_batched",
+    # corpus-scale watermark audit (since r8): batch assignment is a
+    # pure map against a broadcast 1-row bounds relation — benched to
+    # keep a PLANS.md record of the no-global-window shape
+    "stream_lateness_audit_scaled",
 ]
 
 
