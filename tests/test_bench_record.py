@@ -223,3 +223,58 @@ def test_current_suite_final_line_fits_tail_window(tmp_path, capsys):
     # the full query map stays recoverable from the bench_full.json file
     full = json.loads((tmp_path / "b.json").read_text())
     assert full["queries"] == record["queries"]
+
+
+def test_adversarial_probe_variant_builders(tmp_path):
+    """tools/adversarial_probe.py's corpus builders: every variant
+    writes a loadable 10-table dir; injections land on the documented
+    id residues (deterministic, so tool findings reproduce)."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    import adversarial_probe as ap
+
+    src = "/root/testdata/sf0.001"
+    for variant in sorted(ap.DOC_SQL):
+        dst = tmp_path / variant
+        dst.mkdir()
+        ap.build_variant(src, str(dst), variant)
+        con = duckdb.connect()
+        for t in ap.TABLES:
+            assert (dst / f"{t}.parquet").exists(), (variant, t)
+        n = con.sql(
+            f"SELECT count(*) FROM '{dst}/documents.parquet'"
+        ).fetchone()[0]
+        base = con.sql(
+            f"SELECT count(*) FROM '{src}/documents.parquet'"
+        ).fetchone()[0]
+        assert n == base, variant  # injection never drops rows
+        if variant == "null":
+            nulls = con.sql(
+                f"SELECT count(*) FROM '{dst}/documents.parquet' "
+                "WHERE text IS NULL"
+            ).fetchone()[0]
+            assert nulls > 0
+        if variant == "numeric":
+            nonfinite = con.sql(
+                f"SELECT count(*) FROM '{dst}/events.parquet' "
+                "WHERE isnan(value) OR isinf(value)"
+            ).fetchone()[0]
+            assert nonfinite > 0
+        if variant == "unicode":
+            uni = con.sql(
+                f"SELECT count(*) FROM '{dst}/documents.parquet' "
+                "WHERE octet_length(encode(text)) > length(text)"
+            ).fetchone()[0]
+            assert uni > 0
+        con.close()
+    # normalize: column-name order (a before b), float formatting,
+    # NULL/NaN forms, row sort ('' < 'nan')
+    rows = [(2.0, None), (1.0, float("nan"))]
+    assert ap.normalize(rows, ["b", "a"]) == [
+        ("", "2.000000"),
+        ("nan", "1.000000"),
+    ]
