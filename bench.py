@@ -648,12 +648,10 @@ def normalize_vs_prev(record: dict, prev_full: dict | None) -> dict:
         return {}
     # a prev record from a different scale factor (e.g. a local
     # sf0.001 smoke run) would make every ratio meaningless — compare
-    # only like with like
-    if (
-        "sf" in prev_full
-        and "sf" in record
-        and prev_full["sf"] != record["sf"]
-    ):
+    # only like with like. .get() keeps this total: a legacy/smoke
+    # record MISSING the sf field is incomparable too (None != sf),
+    # not silently assumed to match.
+    if prev_full.get("sf") != record.get("sf"):
         return {}
     try:
         pc, cc = prev_full["calibration_sec"], record["calibration_sec"]

@@ -126,6 +126,7 @@ def test_normalize_vs_prev_classifies_host_drift(tmp_path, capsys):
             "bad": -1.0,
         },
         "calibration_sec": {"start": 0.1, "end": 0.1},
+        "sf": 0.1,
     }
     cur = {
         "queries": {
@@ -157,6 +158,14 @@ def test_normalize_vs_prev_classifies_host_drift(tmp_path, capsys):
     # a prev record at a different scale factor is not comparable
     assert bench.normalize_vs_prev(cur, {**prev, "sf": 0.001}) == {}
     assert bench.normalize_vs_prev(cur, {**prev, "sf": 0.1}) != {}
+    # a legacy/smoke prev record MISSING sf is incomparable too (not
+    # silently assumed to match the current scale)
+    no_sf = {k: v for k, v in prev.items() if k != "sf"}
+    assert bench.normalize_vs_prev(cur, no_sf) == {}
+    # ... and symmetrically when the CURRENT record lacks sf
+    cur_no_sf = {k: v for k, v in cur.items() if k != "sf"}
+    assert bench.normalize_vs_prev(cur_no_sf, prev) == {}
+    assert bench.normalize_vs_prev(cur_no_sf, no_sf) != {}
 
     # end-to-end through emit_record: prev on disk is read BEFORE the
     # overwrite, the full record carries the map, the printed line only

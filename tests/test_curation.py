@@ -406,6 +406,43 @@ def test_corpus_mix_alpha_one_natural_proportions(spark):
     assert counts == {"a": 15, "b": 5}  # 30:10 mass -> 15:5
 
 
+def test_corpus_mix_alpha3_guard(spark):
+    """alpha>=3 carries an explicit overflow guard: under non-ANSI Spark
+    a DECIMAL(38,0) overflow of w^alpha yields NULL, which F.sum would
+    silently skip — a skewed quota. The guard fails loudly instead."""
+    import pytest as _pytest
+
+    # safe magnitudes: alpha=3 works and allocates deterministically
+    rows = [(i, "a" if i < 10 else "b", 3 if i < 10 else 1) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    from collections import Counter
+
+    counts = Counter(
+        r.source for r in curation.corpus_mix(df, budget=12, alpha=3).collect()
+    )
+    # mass a = 10*27 = 270, b = 10*1 = 10 -> floor(12*270/280)=11, floor(12*10/280)=0
+    assert counts == {"a": 10}  # 11 capped at source size 10; b floored to 0
+    # overflowing magnitudes: (10^13)^3 = 10^39 > DECIMAL(38,0) max
+    big = spark.createDataFrame(
+        [(1, "a", 10**13), (2, "b", 1)], ["doc_id", "source", "n_chars"]
+    )
+    # ANSI Spark throws on the multiply itself; non-ANSI reaches the
+    # raise_error guard — either way the failure is LOUD, never a
+    # silently skewed quota
+    with _pytest.raises(
+        Exception, match="overflowed DECIMAL|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        curation.corpus_mix(big, budget=2, alpha=3).collect()
+    # prove the guard path itself fires where ANSI would have nulled:
+    # same data, ANSI off for the action
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with _pytest.raises(Exception, match="overflowed DECIMAL"):
+            curation.corpus_mix(big, budget=2, alpha=3).collect()
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+
+
 def test_corpus_mix_rejects_bad_alpha(spark):
     df = spark.createDataFrame([(1, "a", 1)], ["doc_id", "source", "n_chars"])
     import pytest as _pytest

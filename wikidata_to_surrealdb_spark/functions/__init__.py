@@ -41,9 +41,13 @@ def fround(col: Column, decimals: int = 2) -> Column:
 
 def fround_total(col: Column, decimals: int = 2) -> Column:
     """:func:`fround`, total over the double range: NaN/±Inf and
-    |x| >= 2^53/10^d pass through unchanged. Beyond that magnitude a
-    double has no representable fractional part, so passthrough IS the
-    rounded value — and it sidesteps the structural engine split
+    |x| >= 2^53/10^d pass through unchanged. Passthrough is exact
+    rounding only for |x| >= 2^52 (ulp >= 1, no fractional part); in
+    the band [2^53/10^d, 2^52) doubles still carry fractional parts,
+    so passthrough there is engine-CONSISTENT (both engines take the
+    identical branch on the identical value — parity holds) but
+    deviates from round-half-up by less than one ulp-granularity
+    step. The guard exists to sidestep the structural engine split
     (Spark ``floor`` on DOUBLE returns LONG, saturating or throwing on
     huge/non-finite input; DuckDB's returns DOUBLE). The SQL twin
     applies the identical threshold so both engines take the same

@@ -681,13 +681,28 @@ def corpus_mix(
 
     # DECIMAL(38,0) from the first multiply: w^alpha in BIGINT throws
     # (ANSI) or wraps before the decimal sum could help (e.g. n_chars
-    # near 2^63 at alpha=2); decimal powers can't wrap — overflow
-    # surfaces as NULL/error, never a skewed quota. The oracle's
-    # HUGEINT does the same
+    # near 2^63 at alpha=2); decimal powers can't wrap. alpha<=2 is
+    # provably safe: (2^63)^2 ~ 8.5e37 < 10^38. At alpha>=3 a per-row
+    # overflow yields NULL under non-ANSI Spark, which F.sum would
+    # silently SKIP — exactly the skewed quota this cast exists to
+    # prevent (the DuckDB HUGEINT oracle errors loudly instead) — so
+    # the alpha>=3 path carries an explicit raise_error guard: a NULL
+    # power under a non-NULL weight fails the job instead of biasing
+    # the allocation.
     w = F.col(weight_col).cast("decimal(38,0)")
     wa = w
     for _ in range(alpha - 1):
         wa = wa * w
+    if alpha >= 3:
+        wa = F.when(
+            w.isNotNull() & wa.isNull(),
+            F.raise_error(
+                F.lit(
+                    "corpus_mix: weight^alpha overflowed DECIMAL(38,0); "
+                    f"rescale {weight_col} or lower alpha (got {alpha})"
+                )
+            ).cast("decimal(38,0)"),
+        ).otherwise(wa)
     stats = df.groupBy(source_col).agg(F.sum(wa).alias("_wa"))
     total = stats.agg(F.sum("_wa").alias("_tot"))
     quota = (

@@ -82,6 +82,15 @@ SESSION_SCHEMA = "user_id bigint, session_id bigint, n_events bigint, duration_s
 # kept in exact integer cents so resumed sums stay decimal-exact.
 # n_vals counts NON-NULL values so an all-NULL session emits NULL like
 # SQL SUM (and like the JVM events_sessionize variant) instead of 0.
+#
+# STATE-SCHEMA COMPATIBILITY: applyInPandasWithState deserializes stored
+# state POSITIONALLY against this schema — a checkpoint written under a
+# different layout (e.g. the pre-n_vals 5-field v1) fails to resume.
+# Changing this layout is a breaking change for live deployments: bump
+# _STATE_SCHEMA_VERSION below and start the query with a FRESH
+# checkpoint location (there is no in-place state migration in Spark).
+# Version history: v1 = 5 fields (no n_vals); v2 = current 6 fields.
+_STATE_SCHEMA_VERSION = 2
 _STATE_SCHEMA = (
     "session_id bigint, n_events bigint, min_us bigint, last_us bigint, "
     "cents bigint, n_vals bigint"
