@@ -213,6 +213,24 @@ def test_scaled_lateness_audit_has_no_global_window(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_default_lateness_audit_is_the_scaled_plan(spark):
+    """Round-9 deprecation: the plain name is an alias of the scaled
+    implementation — no caller reaches the bounded variant's one-task
+    global-rank plan by default. The original lives on, tagged."""
+    from wikidata_to_surrealdb_spark.plans.queries import QUERIES
+
+    spec = QUERIES["stream_lateness_audit"]
+    scaled = QUERIES["stream_lateness_audit_scaled"]
+    assert spec.fn is scaled.fn
+    assert spec.oracle == scaled.oracle
+    assert "alias" in spec.tags
+    bounded = QUERIES["stream_lateness_audit_bounded"]
+    assert "bounded-replay-only" in bounded.tags
+    # and the aliased default truly has no global-order rank window
+    plan = _plan(spark, "stream_lateness_audit")
+    assert plan.count("Window") <= 1, plan
+
+
 def test_containment_reads_materialized_index_once(spark):
     """The posting-list index is localCheckpoint-materialized, so the
     final plan must NOT replay the corpus-sized shingle/window subtree

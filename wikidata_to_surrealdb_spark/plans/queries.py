@@ -2416,7 +2416,7 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "stream_lateness_audit",
+    "stream_lateness_audit_bounded",
     """
     WITH e AS (
       SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
@@ -2454,7 +2454,11 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine's advance rule — and the audit counts, per batch, the rows "
     "a watermarked stateful operator would drop. Changes the delay "
     "knob from a guess into a measured quantity; rank window + two "
-    "bounded aggregations, no state machinery needed",
+    "bounded aggregations, no state machinery needed. BOUNDED-REPLAY "
+    "ONLY: the rank quartiles need a globally-ordered window (one "
+    "task); the default name stream_lateness_audit now resolves to "
+    "the corpus-scale time-quartile twin",
+    tags=("bounded-replay-only",),
 )
 def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELIBERATE bound: the arrival-batch rank uses a globally-ordered
@@ -2605,6 +2609,25 @@ def stream_lateness_audit_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_late"),
         )
     )
+
+
+# DEPRECATION (round 9): the plain name `stream_lateness_audit` is an
+# ALIAS of the corpus-scale time-quartile implementation, so no caller
+# reaches the single-task global-rank plan by default. The original
+# rank-quartile replay lives on as `stream_lateness_audit_bounded`
+# (tagged bounded-replay-only) for the audit-a-bounded-sample use its
+# docstring defends. Same engine semantics either way — only the batch
+# assignment rule (rank vs time quartiles) differs.
+QUERIES["stream_lateness_audit"] = QuerySpec(
+    fn=stream_lateness_audit_scaled,
+    oracle=QUERIES["stream_lateness_audit_scaled"].oracle,
+    description=(
+        "alias of stream_lateness_audit_scaled (the scale-safe default "
+        "since round 9); the pre-r9 rank-quartile replay is "
+        "stream_lateness_audit_bounded"
+    ),
+    tags=("alias",),
+)
 
 
 _SESSION_GAP_SEC = 1800
