@@ -648,10 +648,14 @@ def normalize_vs_prev(record: dict, prev_full: dict | None) -> dict:
         return {}
     # a prev record from a different scale factor (e.g. a local
     # sf0.001 smoke run) would make every ratio meaningless — compare
-    # only like with like. .get() keeps this total: a legacy/smoke
-    # record MISSING the sf field is incomparable too (None != sf),
-    # not silently assumed to match.
-    if prev_full.get("sf") != record.get("sf"):
+    # only like with like. BOTH fields must be present: two records
+    # that each lack sf ran at unknown (possibly different) scales, so
+    # they are incomparable too — not silently assumed to match.
+    if (
+        "sf" not in prev_full
+        or "sf" not in record
+        or prev_full["sf"] != record["sf"]
+    ):
         return {}
     try:
         pc, cc = prev_full["calibration_sec"], record["calibration_sec"]

@@ -165,7 +165,9 @@ def test_normalize_vs_prev_classifies_host_drift(tmp_path, capsys):
     # ... and symmetrically when the CURRENT record lacks sf
     cur_no_sf = {k: v for k, v in cur.items() if k != "sf"}
     assert bench.normalize_vs_prev(cur_no_sf, prev) == {}
-    assert bench.normalize_vs_prev(cur_no_sf, no_sf) != {}
+    # BOTH missing is still incomparable: the actual scales are unknown
+    # and may differ (r9 ADVICE — None == None must not pass the guard)
+    assert bench.normalize_vs_prev(cur_no_sf, no_sf) == {}
 
     # end-to-end through emit_record: prev on disk is read BEFORE the
     # overwrite, the full record carries the map, the printed line only

@@ -443,6 +443,62 @@ def test_corpus_mix_alpha3_guard(spark):
         spark.conf.unset("spark.sql.ansi.enabled")
 
 
+def test_corpus_mix_exact_floor_at_boundary_masses(spark):
+    """Round 10: the per-source quota is an EXACT rational floor in
+    DECIMAL, not a double ratio. At masses past 2^53 the two disagree:
+    (10^17-1)/10^17 rounds UP to 1.0 in double, so the old double path
+    allocated a slot the exact floor denies. Both engines must take the
+    exact branch."""
+    # budget=1, masses (10^17-1) vs 1: exact quotas floor((1e17-1)/1e17)=0
+    # and floor(1/1e17)=0 -> NOTHING selected. The double path would
+    # (wrongly) select one doc from source a.
+    df = spark.createDataFrame(
+        [(1, "a", 10**17 - 1), (2, "b", 1)], ["doc_id", "source", "n_chars"]
+    )
+    assert curation.corpus_mix(df, budget=1, alpha=1).count() == 0
+    # DuckDB oracle mirror of the same boundary quota arithmetic
+    # (HUGEINT // — the expression the catalog oracle uses): also 0
+    import duckdb
+
+    assert (
+        duckdb.sql(
+            "SELECT CAST((1 * CAST(99999999999999999 AS HUGEINT))"
+            " // CAST(100000000000000000 AS HUGEINT) AS INTEGER)"
+        ).fetchone()[0]
+        == 0
+    )
+    # exact-integer ratio boundary (num % tot == 0): no off-by-one either
+    # side of it. masses a=3, b=1, budget=8 -> quotas 6 (capped at 3) and 2
+    rows = [(i, "a", 1) for i in range(3)] + [(3, "b", 1), (4, "b", 1)]
+    df2 = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    from collections import Counter
+
+    counts = Counter(
+        r.source for r in curation.corpus_mix(df2, budget=8, alpha=1).collect()
+    )
+    # masses a=3, b=2, tot=5: floor(24/5)=4 -> capped 3; floor(16/5)=3 -> capped 2
+    assert counts == {"a": 3, "b": 2}
+
+
+def test_corpus_mix_degenerate_masses(spark):
+    """Zero and NULL masses are well-defined, not crashes: an all-zero
+    corpus selects nothing (the ANSI decimal mod would otherwise raise
+    DIVIDE_BY_ZERO on tot=0), and an all-NULL-weight source is excluded
+    without tripping the overflow guard (SUM over no non-NULL inputs is
+    a legitimate NULL, not an overflow)."""
+    zero = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], ["doc_id", "source", "n_chars"]
+    )
+    assert curation.corpus_mix(zero, budget=5, alpha=2).count() == 0
+    mixed = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "b", 4)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = curation.corpus_mix(mixed, budget=2, alpha=2).collect()
+    # source a contributes no mass -> excluded; b owns the whole budget
+    assert {(r.doc_id, r.source) for r in got} == {(3, "b")}
+
+
 def test_corpus_mix_rejects_bad_alpha(spark):
     df = spark.createDataFrame([(1, "a", 1)], ["doc_id", "source", "n_chars"])
     import pytest as _pytest

@@ -46,7 +46,15 @@ def _normalize(rows, columns):
     return out
 
 
-ORACLE_QUERIES = [n for n, s in QUERIES.items() if s.oracle is not None]
+# alias specs point at another spec's fn+oracle (e.g.
+# stream_lateness_audit -> _scaled); running them here would execute the
+# identical Spark+DuckDB plan twice per suite. Alias RESOLUTION (same fn,
+# same oracle) is asserted separately in test_plans.py.
+ORACLE_QUERIES = [
+    n
+    for n, s in QUERIES.items()
+    if s.oracle is not None and "alias" not in s.tags
+]
 NO_ORACLE = [n for n, s in QUERIES.items() if s.oracle is None]
 
 

@@ -665,7 +665,16 @@ def corpus_mix(
     inverted ratio if needed.
 
     Per-source quota: floor(budget * w_s^alpha / sum w^alpha) — floors,
-    so at most ``budget`` docs total. Selection: rank docs within each
+    so at most ``budget`` docs total. The floor is EXACT integer
+    arithmetic end to end (round 10): ``budget * mass`` is a
+    DECIMAL(38,0) product and the floor-quotient is recovered as
+    ``(num - num % tot) / tot`` — decimal mod and the exactly-divisible
+    decimal divide are both exact, so no double rounding can bump a
+    quota across an integer boundary at any representable mass (a
+    double ratio rounds ``(10^17-1)/10^17`` up to 1.0; the decimal path
+    floors it to 0). Weights are masses — non-negative — which is what
+    makes truncating integer division equal floor on the oracle side.
+    Selection: rank docs within each
     source by (md5(seed:id), id) and keep the quota — no RNG state,
     stable under retries/re-partitioning, same doc set from the oracle.
 
@@ -682,7 +691,9 @@ def corpus_mix(
     # DECIMAL(38,0) from the first multiply: w^alpha in BIGINT throws
     # (ANSI) or wraps before the decimal sum could help (e.g. n_chars
     # near 2^63 at alpha=2); decimal powers can't wrap. alpha<=2 is
-    # provably safe: (2^63)^2 ~ 8.5e37 < 10^38. At alpha>=3 a per-row
+    # provably safe PER ROW: (2^63)^2 ~ 8.5e37 < 10^38 (the SUM of
+    # per-row powers can still overflow at any alpha — guarded after
+    # the aggregate below). At alpha>=3 a per-row
     # overflow yields NULL under non-ANSI Spark, which F.sum would
     # silently SKIP — exactly the skewed quota this cast exists to
     # prevent (the DuckDB HUGEINT oracle errors loudly instead) — so
@@ -703,17 +714,84 @@ def corpus_mix(
                 )
             ).cast("decimal(38,0)"),
         ).otherwise(wa)
-    stats = df.groupBy(source_col).agg(F.sum(wa).alias("_wa"))
-    total = stats.agg(F.sum("_wa").alias("_tot"))
+    # The per-row power above is NULL-guarded, but the decimal SUMs can
+    # still overflow DECIMAL(38,0). Under ANSI Spark (this repo's
+    # default) that raises natively; under non-ANSI it returns NULL,
+    # and without a guard the outer F.sum would silently SKIP the
+    # overflowed source — the exact allocation skew this function
+    # promises not to have. Distinguish overflow-NULL from the
+    # legitimate all-NULL-weights-in-source NULL (SUM of no non-NULL
+    # inputs, which the oracle also yields and which simply excludes
+    # the source) by counting non-NULL weights.
+    def _overflow_guard(val: Column, had_input: Column, what: str) -> Column:
+        return F.when(
+            val.isNull() & had_input,
+            F.raise_error(
+                F.lit(
+                    f"corpus_mix: {what} overflowed DECIMAL(38,0); "
+                    f"rescale {weight_col} or lower alpha (got {alpha})"
+                )
+            ).cast("decimal(38,0)"),
+        ).otherwise(val)
+
+    stats = (
+        df.groupBy(source_col)
+        .agg(
+            F.sum(wa).alias("_wa"),
+            F.count(weight_col).alias("_nw"),
+        )
+        .select(
+            source_col,
+            _overflow_guard(
+                F.col("_wa"),
+                F.col("_nw") > 0,
+                "sum(weight^alpha) for a source",
+            ).alias("_wa"),
+        )
+    )
+    total = (
+        stats.agg(
+            F.sum("_wa").alias("_tot"), F.count("_wa").alias("_ns")
+        )
+        .select(
+            _overflow_guard(
+                F.col("_tot"), F.col("_ns") > 0, "total corpus mass"
+            ).alias("_tot")
+        )
+    )
+    # Exact rational floor(budget * _wa / _tot), all DECIMAL(38,0): the
+    # numerator product and the mod are exact, (num - num % tot) is
+    # exactly divisible by tot, and dividing an exactly-divisible
+    # decimal yields the exact integer quotient (DECIMAL(38,6) — no
+    # rounding can fire). A double quotient here can floor wrong at
+    # >2^53 masses: (10^17-1)/10^17 rounds to 1.0 in double. The
+    # budget*mass product itself can overflow 38 digits at extreme
+    # masses; same guard, loud failure instead of a skewed mix.
+    num = F.lit(budget).cast("decimal(38,0)") * F.col("_wa")
     quota = (
         stats.crossJoin(F.broadcast(total))
         .select(
             source_col,
-            F.floor(
-                F.lit(float(budget))
-                * (F.col("_wa").cast("double") / F.col("_tot").cast("double"))
+            F.col("_wa"),
+            _overflow_guard(
+                num, F.col("_wa").isNotNull(), "budget * source mass"
+            ).alias("_num"),
+            F.col("_tot"),
+        )
+        .select(
+            source_col,
+            # tot=0 (every weight zero) would make the ANSI decimal mod
+            # raise DIVIDE_BY_ZERO; define it as quota 0 on both
+            # engines instead — no mass, nobody gets a slot. A NULL
+            # tot (every weight NULL everywhere) falls through to a
+            # NULL quota, which selects nothing, same as the oracle.
+            F.when(F.col("_tot") == 0, F.lit(0))
+            .otherwise(
+                (
+                    (F.col("_num") - F.col("_num") % F.col("_tot"))
+                    / F.col("_tot")
+                ).cast("int")
             )
-            .cast("int")
             .alias("_quota"),
         )
     )

@@ -7435,10 +7435,14 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY source
     ),
     quota AS (
+      -- exact rational floor, mirroring the Spark DECIMAL path (round
+      -- 10): 250*wa is HUGEINT (overflows loudly), // truncates which
+      -- equals floor on the non-negative masses; a double ratio here
+      -- can floor wrong past 2^53 (e.g. (1e17-1)/1e17 rounds to 1.0)
       SELECT source,
-             CAST(floor(250.0 * (CAST(wa AS DOUBLE)
-                / CAST((SELECT sum(wa) FROM stats) AS DOUBLE))) AS INTEGER)
-               AS q
+             CASE WHEN (SELECT sum(wa) FROM stats) = 0 THEN 0
+                  ELSE CAST((250 * wa) // (SELECT sum(wa) FROM stats)
+                       AS INTEGER) END AS q
       FROM stats
     ),
     ranked AS (

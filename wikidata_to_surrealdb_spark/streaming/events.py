@@ -95,6 +95,16 @@ _STATE_SCHEMA = (
     "session_id bigint, n_events bigint, min_us bigint, last_us bigint, "
     "cents bigint, n_vals bigint"
 )
+# Cheap import-time invariant so the version constant cannot silently
+# drift from the actual layout: editing _STATE_SCHEMA without bumping
+# the version (or vice versa) fails the first import, not a resume in
+# production. Field count is a proxy for layout, which suffices for the
+# v1->v2 history (5 vs 6 fields); a same-arity layout change must
+# extend this map with the new version's count.
+assert _STATE_SCHEMA.count(",") + 1 == {1: 5, 2: 6}[_STATE_SCHEMA_VERSION], (
+    "streaming state schema / version mismatch: bump _STATE_SCHEMA_VERSION "
+    "when changing _STATE_SCHEMA (checkpoints deserialize positionally)"
+)
 
 
 def sessionize_stateful_stream_df(
