@@ -494,3 +494,33 @@ def test_semantic_dedup_drops_in_cluster_neardups(spark):
     out = dedup.semantic_dedup(df, k=3, iterations=2, threshold=0.95, dim=8)
     got = {r.drop_id: r.keep_id for r in out.collect()}
     assert got == {2: 1, 3: 1, 5: 4}
+
+
+def test_ann_recall_exact_rational_and_self_recall(spark):
+    """ann_recall reports (hits, k) as exact BIGINTs; ground truth
+    scored against itself is k/k; a disjoint method reports 0/k
+    instead of vanishing from the result."""
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        ann_recall,
+        exact_topk_int,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[0][1]
+    truth = exact_topk_int(df, q, k=5)
+    truth_ids = {r.vec_id for r in truth.collect()}
+    assert len(truth_ids) == 5
+    # a "method" returning ground truth itself, and one returning rows
+    # guaranteed outside it
+    miss = df.where(~df.vec_id.isin(*truth_ids)).limit(5)
+    out = ann_recall(
+        {"perfect": truth, "useless": miss}, truth, k=5
+    ).collect()
+    got = {r.method: (r.hits, r.k) for r in out}
+    assert got == {"perfect": (5, 5), "useless": (0, 5)}
+    fields = {f.name: f.dataType.simpleString() for f in truth.schema.fields}
+    assert fields["dist"] == "bigint"

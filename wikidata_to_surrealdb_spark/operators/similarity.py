@@ -853,6 +853,72 @@ def ivf_pq_search(
     )
 
 
+def exact_topk_int(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by scaled-int squared L2 — the ground truth an ANN
+    index approximates, on the SAME 1e6 grid as :func:`pq_encode` so a
+    recall@k comparison measures index quality, not metric mismatch.
+    Full scan but map-only: the distance fold is exact BIGINT
+    arithmetic and the (dist, id) top-k compiles to
+    TakeOrderedAndProject (parallel partial top-k, no full exchange)."""
+    import math
+
+    qi = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query]
+    qarr = "array(" + ", ".join(f"{v}L" for v in qi) + ")"
+    exact = (
+        f"aggregate(zip_with({_VI_EXPR.format(v=vec_col)}, {qarr}, "
+        f"(x, q) -> (x - q) * (x - q)), 0L, (a, t) -> a + t)"
+    )
+    return (
+        embeddings.select(
+            F.col(id_col), F.expr(exact).cast("bigint").alias("dist")
+        )
+        .orderBy(F.col("dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ann_recall(
+    methods: dict[str, DataFrame],
+    truth: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of each ANN method against exact ground truth, as an
+    EXACT rational: one row per method with (hits, k) BIGINTs — no
+    float recall that could round differently across engines. Every
+    input is a deterministic k-row top-k (all the repo's searches
+    tie-break on (dist, id)), so hits is reproducible bit-for-bit.
+
+    Distributed shape: the union of method results is ~|methods|*k
+    rows, the truth side is k rows and broadcast into a semi join —
+    at any corpus size the expensive part is producing the top-k
+    inputs, never this comparison."""
+    spark = truth.sparkSession
+    tagged = None
+    for name in sorted(methods):
+        df = methods[name].select(F.lit(name).alias("method"), F.col(id_col))
+        tagged = df if tagged is None else tagged.unionByName(df)
+    hits = (
+        tagged.join(F.broadcast(truth.select(id_col)), id_col, "left_semi")
+        .groupBy("method")
+        .agg(F.count("*").alias("hits"))
+    )
+    # left join back onto the method dimension so a 0-recall method
+    # still reports (0, k) instead of vanishing from the result
+    dim = spark.createDataFrame([(n,) for n in sorted(methods)], "method string")
+    return dim.join(hits, "method", "left").select(
+        "method",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+        F.lit(k).cast("bigint").alias("k"),
+    )
+
+
 def knn_join(
     embeddings: DataFrame,
     id_col: str = "vec_id",

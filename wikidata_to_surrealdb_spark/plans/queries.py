@@ -2215,6 +2215,92 @@ def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_oracle(k: int) -> str:
+    """Recall@k oracle: exact scaled-int ground truth (MATERIALIZED —
+    referenced once per method; DuckDB 1.0's default CTE inlining would
+    otherwise replay the full scan per reference) intersected with each
+    ANN method's own already-green oracle, nested verbatim as
+    subqueries so the recall measurement can never drift from the
+    parity-checked search definitions."""
+    ints = _pq_int_books()
+    m, sub = len(ints), len(ints[0][0])
+    exact = " + ".join(
+        f"(v.vi[{i + 1}] - q.qi[{i + 1}]) * (v.vi[{i + 1}] - q.qi[{i + 1}])"
+        for i in range(m * sub)
+    )
+    return f"""
+    WITH truth AS MATERIALIZED (
+      SELECT vec_id FROM (
+        WITH vi AS (
+          SELECT vec_id, {_PQ_VI_DUCK} AS vi FROM embeddings
+        ), q AS (
+          SELECT {_PQ_VI_DUCK} AS qi FROM embeddings
+          WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+        )
+        SELECT v.vec_id FROM vi v, q
+        ORDER BY CAST({exact} AS BIGINT), v.vec_id
+        LIMIT {k}
+      )
+    ), m_pq_adc AS (
+      SELECT vec_id FROM ({_pq_search_oracle(k)})
+    ), m_pq_rerank AS (
+      SELECT vec_id FROM ({_pq_rerank_oracle(k, 50)})
+    ), m_ivf_pq AS (
+      SELECT vec_id FROM ({_ivf_pq_oracle(k, 2, 50)})
+    )
+    SELECT method, hits, k FROM (
+      SELECT 'ivf_pq' AS method,
+             (SELECT count(*) FROM m_ivf_pq m JOIN truth t ON m.vec_id = t.vec_id) AS hits,
+             CAST({k} AS BIGINT) AS k
+      UNION ALL
+      SELECT 'pq_adc',
+             (SELECT count(*) FROM m_pq_adc m JOIN truth t ON m.vec_id = t.vec_id),
+             CAST({k} AS BIGINT)
+      UNION ALL
+      SELECT 'pq_rerank',
+             (SELECT count(*) FROM m_pq_rerank m JOIN truth t ON m.vec_id = t.vec_id),
+             CAST({k} AS BIGINT)
+    )
+    """
+
+
+@_q(
+    "sim_ann_recall",
+    _ann_recall_oracle(10),
+    "ANN index QUALITY, not just parity: recall@10 of the three served "
+    "search shapes (raw PQ-ADC order, PQ+exact-rerank, IVF+PQ with "
+    "nprobe=2) against exact scaled-int ground truth over the full "
+    "corpus, reported as an exact rational (hits, k) per method — no "
+    "float recall to round differently across engines. Ground truth, "
+    "candidates, and rerank all rank on the identical 1e6 scaled-int "
+    "grid with (dist, id) tie-breaks, so every input set is "
+    "deterministic and hits is bit-reproducible; the comparison itself "
+    "is a broadcast k-row semi join (the corpus-scale work is the "
+    "top-k inputs, each a map-only TakeOrderedAndProject)",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = [
+        float(x)
+        for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
+    ]
+    truth = similarity.exact_topk_int(emb, qv, k=10)
+    codes = similarity.pq_encode(emb, PQ_CODEBOOKS)
+    methods = {
+        "pq_adc": similarity.pq_search_adc(codes, PQ_CODEBOOKS, qv, k=10),
+        "pq_rerank": similarity.pq_search_rerank(
+            emb, PQ_CODEBOOKS, qv, k=10, refine=50
+        ),
+        "ivf_pq": similarity.ivf_pq_search(
+            emb, _ivf_centroids(), PQ_CODEBOOKS, qv, k=10, nprobe=2, refine=50
+        ),
+    }
+    return similarity.ann_recall(methods, truth, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extensions
 # ---------------------------------------------------------------------------
