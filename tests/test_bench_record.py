@@ -208,6 +208,12 @@ def test_current_suite_final_line_fits_tail_window(tmp_path, capsys):
         "ingest_entities_per_sec": 66742.1,
         "ingest_10x_entities_per_sec": 180882.1,
         "calibration_sec": {"start": 0.123, "end": 0.123},
+        "smoke": {
+            "n": bench.SMOKE_TIER_SIZE,
+            "fail": 0,
+            "regressed": 2,
+            "worst": "a_realistically_long_query_name:1.987",
+        },
     }
     # extra entries main() adds outside BENCH_QUERIES
     for name in (
@@ -289,3 +295,112 @@ def test_adversarial_probe_variant_builders(tmp_path):
         ("", "2.000000"),
         ("nan", "1.000000"),
     ]
+
+
+def test_smoke_candidates_exclude_main_tier_and_aliases():
+    from wikidata_to_surrealdb_spark.plans.queries import QUERIES
+
+    cands = bench.smoke_candidates()
+    assert not set(cands) & set(bench.BENCH_QUERIES)
+    assert all("alias" not in QUERIES[n].tags for n in cands)
+    # every non-alias catalog query is timed SOMEWHERE: main tier or
+    # smoke rotation
+    non_alias = {n for n, s in QUERIES.items() if "alias" not in s.tags}
+    assert set(cands) | (set(bench.BENCH_QUERIES) & non_alias) == non_alias
+
+
+def test_smoke_rotation_covers_catalog_within_staleness_budget():
+    """The done-criterion from VERDICT r9 #1: no catalog query may go
+    >4 rounds without a timing. The rotation revisits every candidate
+    within ceil(candidates/size) epochs — assert that stays <= 4 so
+    catalog growth can't silently outpace the smoke tier."""
+    import math
+
+    n = len(bench.smoke_candidates())
+    assert math.ceil(n / bench.SMOKE_TIER_SIZE) <= 4, (
+        f"{n} smoke candidates at {bench.SMOKE_TIER_SIZE}/run "
+        "exceeds the 4-round bench-staleness budget — raise "
+        "SMOKE_TIER_SIZE or move queries into the main tier"
+    )
+
+
+def test_select_smoke_tier_never_timed_first_then_oldest():
+    cands = bench.smoke_candidates()
+    assert len(cands) > bench.SMOKE_TIER_SIZE  # rotation is meaningful
+    # empty history: catalog order, first SIZE
+    assert bench.select_smoke_tier({}) == cands[: bench.SMOKE_TIER_SIZE]
+    # mark the first SIZE as timed at epoch 1: the NEXT slice rotates in
+    hist = {n: {"epoch": 1, "sec": 0.5, "cal": 1.0} for n in cands[: bench.SMOKE_TIER_SIZE]}
+    nxt = bench.select_smoke_tier(hist)
+    assert nxt == cands[bench.SMOKE_TIER_SIZE : 2 * bench.SMOKE_TIER_SIZE] + cands[
+        : max(0, bench.SMOKE_TIER_SIZE - (len(cands) - bench.SMOKE_TIER_SIZE))
+    ]
+    # oldest epoch wins over catalog position
+    hist = {n: {"epoch": i + 2, "sec": 0.5} for i, n in enumerate(cands)}
+    hist[cands[-1]] = {"epoch": 1, "sec": 0.5}
+    assert bench.select_smoke_tier(hist)[0] == cands[-1]
+    # malformed history entries sort as never-timed, not a crash
+    assert bench.select_smoke_tier({cands[0]: "garbage"})[0] == cands[0]
+
+
+def test_build_smoke_record_history_ratios_and_flags():
+    prev = {
+        "bench_epoch": 3,
+        "smoke_history": {
+            "flat": {"epoch": 1, "sec": 1.0, "cal": 1.0},
+            "slow": {"epoch": 2, "sec": 1.0, "cal": 1.0},
+            "untouched": {"epoch": 2, "sec": 9.9, "cal": 1.0},
+            "was_failed": {"epoch": 1, "sec": -1.0, "cal": 1.0},
+        },
+    }
+    timings = {"flat": 1.1, "slow": 2.0, "fresh": 0.3, "boom": -1.0, "was_failed": 0.7}
+    full, headline = bench.build_smoke_record(timings, prev, cal_avg=1.25)
+    assert full["bench_epoch"] == 4
+    assert full["smoke_tier"] == timings
+    # history: every timed entry stamped at the new epoch (failures
+    # too — the attempt happened), untouched entries carried forward
+    assert full["smoke_history"]["flat"] == {"epoch": 4, "sec": 1.1, "cal": 1.25}
+    assert full["smoke_history"]["boom"]["sec"] == -1.0
+    assert full["smoke_history"]["untouched"] == prev["smoke_history"]["untouched"]
+    # ratios only where BOTH timings are positive; epoch gap recorded
+    assert set(full["smoke_vs_last"]) == {"flat", "slow"}
+    assert full["smoke_vs_last"]["slow"] == {
+        "ratio": 2.0,
+        "epochs_ago": 2,
+        "prev_cal": 1.0,
+        "cal": 1.25,
+    }
+    assert full["smoke_regressed"] == ["slow"]
+    assert headline == {"n": 5, "fail": 1, "regressed": 1, "worst": "slow:2.0"}
+    # no previous record: epoch 1, no ratios, headline has no worst
+    full0, head0 = bench.build_smoke_record({"a": 0.5}, None, cal_avg=1.0)
+    assert full0["bench_epoch"] == 1
+    assert full0["smoke_vs_last"] == {}
+    assert "worst" not in head0
+
+
+def test_emit_record_extra_full_stays_off_printed_line(tmp_path, capsys):
+    record = {
+        "queries": {"q1": 0.5},
+        "metric": "m",
+        "value": 0.5,
+        "unit": "sec",
+        "sf": 0.01,
+        "calibration_sec": {"start": 0.1, "end": 0.1},
+        "smoke": {"n": 1, "fail": 0, "regressed": 0},
+    }
+    extra = {
+        "bench_epoch": 7,
+        "smoke_tier": {"x": 0.2},
+        "smoke_history": {"x": {"epoch": 7, "sec": 0.2, "cal": 0.1}},
+        "smoke_vs_last": {},
+        "smoke_regressed": [],
+    }
+    out = tmp_path / "bench_full.json"
+    line = bench.emit_record(dict(record), None, out_path=str(out), extra_full=extra)
+    printed = json.loads(line)
+    assert "smoke_history" not in printed and "smoke_tier" not in printed
+    assert printed["smoke"] == {"n": 1, "fail": 0, "regressed": 0}
+    full = json.loads(out.read_text())
+    assert full["bench_epoch"] == 7
+    assert full["smoke_history"]["x"]["sec"] == 0.2

@@ -948,3 +948,55 @@ def test_write_tables_observed_metrics(spark, tmp_path):
     )
     # the default path still returns None (unchanged contract)
     assert write_tables(tables, str(tmp_path / "out2")) is None
+
+
+def test_skewed_entity_ingest_shape(spark, tmp_path):
+    """Wikidata-shaped skew probe (SURVEY §1.1): a handful of ~1 MB
+    mega-entities among thousands of small ones — the real dump's
+    shape — through load_dump -> write_tables. Pins that (a) the
+    parse/flatten/route pipeline stays shuffle-free at the skewed
+    shape (a mega-entity is one fat row in a narrow map, never a
+    hot shuffle key), (b) every claim of every mega-entity survives
+    the roundtrip, (c) small entities are unaffected."""
+    import os
+
+    from wikidata_to_surrealdb_spark.operators.ingest import (
+        parse_entities,
+        transform_entities,
+        write_tables,
+    )
+    from wikidata_to_surrealdb_spark.sources.dump_reader import (
+        read_dump_lines,
+    )
+
+    n_small, n_huge, cph = 400, 2, 4000
+    path = tmp_path / "skewed.json"
+    lines = fx.skewed_dump_lines(n_small, n_huge, cph)
+    # the probe is only honest if the huge lines really are ~1 MB
+    assert sum(1 for ln in lines if len(ln) > 1_000_000) == n_huge
+    fx.write_fixture(str(path), lines)
+
+    # plan pin at the skewed shape: narrow until the id-collision window
+    transformed = transform_entities(
+        parse_entities(read_dump_lines(spark, str(path), "json"))
+    )
+    plan = transformed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    tables = load_dump(spark, str(path), "json", lang="en")
+    out = str(tmp_path / "out")
+    write_tables(tables, out)
+    entity = spark.read.parquet(os.path.join(out, "Entity.parquet"))
+    claims = spark.read.parquet(os.path.join(out, "Claims.parquet"))
+    assert entity.count() == n_small
+    # every mega-entity's claims flattened intact: cph P1113 + 1 P31
+    per_huge = claims.select(
+        F.sum(
+            F.size(
+                F.expr(
+                    "filter(claims, c -> c.id.tb = 'Property' AND c.id.id = 1113)"
+                )
+            )
+        ).alias("n")
+    ).first()["n"]
+    assert per_huge == n_huge * cph

@@ -335,8 +335,32 @@ def test_auto_decoder_matches_spec_path(spark, png_assets):
 
 def test_pil_native_crosscheck(spark, png_assets):
     """Golden cross-check between the native (Pillow) and from-spec
-    decoders — runs only where the native lib exists."""
-    pytest.importorskip("PIL")
+    decoders — runs only where the native lib exists.
+
+    Environment matrix (COVERAGE.md §PIL): this container ships no
+    Pillow and no package network, so the native fast path has no CI
+    leg HERE by construction — the from-spec pure-Python decoders are
+    the fully-tested default. A PIL-equipped environment must set
+    SPARK_GRAFT_EXPECT_PIL=1, which turns a silent skip into a loud
+    failure: if PIL is expected but missing (or breaks), the matrix
+    assertion fails instead of the leg quietly disappearing."""
+    import os
+
+    expect_pil = os.environ.get("SPARK_GRAFT_EXPECT_PIL", "") == "1"
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        if expect_pil:
+            pytest.fail(
+                "SPARK_GRAFT_EXPECT_PIL=1 but Pillow failed to import — "
+                "the native-decoder CI leg this environment claims to "
+                "provide is broken (see COVERAGE.md environment matrix)"
+            )
+        pytest.skip(
+            "Pillow absent and not expected here (SPARK_GRAFT_EXPECT_PIL "
+            "unset): native-decoder leg runs only in PIL-equipped "
+            "environments — COVERAGE.md environment matrix"
+        )
     spec = {
         r["asset_id"]: r.asDict()
         for r in multimodal.decode_features(png_assets, "png").collect()

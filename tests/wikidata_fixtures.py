@@ -213,3 +213,31 @@ def write_fixture(path: str, lines: list[str]) -> str:
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     return path
+
+
+def skewed_dump_lines(
+    n_small: int = 2000, n_huge: int = 3, claims_per_huge: int = 4000
+) -> list[str]:
+    """The real dump's shape (SURVEY §1.1): a handful of mega-entities
+    — 1 MB+ JSON lines carrying thousands of claims — among many small
+    ones. Huge entities are interleaved at a fixed stride rather than
+    clustered, so a line-splittable read spreads them across input
+    partitions the way they land in the real dump."""
+    stride = max(1, n_small // max(1, n_huge))
+    items = []
+    for i in range(n_small):
+        extra = None
+        if n_huge and i % stride == 0 and i // stride < n_huge:
+            # ~260 bytes/claim serialized -> 4000 claims ~= 1 MB line
+            extra = {
+                "P1113": [
+                    _statement(
+                        "P1113",
+                        "string",
+                        f"claim payload {j:06d} " + "x" * 180,
+                    )
+                    for j in range(claims_per_huge)
+                ]
+            }
+        items.append(plain_item(200000 + i, f"small item {i}", extra))
+    return _to_lines(items, wrapper=False)

@@ -137,6 +137,13 @@ def main() -> int:
         "--variant", choices=sorted(DOC_SQL), default="null"
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated catalog names to probe (default: the full "
+        "catalog); used for the sf0.1 heavy-query sweeps where running "
+        "all ~170 oracles at 10x scale would take hours",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -149,8 +156,17 @@ def main() -> int:
 
     # oracle side first: duckdb + a live SparkSession in one process can
     # exhaust the file-descriptor limit
+    only = None
+    if args.queries:
+        only = {n.strip() for n in args.queries.split(",") if n.strip()}
+        unknown = only - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"unknown catalog queries: {sorted(unknown)}")
+
     oracle_res = {}
     for name, spec in QUERIES.items():
+        if only is not None and name not in only:
+            continue
         if spec.oracle is None or "alias" in spec.tags:
             # alias specs share another spec's fn+oracle verbatim —
             # probing both names doubles the work for zero extra signal

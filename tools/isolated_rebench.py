@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Isolated re-bench for flagged cross-round timing swings (VERDICT r9 #6).
+
+The suite times ~80 queries back-to-back on a burstable VM, so a flagged
+entry (normalized >1.3 vs the previous round) needs a fresh-session,
+nothing-concurrent re-measurement before it can be classified as a plan
+regression or host drift. This tool times ONLY the named catalog
+queries (plus the synthetic z-order/round-robin layout pair with
+--layout-pair), best-of-3 after an sf0.001 codegen warm, brackets the
+run with bench.py's fixed-work calibration probe, and prints per-query
+ratios against a reference record — by default the last COMMITTED
+bench_full.json (git show HEAD:bench_full.json), i.e. the number the
+driver's round record was built from.
+
+    python tools/isolated_rebench.py --queries layout_zorder_scan,mm_ahash_neardup --layout-pair
+
+Interpretation rule (same as bench.normalize_vs_prev, but here the
+probe is trustworthy because the workload is tiny and uniform):
+ratio/cal_drift <= ~1.1 in isolation => the suite flag was host/IO
+weather; >1.3 reproducing in isolation => a real plan change, go read
+the diff of that query's path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from wikidata_to_surrealdb_spark.plans.queries import QUERIES  # noqa: E402
+from wikidata_to_surrealdb_spark.session import get_spark  # noqa: E402
+
+
+def load_reference(repo_dir: str, ref_path: str | None) -> dict:
+    if ref_path:
+        with open(ref_path) as f:
+            return json.load(f)
+    out = subprocess.run(
+        ["git", "show", "HEAD:bench_full.json"],
+        capture_output=True,
+        text=True,
+        cwd=repo_dir,
+    )
+    if out.returncode != 0:
+        return {}
+    try:
+        return json.loads(out.stdout)
+    except ValueError:
+        return {}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--queries",
+        default="layout_zorder_scan,mm_ahash_neardup",
+        help="comma-separated catalog names",
+    )
+    ap.add_argument(
+        "--layout-pair",
+        action="store_true",
+        help="also time the synthetic layout_scan_zorder/_roundrobin pair",
+    )
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--ref",
+        default=None,
+        help="reference bench_full.json (default: git show HEAD:bench_full.json)",
+    )
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    names = [n.strip() for n in args.queries.split(",") if n.strip()]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown catalog queries: {unknown}")
+
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref = load_reference(repo_dir, args.ref)
+    ref_q = ref.get("queries", {}) if isinstance(ref, dict) else {}
+    ref_cal = None
+    try:
+        c = ref["calibration_sec"]
+        ref_cal = (float(c["start"]) + float(c["end"])) / 2.0
+    except (KeyError, TypeError, ValueError):
+        pass
+
+    spark = get_spark(app_name="isolated_rebench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    with tempfile.TemporaryDirectory(prefix="wd_isorebench_") as tmp:
+        warm_dir = "/root/testdata/sf0.001"
+        if os.path.isdir(warm_dir):
+            for n in names:
+                try:
+                    QUERIES[n].fn(spark, warm_dir).collect()
+                except Exception:
+                    pass
+            if args.layout_pair:
+                try:
+                    bench.time_layout_pair(spark, warm_dir, tmp, {})
+                except Exception:
+                    pass
+
+        cal_start = bench.calibrate(spark)
+        bench.time_queries(spark, args.sf_dir, names, timings, reps=args.reps)
+        if args.layout_pair:
+            pair: dict[str, float] = {}
+            for _ in range(max(1, args.reps - 1)):
+                one: dict[str, float] = {}
+                bench.time_layout_pair(spark, args.sf_dir, tmp, one)
+                for k, v in one.items():
+                    pair[k] = min(pair.get(k, float("inf")), v)
+            timings.update({k: round(v, 3) for k, v in pair.items()})
+        cal_end = bench.calibrate(spark)
+
+    cal = (cal_start + cal_end) / 2.0
+    cal_drift = round(cal / ref_cal, 3) if ref_cal else None
+    report = {
+        "sf_dir": args.sf_dir,
+        "reps": args.reps,
+        "calibration_sec": {"start": cal_start, "end": cal_end},
+        "cal_drift_vs_ref": cal_drift,
+        "isolated": {},
+    }
+    for n, t in timings.items():
+        entry: dict = {"sec": t}
+        prev = ref_q.get(n)
+        if isinstance(prev, (int, float)) and prev > 0 and t > 0:
+            entry["ref_sec"] = prev
+            entry["nominal_ratio"] = round(t / prev, 3)
+            if cal_drift:
+                entry["normalized_ratio"] = round(t / prev / cal_drift, 3)
+        report["isolated"][n] = entry
+    print(json.dumps(report, indent=1))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
