@@ -147,6 +147,11 @@ BENCH_QUERIES = [
     # pure map against a broadcast 1-row bounds relation — benched to
     # keep a PLANS.md record of the no-global-window shape
     "stream_lateness_audit_scaled",
+    # ANN index QUALITY (since r10, VERDICT r9 #2): recall@10 of the
+    # three served search shapes vs exact scaled-int ground truth —
+    # tracked in the main tier so an index-quality regression (e.g. a
+    # codebook or probe-order change) is caught the same round
+    "sim_ann_recall",
 ]
 
 

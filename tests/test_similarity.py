@@ -524,3 +524,30 @@ def test_ann_recall_exact_rational_and_self_recall(spark):
     assert got == {"perfect": (5, 5), "useless": (0, 5)}
     fields = {f.name: f.dataType.simpleString() for f in truth.schema.fields}
     assert fields["dist"] == "bigint"
+
+
+def test_ivf_recall_profile_full_probe_equals_rerank(spark):
+    """Structural bound: probing ALL cells makes IVF+PQ's candidate
+    stage identical to plain ADC over the whole corpus, so the
+    nprobe=n_cells arm must return exactly pq_search_rerank's rows."""
+    from wikidata_to_surrealdb_spark.data.ivf_centroids import IVF_CENTROIDS
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        ivf_pq_search,
+        pq_search_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [
+        float(x)
+        for x in emb.orderBy(emb.vec_id.desc()).limit(1).first()["embedding"]
+    ]
+    full = ivf_pq_search(
+        emb, IVF_CENTROIDS, PQ_CODEBOOKS, qv,
+        k=10, nprobe=len(IVF_CENTROIDS), refine=50,
+    )
+    plain = pq_search_rerank(emb, PQ_CODEBOOKS, qv, k=10, refine=50)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

@@ -2301,6 +2301,85 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(methods, truth, k=10)
 
 
+def _ivf_recall_profile_oracle(k: int, nprobes: tuple[int, ...]) -> str:
+    """Recall@k at each nprobe setting: one truth CTE (MATERIALIZED),
+    one nested IVF-PQ oracle per probe width, intersections unioned."""
+    ints = _pq_int_books()
+    m, sub = len(ints), len(ints[0][0])
+    exact = " + ".join(
+        f"(v.vi[{i + 1}] - q.qi[{i + 1}]) * (v.vi[{i + 1}] - q.qi[{i + 1}])"
+        for i in range(m * sub)
+    )
+    method_ctes = ",\n    ".join(
+        f"m_np{np} AS (\n      SELECT vec_id FROM ({_ivf_pq_oracle(k, np, 50)})\n    )"
+        for np in nprobes
+    )
+    arms = "\n      UNION ALL\n".join(
+        f"""      SELECT 'nprobe_{np}' AS method, CAST({np} AS BIGINT) AS nprobe,
+             (SELECT count(*) FROM m_np{np} m JOIN truth t ON m.vec_id = t.vec_id) AS hits,
+             CAST({k} AS BIGINT) AS k"""
+        for np in nprobes
+    )
+    return f"""
+    WITH truth AS MATERIALIZED (
+      SELECT vec_id FROM (
+        WITH vi AS (
+          SELECT vec_id, {_PQ_VI_DUCK} AS vi FROM embeddings
+        ), q AS (
+          SELECT {_PQ_VI_DUCK} AS qi FROM embeddings
+          WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+        )
+        SELECT v.vec_id FROM vi v, q
+        ORDER BY CAST({exact} AS BIGINT), v.vec_id
+        LIMIT {k}
+      )
+    ), {method_ctes}
+    SELECT method, nprobe, hits, k FROM (
+{arms}
+    )
+    """
+
+
+_RECALL_NPROBES = (1, 2, 4, 8)
+
+
+@_q(
+    "sim_ivf_recall_profile",
+    _ivf_recall_profile_oracle(10, _RECALL_NPROBES),
+    "IVF index-tuning curve: recall@10 of the full IVF+PQ+rerank stack "
+    "at nprobe = 1/2/4/8 (8 = every cell, so the top arm must equal the "
+    "PQ-rerank ceiling — a structural sanity bound the parity check "
+    "enforces for free). This is the measurement that picks nprobe in "
+    "production: recall rises with cells probed while served cost "
+    "scales ~nprobe/n_cells of the compressed codes; each arm is the "
+    "identical map-only TakeOrderedAndProject plan as sim_ivf_pq_search "
+    "and the roll-up is a broadcast k-row semi join per arm",
+)
+def sim_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = [
+        float(x)
+        for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
+    ]
+    truth = similarity.exact_topk_int(emb, qv, k=10)
+    methods = {
+        f"nprobe_{np}": similarity.ivf_pq_search(
+            emb, _ivf_centroids(), PQ_CODEBOOKS, qv, k=10, nprobe=np, refine=50
+        )
+        for np in _RECALL_NPROBES
+    }
+    out = similarity.ann_recall(methods, truth, k=10)
+    return out.select(
+        "method",
+        F.split(F.col("method"), "_").getItem(1).cast("bigint").alias("nprobe"),
+        "hits",
+        "k",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extensions
 # ---------------------------------------------------------------------------
