@@ -531,3 +531,23 @@ def test_kmv_setops_exact_below_k_and_estimates(spark):
     assert abs(est["union_est"] - exact_union) / exact_union < 0.3
     if exact_inter:
         assert abs(est["inter_est"] - exact_inter) / exact_inter < 0.5
+
+
+def test_pagerank_oracle_materializes_chained_ctes():
+    """DuckDB 1.0 inlines CTEs by default; the pagerank rank chain
+    references r{t-1} TWICE per round (contribution join + dangling
+    mass scalar), so an uninlined chain replays the edge subtree ~2^t
+    times — measured as a >60 GB spill then OOM at sf0.1 in the r10
+    dirty sweep, while the MATERIALIZED form runs in ~1 s. Pin the
+    hint on every multiply-referenced CTE."""
+    from wikidata_to_surrealdb_spark.plans.queries import (
+        _PAGERANK_ITERS,
+        QUERIES,
+    )
+
+    sql = QUERIES["graph_pagerank"].oracle
+    multiply_referenced = ["e", "nodes", "nn", "od"] + [
+        f"r{t}" for t in range(_PAGERANK_ITERS)
+    ]
+    for name in multiply_referenced:
+        assert f"{name} AS MATERIALIZED" in sql, name

@@ -34,6 +34,7 @@ import os
 import shutil
 import sys
 import tempfile
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -172,13 +173,27 @@ def main() -> int:
             # probing both names doubles the work for zero extra signal
             continue
         con = duckdb.connect()
+        # spill guard (r10): a pathological oracle at sf0.1 spilled
+        # doubling temp files until the DISK was the failure mode —
+        # cap the spill (the query then errors and is recorded as
+        # ORACLE_ERR, which is the finding) and keep the temp dir out
+        # of the repo working tree (git add must never see it)
+        con.sql(f"SET temp_directory = '{tmp}/duck_spill'")
+        con.sql("SET max_temp_directory_size = '20GB'")
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet'")
+        t0 = time.perf_counter()
         try:
             rel = con.sql(spec.oracle)
             oracle_res[name] = (rel.columns, rel.fetchall())
+            status = "ok"
         except Exception as e:  # recorded, not fatal: the report is the point
             oracle_res[name] = ("ERR", f"{type(e).__name__}: {e}"[:200])
+            status = f"ERR {type(e).__name__}"
+        print(
+            f"oracle {name}: {status} ({time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
         con.close()
 
     from wikidata_to_surrealdb_spark.session import get_spark
@@ -188,6 +203,7 @@ def main() -> int:
     known = KNOWN_SCOPE.get(args.variant, set())
     bad = []
     for name in oracle_res:
+        t0 = time.perf_counter()
         try:
             sdf = QUERIES[name].fn(spark, tmp)
             s_cols = sdf.columns
@@ -212,6 +228,11 @@ def main() -> int:
             print(f"DIVERGE {name}: {status}{tag}", flush=True)
             if name not in known:
                 bad.append(name)
+        else:
+            print(
+                f"spark {name}: ok ({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
     print(
         f"DONE variant={args.variant} total={len(oracle_res)} "
         f"diverging={len(bad)}: {bad}"

@@ -4509,16 +4509,22 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle(iters: int, damping: float = 0.85) -> str:
+    # every CTE that is referenced more than once is MATERIALIZED:
+    # DuckDB 1.0's default CTE inlining replays r{t-1}'s whole subtree
+    # per reference (c{t} + g{t} => 2x per round), which is exponential
+    # in rounds — harmless at sf0.01 where each leaf scan is cheap, but
+    # a >60 GB spill at sf0.1 (found by the r10 dirty sweep; same
+    # lesson as the kmeans oracle chain in round 6)
     ctes = [
-        """e AS (
+        """e AS MATERIALIZED (
       SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS s,
                       's:' || CAST(l_suppkey AS VARCHAR) AS d
       FROM lineitem
     )""",
-        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
-        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
-        "od AS (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY s)",
-        f"r0 AS (SELECT node, {fround_sql('1.0 / CAST(nn.n AS DOUBLE)', 12)} AS rank FROM nodes, nn)",
+        "nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "od AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY s)",
+        f"r0 AS MATERIALIZED (SELECT node, {fround_sql('1.0 / CAST(nn.n AS DOUBLE)', 12)} AS rank FROM nodes, nn)",
     ]
     contrib = fround_sql("r.rank / CAST(od.outdeg AS DOUBLE)", 12)
     for t in range(1, iters + 1):
@@ -4546,7 +4552,7 @@ def _pagerank_oracle(iters: int, damping: float = 0.85) -> str:
             12,
         )
         ctes.append(
-            f"""r{t} AS (
+            f"""r{t} AS MATERIALIZED (
       SELECT n.node, {newrank} AS rank
       FROM nodes n LEFT JOIN c{t} c ON c.node = n.node, g{t} g, nn
     )"""
