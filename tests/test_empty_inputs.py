@@ -63,6 +63,17 @@ CASES = {
     ),
     "sim_hard_negatives": lambda t: similarity.hard_negatives(t["embs"]),
     "sim_banded_pairs": lambda t: similarity.ann_banded_pairs_gemm(t["embs"]),
+    # r10: exact ground-truth top-k and the recall roll-up must both be
+    # total on an empty corpus (the roll-up still reports one (0, k)
+    # row per method — a zero-recall report, not a crash)
+    "sim_exact_topk": lambda t: similarity.exact_topk_int(
+        t["embs"], [0.0] * 64
+    ),
+    "sim_ann_recall": lambda t: similarity.ann_recall(
+        {"m": similarity.exact_topk_int(t["embs"], [0.0] * 64)},
+        similarity.exact_topk_int(t["embs"], [0.0] * 64),
+        k=10,
+    ),
     "cur_repetition": lambda t: curation.repetition_stats(t["docs"]),
     "cur_gopher": lambda t: curation.gopher_filter(t["docs"]),
     "cur_hash_split": lambda t: curation.hash_split(t["docs"]),
