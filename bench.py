@@ -236,6 +236,7 @@ def build_smoke_record(
     smoke_timings: dict[str, float],
     prev_full: dict | None,
     cal_avg: float,
+    sf: float | None = None,
 ) -> tuple[dict, dict]:
     """Fold this run's smoke timings into the carried history.
 
@@ -250,7 +251,14 @@ def build_smoke_record(
     previous timing is 1..ceil(candidates/size) epochs old, so no single
     measured drift factor applies — hence the looser 1.5 regression
     flag vs the main tier's 1.3, and single-rep noise on top. A flagged
-    entry's next step is an isolated re-bench, same as the main tier."""
+    entry's next step is an isolated re-bench, same as the main tier.
+
+    Every history entry records the scale factor it was timed at, and a
+    ratio is computed only when BOTH the stored and current sf are
+    present and equal — the same both-fields-present rule
+    ``normalize_vs_prev`` applies to the main tier, so a locally-written
+    record at a different sf can't poison the cross-epoch ratios (it is
+    reported under ``smoke_sf_skipped`` instead of silently compared)."""
     prev = prev_full if isinstance(prev_full, dict) else {}
     prev_hist_raw = prev.get("smoke_history")
     prev_hist = prev_hist_raw if isinstance(prev_hist_raw, dict) else {}
@@ -259,6 +267,7 @@ def build_smoke_record(
 
     hist = dict(prev_hist)
     vs_last: dict[str, dict] = {}
+    sf_skipped: list[str] = []
     for name, sec in smoke_timings.items():
         old = prev_hist.get(name)
         if (
@@ -267,13 +276,16 @@ def build_smoke_record(
             and isinstance(old.get("sec"), (int, float))
             and old["sec"] > 0
         ):
-            vs_last[name] = {
-                "ratio": round(sec / old["sec"], 3),
-                "epochs_ago": epoch - old.get("epoch", 0),
-                "prev_cal": old.get("cal"),
-                "cal": cal_avg,
-            }
-        hist[name] = {"epoch": epoch, "sec": sec, "cal": cal_avg}
+            if sf is not None and old.get("sf") == sf:
+                vs_last[name] = {
+                    "ratio": round(sec / old["sec"], 3),
+                    "epochs_ago": epoch - old.get("epoch", 0),
+                    "prev_cal": old.get("cal"),
+                    "cal": cal_avg,
+                }
+            else:
+                sf_skipped.append(name)
+        hist[name] = {"epoch": epoch, "sec": sec, "cal": cal_avg, "sf": sf}
 
     regressed = sorted(
         n for n, d in vs_last.items() if d["ratio"] > 1.5
@@ -286,6 +298,7 @@ def build_smoke_record(
         "smoke_history": hist,
         "smoke_vs_last": vs_last,
         "smoke_regressed": regressed,
+        "smoke_sf_skipped": sorted(sf_skipped),
     }
     headline = {
         "n": len(smoke_timings),
@@ -826,6 +839,7 @@ def main() -> None:
         smoke_timings,
         prev_full,
         round((calibration_start + calibration_end) / 2.0, 3),
+        sf=sf,
     )
     # headline only on the printed line; the per-query smoke map,
     # history, and per-entry ratios live in bench_full.json

@@ -347,23 +347,41 @@ def test_build_smoke_record_history_ratios_and_flags():
     prev = {
         "bench_epoch": 3,
         "smoke_history": {
-            "flat": {"epoch": 1, "sec": 1.0, "cal": 1.0},
-            "slow": {"epoch": 2, "sec": 1.0, "cal": 1.0},
-            "untouched": {"epoch": 2, "sec": 9.9, "cal": 1.0},
-            "was_failed": {"epoch": 1, "sec": -1.0, "cal": 1.0},
+            "flat": {"epoch": 1, "sec": 1.0, "cal": 1.0, "sf": 0.1},
+            "slow": {"epoch": 2, "sec": 1.0, "cal": 1.0, "sf": 0.1},
+            "untouched": {"epoch": 2, "sec": 9.9, "cal": 1.0, "sf": 0.1},
+            "was_failed": {"epoch": 1, "sec": -1.0, "cal": 1.0, "sf": 0.1},
+            # a locally-written timing at a different scale factor —
+            # must be SKIPPED from ratios, not compared (ADVICE r10)
+            "off_scale": {"epoch": 2, "sec": 0.1, "cal": 1.0, "sf": 0.001},
+            # pre-sf-field legacy entry: unknown scale, also skipped
+            "legacy": {"epoch": 2, "sec": 1.0, "cal": 1.0},
         },
     }
-    timings = {"flat": 1.1, "slow": 2.0, "fresh": 0.3, "boom": -1.0, "was_failed": 0.7}
-    full, headline = bench.build_smoke_record(timings, prev, cal_avg=1.25)
+    timings = {
+        "flat": 1.1,
+        "slow": 2.0,
+        "fresh": 0.3,
+        "boom": -1.0,
+        "was_failed": 0.7,
+        "off_scale": 0.1,
+        "legacy": 1.0,
+    }
+    full, headline = bench.build_smoke_record(timings, prev, cal_avg=1.25, sf=0.1)
     assert full["bench_epoch"] == 4
     assert full["smoke_tier"] == timings
     # history: every timed entry stamped at the new epoch (failures
-    # too — the attempt happened), untouched entries carried forward
-    assert full["smoke_history"]["flat"] == {"epoch": 4, "sec": 1.1, "cal": 1.25}
+    # too — the attempt happened), untouched entries carried forward;
+    # entries now record the scale factor they were timed at
+    assert full["smoke_history"]["flat"] == {
+        "epoch": 4, "sec": 1.1, "cal": 1.25, "sf": 0.1
+    }
     assert full["smoke_history"]["boom"]["sec"] == -1.0
     assert full["smoke_history"]["untouched"] == prev["smoke_history"]["untouched"]
-    # ratios only where BOTH timings are positive; epoch gap recorded
+    # ratios only where BOTH timings are positive AND both scale
+    # factors are present and equal; epoch gap recorded
     assert set(full["smoke_vs_last"]) == {"flat", "slow"}
+    assert full["smoke_sf_skipped"] == ["legacy", "off_scale"]
     assert full["smoke_vs_last"]["slow"] == {
         "ratio": 2.0,
         "epochs_ago": 2,
@@ -371,12 +389,16 @@ def test_build_smoke_record_history_ratios_and_flags():
         "cal": 1.25,
     }
     assert full["smoke_regressed"] == ["slow"]
-    assert headline == {"n": 5, "fail": 1, "regressed": 1, "worst": "slow:2.0"}
+    assert headline == {"n": 7, "fail": 1, "regressed": 1, "worst": "slow:2.0"}
     # no previous record: epoch 1, no ratios, headline has no worst
     full0, head0 = bench.build_smoke_record({"a": 0.5}, None, cal_avg=1.0)
     assert full0["bench_epoch"] == 1
     assert full0["smoke_vs_last"] == {}
     assert "worst" not in head0
+    # current run with no sf: nothing is comparable, everything skips
+    fullx, _ = bench.build_smoke_record({"flat": 1.0}, prev, cal_avg=1.0)
+    assert fullx["smoke_vs_last"] == {}
+    assert fullx["smoke_sf_skipped"] == ["flat"]
 
 
 def test_emit_record_extra_full_stays_off_printed_line(tmp_path, capsys):

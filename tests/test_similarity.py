@@ -524,6 +524,10 @@ def test_ann_recall_exact_rational_and_self_recall(spark):
     assert got == {"perfect": (5, 5), "useless": (0, 5)}
     fields = {f.name: f.dataType.simpleString() for f in truth.schema.fields}
     assert fields["dist"] == "bigint"
+    # an empty methods dict is a defined error, not an AttributeError
+    # on tagged.join (ADVICE r10)
+    with pytest.raises(ValueError, match="methods must be non-empty"):
+        ann_recall({}, truth, k=5)
 
 
 def test_ivf_recall_profile_full_probe_equals_rerank(spark):

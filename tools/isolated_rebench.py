@@ -123,7 +123,18 @@ def main() -> int:
         cal_end = bench.calibrate(spark)
 
     cal = (cal_start + cal_end) / 2.0
-    cal_drift = round(cal / ref_cal, 3) if ref_cal else None
+    # distinguish "no reference calibration" (None) from "degenerate
+    # reference" (<= 0, reported loudly) — and never drop a drift that
+    # legitimately rounds to 0.0 (ADVICE r10)
+    if ref_cal is None:
+        cal_drift = None
+    elif not isinstance(ref_cal, (int, float)) or ref_cal <= 0:
+        raise SystemExit(
+            f"reference calibration is degenerate ({ref_cal!r}); "
+            "cannot normalize — fix or remove the reference record"
+        )
+    else:
+        cal_drift = round(cal / ref_cal, 3)
     report = {
         "sf_dir": args.sf_dir,
         "reps": args.reps,
@@ -137,8 +148,14 @@ def main() -> int:
         if isinstance(prev, (int, float)) and prev > 0 and t > 0:
             entry["ref_sec"] = prev
             entry["nominal_ratio"] = round(t / prev, 3)
-            if cal_drift:
+            # `is not None`, not truthiness: a drift that rounds to 0.0
+            # must be REPORTED (as a division blow-up the reader sees),
+            # never silently dropped (ADVICE r10)
+            if cal_drift is not None and cal_drift > 0:
                 entry["normalized_ratio"] = round(t / prev / cal_drift, 3)
+            elif cal_drift is not None:
+                entry["normalized_ratio"] = None
+                entry["note"] = f"cal_drift degenerate ({cal_drift})"
         report["isolated"][n] = entry
     print(json.dumps(report, indent=1))
     spark.stop()

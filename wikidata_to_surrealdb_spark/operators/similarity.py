@@ -899,6 +899,10 @@ def ann_recall(
     rows, the truth side is k rows and broadcast into a semi join —
     at any corpus size the expensive part is producing the top-k
     inputs, never this comparison."""
+    if not methods:
+        # defined failure for a documented-total API instead of an
+        # AttributeError on tagged.join (ADVICE r10)
+        raise ValueError("methods must be non-empty")
     spark = truth.sparkSession
     tagged = None
     for name in sorted(methods):

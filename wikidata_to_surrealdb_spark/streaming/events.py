@@ -101,10 +101,15 @@ _STATE_SCHEMA = (
 # production. Field count is a proxy for layout, which suffices for the
 # v1->v2 history (5 vs 6 fields); a same-arity layout change must
 # extend this map with the new version's count.
-assert _STATE_SCHEMA.count(",") + 1 == {1: 5, 2: 6}[_STATE_SCHEMA_VERSION], (
-    "streaming state schema / version mismatch: bump _STATE_SCHEMA_VERSION "
-    "when changing _STATE_SCHEMA (checkpoints deserialize positionally)"
-)
+# An explicit raise, not `assert`: asserts are stripped under
+# `python -O`, and this guard protects positional checkpoint
+# deserialization — it must survive optimized bytecode (ADVICE r10).
+if _STATE_SCHEMA.count(",") + 1 != {1: 5, 2: 6}[_STATE_SCHEMA_VERSION]:
+    raise RuntimeError(
+        "streaming state schema / version mismatch: bump "
+        "_STATE_SCHEMA_VERSION when changing _STATE_SCHEMA "
+        "(checkpoints deserialize positionally)"
+    )
 
 
 def sessionize_stateful_stream_df(
