@@ -1,0 +1,176 @@
+"""Standing gate for the oracle CTE-shape hazard (VERDICT r10 #1).
+
+DuckDB 1.0 inlines non-MATERIALIZED CTEs, replaying the whole upstream
+subtree once per table reference. Chained multiply-referenced CTEs
+(w_i reading w_{i-1} twice) therefore go exponential — invisible at the
+driver's sf0.01, a >60 GB spill-then-OOM at sf0.1 (graph_pagerank,
+round 10). The guard has two halves:
+
+- detection: ``oracle_shapes.cte_shape_violations`` counts table-
+  position references via DuckDB's own parser;
+- enforcement: ``QuerySpec.oracle`` pipes every registered oracle
+  through ``materialize_hot_ctes`` at the accessor, so EVERY consumer
+  (driver ``oracle_sql()``, parity suites, adversarial sweeps) only
+  ever executes repaired SQL — including oracles added in future
+  rounds.
+
+This file pins both halves plus the invariant itself: the emitted
+catalog scans clean, with zero waivers.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from wikidata_to_surrealdb_spark.plans.oracle_shapes import (
+    catalog_violations,
+    cte_shape_violations,
+    materialize_hot_ctes,
+)
+from wikidata_to_surrealdb_spark.plans.queries import QUERIES, oracle_sql
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+# ---------------------------------------------------------------- scanner
+
+SCANNER_CASES = [
+    # (sql, expected violations)
+    ("WITH a AS (SELECT 1 x) SELECT x FROM a UNION ALL SELECT x FROM a",
+     [{"cte": "a", "refs": 2}]),
+    ("WITH a AS (SELECT 1 x) SELECT * FROM a WHERE x > (SELECT avg(x) FROM a)",
+     [{"cte": "a", "refs": 2}]),
+    # references from inside other CTE bodies count
+    ("WITH a AS (SELECT 1 x), b AS (SELECT x FROM a), c AS (SELECT b.x FROM b, a) SELECT * FROM c",
+     [{"cte": "a", "refs": 2}]),
+    # nested WITH: inner subquery's refs to an outer CTE count
+    ("WITH a AS (SELECT 1 x) SELECT * FROM (WITH b AS (SELECT x FROM a) SELECT * FROM b JOIN a USING (x)) t",
+     [{"cte": "a", "refs": 2}]),
+    # comma cross-join positions count
+    ("WITH a AS (SELECT 1 x) SELECT * FROM a, (SELECT * FROM a) s",
+     [{"cte": "a", "refs": 2}]),
+    # EXISTS / IN subqueries count
+    ("WITH a AS (SELECT 1 x) SELECT * FROM a t WHERE EXISTS (SELECT 1 FROM a WHERE a.x=t.x)",
+     [{"cte": "a", "refs": 2}]),
+    # column qualifiers are NOT references: one scan + q.x uses is clean
+    ("WITH q AS (SELECT 1 x) SELECT q.x, q.x+1 FROM q", []),
+    # MATERIALIZED is safe regardless of reference count
+    ("WITH a AS MATERIALIZED (SELECT 1 x) SELECT x FROM a JOIN a a2 USING (x)", []),
+    # recursive CTEs execute iteratively (working table) — exempt
+    ("WITH RECURSIVE a AS (SELECT 1 x UNION ALL SELECT x+1 FROM a WHERE x<5) SELECT * FROM a", []),
+    # ...but a plain CTE read twice by a recursive body is still flagged
+    ("WITH RECURSIVE base AS (SELECT 1 x), w AS (SELECT x FROM base UNION ALL SELECT w.x+1 FROM w, base WHERE w.x<3) SELECT * FROM w",
+     [{"cte": "base", "refs": 2}]),
+    # single-reference chains are clean
+    ("WITH a AS (SELECT 1 x), b AS (SELECT x FROM a) SELECT * FROM b", []),
+    # string literals never mask or fake references
+    ("WITH a AS (SELECT 'FROM a JOIN a' y) SELECT y FROM a", []),
+]
+
+
+@pytest.mark.parametrize("sql,want", SCANNER_CASES)
+def test_scanner_counts_table_position_references(sql, want):
+    assert cte_shape_violations(sql) == want
+
+
+def test_scanner_rejects_unparseable_sql():
+    with pytest.raises(ValueError, match="failed to parse"):
+        cte_shape_violations("SELECT FROM WHERE")
+
+
+# ------------------------------------------------------------ transformer
+
+def test_materialize_hot_ctes_fixes_the_pagerank_chain_shape():
+    """The exact r10 failure shape: w_i references w_{i-1} twice."""
+    sql = """
+    WITH w0 AS (SELECT 1 AS x),
+         w1 AS (SELECT x+1 AS x FROM w0 WHERE x < (SELECT max(x) FROM w0)),
+         w2 AS (SELECT x+1 AS x FROM w1 WHERE x < (SELECT max(x) FROM w1))
+    SELECT * FROM w2
+    """
+    fixed = materialize_hot_ctes(sql)
+    assert cte_shape_violations(fixed) == []
+    assert "w0 AS MATERIALIZED (" in fixed
+    assert "w1 AS MATERIALIZED (" in fixed
+    # w2 is referenced once — left alone
+    assert "w2 AS MATERIALIZED" not in fixed
+    # results are unchanged by the rewrite
+    con = duckdb.connect()
+    assert con.sql(sql).fetchall() == con.sql(fixed).fetchall()
+
+
+def test_materialize_hot_ctes_is_identity_on_clean_sql():
+    clean = "WITH a AS (SELECT 1 x), b AS (SELECT x FROM a) SELECT * FROM b"
+    assert materialize_hot_ctes(clean) is clean
+    already = "WITH a AS MATERIALIZED (SELECT 1 x) SELECT x FROM a JOIN a a2 USING (x)"
+    assert materialize_hot_ctes(already) is already
+
+
+def test_materialize_hot_ctes_never_touches_string_literals():
+    """A literal containing a definition-looking 'name AS (' must not
+    receive an insertion; only the real definition site does."""
+    sql = (
+        "WITH a AS (SELECT 'a AS (decoy' AS y) "
+        "SELECT y FROM a UNION ALL SELECT y FROM a"
+    )
+    fixed = materialize_hot_ctes(sql)
+    assert "'a AS (decoy'" in fixed  # literal intact
+    assert fixed.count("MATERIALIZED") == 1
+    assert cte_shape_violations(fixed) == []
+
+
+def test_materialize_hot_ctes_validates_or_raises():
+    """An oracle the rewrite cannot repair fails loudly rather than
+    shipping broken SQL (here: the fix itself would be fine, so we
+    assert the parse-validation path by feeding garbage)."""
+    with pytest.raises(ValueError):
+        materialize_hot_ctes("WITH a AS (SELECT FROM) SELECT * FROM a, a b")
+
+
+# ------------------------------------------------------------ the gate
+
+def test_emitted_catalog_has_zero_cte_shape_violations():
+    """THE standing gate: every oracle the catalog emits — driver
+    window or not — scans clean. Zero waivers. A round-N+1 oracle
+    written with the hazardous shape is repaired by QuerySpec.oracle
+    before any consumer executes it; if the repair itself ever fails,
+    the accessor raises and this test surfaces it."""
+    bad = catalog_violations(oracle_sql())
+    assert bad == {}, f"multiply-referenced unmaterialized CTEs: {bad}"
+
+
+def test_enforcement_reaches_every_consumer_surface():
+    """All consumer paths read QuerySpec.oracle (the transforming
+    accessor) — spot-check that a known offender's emitted SQL carries
+    the repair on both the spec attribute and oracle_sql()."""
+    via_spec = QUERIES["dedup_minhash_lsh"].oracle
+    via_fn = oracle_sql()["dedup_minhash_lsh"]
+    assert via_spec == via_fn
+    assert "MATERIALIZED" in via_spec
+    # and the r10 hand-fix is still in force after the rewrite layer
+    assert "MATERIALIZED" in QUERIES["graph_pagerank"].oracle
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q11", "sketch_kmv_setops", "events_anomaly"]
+)
+def test_transform_is_results_neutral_on_real_oracles(name):
+    """Run a transformed oracle's ORIGINAL source and its emitted form
+    side by side on the real sf0.001 tables: identical rows."""
+    spec = QUERIES[name]
+    src = spec._oracle_src
+    emitted = spec.oracle
+    assert src != emitted and "MATERIALIZED" in emitted
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    a = con.sql(src).fetchall()
+    b = con.sql(emitted).fetchall()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))

@@ -28,8 +28,6 @@ sf0.01. Conventions keeping the hash stable across engines:
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,12 +47,49 @@ from wikidata_to_surrealdb_spark.sources.tables import register_views
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 
-@dataclass
 class QuerySpec:
-    fn: SparkQuery
-    oracle: str | None
-    description: str = ""
-    tags: tuple[str, ...] = field(default_factory=tuple)
+    """A catalog entry: the Spark implementation plus its DuckDB
+    oracle twin.
+
+    ``oracle`` is a lazy property, not a plain field: every read pipes
+    the registered SQL through
+    ``oracle_shapes.materialize_hot_ctes`` (cached), which declares
+    any multiply-referenced CTE ``AS MATERIALIZED`` so DuckDB
+    evaluates it once instead of inlining (and replaying) its subtree
+    per reference. Round 10's sf0.1 sweep showed why the guard must be
+    structural: graph_pagerank's unmaterialized rank chain was green
+    at the driver's sf0.01 for four rounds, then exponential (>60 GB
+    spill, OOM) at sf0.1. Applying the rewrite at the accessor — not
+    in each oracle's source — means every consumer (the driver's
+    ``oracle_sql()``, the parity suites, the adversarial sweeps) gets
+    the repaired SQL, including for oracles added in future rounds;
+    ``tests/test_oracle_shapes.py`` pins the emitted catalog clean.
+    """
+
+    def __init__(
+        self,
+        fn: SparkQuery,
+        oracle: str | None,
+        description: str = "",
+        tags: tuple[str, ...] = (),
+    ):
+        self.fn = fn
+        self._oracle_src = oracle
+        self.description = description
+        self.tags = tuple(tags)
+        self._oracle_emitted: str | None = None
+
+    @property
+    def oracle(self) -> str | None:
+        if self._oracle_src is None:
+            return None
+        if self._oracle_emitted is None:
+            from wikidata_to_surrealdb_spark.plans.oracle_shapes import (
+                materialize_hot_ctes,
+            )
+
+            self._oracle_emitted = materialize_hot_ctes(self._oracle_src)
+        return self._oracle_emitted
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -8202,6 +8237,11 @@ def queries() -> dict[str, SparkQuery]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """The catalog's DuckDB oracles. The CTE-shape guard is applied by
+    ``QuerySpec.oracle`` itself (see the class docstring), so this —
+    like every other consumer — emits repaired SQL."""
     return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None
     }
