@@ -800,6 +800,29 @@ def main() -> None:
 
         calibration_end = _calibrate()
 
+        # ANN index-quality values (VERDICT r10 #2/#8): the recall
+        # rationals themselves, not just the query wall time, recorded
+        # per round so index-quality trends (codebook drift, corpus
+        # growth vs fixed centroids) are visible in bench_full.json.
+        # Untimed, after the calibration bracket.
+        ann_recall_values: dict[str, dict] = {}
+        for _qname in (
+            "sim_ann_recall",
+            "sim_ivf_recall_profile",
+            "sim_ann_recall_panel",
+        ):
+            try:
+                _rows = [r.asDict() for r in QUERIES[_qname].fn(spark, sf_dir).collect()]
+                ann_recall_values[_qname] = {
+                    str(r["method"]): [
+                        int(r["hits"]),
+                        int(r["denom"] if "denom" in r else r["k"]),
+                    ]
+                    for r in _rows
+                }
+            except Exception as e:  # record, never fail the bench
+                ann_recall_values[_qname] = {"err": str(e)[:200]}
+
     total = round(sum(t for t in timings.values() if t > 0), 3)
     record = {
         # "queries" FIRST and the headline fields LAST: the driver keeps
@@ -842,9 +865,14 @@ def main() -> None:
         sf=sf,
     )
     # headline only on the printed line; the per-query smoke map,
-    # history, and per-entry ratios live in bench_full.json
+    # history, per-entry ratios, and the ANN recall values live in
+    # bench_full.json
     record["smoke"] = smoke_headline
-    emit_record(record, stream_batches, extra_full=smoke_full)
+    emit_record(
+        record,
+        stream_batches,
+        extra_full={**smoke_full, "ann_recall_values": ann_recall_values},
+    )
     spark.stop()
 
 

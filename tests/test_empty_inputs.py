@@ -74,6 +74,14 @@ CASES = {
         similarity.exact_topk_int(t["embs"], [0.0] * 64),
         k=10,
     ),
+    # r11: an empty corpus means an empty query panel — every panel
+    # stage must be total on zero queries (truth/methods empty, the
+    # roll-up reports (0, 0) per method rather than crashing)
+    "sim_ann_recall_panel": lambda t: similarity.ann_recall_panel(
+        {"m": similarity.exact_topk_int_panel(t["embs"], [])},
+        similarity.exact_topk_int_panel(t["embs"], []),
+        k=10,
+    ),
     "cur_repetition": lambda t: curation.repetition_stats(t["docs"]),
     "cur_gopher": lambda t: curation.gopher_filter(t["docs"]),
     "cur_hash_split": lambda t: curation.hash_split(t["docs"]),

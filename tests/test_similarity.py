@@ -555,3 +555,155 @@ def test_ivf_recall_profile_full_probe_equals_rerank(spark):
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+# --- multi-query recall panel (r11) ------------------------------------------
+
+
+def test_exact_topk_int_panel_matches_per_query_exact(spark):
+    """The batched one-scan panel ground truth must equal the
+    per-query exact_topk_int plan for every panel member — same
+    scaled-int grid, same (dist, id) tie-break, different execution
+    shape (mapInPandas partial top-k vs TakeOrderedAndProject)."""
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        exact_topk_int,
+        exact_topk_int_panel,
+        panel_query_vectors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = panel_query_vectors(emb, n=4)
+    assert len(queries) == 4
+    panel = exact_topk_int_panel(emb, queries, k=7)
+    got = {
+        qid: sorted((r.vec_id, r.dist) for r in rows)
+        for qid, rows in _group_by_qid(panel.collect()).items()
+    }
+    for qid, q in queries:
+        want = sorted(
+            (r.vec_id, r.dist) for r in exact_topk_int(emb, q, k=7).collect()
+        )
+        assert got[qid] == want, f"panel truth diverges for qid {qid}"
+
+
+def _group_by_qid(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.qid, []).append(r)
+    return out
+
+
+def test_pq_adc_panel_matches_per_query_adc(spark):
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        panel_query_vectors,
+        pq_adc_panel,
+        pq_encode,
+        pq_search_adc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = panel_query_vectors(emb, n=3)
+    codes = pq_encode(emb, PQ_CODEBOOKS)
+    panel = pq_adc_panel(codes, PQ_CODEBOOKS, queries, k=6)
+    got = {
+        qid: sorted((r.vec_id, r.adc_dist) for r in rows)
+        for qid, rows in _group_by_qid(panel.collect()).items()
+    }
+    for qid, q in queries:
+        want = sorted(
+            (r.vec_id, r.adc_dist)
+            for r in pq_search_adc(codes, PQ_CODEBOOKS, q, k=6).collect()
+        )
+        assert got[qid] == want
+
+
+def test_ivf_pq_panel_matches_per_query_search_after_rerank(spark):
+    """End-to-end per-query equivalence of the IVF-PQ panel arm: for
+    each panel member, candidates + rerank must reproduce the
+    single-query ivf_pq_search top-k exactly (same probe cells, same
+    ADC candidates, same exact rerank)."""
+    from wikidata_to_surrealdb_spark.data.ivf_centroids import IVF_CENTROIDS
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        ivf_pq_panel_candidates,
+        ivf_pq_search,
+        panel_query_vectors,
+        rerank_panel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = panel_query_vectors(emb, n=3)
+    cand = ivf_pq_panel_candidates(
+        emb, IVF_CENTROIDS, PQ_CODEBOOKS, queries, nprobe=2, refine=20
+    )
+    panel = rerank_panel(emb, cand, queries, k=5)
+    got = {
+        qid: sorted((r.vec_id, r.dist) for r in rows)
+        for qid, rows in _group_by_qid(panel.collect()).items()
+    }
+    for qid, q in queries:
+        want = sorted(
+            (r.vec_id, r.dist)
+            for r in ivf_pq_search(
+                emb, IVF_CENTROIDS, PQ_CODEBOOKS, q, k=5, nprobe=2, refine=20
+            ).collect()
+        )
+        assert got[qid] == want
+
+
+def test_ann_recall_panel_self_recall_and_empty_methods(spark):
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        ann_recall_panel,
+        exact_topk_int_panel,
+        panel_query_vectors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = panel_query_vectors(emb, n=3)
+    truth = exact_topk_int_panel(emb, queries, k=4)
+    out = ann_recall_panel({"self": truth}, truth, k=4).collect()
+    assert [(r.method, r.hits, r.denom) for r in out] == [("self", 12, 12)]
+    with pytest.raises(ValueError, match="methods must be non-empty"):
+        ann_recall_panel({}, truth, k=4)
+
+
+def test_panel_probe_cells_match_single_query_selection(spark):
+    """Probe-cell selection for a panel member must equal the
+    single-query path's selection (same rounded-cosine + cell
+    tie-break), so the panel and single-query IVF arms probe
+    identical cells."""
+    from wikidata_to_surrealdb_spark.data.ivf_centroids import IVF_CENTROIDS
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        cosine_col,
+        panel_probe_cells,
+        panel_query_vectors,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = panel_query_vectors(emb, n=2)
+    probe = panel_probe_cells(emb, IVF_CENTROIDS, queries, nprobe=2)
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(IVF_CENTROIDS)],
+        "cell bigint, cv array<double>",
+    )
+    for qid, q in queries:
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        want = [
+            int(r["cell"])
+            for r in cents_df.select(
+                "cell", cosine_col(F.col("cv"), qcol).alias("cos")
+            )
+            .orderBy(F.desc("cos"), F.col("cell"))
+            .limit(2)
+            .collect()
+        ]
+        assert sorted(probe[qid]) == sorted(want)
+    # empty panel: defined empty result
+    assert panel_probe_cells(emb, IVF_CENTROIDS, [], nprobe=2) == {}

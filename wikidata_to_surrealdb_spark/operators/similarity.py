@@ -923,6 +923,471 @@ def ann_recall(
     )
 
 
+# --- multi-query recall panel ----------------------------------------------
+#
+# Round 10 measured ANN recall from ONE query vector — a coin-flip
+# estimator of index quality (VERDICT r10 #2). The panel operators
+# below evaluate a deterministic set of B query vectors in ONE corpus
+# scan per method (not B scans): distances to all B queries are
+# computed map-side per Arrow batch with a per-batch partial top-k, so
+# only ~batches*B*k survivor rows reach the single tiny exchange. At
+# 100 TB that is the only viable shape — the corpus read dominates and
+# is amortized across the whole panel, while the per-query
+# TakeOrderedAndProject alternative would re-read the corpus B times.
+
+
+def panel_query_vectors(
+    embeddings: DataFrame,
+    n: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The deterministic recall panel: the ``n`` highest-id vectors,
+    as (qid, vector) with qid = the vector's own id. Bounded n-row
+    collect (the panel is driver-side by design: query vectors become
+    plan literals / closure constants downstream)."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.desc(id_col))
+        .limit(n)
+        .collect()
+    )
+    return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def _panel_qi(queries: list[tuple[int, list[float]]]) -> list[tuple[int, list[int]]]:
+    """Quantize panel query vectors to the exact 1e6 scaled-int grid —
+    the same fround rule pq_encode applies to corpus vectors."""
+    import math
+
+    return [
+        (qid, [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in q])
+        for qid, q in queries
+    ]
+
+
+def _panel_global_topk(survivors: DataFrame, k: int, dist_col: str) -> DataFrame:
+    """Final per-qid top-k over the (tiny) union of per-batch partial
+    top-ks: one window over ~batches*B*k rows, never the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col(dist_col).asc(), F.col("vec_id").asc()
+    )
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def exact_topk_int_panel(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k ground truth for EVERY panel query in one corpus
+    scan: (qid, vec_id, dist) with exact scaled-int squared-L2 on the
+    same 1e6 grid as :func:`exact_topk_int` — numpy int64 arithmetic
+    is exact at these magnitudes (|diff| <= 2e6, 64-dim sums < 2^48),
+    so Spark, numpy, and DuckDB agree bit-for-bit.
+
+    Scale shape: mapInPandas computes all B query distances per Arrow
+    batch and keeps only each batch's top-k per qid, so the follow-up
+    per-qid window ranks ~batches*B*k rows. One corpus read for the
+    whole panel."""
+    qints = _panel_qi(queries)
+    dim = len(qints[0][1]) if qints else 0
+
+    def make_batch_topk(qints_, dim_, k_):
+        def batch_topk(batches):
+            import numpy as np
+            import pandas as pd
+
+            if not qints_:
+                return
+            qids = np.array([q for q, _ in qints_], dtype=np.int64)
+            qi = np.array([v for _, v in qints_], dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ok = np.fromiter(
+                    (v is not None and len(v) == dim_ for v in pdf["_v"]),
+                    dtype=bool,
+                    count=len(pdf),
+                )
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                vi = np.floor(x * 1_000_000.0 + 0.5).astype(np.int64)
+                vids = pdf["_id"].to_numpy(dtype=np.int64)
+                out_q, out_v, out_d = [], [], []
+                for qx in range(len(qids)):
+                    diff = vi - qi[qx]
+                    d = (diff * diff).sum(axis=1)
+                    top = np.lexsort((vids, d))[:k_]
+                    out_q.append(np.full(len(top), qids[qx], dtype=np.int64))
+                    out_v.append(vids[top])
+                    out_d.append(d[top])
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+        return batch_topk
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    survivors = respread(
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    ).mapInPandas(
+        make_batch_topk(qints, dim, k), "qid long, vec_id long, dist long"
+    )
+    return _panel_global_topk(survivors, k, "dist")
+
+
+def _panel_adc_luts(
+    codebooks: list[list[list[float]]],
+    qints: list[tuple[int, list[int]]],
+):
+    """Per-(query, subspace) ADC lookup tables as an int64 ndarray of
+    shape (B, M, K): lut[b][j][c] = exact squared scaled-int distance
+    from query b's j-th subvector to centroid c of codebook j."""
+    import numpy as np
+
+    ints = pq_codebooks_int(codebooks)
+    m, sub, kk = _pq_geometry(codebooks)
+    lut = np.zeros((len(qints), m, kk), dtype=np.int64)
+    for b, (_qid, qi) in enumerate(qints):
+        for j in range(m):
+            qsub = np.array(qi[j * sub : (j + 1) * sub], dtype=np.int64)
+            cents = np.array(ints[j], dtype=np.int64)  # (K, sub)
+            diff = cents - qsub
+            lut[b, j] = (diff * diff).sum(axis=1)
+    return lut
+
+
+def pq_adc_panel(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC search for the whole panel in one pass over the compressed
+    codes: per Arrow batch, each query's distance is M table lookups
+    into its precomputed LUT (vectorized int64 fancy-indexing), with a
+    per-batch partial top-k per qid. Returns (qid, vec_id, adc_dist).
+    The raw vectors are never read."""
+    qints = _panel_qi(queries)
+    lut_list = _panel_adc_luts(codebooks, qints).tolist() if qints else []
+    qid_list = [q for q, _ in qints]
+    m = len(codebooks)
+
+    def make_batch_adc(lut_list_, qid_list_, m_, k_):
+        def batch_adc(batches):
+            import numpy as np
+            import pandas as pd
+
+            if not qid_list_:
+                return
+            lut = np.array(lut_list_, dtype=np.int64)  # (B, M, K)
+            qids = np.array(qid_list_, dtype=np.int64)
+            jj = np.arange(m_)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ok = np.fromiter(
+                    (c is not None and len(c) == m_ for c in pdf["_c"]),
+                    dtype=bool,
+                    count=len(pdf),
+                )
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                c = np.array(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["_c"]]
+                )  # (n, M)
+                vids = pdf["_id"].to_numpy(dtype=np.int64)
+                out_q, out_v, out_d = [], [], []
+                for b in range(len(qids)):
+                    d = lut[b][jj[None, :], c].sum(axis=1)
+                    top = np.lexsort((vids, d))[:k_]
+                    out_q.append(np.full(len(top), qids[b], dtype=np.int64))
+                    out_v.append(vids[top])
+                    out_d.append(d[top])
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "adc_dist": np.concatenate(out_d),
+                    }
+                )
+
+        return batch_adc
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    survivors = respread(
+        codes.select(F.col(id_col).alias("_id"), F.col("codes").alias("_c"))
+    ).mapInPandas(
+        make_batch_adc(lut_list, qid_list, m, k),
+        "qid long, vec_id long, adc_dist long",
+    )
+    return _panel_global_topk(survivors, k, "adc_dist")
+
+
+def panel_probe_cells(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    queries: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+) -> dict[int, list[int]]:
+    """IVF probe-cell selection for every panel query in one tiny Spark
+    job (|centroids| x B rows): the SAME rounded-cosine + cell
+    tie-break expression as the single-query path and the SQL oracle —
+    computed with Spark's fold, not numpy, because pairwise vs
+    sequential float summation could flip a 4-decimal rounding
+    boundary and desynchronize the probed cells across engines."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    if not queries:
+        return {}
+    # VALUES-literal relations (LocalTableScan), NOT createDataFrame:
+    # python-list createDataFrame plans as a py-serialized ExistingRDD,
+    # and a CartesianProduct of two of those measured 12 s for 128
+    # rows (partitions^2 scheduling / python-runner overhead); a
+    # LocalTableScan x broadcast nested-loop runs in ~0.3 s warm
+    def _arr(v: list[float]) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")"
+
+    cents_df = spark.sql(
+        "SELECT * FROM VALUES "
+        + ",".join(f"({i}L, {_arr(c)})" for i, c in enumerate(centroids))
+        + " AS t(cell, cv)"
+    )
+    q_df = spark.sql(
+        "SELECT * FROM VALUES "
+        + ",".join(f"({int(qid)}L, {_arr(q)})" for qid, q in queries)
+        + " AS t(qid, qv)"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cell"))
+    rows = (
+        cents_df.crossJoin(F.broadcast(q_df))
+        .select(
+            "qid", "cell", cosine_col(F.col("cv"), F.col("qv")).alias("cos")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select("qid", "cell")
+        .collect()
+    )
+    probe: dict[int, list[int]] = {}
+    for r in rows:
+        probe.setdefault(int(r["qid"]), []).append(int(r["cell"]))
+    return probe
+
+
+def ivf_pq_panel_candidates(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned ADC candidates for the whole panel in one corpus
+    scan: the JVM map assigns each vector its cell and PQ codes (the
+    identical expressions as :func:`ivf_pq_search`, so both engines
+    agree on cells and codes), then the panel ADC pass scores each
+    query ONLY against vectors in its probed cells. Returns
+    (qid, vec_id, adc_dist), ``refine`` rows per qid."""
+    probe = panel_probe_cells(embeddings, centroids, queries, nprobe=nprobe)
+    qints = _panel_qi(queries)
+    lut_list = _panel_adc_luts(codebooks, qints).tolist() if qints else []
+    qid_list = [q for q, _ in qints]
+    probe_list = [[int(c) for c in probe.get(q, [])] for q in qid_list]
+    m = len(codebooks)
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    sims = F.transform(cents, lambda c: cosine_col(F.col("v"), c))
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("bigint")
+    code_exprs = _pq_code_exprs(codebooks)
+    # respread the RAW projection, not the computed index: the cell
+    # cosines + per-subspace code argmins are the expensive part, and
+    # placed before the repartition they would all run inside the
+    # (single-row-group) scan task — measured 11.5 s -> parallel after
+    # this reorder at sf0.1
+    index = respread(embeddings.select(id_col, vec_col)).select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.expr(_VI_EXPR.format(v=vec_col)).alias("_vi"),
+    ).select(
+        "_id",
+        cell.alias("_cell"),
+        F.expr("array(" + ", ".join(code_exprs) + ")").alias("_c"),
+    )
+
+    def make_batch_ivf_adc(lut_list_, qid_list_, probe_list_, m_, k_):
+        def batch_ivf_adc(batches):
+            import numpy as np
+            import pandas as pd
+
+            if not qid_list_:
+                return
+            lut = np.array(lut_list_, dtype=np.int64)
+            qids = np.array(qid_list_, dtype=np.int64)
+            jj = np.arange(m_)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ok = np.fromiter(
+                    (c is not None and len(c) == m_ for c in pdf["_c"]),
+                    dtype=bool,
+                    count=len(pdf),
+                )
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                c = np.array([np.asarray(v, dtype=np.int64) for v in pdf["_c"]])
+                cells = pdf["_cell"].to_numpy(dtype=np.int64)
+                vids = pdf["_id"].to_numpy(dtype=np.int64)
+                out_q, out_v, out_d = [], [], []
+                for b in range(len(qids)):
+                    mask = np.isin(cells, np.array(probe_list_[b], dtype=np.int64))
+                    if not mask.any():
+                        continue
+                    cb, vb = c[mask], vids[mask]
+                    d = lut[b][jj[None, :], cb].sum(axis=1)
+                    top = np.lexsort((vb, d))[:k_]
+                    out_q.append(np.full(len(top), qids[b], dtype=np.int64))
+                    out_v.append(vb[top])
+                    out_d.append(d[top])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.concatenate(out_q),
+                            "vec_id": np.concatenate(out_v),
+                            "adc_dist": np.concatenate(out_d),
+                        }
+                    )
+
+        return batch_ivf_adc
+
+    survivors = index.mapInPandas(
+        make_batch_ivf_adc(lut_list, qid_list, probe_list, m, refine),
+        "qid long, vec_id long, adc_dist long",
+    )
+    return _panel_global_topk(survivors, refine, "adc_dist")
+
+
+def rerank_panel(
+    embeddings: DataFrame,
+    candidates: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact scaled-int rerank of per-query candidate sets, shared by
+    the PQ-rerank and IVF-PQ panel arms: the (qid, vec_id) candidates
+    (B*refine rows — tiny by construction) broadcast-join the corpus,
+    so the expensive raw-vector column is read once for the union of
+    all panel candidates; the distance is a JVM zip_with fold against
+    the query's scaled-int vector attached by the same broadcast (no
+    per-query plan literals, no Python). Final per-qid top-k windows
+    over <= B*refine rows."""
+    spark = embeddings.sparkSession
+    qints = _panel_qi(queries)
+    if not qints:
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) qid, CAST(NULL AS BIGINT) vec_id, "
+            "CAST(NULL AS BIGINT) dist WHERE FALSE"
+        )
+    # VALUES literals (LocalTableScan) — see panel_probe_cells for why
+    # not createDataFrame
+    qint_df = spark.sql(
+        "SELECT * FROM VALUES "
+        + ",".join(
+            f"({int(qid)}L, array({','.join(str(v) + 'L' for v in qi)}))"
+            for qid, qi in qints
+        )
+        + " AS t(qid, _qi)"
+    )
+    cand = candidates.select("qid", F.col("vec_id").alias("_cid")).join(
+        F.broadcast(qint_df), "qid"
+    )
+    vi = F.expr(_VI_EXPR.format(v=vec_col))
+    scored = (
+        embeddings.join(
+            F.broadcast(cand), embeddings[id_col] == cand["_cid"]
+        )
+        .select(
+            "qid",
+            F.col(id_col).alias("vec_id"),
+            F.aggregate(
+                F.zip_with(vi, F.col("_qi"), lambda x, q: (x - q) * (x - q)),
+                F.lit(0).cast("bigint"),
+                lambda a, t: a + t,
+            ).alias("dist"),
+        )
+    )
+    return _panel_global_topk(scored, k, "dist")
+
+
+def ann_recall_panel(
+    methods: dict[str, DataFrame],
+    truth: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Panel recall@k: one row per method with EXACT rational
+    (hits, denom) BIGINTs, aggregated across every panel query —
+    hits counts (qid, vec_id) pairs the method shares with ground
+    truth, denom = |truth| = B*k. Same broadcast-semi-join shape as
+    :func:`ann_recall`, keyed by (qid, vec_id)."""
+    if not methods:
+        raise ValueError("methods must be non-empty")
+    spark = truth.sparkSession
+    tagged = None
+    for name in sorted(methods):
+        df = methods[name].select(
+            F.lit(name).alias("method"), F.col("qid"), F.col("vec_id")
+        )
+        tagged = df if tagged is None else tagged.unionByName(df)
+    truth_keys = truth.select("qid", "vec_id")
+    hits = (
+        tagged.join(F.broadcast(truth_keys), ["qid", "vec_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count("*").alias("hits"))
+    )
+    denom = truth_keys.agg(F.count("*").cast("bigint").alias("denom"))
+    dim = spark.sql(
+        "SELECT * FROM VALUES "
+        + ",".join(f"('{n}')" for n in sorted(methods))
+        + " AS t(method)"
+    )
+    return (
+        dim.join(F.broadcast(hits), "method", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "method",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            "denom",
+        )
+    )
+
+
 def knn_join(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -2415,6 +2415,182 @@ def sim_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_panel_oracle(
+    k: int, n_panel: int, refine: int, nprobe: int
+) -> str:
+    """Set-wise DuckDB twin of the panel recall measurement: ONE
+    qpanel CTE (the n highest-id vectors), every stage windowed
+    PARTITION BY qid — not n_panel unrolled per-query copies. The
+    multiply-referenced CTEs (vi, adc, truth, ...) are auto-
+    MATERIALIZED by the QuerySpec.oracle accessor."""
+    ints = _pq_int_books()
+    m, sub = len(ints), len(ints[0][0])
+    exact = " + ".join(
+        f"(v.vi[{i + 1}] - q.qi[{i + 1}]) * (v.vi[{i + 1}] - q.qi[{i + 1}])"
+        for i in range(m * sub)
+    )
+    cents = ",\n             ".join(
+        f"list_extract({_pq_duck_book(j)}, codes[{j + 1}] + 1) AS c{j}"
+        for j in range(m)
+    )
+    adc = " + ".join(
+        f"(q.qi[{j * sub + i + 1}] - w.c{j}[{i + 1}]) * "
+        f"(q.qi[{j * sub + i + 1}] - w.c{j}[{i + 1}])"
+        for j in range(m)
+        for i in range(sub)
+    )
+    return f"""
+    WITH qpanel AS (
+      SELECT vec_id AS qid, {_PQ_VI_DUCK} AS qi,
+             list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings ORDER BY vec_id DESC LIMIT {n_panel}
+    ), vi AS (
+      SELECT vec_id, {_PQ_VI_DUCK} AS vi,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY CAST({exact} AS BIGINT), v.vec_id) AS rn
+        FROM vi v CROSS JOIN qpanel q
+      ) WHERE rn <= {k}
+    ), codes_t AS (
+      SELECT vec_id, {_pq_duck_codes_expr()} AS codes FROM vi
+    ), withcent AS (
+      SELECT vec_id, {cents} FROM codes_t
+    ), adc AS (
+      SELECT q.qid, w.vec_id, CAST({adc} AS BIGINT) AS adc_dist
+      FROM withcent w CROSS JOIN qpanel q
+    ), adc_ranked AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+      FROM adc
+    ), m_pq_adc AS (
+      SELECT qid, vec_id FROM adc_ranked WHERE rn <= {k}
+    ), cand_rr AS (
+      SELECT qid, vec_id FROM adc_ranked WHERE rn <= {refine}
+    ), m_pq_rerank AS (
+      SELECT qid, vec_id FROM (
+        SELECT cr.qid, v.vec_id,
+               row_number() OVER (PARTITION BY cr.qid
+                 ORDER BY CAST({exact} AS BIGINT), v.vec_id) AS rn
+        FROM cand_rr cr
+        JOIN vi v ON v.vec_id = cr.vec_id
+        JOIN qpanel q ON q.qid = cr.qid
+      ) WHERE rn <= {k}
+    ), {_ivf_centroid_cte()}, probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.qid, c.cell,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {fround_sql(_COS_SQL.format(a="c.cv", b="q.qv"), 4)} DESC, c.cell) AS rn
+        FROM c CROSS JOIN qpanel q
+      ) WHERE rn <= {nprobe}
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {fround_sql(_COS_SQL.format(a="v.v", b="c.cv"), 4)} DESC, c.cell) AS rn
+        FROM vi v CROSS JOIN c
+      ) WHERE rn = 1
+    ), ivf_cand AS (
+      SELECT qid, vec_id FROM (
+        SELECT a.qid, a.vec_id,
+               row_number() OVER (PARTITION BY a.qid
+                 ORDER BY a.adc_dist, a.vec_id) AS rn
+        FROM adc a
+        JOIN assigned s ON s.vec_id = a.vec_id
+        JOIN probe p ON p.qid = a.qid AND p.cell = s.cell
+      ) WHERE rn <= {refine}
+    ), m_ivf_pq AS (
+      SELECT qid, vec_id FROM (
+        SELECT ic.qid, v.vec_id,
+               row_number() OVER (PARTITION BY ic.qid
+                 ORDER BY CAST({exact} AS BIGINT), v.vec_id) AS rn
+        FROM ivf_cand ic
+        JOIN vi v ON v.vec_id = ic.vec_id
+        JOIN qpanel q ON q.qid = ic.qid
+      ) WHERE rn <= {k}
+    ), denom_t AS (SELECT CAST(count(*) AS BIGINT) AS denom FROM truth)
+    SELECT method, hits, denom FROM (
+      SELECT 'ivf_pq' AS method,
+             CAST((SELECT count(*) FROM m_ivf_pq m
+                   JOIN truth t ON t.qid = m.qid AND t.vec_id = m.vec_id) AS BIGINT) AS hits
+      UNION ALL
+      SELECT 'pq_adc',
+             CAST((SELECT count(*) FROM m_pq_adc m
+                   JOIN truth t ON t.qid = m.qid AND t.vec_id = m.vec_id) AS BIGINT)
+      UNION ALL
+      SELECT 'pq_rerank',
+             CAST((SELECT count(*) FROM m_pq_rerank m
+                   JOIN truth t ON t.qid = m.qid AND t.vec_id = m.vec_id) AS BIGINT)
+    ), denom_t
+    """
+
+
+_PANEL_N = 16
+
+
+@_q(
+    "sim_ann_recall_panel",
+    _ann_recall_panel_oracle(10, _PANEL_N, 50, 2),
+    "ANN recall@10 measured over a 16-query panel (the 16 highest-id "
+    "vectors), not a single query vector — r10's one-vector recall was "
+    "a coin-flip estimator of index quality (VERDICT r10 #2). Each "
+    "method's panel runs as ONE corpus scan: mapInPandas computes all "
+    "16 queries' exact scaled-int distances per Arrow batch with a "
+    "per-batch partial top-k, so only ~batches*16*k survivor rows hit "
+    "the single per-qid window — at 100 TB the corpus read dominates "
+    "and is amortized across the whole panel, vs 16 re-reads for "
+    "per-query TakeOrderedAndProject. Reports exact (hits, denom) "
+    "rationals per method with denom = |truth| = 160; the IVF arm "
+    "probes 2 of 8 cells per query with probe cells selected by the "
+    "same rounded-cosine Spark fold as the single-query path (numpy's "
+    "pairwise summation could flip a rounding boundary, so probe "
+    "selection stays JVM-side)",
+)
+def sim_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = similarity.panel_query_vectors(emb, n=_PANEL_N)
+    truth = similarity.exact_topk_int_panel(emb, queries, k=10)
+    # respread BEFORE encode: the per-subspace argmin expressions are
+    # the expensive part, and the single-row-group testdata scan is one
+    # task — at any real multi-split scale this is a no-op
+    codes = similarity.pq_encode(
+        respread(emb.select("vec_id", "embedding")), PQ_CODEBOOKS
+    )
+    # one ADC pass at the wider refine width; the pq_adc arm is its
+    # top-10 prefix (localCheckpoint: <=16*50 rows, read by both the
+    # prefix re-window and the rerank join — without it each branch
+    # would replay the whole encode+ADC scan)
+    adc50 = similarity.pq_adc_panel(
+        codes, PQ_CODEBOOKS, queries, k=50
+    ).localCheckpoint(eager=False)
+    methods = {
+        "pq_adc": similarity._panel_global_topk(adc50, 10, "adc_dist"),
+        "pq_rerank": similarity.rerank_panel(emb, adc50, queries, k=10),
+        "ivf_pq": similarity.rerank_panel(
+            emb,
+            similarity.ivf_pq_panel_candidates(
+                emb,
+                _ivf_centroids(),
+                PQ_CODEBOOKS,
+                queries,
+                nprobe=2,
+                refine=50,
+            ),
+            queries,
+            k=10,
+        ),
+    }
+    return similarity.ann_recall_panel(methods, truth, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extensions
 # ---------------------------------------------------------------------------
