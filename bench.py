@@ -202,6 +202,18 @@ DRIFT_CLASSIFICATIONS = {
         "— accepted as the price of exact allocation at 38-digit "
         "masses; irrelevant at production scale"
     ),
+    "sketch_sample_quantiles": (
+        "r10 flagged 1.367 normalized in-suite; r11 isolated re-bench "
+        "(best-of-6): 0.216 s vs the r10 ref 0.247 s — nominal 0.874, "
+        "i.e. FASTER in isolation, normalized 1.056 (<= 1.1 "
+        "done-criterion); plan unchanged (TakeOrderedAndProject "
+        "bottom-k, r10 verdict confirmed no path change). Verdict: "
+        "suite-position/host noise on a ~0.25 s query — at this "
+        "magnitude the calibration probe's own variance (0.06-0.13 s "
+        "observed across back-to-back runs) dominates the normalized "
+        "ratio; controls (sketch_kmv_distinct/setops, never flagged, "
+        "no code change) swung 1.33-1.64 in the same runs"
+    ),
 }
 
 
@@ -323,6 +335,8 @@ def _bench_ingest(
     replication: int = INGEST_REPLICATION,
     unique_content: bool = False,
     skew: bool = False,
+    compress: str | None = None,
+    info: dict | None = None,
 ) -> tuple[float, int]:
     """Wikidata-dump ingest throughput: synthesize a dump (one entity per
     document row, JVM-side to_json — not timed), then time load_dump end
@@ -408,16 +422,120 @@ def _bench_ingest(
             ).alias("claims"),
         )
     )
-    docs.select(entity.alias("value")).write.mode("overwrite").text(dump_path)
+    fmt = "json"
+    if compress == "bz2":
+        # A2's splittable-codec claim, measured (VERDICT r10 #6): the
+        # real dump is one ~80 GB .bz2; parallel ingest requires Hadoop
+        # to split WITHIN a compressed file (bzip2 block markers). The
+        # probe writes FEW files (4 — parallel compression; a single
+        # writer task measured 28 s of pure bzip2 CPU at this size),
+        # then caps maxPartitionBytes so the scan must plan more
+        # splits than files — every split beyond the file count is an
+        # intra-file split, the thing the claim is about.
+        import glob
 
-    t0 = time.perf_counter()
-    tables = load_dump(spark, dump_path, "json", lang="en")
-    out = os.path.join(tmp_dir, "bench_out")
-    from wikidata_to_surrealdb_spark.operators.ingest import write_tables
+        fmt = "bz2"
+        dump_path = os.path.join(tmp_dir, "bench_dump_bz2")
+        docs.select(entity.alias("value")).coalesce(8).write.mode(
+            "overwrite"
+        ).option("compression", "bzip2").text(dump_path)
+        files = glob.glob(os.path.join(dump_path, "*.bz2"))
+        total = sum(os.path.getsize(p) for p in files)
+        # target ~3 splits per file so the census proves intra-file
+        # splitting with margin (bzip2's block markers land every
+        # ~900 KB of raw input, well under these files)
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(total // (3 * max(len(files), 1)), 1 << 20)),
+        )
+        from wikidata_to_surrealdb_spark.sources.dump_reader import (
+            read_dump_lines,
+        )
 
-    write_tables(tables, out)
-    dt = time.perf_counter() - t0
+        splits = read_dump_lines(spark, dump_path, "bz2").rdd.getNumPartitions()
+        if info is not None:
+            info.update(
+                {
+                    "files": len(files),
+                    "compressed_mb": round(total / 1e6, 1),
+                    "splits": splits,
+                }
+            )
+    else:
+        docs.select(entity.alias("value")).write.mode("overwrite").text(dump_path)
+
+    try:
+        t0 = time.perf_counter()
+        tables = load_dump(spark, dump_path, fmt, lang="en")
+        out = os.path.join(tmp_dir, "bench_out")
+        from wikidata_to_surrealdb_spark.operators.ingest import write_tables
+
+        write_tables(tables, out)
+        dt = time.perf_counter() - t0
+    finally:
+        if compress == "bz2":
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
     return dt, n
+
+
+class ShuffleMeter:
+    """Per-query shuffle bytes via the Spark status REST API
+    (VERDICT r10 #7): wall time catches regressions late and noisily
+    on this burstable host — three drift hunts in three rounds —
+    while shuffle bytes written per query are host-independent: a
+    regressed wall with byte-identical shuffle is host weather, a
+    changed byte count is a plan change. Reads the public
+    ``/api/v1/applications/<id>/stages`` endpoint (bench enables the
+    UI for this); stage ids are monotonically increasing, so a
+    query's bytes are the sum over stage ids above a pre-query mark —
+    immune to the UI's retained-stages eviction, which only drops OLD
+    stages. Any failure disables the meter for the run (bytes are a
+    diagnostic; they must never lose the bench record)."""
+
+    def __init__(self, spark):
+        self.base = None
+        self._max_seen = -1
+        try:
+            url = spark.sparkContext.uiWebUrl
+            app_id = spark.sparkContext.applicationId
+            if url:
+                self.base = f"{url}/api/v1/applications/{app_id}/stages"
+        except Exception:
+            self.base = None
+
+    def _stages(self) -> list[dict]:
+        import urllib.request
+
+        with urllib.request.urlopen(self.base, timeout=10) as r:
+            return json.load(r)
+
+    def mark(self) -> int:
+        """Current max stage id (or -1); bytes_since sums above it."""
+        if self.base is None:
+            return -1
+        try:
+            stages = self._stages()
+            self._max_seen = max(
+                [s["stageId"] for s in stages] + [self._max_seen]
+            )
+            return self._max_seen
+        except Exception:
+            self.base = None
+            return -1
+
+    def bytes_since(self, mark: int) -> dict | None:
+        if self.base is None:
+            return None
+        try:
+            stages = [s for s in self._stages() if s["stageId"] > mark]
+            return {
+                "write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+                "read": sum(s.get("shuffleReadBytes", 0) for s in stages),
+                "stages": len(stages),
+            }
+        except Exception:
+            self.base = None
+            return None
 
 
 def time_queries(
@@ -427,26 +545,42 @@ def time_queries(
     timings: dict[str, float],
     reps: int = 2,
     queries: dict | None = None,
+    shuffle_bytes: dict | None = None,
+    meter: "ShuffleMeter | None" = None,
 ) -> dict[str, float]:
     """Best-of-``reps`` wall time per named catalog query into ``timings``.
 
     A query that raises records ``-1.0`` instead of aborting the suite —
     one bad query must not lose the whole bench record (the failure is
     still visible: negative entries are excluded from the suite total
-    and stand out in the per-query map)."""
+    and stand out in the per-query map).
+
+    With a ``meter``, the LAST repetition's shuffle write/read bytes
+    land in ``shuffle_bytes`` (last, not best-of: the mark is taken
+    right before the final rep, so the byte window covers exactly one
+    execution; plans are deterministic, so reps agree anyway)."""
     qmap = QUERIES if queries is None else queries
     for name in names:
         fn = qmap[name].fn
         best = float("inf")
         try:
-            for _ in range(reps):
+            for rep in range(reps):
                 # drop persisted intermediates so every repetition pays
                 # the full cost of its own plan (no cross-run cache hits)
                 spark.catalog.clearCache()
+                mark = (
+                    meter.mark()
+                    if meter is not None and rep == reps - 1
+                    else None
+                )
                 t0 = time.perf_counter()
                 rows = fn(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
                 del rows
+                if mark is not None and shuffle_bytes is not None:
+                    sb = meter.bytes_since(mark)
+                    if sb is not None:
+                        shuffle_bytes[name] = sb
             timings[name] = round(best, 3)
         except Exception as e:  # one bad query must not lose the record
             print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
@@ -522,7 +656,16 @@ def time_layout_pair(spark, sf_dir: str, tmp: str, timings: dict) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
-    spark = get_spark(app_name="bench")
+    # UI on for bench only: the status REST API is how ShuffleMeter
+    # reads per-query shuffle bytes (host-independent drift signal);
+    # retainedStages raised so a full suite never evicts mid-window
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import tempfile
@@ -629,6 +772,19 @@ def main() -> None:
         ingest10_sec, n10 = _bench_ingest(spark, sf_dir, tmp, replication=200)
         timings["wd_ingest_10x"] = round(ingest10_sec, 3)
         ingest_10x_eps = round(n10 / ingest10_sec, 1)
+
+        # same 10x volume through a COMPRESSED dump (VERDICT r10 #6):
+        # the real input is an ~80 GB .bz2, so A2's "splittable codec,
+        # parallel decompress for free" claim needs a measured number
+        # at the 10x scale, not just the fixture roundtrip. One timed
+        # run like the plain-10x entry; the split census (splits must
+        # exceed file count => intra-file splits) goes in the record.
+        bz2_info: dict = {}
+        bz10_sec, n_bz = _bench_ingest(
+            spark, sf_dir, tmp, replication=200, compress="bz2", info=bz2_info
+        )
+        timings["wd_ingest_10x_bz2"] = round(bz10_sec, 3)
+        bz2_info["entities_per_sec"] = round(n_bz / bz10_sec, 1)
 
         # skewed-entity probe (VERDICT r8 #8): identical entity count to
         # the headline, but ~1-in-2000 is a ~1 MB mega-entity (~4000
@@ -789,14 +945,31 @@ def main() -> None:
 
         # best-of-2 per query: this host is virtualized and shows large
         # run-to-run CPU-steal noise; the minimum is the steady-state cost.
-        time_queries(spark, sf_dir, BENCH_QUERIES, timings)
+        meter = ShuffleMeter(spark)
+        shuffle_bytes: dict[str, dict] = {}
+        time_queries(
+            spark,
+            sf_dir,
+            BENCH_QUERIES,
+            timings,
+            shuffle_bytes=shuffle_bytes,
+            meter=meter,
+        )
 
         # smoke tier LAST among queries (its position is consistent
         # run-to-run, so smoke-vs-smoke comparisons share the same
         # credit-drain state, and the main tier's round-over-round
         # comparability is untouched), single-rep by design
         smoke_timings: dict[str, float] = {}
-        time_queries(spark, sf_dir, smoke_names, smoke_timings, reps=1)
+        time_queries(
+            spark,
+            sf_dir,
+            smoke_names,
+            smoke_timings,
+            reps=1,
+            shuffle_bytes=shuffle_bytes,
+            meter=meter,
+        )
 
         calibration_end = _calibrate()
 
@@ -871,7 +1044,18 @@ def main() -> None:
     emit_record(
         record,
         stream_batches,
-        extra_full={**smoke_full, "ann_recall_values": ann_recall_values},
+        extra_full={
+            **smoke_full,
+            "ann_recall_values": ann_recall_values,
+            # bz2 split census: splits > files means Hadoop planned
+            # intra-file splits of the compressed dump — the
+            # splittable-codec mechanism the 80 GB single-file real
+            # dump depends on
+            "ingest_10x_bz2": bz2_info,
+            # per-query shuffle write/read bytes (host-independent
+            # drift signal — see ShuffleMeter / shuffle_vs_prev)
+            "shuffle_bytes": shuffle_bytes,
+        },
     )
     spark.stop()
 
@@ -966,6 +1150,66 @@ def normalize_vs_prev(record: dict, prev_full: dict | None) -> dict:
     }
 
 
+def shuffle_vs_prev(
+    cur: dict,
+    prev_full: dict | None,
+    sf,
+    normalized_regressed: list[str],
+) -> dict:
+    """The drift classifier's FIRST consult (VERDICT r10 #7): shuffle
+    bytes are host-independent, so for every query flagged by the
+    wall-time normalization the byte comparison says which kind of
+    regression it is — byte-identical shuffle (ratio ~1.0) means the
+    plan moved the same data and the wall swing is host weather;
+    changed bytes mean the plan itself changed and the flag is real.
+
+    Returns {} without BOTH records carrying same-sf shuffle maps.
+    ``shuffle_changed`` lists queries whose write bytes moved >10%
+    (or appeared/disappeared); ``regressed_shuffle_verdict`` maps each
+    normalized-regressed query to 'plan-change' / 'host-or-data' /
+    'no-bytes'."""
+    prev = prev_full if isinstance(prev_full, dict) else {}
+    prev_sb = prev.get("shuffle_bytes")
+    if (
+        not isinstance(prev_sb, dict)
+        or not cur
+        or "sf" not in prev
+        or prev["sf"] != sf
+    ):
+        return {}
+    ratios: dict[str, dict] = {}
+    changed: list[str] = []
+    for q, sb in cur.items():
+        old = prev_sb.get(q)
+        if not isinstance(old, dict):
+            continue
+        w0, w1 = old.get("write", 0), sb.get("write", 0)
+        if w0 == 0 and w1 == 0:
+            ratios[q] = {"write_ratio": 1.0, "prev": 0, "cur": 0}
+            continue
+        if w0 == 0 or w1 == 0:
+            ratios[q] = {"write_ratio": None, "prev": w0, "cur": w1}
+            changed.append(q)
+            continue
+        r = w1 / w0
+        ratios[q] = {"write_ratio": round(r, 3), "prev": w0, "cur": w1}
+        if r > 1.1 or r < 0.9:
+            changed.append(q)
+    verdicts = {}
+    for q in normalized_regressed:
+        if q not in ratios:
+            verdicts[q] = "no-bytes"
+        elif q in changed:
+            verdicts[q] = "plan-change"
+        else:
+            verdicts[q] = "host-or-data"
+    return {
+        "shuffle_vs_prev": ratios,
+        "shuffle_changed": sorted(changed),
+        "regressed_shuffle_verdict": verdicts,
+    }
+
+
 def emit_record(
     record: dict,
     stream_batches_full: dict | None = None,
@@ -1006,6 +1250,15 @@ def emit_record(
     norm = normalize_vs_prev(record, prev_full)
     if norm:
         full.update(norm)
+        # byte-level consult for the flagged queries (host-independent)
+        full.update(
+            shuffle_vs_prev(
+                full.get("shuffle_bytes") or {},
+                prev_full,
+                record.get("sf"),
+                norm.get("normalized_regressed", []),
+            )
+        )
         # headline only on the printed line — the per-query map competes
         # with query timings for the driver's 2000-char tail window
         record["host_drift"] = norm["host_drift_ratio"]

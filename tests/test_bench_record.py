@@ -426,3 +426,44 @@ def test_emit_record_extra_full_stays_off_printed_line(tmp_path, capsys):
     full = json.loads(out.read_text())
     assert full["bench_epoch"] == 7
     assert full["smoke_history"]["x"]["sec"] == 0.2
+
+
+def test_shuffle_vs_prev_classifies_regressions():
+    """r11: byte-level consult for wall-time flags — unchanged shuffle
+    bytes on a flagged query reads 'host-or-data', changed bytes read
+    'plan-change', missing bytes read 'no-bytes'."""
+    prev = {
+        "sf": 0.1,
+        "shuffle_bytes": {
+            "flat": {"write": 1000, "read": 900},
+            "grew": {"write": 1000, "read": 900},
+            "vanished": {"write": 1000, "read": 0},
+            "zero": {"write": 0, "read": 0},
+        },
+    }
+    cur = {
+        "flat": {"write": 1005, "read": 900},      # within 10%
+        "grew": {"write": 2000, "read": 1800},     # doubled
+        "vanished": {"write": 0, "read": 0},       # shuffle disappeared
+        "zero": {"write": 0, "read": 0},           # never shuffled
+        "fresh": {"write": 5, "read": 5},          # no prev entry
+    }
+    out = bench.shuffle_vs_prev(
+        cur, prev, 0.1, ["flat", "grew", "vanished", "unbenched"]
+    )
+    assert out["shuffle_changed"] == ["grew", "vanished"]
+    assert out["regressed_shuffle_verdict"] == {
+        "flat": "host-or-data",
+        "grew": "plan-change",
+        "vanished": "plan-change",
+        "unbenched": "no-bytes",
+    }
+    assert out["shuffle_vs_prev"]["grew"]["write_ratio"] == 2.0
+    assert out["shuffle_vs_prev"]["zero"]["write_ratio"] == 1.0
+    assert out["shuffle_vs_prev"]["vanished"]["write_ratio"] is None
+    assert "fresh" not in out["shuffle_vs_prev"]
+    # guards: sf mismatch / missing prev map / empty cur => {}
+    assert bench.shuffle_vs_prev(cur, prev, 0.01, []) == {}
+    assert bench.shuffle_vs_prev(cur, {"sf": 0.1}, 0.1, []) == {}
+    assert bench.shuffle_vs_prev({}, prev, 0.1, []) == {}
+    assert bench.shuffle_vs_prev(cur, None, 0.1, []) == {}

@@ -176,6 +176,58 @@ def test_bz2_roundtrip(spark, tmp_path):
     assert t.entity.count() == 5
 
 
+def test_bz2_single_file_splits_and_parallel_decode(spark, tmp_path):
+    """A2's scale claim, proven rather than asserted in prose: ONE
+    .bz2 file (the real dump's shape — ~80 GB, one file) must plan
+    MULTIPLE input splits and decode them in parallel with an exact
+    total. bzip2 writes a block marker every ~900 KB of raw input, so
+    a multi-block single file is splittable mid-file; gzip (the
+    negative control below) is not. ~40k lines (~10 MB raw, ~11
+    blocks) under a 256 KB maxPartitionBytes cap => several splits,
+    and at least two of them must actually yield rows (true parallel
+    decode, not one fat split plus empties)."""
+    import bz2
+    import hashlib
+
+    # pseudo-random label text: repetitive padding compresses below the
+    # split cap and defeats the point (one split); hashed hex keeps the
+    # compressed file multi-block
+    def _label(i: int) -> str:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return (h * 4)[:120]
+
+    line = (
+        '{"id": "Q%d", "type": "item", "labels": {"en": '
+        '{"language": "en", "value": "%s"}}},'
+    )
+    n = 40_000
+    raw = "[\n" + "\n".join(line % (i, _label(i)) for i in range(n)) + "\n]\n"
+    path = tmp_path / "dump.json.bz2"
+    path.write_bytes(bz2.compress(raw.encode()))
+    from wikidata_to_surrealdb_spark.sources.dump_reader import read_dump_lines
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    try:
+        lines = read_dump_lines(spark, str(path), "bz2")
+        n_splits = lines.rdd.getNumPartitions()
+        assert n_splits > 1, "single-file bz2 planned only one split"
+        per_split = lines.rdd.mapPartitions(
+            lambda it: [sum(1 for _ in it)]
+        ).collect()
+        assert sum(per_split) == n
+        assert sum(1 for c in per_split if c > 0) >= 2, (
+            f"decode was not parallel: {per_split}"
+        )
+        t = load_dump(spark, str(path), "bz2")
+        assert t.entity.count() == n
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_gz_roundtrip(spark, tmp_path):
     """gz dump variant reads identically (unsplittable codec — the reader
     warns to prefer bz2 at scale, but the 130 GB gzip dump must load)."""
