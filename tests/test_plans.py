@@ -242,3 +242,20 @@ def test_containment_reads_materialized_index_once(spark):
     assert plan.count("Scan ExistingRDD") >= 2, plan  # sizes + pairs branches
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_recall_panel_plan_shape(spark):
+    """r11 panel scale-shape pins: the candidate joins in the rerank
+    arms must be BROADCAST (candidates are B*refine rows by
+    construction — a sort-merge join would shuffle the full corpus),
+    the per-batch partial top-k runs in Python via mapInPandas /
+    ArrowEvalPython (never row-at-a-time PythonUDF), and no
+    CartesianProduct survives anywhere (the tiny panel relations
+    plan as LocalTableScan x broadcast)."""
+    plan = _plan(spark, "sim_ann_recall_panel")
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # sort-merge joining the corpus against 800-row candidates would be
+    # the classic silent scale killer here
+    assert "SortMergeJoin" not in plan, plan
