@@ -82,6 +82,15 @@ CASES = {
         similarity.exact_topk_int_panel(t["embs"], []),
         k=10,
     ),
+    # r11: the exact prefix-filter join and the LSH banding profile
+    # must be total on an empty corpus (empty pair set / all-zero
+    # counts per config, not a crash)
+    "dedup_jaccard_prefix_join": lambda t: dedup.jaccard_prefix_join(
+        t["docs"]
+    ),
+    "dedup_lsh_recall_profile": lambda t: dedup.lsh_recall_profile(
+        t["docs"]
+    ),
     "cur_repetition": lambda t: curation.repetition_stats(t["docs"]),
     "cur_gopher": lambda t: curation.gopher_filter(t["docs"]),
     "cur_hash_split": lambda t: curation.hash_split(t["docs"]),

@@ -1,0 +1,113 @@
+"""Exact set-similarity join (prefix filtering) + LSH recall profile.
+
+The prefix join is the COMPLETE ground-truth engine: these tests prove
+completeness against an all-pairs brute force on a planted corpus
+(including pairs right at the threshold boundary), pin the
+duplicate-doc_id union semantics, and check the profile's structural
+invariants.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from wikidata_to_surrealdb_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _brute_force(spark, docs, threshold):
+    """All-pairs exact Jaccard on 3-gram shingle sets with per-id UNION
+    semantics — quadratic, test-scale only."""
+    ex = (
+        dedup.shingle_sets(docs)
+        .selectExpr("doc_id", "explode(sh) AS g")
+        .dropDuplicates(["doc_id", "g"])
+        .collect()
+    )
+    sets: dict[int, set] = {}
+    for r in ex:
+        sets.setdefault(r.doc_id, set()).add(r.g)
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        # same rounded grid the operator uses (fround 4)
+        import math
+
+        j = math.floor(inter / union * 10000 + 0.5) / 10000
+        if j >= threshold:
+            out.add((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Docs with near-dup pairs across the whole similarity range: exact
+    copies, one-word edits, half-overlaps, and disjoint text — so the
+    0.5 threshold has members on both sides and near the boundary."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    words = base.split()
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(words) + f" tail{i} alpha beta gamma"))
+    # exact copy pair (jaccard 1.0 on shingles)
+    rows.append((100, rows[0][1]))
+    # one-word edit (high jaccard)
+    rows.append((101, rows[1][1].replace("lazy", "sleepy")))
+    # half overlap (mid jaccard)
+    rows.append((102, " ".join(words[:8]) + " completely different ending here now"))
+    # disjoint
+    rows.append((103, "unrelated text about satellites orbiting jupiter and saturn"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_join_is_complete_and_exact(spark, planted):
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_prefix_join(planted, threshold=0.5).collect()
+    }
+    want = _brute_force(spark, planted, 0.5)
+    assert want, "the plant produced no qualifying pairs"
+    assert got == want  # complete (no missed pair) AND exact (no extra)
+
+
+def test_prefix_join_duplicate_ids_union_no_self_pairs(spark):
+    """A duplicated doc_id contributes the UNION of its rows' shingles
+    (the MinHash path's semantics) and never a degenerate (x, x)
+    self-pair — the testdata has duplicated ids, so this is a real
+    input shape, found when the first implementation emitted them."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.jaccard_prefix_join(docs, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert all(a < b for a, b in pairs)
+    assert (1, 1) not in pairs
+    assert (1, 2) in pairs
+
+
+def test_lsh_recall_profile_invariants(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = dedup.lsh_recall_profile(docs, threshold=0.5).collect()
+    by_cfg = {r.config: r for r in rows}
+    assert set(by_cfg) == {"b1r8", "b2r4", "b4r2", "b8r1"}
+    truths = {r.truth for r in rows}
+    assert len(truths) == 1  # one shared ground truth across configs
+    for r in rows:
+        assert 0 <= r.hits <= min(r.candidates, r.truth), r
+        assert r.bands * r.rows_per_band == 8
+    # the s-curve's defining property at matched hash budget: the
+    # 1-row-per-band extreme admits (weakly) the most candidates
+    assert by_cfg["b8r1"].candidates >= by_cfg["b1r8"].candidates
+
+
+def test_lsh_recall_profile_rejects_bad_config(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="bands\\*rows"):
+        dedup.lsh_recall_profile(docs, configs=((3, 2),)).collect()

