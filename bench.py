@@ -995,6 +995,21 @@ def main() -> None:
                 }
             except Exception as e:  # record, never fail the bench
                 ann_recall_values[_qname] = {"err": str(e)[:200]}
+        # same trend tracking for the LSH banding curve (r11): per
+        # config, [candidates, hits, truth] exact counts
+        try:
+            _rows = [
+                r.asDict()
+                for r in QUERIES["dedup_lsh_recall_profile"].fn(spark, sf_dir).collect()
+            ]
+            lsh_recall_values: dict = {
+                str(r["config"]): [
+                    int(r["candidates"]), int(r["hits"]), int(r["truth"])
+                ]
+                for r in _rows
+            }
+        except Exception as e:
+            lsh_recall_values = {"err": str(e)[:200]}
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
     record = {
@@ -1047,6 +1062,7 @@ def main() -> None:
         extra_full={
             **smoke_full,
             "ann_recall_values": ann_recall_values,
+            "lsh_recall_values": lsh_recall_values,
             # bz2 split census: splits > files means Hadoop planned
             # intra-file splits of the compressed dump — the
             # splittable-codec mechanism the 80 GB single-file real
