@@ -126,6 +126,8 @@ CASES = {
     "sketch_kmv_by": lambda t: sketch.kmv_distinct_by(
         t["events"], "event_type", "user_id"
     ),
+    # r11: per-source tokenizer eval must be total on an empty corpus
+    "text_bpe_fertility": lambda t: text.bpe_fertility(t["docs"], []),
     "text_analyze": lambda t: text.analyze_text(t["docs"]),
     "text_top_terms": lambda t: text.top_terms(t["docs"]),
     "text_quality": lambda t: text.quality_score(t["docs"]),

@@ -1368,3 +1368,85 @@ def bpe_apply(
         .alias("n_bpe_tokens"),
         F.md5("_s").alias("stream_hash"),
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Tokenizer QUALITY per corpus source — the standard BPE
+    evaluation a training pipeline runs after (re)training a
+    vocabulary: fertility (BPE tokens per whitespace-ish word; lower is
+    better segmentation) and compression (UTF-8 bytes per BPE token;
+    higher means each token carries more signal) for each ``source``,
+    plus the exact BIGINT sums they derive from.
+
+    Same single-map segmentation as :func:`bpe_apply` (sentinel-
+    delimited symbol strings, plain substring replaces in merge order —
+    pure JVM, no shuffle) with source and byte length carried through
+    the map, then ONE tiny groupBy(source). Deliberately not a join of
+    :func:`bpe_apply` output back onto docs: the testdata carries
+    duplicated doc_ids, and an id-keyed join would double-count their
+    rows (each input ROW is one document here, as in bpe_apply)."""
+    from wikidata_to_surrealdb_spark.functions import fround, respread
+
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    sym = (
+        "transform(_w, w -> concat('|',"
+        " array_join(concat(split(w, ''), array('_')), '||'), '|'))"
+    )
+    d = respread(docs).select(
+        F.col(source_col).alias("_src"),
+        F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).alias("_bytes"),
+        words.alias("_w"),
+    )
+    d = d.select(
+        "_src",
+        "_bytes",
+        F.size("_w").alias("_nw"),
+        F.array_join(F.expr(sym), " ").alias("_s"),
+    )
+    col = F.col("_s")
+    for a, b in merges:
+        col = F.replace(col, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    d = d.select("_src", "_bytes", "_nw", col.alias("_s"))
+    seps = F.length("_s") - F.length(
+        F.replace(F.col("_s"), F.lit("||"), F.lit("|"))
+    )
+    per_row = d.select(
+        "_src",
+        "_bytes",
+        "_nw",
+        F.when(F.col("_nw") == 0, F.lit(0))
+        .otherwise(F.col("_nw") + seps)
+        .alias("_nt"),
+    )
+    agg = per_row.groupBy(F.col("_src").alias("source")).agg(
+        F.count("*").cast("bigint").alias("docs"),
+        F.sum("_bytes").cast("bigint").alias("bytes"),
+        F.sum("_nw").cast("bigint").alias("words"),
+        F.sum("_nt").cast("bigint").alias("bpe_tokens"),
+    )
+    return agg.select(
+        "source",
+        "docs",
+        "bytes",
+        "words",
+        "bpe_tokens",
+        fround(
+            F.col("bpe_tokens")
+            / F.nullif(F.col("words"), F.lit(0)).cast("double"),
+            4,
+        ).alias("fertility"),
+        fround(
+            F.col("bytes")
+            / F.nullif(F.col("bpe_tokens"), F.lit(0)).cast("double"),
+            4,
+        ).alias("bytes_per_token"),
+    )

@@ -7280,6 +7280,74 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_apply(t["documents"], merges)
 
 
+def _bpe_fertility_oracle(merges: int) -> str:
+    """Per-source fertility/compression off the same trained-and-applied
+    segmentation as the encode oracle, aggregated by source."""
+    expr = "s"
+    for i in range(1, merges + 1):
+        expr = (
+            f"replace({expr}, '|' || q{i}.a || '||' || q{i}.b || '|',"
+            f" '|' || q{i}.a || q{i}.b || '|')"
+        )
+    joins = " ".join(f"CROSS JOIN m{i} q{i}" for i in range(1, merges + 1))
+    return (
+        _bpe_ctes(merges)
+        + f""",
+    d AS (
+      -- strlen = UTF-8 BYTE length in DuckDB (octet_length is
+      -- BLOB-only in 1.0); matches Spark's octet_length on VARCHAR
+      SELECT source, strlen(coalesce(text, '')) AS bytes,
+             coalesce({{toks}}, CAST([] AS VARCHAR[])) AS w
+      FROM documents
+    ),
+    s0 AS (
+      SELECT source, bytes, len(w) AS n_words,
+             coalesce(array_to_string(list_transform(w, x ->
+               '|' || array_to_string(list_append(str_split(x, ''), '_'),
+                                      '||') || '|'), ' '), '') AS s
+      FROM d
+    ),
+    sk AS (
+      SELECT source, bytes, n_words, {expr} AS s FROM s0 {joins}
+    ),
+    per AS (
+      SELECT source, bytes, n_words,
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE n_words + length(s) - length(replace(s, '||', '|'))
+             END AS n_tok
+      FROM sk
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+           {fround_sql("(sum(n_tok)::DOUBLE / NULLIF(sum(n_words), 0)::DOUBLE)", 4)} AS fertility,
+           {fround_sql("(sum(bytes)::DOUBLE / NULLIF(sum(n_tok), 0)::DOUBLE)", 4)} AS bytes_per_token
+    FROM per GROUP BY source
+    """.replace("{toks}", _TOKS_SQL)
+    )
+
+
+@_q(
+    "text_bpe_fertility",
+    _bpe_fertility_oracle(_BPE_MERGES),
+    "tokenizer QUALITY per corpus source — the standard post-training "
+    "BPE evaluation: fertility (tokens/word, lower = better "
+    "segmentation) and compression (UTF-8 bytes/token) for each source, "
+    "with the exact BIGINT sums they derive from. Same single-map "
+    "segmentation as text_bpe_encode with source + byte length carried "
+    "through the map, then one tiny groupBy(source) — no id-keyed join "
+    "(the testdata carries duplicated doc_ids, which a join would "
+    "double-count)",
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    learned = text.bpe_train(t["documents"], merges=_BPE_MERGES).collect()
+    merges = [(r.pair_a, r.pair_b) for r in sorted(learned, key=lambda r: r.step)]
+    return text.bpe_fertility(t["documents"], merges)
+
+
 def _bpe_batched_oracle(rounds: int, batch: int) -> str:
     """Unrolled replay of text.bpe_train_batched: per round, rank pair
     counts (cnt DESC, a, b), keep the 4*batch pool, accept candidates
