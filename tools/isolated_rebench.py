@@ -92,8 +92,19 @@ def main() -> int:
     except (KeyError, TypeError, ValueError):
         pass
 
-    spark = get_spark(app_name="isolated_rebench")
+    # UI on like the main bench: the isolated triage should carry the
+    # same shuffle-byte evidence (host-independent) as the suite record
+    # it's adjudicating
+    spark = get_spark(
+        app_name="isolated_rebench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    meter = bench.ShuffleMeter(spark)
+    shuffle_bytes: dict[str, dict] = {}
 
     timings: dict[str, float] = {}
     with tempfile.TemporaryDirectory(prefix="wd_isorebench_") as tmp:
@@ -111,7 +122,15 @@ def main() -> int:
                     pass
 
         cal_start = bench.calibrate(spark)
-        bench.time_queries(spark, args.sf_dir, names, timings, reps=args.reps)
+        bench.time_queries(
+            spark,
+            args.sf_dir,
+            names,
+            timings,
+            reps=args.reps,
+            shuffle_bytes=shuffle_bytes,
+            meter=meter,
+        )
         if args.layout_pair:
             pair: dict[str, float] = {}
             for _ in range(max(1, args.reps - 1)):
@@ -142,8 +161,34 @@ def main() -> int:
         "cal_drift_vs_ref": cal_drift,
         "isolated": {},
     }
+    # byte ratios only against a SAME-SCALE reference: shuffle volume is
+    # data-sized, so an sf0.01 re-bench against the sf0.1 committed
+    # record would read as a phantom 10x plan change (the same
+    # both-present rule as bench.normalize_vs_prev / shuffle_vs_prev)
+    ref_sf = ref.get("sf") if isinstance(ref, dict) else None
+    run_sf_name = os.path.basename(args.sf_dir.rstrip("/"))
+    try:
+        run_sf = float(run_sf_name.replace("sf", ""))
+    except ValueError:
+        run_sf = None
+    sf_comparable = ref_sf is not None and run_sf == ref_sf
+    ref_sb = ref.get("shuffle_bytes", {}) if isinstance(ref, dict) else {}
     for n, t in timings.items():
         entry: dict = {"sec": t}
+        sb = shuffle_bytes.get(n)
+        if sb is not None:
+            entry["shuffle"] = sb
+            old_sb = ref_sb.get(n)
+            if (
+                sf_comparable
+                and isinstance(old_sb, dict)
+                and old_sb.get("write", 0) > 0
+            ):
+                # the byte verdict FIRST: identical bytes on a slow wall
+                # is host weather, changed bytes is a plan change
+                entry["shuffle_write_ratio"] = round(
+                    sb.get("write", 0) / old_sb["write"], 3
+                )
         prev = ref_q.get(n)
         if isinstance(prev, (int, float)) and prev > 0 and t > 0:
             entry["ref_sec"] = prev
