@@ -111,3 +111,32 @@ def test_lsh_recall_profile_rejects_bad_config(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with pytest.raises(ValueError, match="bands\\*rows"):
         dedup.lsh_recall_profile(docs, configs=((3, 2),)).collect()
+
+
+def test_prefix_join_complete_on_random_corpora(spark):
+    """Completeness beyond the planted fixture: seeded random corpora
+    with heavy word-overlap (so qualifying pairs actually occur),
+    prefix join vs all-pairs brute force. Five seeds; each corpus mixes
+    shared vocabulary, mutations, and exact copies."""
+    import random
+
+    vocab = [f"w{i}" for i in range(30)]
+    for seed in range(5):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(40):
+            n = rng.randint(3, 12)
+            words = [rng.choice(vocab) for _ in range(n)]
+            rows.append((i, " ".join(words)))
+            if rng.random() < 0.4:  # near-copy with a point mutation
+                j = rng.randrange(n)
+                mut = list(words)
+                mut[j] = rng.choice(vocab)
+                rows.append((100 + i, " ".join(mut)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.jaccard_prefix_join(docs, threshold=0.5).collect()
+        }
+        want = _brute_force(spark, docs, 0.5)
+        assert got == want, f"seed {seed}: {got ^ want}"
