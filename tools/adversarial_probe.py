@@ -69,6 +69,20 @@ DOC_SQL = {
                   WHEN doc_id % 41 = 7 THEN 1000000000000
                   ELSE n_chars END AS n_chars
       FROM read_parquet('{src}/documents.parquet')""",
+    # duplicate-dense: every document gains 2 exact copies + 1 prefixed
+    # near-copy under fresh ids (4x volume) — the worst case for every
+    # dedup family at once: exact groups of >= 3, identical MinHash
+    # signatures flooding LSH buckets, prefix-join posting lists where
+    # whole groups share every (even rarest) shingle, span/containment
+    # chains. Events untouched.
+    "dupdense": """
+      SELECT doc_id * 4 + rep AS doc_id,
+             CASE WHEN rep = 3 THEN 'dup variant ' || text ELSE text END AS text,
+             lang, source,
+             CASE WHEN rep = 3 THEN length('dup variant ' || text)
+                  ELSE n_chars END AS n_chars
+      FROM read_parquet('{src}/documents.parquet'),
+           (SELECT unnest([0, 1, 2, 3]) AS rep)""",
 }
 
 EVENT_SQL = {
@@ -81,6 +95,7 @@ EVENT_SQL = {
              props
       FROM read_parquet('{src}/events.parquet')""",
     "unicode": "SELECT * FROM read_parquet('{src}/events.parquet')",
+    "dupdense": "SELECT * FROM read_parquet('{src}/events.parquet')",
     "numeric": """
       SELECT event_id, ts, user_id, event_type,
              CASE WHEN event_id % 31 = 4 THEN 'nan'::DOUBLE
