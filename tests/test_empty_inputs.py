@@ -61,6 +61,8 @@ CASES = {
     "sim_normalize_quantize": lambda t: similarity.normalize_quantize(
         t["embs"]
     ),
+    # r11: LSH-stratified diversity downsample total on empty corpus
+    "sim_diversity_sample": lambda t: similarity.diversity_sample(t["embs"]),
     "sim_hard_negatives": lambda t: similarity.hard_negatives(t["embs"]),
     "sim_banded_pairs": lambda t: similarity.ann_banded_pairs_gemm(t["embs"]),
     # r10: exact ground-truth top-k and the recall roll-up must both be

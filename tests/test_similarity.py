@@ -707,3 +707,44 @@ def test_panel_probe_cells_match_single_query_selection(spark):
         assert sorted(probe[qid]) == sorted(want)
     # empty panel: defined empty result
     assert panel_probe_cells(emb, IVF_CENTROIDS, [], nprobe=2) == {}
+
+
+def test_diversity_sample_caps_strata_and_is_deterministic(spark):
+    """r11: per-stratum cap respected, picks are (md5(id), id)-ordered
+    (not an id-order artifact), and the sample is reproducible."""
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        diversity_sample,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = diversity_sample(emb, per_bucket=2, band_bits=4).collect()
+    b = diversity_sample(emb, per_bucket=2, band_bits=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    per = {}
+    for r in a:
+        per.setdefault(r.bucket, []).append(r)
+    assert max(len(v) for v in per.values()) <= 2
+    assert all(1 <= r.kept_rank <= 2 for r in a)
+    # the kept pair per stratum is the md5-order head, not min(vec_id):
+    # verify against a driver-side recompute of one populated stratum
+    import hashlib
+
+    bucket, rows = max(per.items(), key=lambda kv: len(kv[1]))
+    from pyspark.sql import functions as F
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        hyperplane_bucket_sql,
+    )
+
+    expr = hyperplane_bucket_sql(
+        "transform(embedding, x -> CAST(x AS DOUBLE))", 1, 4, 64, dialect="spark"
+    )[0]
+    members = [
+        r.vec_id
+        for r in emb.select("vec_id", F.expr(expr).alias("b"))
+        .where(F.col("b") == bucket)
+        .collect()
+    ]
+    want = sorted(
+        members, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:2]
+    assert sorted(r.vec_id for r in rows) == sorted(want)

@@ -1745,3 +1745,54 @@ def hard_negatives(
         .where(F.col("rank") <= int(k))
         .select("anchor_id", "negative_id", "cosine", "rank")
     )
+
+
+def diversity_sample(
+    embeddings: DataFrame,
+    per_bucket: int = 4,
+    bands: int = 1,
+    band_bits: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space diversity-preserving downsample: stratify the
+    corpus by a sign-LSH bucket (``band_bits`` seeded hyperplanes —
+    2^bits strata of mutually-similar vectors) and keep at most
+    ``per_bucket`` DETERMINISTIC representatives per stratum, ordered
+    by (md5(id), id) so the within-stratum pick is an unbiased,
+    reproducible pseudo-random choice rather than an id-order artifact.
+
+    The training-data use: uniform random sampling over-represents
+    dense regions of embedding space; capping each LSH stratum keeps
+    sparse-region vectors while thinning near-duplicate clusters — a
+    cheap coreset. Distributed shape: one map to bucket (hyperplane
+    dot products against plan literals), ONE hash exchange on the
+    bucket key for the per-stratum rank window; at 100 TB strata are
+    2^bits-way parallel and each holds ~n/2^bits rows (sign-LSH on
+    centered data splits roughly evenly), so no reducer hot-spots.
+    Returns (id, bucket, kept_rank) for the kept rows."""
+    from pyspark.sql import Window
+
+    bucket_expr = hyperplane_bucket_sql(
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE))",
+        bands=bands,
+        band_bits=band_bits,
+        dim=dim,
+        seed=seed,
+        dialect="spark",
+    )[0]
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        embeddings.select(F.col(id_col), F.expr(bucket_expr).alias("bucket"))
+        .withColumn("kept_rank", F.row_number().over(w))
+        .where(F.col("kept_rank") <= per_bucket)
+        .select(
+            id_col,
+            "bucket",
+            F.col("kept_rank").cast("bigint").alias("kept_rank"),
+        )
+    )

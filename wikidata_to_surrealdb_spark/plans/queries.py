@@ -1556,6 +1556,52 @@ def dedup_lsh_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diversity_sample_oracle(per_bucket: int, band_bits: int) -> str:
+    """Identical hyperplane bucketing (the dual-dialect generator emits
+    both engines' expressions from one seeded plane set) + the same
+    (md5(id), id) within-stratum order."""
+    bucket = similarity.hyperplane_bucket_sql(
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+        bands=1,
+        band_bits=band_bits,
+        dim=64,
+        seed=42,
+        dialect="duckdb",
+    )[0]
+    return f"""
+    WITH b AS (
+      SELECT vec_id, {bucket} AS bucket FROM embeddings
+    ), r AS (
+      SELECT vec_id, bucket,
+             row_number() OVER (PARTITION BY bucket
+               ORDER BY md5(vec_id::VARCHAR), vec_id) AS kept_rank
+      FROM b
+    )
+    SELECT vec_id, bucket, CAST(kept_rank AS BIGINT) AS kept_rank
+    FROM r WHERE kept_rank <= {per_bucket}
+    """
+
+
+@_q(
+    "sim_diversity_sample",
+    _diversity_sample_oracle(4, 6),
+    "embedding-space diversity-preserving downsample (coreset): "
+    "stratify by a 6-bit sign-LSH bucket (64 strata of mutually-"
+    "similar vectors; scale bits with corpus size — 2^bits strata "
+    "stay ~n/2^bits deep) and keep <= 4 deterministic representatives per "
+    "stratum, ordered by (md5(id), id) — uniform sampling over-"
+    "represents dense embedding regions; capping each stratum thins "
+    "near-duplicate clusters while keeping sparse-region vectors. One "
+    "map to bucket + ONE hash exchange for the per-stratum rank; "
+    "2^bits-way parallel at any scale",
+)
+def sim_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return similarity.diversity_sample(
+        t["embeddings"], per_bucket=4, band_bits=6
+    )
+
+
 _EMB_COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
