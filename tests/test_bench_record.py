@@ -268,7 +268,20 @@ def test_adversarial_probe_variant_builders(tmp_path):
         base = con.sql(
             f"SELECT count(*) FROM '{src}/documents.parquet'"
         ).fetchone()[0]
-        assert n == base, variant  # injection never drops rows
+        if variant == "dupdense":
+            # the duplicate-density variant REPLICATES by design: x4
+            # documents (2 exact copies + 1 near-copy per row, fresh
+            # distinct ids), events untouched
+            assert n == 4 * base, variant
+            distinct = con.sql(
+                f"SELECT count(DISTINCT doc_id) FROM '{dst}/documents.parquet'"
+            ).fetchone()[0]
+            src_distinct = con.sql(
+                f"SELECT count(DISTINCT doc_id) FROM '{src}/documents.parquet'"
+            ).fetchone()[0]
+            assert distinct == 4 * src_distinct, variant
+        else:
+            assert n == base, variant  # injection never drops rows
         if variant == "null":
             nulls = con.sql(
                 f"SELECT count(*) FROM '{dst}/documents.parquet' "
