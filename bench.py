@@ -427,7 +427,7 @@ def _bench_ingest(
         # A2's splittable-codec claim, measured (VERDICT r10 #6): the
         # real dump is one ~80 GB .bz2; parallel ingest requires Hadoop
         # to split WITHIN a compressed file (bzip2 block markers). The
-        # probe writes FEW files (4 — parallel compression; a single
+        # probe writes FEW files (8 — parallel compression; a single
         # writer task measured 28 s of pure bzip2 CPU at this size),
         # then caps maxPartitionBytes so the scan must plan more
         # splits than files — every split beyond the file count is an

@@ -174,3 +174,37 @@ def test_transform_is_results_neutral_on_real_oracles(name):
     a = con.sql(src).fetchall()
     b = con.sql(emitted).fetchall()
     assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def test_materialize_skips_block_comment_and_quoted_identifier_decoys():
+    """ADVICE r11: a decoy `name AS (` inside a /* */ block comment or
+    a double-quoted identifier must NOT receive a MATERIALIZED splice
+    (which would previously corrupt the SQL into a hard ValueError)."""
+    sql = (
+        "WITH a AS (SELECT 1 /* a AS (block decoy) */ AS y), "
+        'b AS (SELECT y AS "a AS (" FROM a) '
+        'SELECT * FROM a, b, a c'
+    )
+    fixed = materialize_hot_ctes(sql)
+    assert "/* a AS (block decoy) */" in fixed  # comment intact
+    assert '"a AS ("' in fixed  # quoted identifier intact
+    assert fixed.count("MATERIALIZED") == 1  # only the real def site
+    assert cte_shape_violations(fixed) == []
+    # the repaired SQL still parses and runs
+    assert duckdb.connect().sql(fixed).fetchall() == [(1, 1, 1)]
+
+
+def test_materialized_decoy_in_comment_does_not_whitelist():
+    """`x AS MATERIALIZED (` inside a comment must not be taken as the
+    real definition site — the actual inlined multi-ref CTE still
+    counts as a violation and still gets repaired."""
+    sql = (
+        "WITH x AS (SELECT 1 AS y) "
+        "/* x AS MATERIALIZED ( */ "
+        "SELECT * FROM x, x b"
+    )
+    assert cte_shape_violations(sql) == [{"cte": "x", "refs": 2}]
+    fixed = materialize_hot_ctes(sql)
+    assert cte_shape_violations(fixed) == []
+    assert "/* x AS MATERIALIZED ( */" in fixed  # comment untouched
+    assert duckdb.connect().sql(fixed).fetchall() == [(1, 1)]

@@ -49,6 +49,22 @@ _MAT_DEF = re.compile(
 )
 _MAT_STRIP = re.compile(r"\bAS\s+MATERIALIZED\b", re.IGNORECASE)
 
+# comments (line + block), single-quoted literals, double-quoted
+# identifiers — everything a lexical scan must not look inside
+_QUOTED_OR_COMMENT = re.compile(
+    r"/\*.*?\*/|--[^\n]*|'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"",
+    re.DOTALL,
+)
+
+
+def _mask(sql: str) -> str:
+    """Length-preserving copy of ``sql`` with comments, string
+    literals, and double-quoted identifiers blanked to spaces, so
+    lexical scans (MATERIALIZED detection/stripping, definition-site
+    location) never match decoys inside quoted or commented text
+    (ADVICE r11). Offsets into the mask are valid in the original."""
+    return _QUOTED_OR_COMMENT.sub(lambda m: " " * len(m.group(0)), sql)
+
 
 def _walk(node, base_tables: list[str], cte_defs: dict[str, bool]) -> None:
     """Collect BASE_TABLE reference names and CTE definitions
@@ -94,8 +110,17 @@ def cte_shape_violations(sql: str) -> list[dict]:
     """
     import duckdb
 
-    materialized = {m.group(1).lower() for m in _MAT_DEF.finditer(sql)}
-    stripped = _MAT_STRIP.sub("AS", sql)
+    # detect + strip on a masked copy so an `x AS MATERIALIZED (`
+    # decoy inside a comment or quoted region can neither whitelist a
+    # real violation nor corrupt a literal when stripped; the strip
+    # splices the ORIGINAL text by masked-match offsets.
+    masked = _mask(sql)
+    materialized = {m.group(1).lower() for m in _MAT_DEF.finditer(masked)}
+    stripped = sql
+    for m in sorted(
+        _MAT_STRIP.finditer(masked), key=lambda m: m.start(), reverse=True
+    ):
+        stripped = stripped[: m.start()] + "AS" + stripped[m.end() :]
 
     con = duckdb.connect()
     try:
@@ -156,13 +181,13 @@ def materialize_hot_ctes(sql: str) -> str:
     if not violations:
         return sql
     # find definition sites on a length-preserving copy with comments
-    # and string literals blanked, so an insertion can never land
-    # inside quoted text; splice into the ORIGINAL by offset.
-    masked = re.sub(
-        r"--[^\n]*|'(?:[^']|'')*'",
-        lambda m: " " * len(m.group(0)),
-        sql,
-    )
+    # (both `--` line and `/* */` block forms), string literals, and
+    # double-quoted identifiers blanked, so an insertion can never
+    # land inside quoted or commented text; splice into the ORIGINAL
+    # by offset. A decoy `name AS (` inside any of those regions
+    # would otherwise receive the MATERIALIZED splice and turn a
+    # working oracle into a hard ValueError (ADVICE r11).
+    masked = _mask(sql)
     insert_at: list[int] = []
     for v in violations:
         name = v["cte"]
