@@ -30,15 +30,16 @@ def _brute_force(spark, docs, threshold):
     sets: dict[int, set] = {}
     for r in ex:
         sets.setdefault(r.doc_id, set()).add(r.g)
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
     out = set()
     for a, b in itertools.combinations(sorted(sets), 2):
         inter = len(sets[a] & sets[b])
         union = len(sets[a] | sets[b])
-        # same rounded grid the operator uses (fround 4)
-        import math
-
-        j = math.floor(inter / union * 10000 + 0.5) / 10000
-        if j >= threshold:
+        # same EXACT integer membership test the operator uses
+        if q * inter >= p * union:
             out.add((a, b))
     return out
 
@@ -140,3 +141,45 @@ def test_prefix_join_complete_on_random_corpora(spark):
         }
         want = _brute_force(spark, docs, 0.5)
         assert got == want, f"seed {seed}: {got ^ want}"
+
+
+def test_prefix_join_membership_is_exact_at_the_boundary(spark):
+    """ADVICE r11: membership must be the exact integer test q*i >= p*u,
+    not a fround(jaccard,4) comparison. With T = 1/3 and a pair at true
+    J = 2/6 = 1/3 exactly, the rounded filter computes fround(0.3333...,
+    4) = 0.3333 < 0.333333... and wrongly drops the pair; the integer
+    test 3*2 >= 1*6 keeps it."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b e f")], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_prefix_join(
+            docs, k=1, threshold=1 / 3
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    assert got == _brute_force_k1(docs, 1 / 3)
+
+
+def _brute_force_k1(docs, threshold):
+    from fractions import Fraction
+
+    ex = (
+        dedup.shingle_sets(docs, k=1)
+        .selectExpr("doc_id", "explode(sh) AS g")
+        .dropDuplicates(["doc_id", "g"])
+        .collect()
+    )
+    sets: dict[int, set] = {}
+    for r in ex:
+        sets.setdefault(r.doc_id, set()).add(r.g)
+    frac = Fraction(threshold).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if q * inter >= p * union:
+            out.add((a, b))
+    return out

@@ -682,6 +682,17 @@ def jaccard_prefix_join(
     unlike min-shingle blocking it is COMPLETE, which makes it the
     ground-truth engine for :func:`lsh_recall_profile`.
 
+    The membership test is EXACT integer arithmetic: with
+    ``threshold = p/q`` (the float's shortest rational form), a pair
+    qualifies iff ``q * |intersect| >= p * |union|`` — no rounded
+    Jaccard in the filter, so the completeness guarantee has no
+    boundary caveat (a rounded ``fround(J,4) >= T`` filter admits
+    pairs with true J in [T-5e-5, T) that the prefix, built for true
+    J >= T, never promises to generate; ADVICE r11). The same p/q
+    drives the prefix length (``|x| - ceil(p*|x|/q) + 1`` in integer
+    ceil form) so filter and candidate generation agree exactly; the
+    reported ``jaccard`` column stays fround(.,4) for display only.
+
     Scale shape: the prefix keeps each document's RAREST shingles, so
     posting lists stay short where naive sharing-any-shingle blocking
     explodes on stopword shingles; candidate volume is sum over prefix
@@ -690,7 +701,16 @@ def jaccard_prefix_join(
     groupBy + the verify join — no cross join at any size. Returns
     distinct (id_a < id_b, jaccard) with jaccard >= threshold.
     """
+    from fractions import Fraction
+
     from wikidata_to_surrealdb_spark.functions import fround
+
+    # the operator's effective threshold is the float's shortest
+    # rational within 1e-6 (0.5 -> 1/2, 0.7 -> 7/10): small enough
+    # integers that q*i and p*u never overflow BIGINT, and one p/q
+    # drives BOTH prefix length and the membership test.
+    frac = Fraction(threshold).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
 
     # distinct (id, shingle) pairs: a duplicated doc_id (the testdata
     # has them) contributes the UNION of its rows' shingles exactly
@@ -715,11 +735,14 @@ def jaccard_prefix_join(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("o"))
     )
+    # prefix length |x| - ceil(p*|x|/q) + 1 in integer-ceil form
+    # ((p*n + q - 1) div q) — exact for every n, no float ceil
     prefix = per_doc.select(
         F.col(id_col),
         F.expr(
             f"slice(transform(o, s -> s.g), 1, "
-            f"size(o) - CAST(ceil({threshold} * size(o)) AS INT) + 1)"
+            f"size(o) - CAST((CAST({p} AS BIGINT) * size(o) + {q - 1}) "
+            f"DIV {q} AS INT) + 1)"
         ).alias("pref"),
     )
     # posting lists on prefix tokens only; pair-gen inside each list
@@ -757,16 +780,20 @@ def jaccard_prefix_join(
             "id_b",
         )
         .withColumn(
-            "jaccard",
-            fround(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                4,
-            ),
+            "_i", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        )
+        .withColumn(
+            "_u", F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
         )
     )
-    return j.where(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+    # membership is the EXACT integer test q*i >= p*u; jaccard is the
+    # display column only (fround must not gate membership — ADVICE r11)
+    return (
+        j.where(F.lit(q) * F.col("_i") >= F.lit(p) * F.col("_u"))
+        .withColumn(
+            "jaccard", fround(F.col("_i") / F.col("_u").cast("double"), 4)
+        )
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -1436,7 +1436,7 @@ _PREFIX_JOIN_CTES = """
                row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.g) AS rn,
                count(*) OVER (PARTITION BY e.doc_id) AS n
         FROM pex e JOIN pfreq f USING (g)
-      ) WHERE rn <= n - CAST(ceil(0.5 * n) AS INT) + 1
+      ) WHERE rn <= n - ((n + 1) // 2) + 1
     ), pcand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM ppref a JOIN ppref b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -1445,15 +1445,21 @@ _PREFIX_JOIN_CTES = """
 
 
 def _prefix_truth_select(alias: str = "") -> str:
-    """The verified J >= 0.5 pair set off the prefix-filter CTEs."""
+    """The verified J >= 1/2 pair set off the prefix-filter CTEs.
+    Membership is the EXACT integer test 2*i >= u (mirrors the Spark
+    operator's q*i >= p*u — fround gates nothing; ADVICE r11); the
+    jaccard column is display-only fround(i/u, 4)."""
     return f"""
       SELECT id_a, id_b, jaccard FROM (
         SELECT c.id_a, c.id_b,
+               len(list_filter(x.sh, v -> list_contains(y.sh, v))) AS i,
+               len(x.sh) + len(y.sh)
+                 - len(list_filter(x.sh, v -> list_contains(y.sh, v))) AS u,
                {fround_sql(_JACCARD_DUCK.format(a="x.sh", b="y.sh"), 4)} AS jaccard
         FROM pcand c
         JOIN psets x ON x.doc_id = c.id_a
         JOIN psets y ON y.doc_id = c.id_b
-      ) WHERE jaccard >= 0.5
+      ) WHERE 2 * i >= u
     """
 
 
