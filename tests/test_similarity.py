@@ -748,3 +748,60 @@ def test_diversity_sample_caps_strata_and_is_deterministic(spark):
         members, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
     )[:2]
     assert sorted(r.vec_id for r in rows) == sorted(want)
+
+
+def test_semantic_dedup_max_cluster_split_bounds_the_gemm(spark):
+    """VERDICT r11 #2: one pathological k-means cell holding >90% of
+    the corpus must not become an unbounded per-task GEMM. With
+    oversize='split', the oversized cell is deterministically
+    hash-split into ceil(n/max_cluster) sub-cells: still drops (almost)
+    every blob duplicate, drop set is a subset of the unguarded run,
+    and the run is reproducible."""
+    from wikidata_to_surrealdb_spark.operators import dedup
+
+    blob = [1.0] * 4 + [0.0] * 4
+    rows = [(i, [x * (1.0 + i * 0.001) for x in blob]) for i in range(60)]
+    # mutually low-cosine outliers: never in any near-dup pair
+    for j, sign in enumerate([1.0, -1.0, 2.0, -2.0]):
+        v = [0.0] * 8
+        v[4 + j] = sign
+        rows.append((100 + j, v))
+    rows.append((104, [0.0, 0.0, 0.0, 0.0, 1.0, 1.0, -1.0, -1.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    full = dedup.semantic_dedup(df, k=2, iterations=2, threshold=0.95, dim=8)
+    guarded = dedup.semantic_dedup(
+        df, k=2, iterations=2, threshold=0.95, dim=8, max_cluster=16
+    )
+    full_drops = {r.drop_id for r in full.collect()}
+    g1 = guarded.collect()
+    g2 = dedup.semantic_dedup(
+        df, k=2, iterations=2, threshold=0.95, dim=8, max_cluster=16
+    ).collect()
+    assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))  # deterministic
+    drops = {r.drop_id for r in g1}
+    assert drops <= full_drops
+    # at most ceil(65/16)=5 sub-cells in the blob's cell -> at most 5
+    # blob survivors; outliers (cos 0) are never dropped
+    assert all(d < 100 for d in drops)
+    assert len(drops) >= 60 - 5
+    assert all(r.keep_id < r.drop_id for r in g1)
+
+
+def test_semantic_dedup_max_cluster_error_mode_raises(spark):
+    from wikidata_to_surrealdb_spark.operators import dedup
+
+    blob = [1.0] * 4 + [0.0] * 4
+    rows = [(i, [x * (1.0 + i * 0.001) for x in blob]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_cluster"):
+        dedup.semantic_dedup(
+            df, k=2, iterations=1, threshold=0.95, dim=8,
+            max_cluster=8, oversize="error",
+        ).collect()
+    with _pytest.raises(ValueError, match="oversize"):
+        dedup.semantic_dedup(df, max_cluster=8, oversize="bogus", dim=8)
+    with _pytest.raises(ValueError, match="max_cluster"):
+        dedup.semantic_dedup(df, max_cluster=1, dim=8)
