@@ -259,3 +259,25 @@ def test_ann_recall_panel_plan_shape(spark):
     # sort-merge joining the corpus against 800-row candidates would be
     # the classic silent scale killer here
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_diversity_sample_pins_window_group_limit(spark):
+    """VERDICT r11 #4: diversity_sample's per-stratum row_number pick
+    relies on Spark's rank-limit pushdown (WindowGroupLimit) so each
+    stratum is top-(per_bucket) FILTERED — crucially with a *Partial*
+    pass before the exchange, so at most per_bucket rows per stratum
+    per map partition cross the shuffle instead of the full stratum
+    (n/2^bits rows for 4 survivors at scale). A Spark-version or plan
+    regression that drops the pushdown and silently reverts to a full
+    per-stratum sort fails here."""
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        diversity_sample,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = diversity_sample(emb)
+    df.collect()  # executed plan (post-AQE) is the one that matters
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert ", Partial" in plan, plan  # map-side pre-shuffle limit
+    assert ", Final" in plan, plan
