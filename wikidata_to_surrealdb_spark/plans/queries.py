@@ -1282,8 +1282,8 @@ _MINHASH_ORACLE = f"""
       FROM sh WHERE len(sh) > 0
     ), bands AS (
       SELECT doc_id, b AS band_id,
-             md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS band_hash
-      FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+             md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS band_hash
+      FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
@@ -1300,14 +1300,16 @@ _MINHASH_ORACLE = f"""
 @_q(
     "dedup_minhash_lsh",
     _MINHASH_ORACLE,
-    "MinHash(8 md5 seeds) + LSH(4 bands x 2 rows) near-dup candidates, "
+    "MinHash(8 md5 seeds) + LSH(2 bands x 4 rows) near-dup candidates, "
     "verified by 3-gram Jaccard >= 0.1 — the scale path: pair explosion "
-    "confined to LSH buckets",
+    "confined to LSH buckets. The b2r4 banding is the s-curve-measured "
+    "default (dedup_lsh_recall_profile at sf0.1: 251/256 recall at 251 "
+    "candidates vs b8r1's 82,377 for 256/256)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return dedup.minhash_dedup(
-        t["documents"], num_hashes=8, bands=4, k=3, threshold=0.1
+        t["documents"], num_hashes=8, bands=2, k=3, threshold=0.1
     )
 
 
