@@ -983,11 +983,13 @@ def main() -> None:
             "sim_ann_recall",
             "sim_ivf_recall_profile",
             "sim_ann_recall_panel",
+            "sim_refine_recall_profile",
         ):
             try:
                 _rows = [r.asDict() for r in QUERIES[_qname].fn(spark, sf_dir).collect()]
                 ann_recall_values[_qname] = {
-                    str(r["method"]): [
+                    # the refine profile keys rows by width, not method
+                    str(r["method"] if "method" in r else r["refine"]): [
                         int(r["hits"]),
                         int(r["denom"] if "denom" in r else r["k"]),
                     ]

@@ -731,7 +731,7 @@ def pq_search_rerank(
     codebooks: list[list[list[float]]],
     query: list[float],
     k: int = 10,
-    refine: int = 50,
+    refine: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -742,7 +742,16 @@ def pq_search_rerank(
     expensive full-width vector column is touched for a constant number
     of rows per query; the candidate set attaches by broadcast join
     (it is k-sized by construction). Distances are exact scaled-int
-    squared L2, same grid as the encode — engine-exact."""
+    squared L2, same grid as the encode — engine-exact.
+
+    ``refine=200`` is MEASURED, not guessed (VERDICT r11 #1 /
+    sim_refine_recall_profile): panel recall@10 on the fixed sf0.01
+    codebooks is 114/141/155/160 of 160 at refine 50/100/200/400 at
+    the trained scale — 200 is the knee (97% recall; 400 buys +5 hits
+    for 2x the exact-distance evaluations). On a 4x-grown corpus
+    (sf0.1: 72/98/123/144) the curve is still climbing at 400 —
+    there the right lever is retraining the codebooks, not widening
+    refine further (see COVERAGE.md's retrain-vs-widen table)."""
     import math
 
     m, sub, _k = _pq_geometry(codebooks)
@@ -771,7 +780,7 @@ def ivf_pq_search(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 2,
-    refine: int = 50,
+    refine: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1201,7 +1210,7 @@ def ivf_pq_panel_candidates(
     codebooks: list[list[list[float]]],
     queries: list[tuple[int, list[float]]],
     nprobe: int = 2,
-    refine: int = 50,
+    refine: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

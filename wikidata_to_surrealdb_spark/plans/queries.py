@@ -2341,15 +2341,15 @@ def _pq_rerank_oracle(k: int, refine: int) -> str:
 
 @_q(
     "sim_pq_search_rerank",
-    _pq_rerank_oracle(10, 50),
+    _pq_rerank_oracle(10, 200),
     "Two-stage PQ ANN (the production shape): ADC over the compressed "
-    "codes proposes 50 candidates via TakeOrderedAndProject, then ONLY "
+    "codes proposes 200 candidates via TakeOrderedAndProject, then ONLY "
     "those rows have their raw vectors read back (broadcast candidate "
     "join) and exact-ranked on the scaled-int grid — at corpus scale "
     "the full-width vector column is touched for a constant number of "
-    "rows per query; measured recall@10 vs exact search ~0.7 on the "
-    "synthetic (near-random, hardest-case) embeddings vs ~0.3 for raw "
-    "ADC order",
+    "rows per query. refine=200 is the measured knee of "
+    "sim_refine_recall_profile's curve (panel recall@10 155/160 at the "
+    "trained scale; 400 buys +5 hits for 2x the exact evaluations)",
 )
 def sim_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
@@ -2361,7 +2361,7 @@ def sim_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
     ]
     return similarity.pq_search_rerank(
-        emb, PQ_CODEBOOKS, qv, k=10, refine=50
+        emb, PQ_CODEBOOKS, qv, k=10, refine=200
     )
 
 
@@ -2430,11 +2430,12 @@ def _ivf_pq_oracle(k: int, nprobe: int, refine: int) -> str:
 
 @_q(
     "sim_ivf_pq_search",
-    _ivf_pq_oracle(10, 2, 50),
+    _ivf_pq_oracle(10, 2, 200),
     "IVF+PQ composite ANN (the full production stack): the trained IVF "
     "coarse quantizer prunes to the 2 nearest of 8 cells, ADC over the "
-    "trained PQ codes ranks only those cells' members and proposes 50 "
-    "candidates (TakeOrderedAndProject), exact scaled-int rerank reads "
+    "trained PQ codes ranks only those cells' members and proposes 200 "
+    "candidates (TakeOrderedAndProject; the measured knee of "
+    "sim_refine_recall_profile's curve), exact scaled-int rerank reads "
     "raw vectors for just those rows — with the (cell, codes) index "
     "partitionBy(cell), a query touches ~nprobe/n_cells of the "
     "compressed codes and a constant number of raw vectors",
@@ -2449,7 +2450,7 @@ def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
     ]
     return similarity.ivf_pq_search(
-        emb, _ivf_centroids(), PQ_CODEBOOKS, qv, k=10, nprobe=2, refine=50
+        emb, _ivf_centroids(), PQ_CODEBOOKS, qv, k=10, nprobe=2, refine=200
     )
 
 
@@ -2527,6 +2528,10 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     truth = similarity.exact_topk_int(emb, qv, k=10)
     codes = similarity.pq_encode(emb, PQ_CODEBOOKS)
+    # the recall instruments (this, sim_ivf_recall_profile,
+    # sim_ann_recall_panel) stay pinned at refine=50 so the per-round
+    # trend series in bench_full.json remains comparable; the SERVING
+    # defaults moved to the measured refine=200 (r12)
     methods = {
         "pq_adc": similarity.pq_search_adc(codes, PQ_CODEBOOKS, qv, k=10),
         "pq_rerank": similarity.pq_search_rerank(
@@ -2792,6 +2797,148 @@ def sim_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     return similarity.ann_recall_panel(methods, truth, k=10)
+
+
+_REFINE_WIDTHS = (50, 100, 200, 400)
+
+
+def _refine_recall_profile_oracle(
+    k: int, n_panel: int, widths: tuple[int, ...]
+) -> str:
+    """Set-wise DuckDB twin of the refine-width recall curve: the same
+    qpanel/vi/truth/codes/ADC CTEs as the recall panel, then ONE scored
+    relation (exact dist for every candidate inside the WIDEST refine)
+    joined to a widths dim table — each width's top-k is a rank window
+    PARTITION BY (refine, qid), not an unrolled per-width replay of the
+    encode+ADC stages."""
+    ints = _pq_int_books()
+    m, sub = len(ints), len(ints[0][0])
+    exact = " + ".join(
+        f"(v.vi[{i + 1}] - q.qi[{i + 1}]) * (v.vi[{i + 1}] - q.qi[{i + 1}])"
+        for i in range(m * sub)
+    )
+    cents = ",\n             ".join(
+        f"list_extract({_pq_duck_book(j)}, codes[{j + 1}] + 1) AS c{j}"
+        for j in range(m)
+    )
+    adc = " + ".join(
+        f"(q.qi[{j * sub + i + 1}] - w.c{j}[{i + 1}]) * "
+        f"(q.qi[{j * sub + i + 1}] - w.c{j}[{i + 1}])"
+        for j in range(m)
+        for i in range(sub)
+    )
+    widths_rows = ", ".join(f"({w})" for w in widths)
+    return f"""
+    WITH qpanel AS (
+      SELECT vec_id AS qid, {_PQ_VI_DUCK} AS qi
+      FROM embeddings ORDER BY vec_id DESC LIMIT {n_panel}
+    ), vi AS (
+      SELECT vec_id, {_PQ_VI_DUCK} AS vi FROM embeddings
+    ), truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY CAST({exact} AS BIGINT), v.vec_id) AS rn
+        FROM vi v CROSS JOIN qpanel q
+      ) WHERE rn <= {k}
+    ), codes_t AS (
+      SELECT vec_id, {_pq_duck_codes_expr()} AS codes FROM vi
+    ), withcent AS (
+      SELECT vec_id, {cents} FROM codes_t
+    ), adc AS (
+      SELECT q.qid, w.vec_id, CAST({adc} AS BIGINT) AS adc_dist
+      FROM withcent w CROSS JOIN qpanel q
+    ), adc_ranked AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+      FROM adc
+    ), widths(refine) AS (VALUES {widths_rows}), scored AS (
+      SELECT ar.qid, ar.vec_id, ar.rn AS adc_rn,
+             CAST({exact} AS BIGINT) AS edist
+      FROM adc_ranked ar
+      JOIN vi v ON v.vec_id = ar.vec_id
+      JOIN qpanel q ON q.qid = ar.qid
+      WHERE ar.rn <= {max(widths)}
+    ), reranked AS (
+      SELECT wd.refine, s.qid, s.vec_id,
+             row_number() OVER (PARTITION BY wd.refine, s.qid
+               ORDER BY s.edist, s.vec_id) AS rn
+      FROM scored s JOIN widths wd ON s.adc_rn <= wd.refine
+    ), hits_t AS (
+      SELECT m.refine, CAST(count(*) AS BIGINT) AS hits
+      FROM (SELECT refine, qid, vec_id FROM reranked WHERE rn <= {k}) m
+      JOIN truth t ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY m.refine
+    ), denom_t AS (SELECT CAST(count(*) AS BIGINT) AS denom FROM truth)
+    SELECT CAST(wd.refine AS BIGINT) AS refine,
+           coalesce(h.hits, 0) AS hits, d.denom AS denom
+    FROM widths wd LEFT JOIN hits_t h ON h.refine = wd.refine, denom_t d
+    """
+
+
+@_q(
+    "sim_refine_recall_profile",
+    _refine_recall_profile_oracle(10, _PANEL_N, _REFINE_WIDTHS),
+    "The refine-width half of index tuning (VERDICT r11 #1): panel "
+    "recall@10 of the PQ-rerank stack at refine = 50/100/200/400 on "
+    "the same fixed codebooks. R11 proved the sf0.1 recall ceiling is "
+    "the PQ CANDIDATE stage, not IVF pruning (the nprobe curve was "
+    "flat) — this is the curve that says what widening the exact-rerank "
+    "candidate set buys. One ADC pass at the widest refine; every "
+    "narrower arm is a rank-window prefix of it, and the exact rerank "
+    "distance is computed once per (widest-refine) candidate and "
+    "shared across arms, so the corpus is scanned once for the whole "
+    "curve. Served cost scales linearly with refine (refine exact "
+    "distance evaluations per query), so the knee of this curve IS the "
+    "production operating point",
+)
+def sim_refine_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    t = register_views(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = similarity.panel_query_vectors(emb, n=_PANEL_N)
+    truth = similarity.exact_topk_int_panel(emb, queries, k=10)
+    codes = similarity.pq_encode(
+        respread(emb.select("vec_id", "embedding")), PQ_CODEBOOKS
+    )
+    from pyspark.sql import Window
+
+    widest = max(_REFINE_WIDTHS)
+    # one ADC pass at the widest refine; <= 16*widest rows survive, so
+    # the checkpoint bounds what every narrower arm re-reads
+    adc_w = similarity.pq_adc_panel(
+        codes, PQ_CODEBOOKS, queries, k=widest
+    )
+    w_adc = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    ranked = (
+        adc_w.withColumn("_adc_rn", F.row_number().over(w_adc))
+        .where(F.col("_adc_rn") <= widest)
+        .localCheckpoint(eager=False)
+    )
+    # ONE exact rerank at the widest width (the expensive broadcast
+    # join against the raw vectors runs once); narrower arms are
+    # rank-window prefixes by ADC rank, exactly like the oracle
+    scored = similarity.rerank_panel(
+        emb, ranked, queries, k=widest
+    ).localCheckpoint(eager=False)
+    methods = {}
+    for w in _REFINE_WIDTHS:
+        cand_w = ranked.where(F.col("_adc_rn") <= w).select("qid", "vec_id")
+        arm = (
+            scored.join(F.broadcast(cand_w), ["qid", "vec_id"], "left_semi")
+        )
+        methods[f"r{w:04d}"] = similarity._panel_global_topk(arm, 10, "dist")
+    out = similarity.ann_recall_panel(methods, truth, k=10)
+    return out.select(
+        F.substring(F.col("method"), 2, 4).cast("bigint").alias("refine"),
+        "hits",
+        "denom",
+    )
 
 
 # ---------------------------------------------------------------------------
