@@ -15,7 +15,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+def main(
+    sf_dir: str = "/root/testdata/sf0.01",
+    out_module: str = "ivf_centroids",
+) -> None:
+    """``out_module`` names the data/ module to write (no .py) — pass
+    e.g. ``ivf_centroids_sf0_1`` for a retrained side-by-side artifact
+    (the canonical module is embedded in oracles; never overwrite it
+    with differently-scaled training)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -33,14 +40,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "wikidata_to_surrealdb_spark",
         "data",
-        "ivf_centroids.py",
+        f"{out_module}.py",
     )
     with open(out, "w") as f:
         f.write(
             '"""Trained IVF coarse-quantizer centroids.\n\n'
             "Produced by tools/train_ivf_centroids.py: pyspark.ml KMeans\n"
-            "(k=8, seed=42, maxIter=40, initSteps=5, tol=1e-6) over the\n"
-            "sf0.01 embeddings table, coefficients rounded to 6 decimals.\n"
+            "(k=8, seed=42, maxIter=40, initSteps=5, tol=1e-6) over\n"
+            f"{sf_dir}/embeddings.parquet, rounded to 6 decimals.\n"
             "Embedded as literals so the Spark plan and the DuckDB oracle\n"
             "assign cells from the same quantizer, and so assignment needs\n"
             "no training step at query time (centroids are points in the\n"

@@ -22,7 +22,15 @@ K_CENTROIDS = 16
 DIM = 64
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+def main(
+    sf_dir: str = "/root/testdata/sf0.01",
+    out_module: str = "pq_codebooks",
+) -> None:
+    """``out_module`` names the data/ module to write (no .py) — pass
+    e.g. ``pq_codebooks_sf0_1`` to produce a retrained artifact
+    SIDE-BY-SIDE with the canonical sf0.01 one (VERDICT r11 #8: the
+    oracles embed the canonical books as literals, so retraining must
+    never overwrite them in place)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -48,14 +56,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "wikidata_to_surrealdb_spark",
         "data",
-        "pq_codebooks.py",
+        f"{out_module}.py",
     )
     with open(out, "w") as f:
         f.write(
             '"""Trained product-quantization codebooks.\n\n'
             "Produced by tools/train_pq_codebooks.py: per 8-dim subspace,\n"
             "pyspark.ml KMeans (k=16, seed=42, maxIter=40, initSteps=5,\n"
-            "tol=1e-6) over that slice of the sf0.01 embeddings table,\n"
+            f"tol=1e-6) over that slice of {sf_dir}/embeddings.parquet,\n"
             "coefficients rounded to 6 decimals. Embedded as literals so\n"
             "the Spark encode/search plans and the DuckDB oracles quantize\n"
             "with the SAME codebooks (centroids are points in the shared\n"
