@@ -214,6 +214,21 @@ DRIFT_CLASSIFICATIONS = {
         "ratio; controls (sketch_kmv_distinct/setops, never flagged, "
         "no code change) swung 1.33-1.64 in the same runs"
     ),
+    "events_asof_join": (
+        "r11 flagged 1.448 normalized in-suite with byte-identical "
+        "shuffle writes (ShuffleMeter verdict host-or-data); r12 "
+        "isolated re-bench: 0.640 s vs ref 0.584 s, nominal 1.096 "
+        "(<= 1.1 done-criterion), shuffle_write_ratio 1.0 over the "
+        "same 6 stages — the suite flag did not reproduce; host/IO "
+        "weather on a sub-second query, resolved"
+    ),
+    "tpch_q7": (
+        "r11 flagged 1.338 normalized in-suite with shuffle writes "
+        "1,430 -> 1,430 bytes; r12 isolated re-bench: 0.541 s vs ref "
+        "0.548 s, nominal 0.987 — FASTER in isolation, "
+        "shuffle_write_ratio 1.0, plan still the 5-broadcast-join "
+        "2-exchange shape (PLANS.md) — host drift, resolved"
+    ),
 }
 
 
