@@ -229,6 +229,23 @@ DRIFT_CLASSIFICATIONS = {
         "shuffle_write_ratio 1.0, plan still the 5-broadcast-join "
         "2-exchange shape (PLANS.md) — host drift, resolved"
     ),
+    "sim_ivf_pq_search": (
+        "r12 DELIBERATE change: refine default 50 -> 200 (the measured "
+        "knee of sim_refine_recall_profile's recall curve). Isolated "
+        "pre-registration at the change: 1.569 s vs ref 1.467 s, "
+        "nominal 1.07 — the query is encode/scan-bound, so 4x the "
+        "rerank candidates costs ~7%; shuffle stays 0 bytes "
+        "(broadcast-only path). Any r13+ flag on this query should "
+        "first check against these numbers, not r11's"
+    ),
+    "dedup_minhash_lsh": (
+        "r12 DELIBERATE change: banding b4r2 -> b2r4 (the s-curve "
+        "operating point from dedup_lsh_recall_profile). Isolated "
+        "pre-registration: 1.037 s vs ref 1.044 s, nominal 0.993, "
+        "shuffle_write_ratio 0.926 — fewer bands = fewer banded rows "
+        "and buckets, so ~7% less shuffle; a shuffle-byte 'plan-change' "
+        "verdict vs r11 on this query is this intentional change"
+    ),
 }
 
 
