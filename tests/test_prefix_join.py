@@ -207,3 +207,31 @@ def test_minhash_default_banding_is_the_measured_s_curve_point(spark):
     sig = inspect.signature(dedup.minhash_dedup)
     assert sig.parameters["bands"].default == 2
     assert sig.parameters["num_hashes"].default == 8
+
+
+@pytest.mark.parametrize("threshold", [0.25, 1 / 3, 0.5, 2 / 3, 0.7])
+def test_prefix_join_complete_at_many_thresholds(spark, threshold):
+    """The rational-snap + integer-ceil prefix machinery must stay
+    complete AND exact at thresholds whose float forms are inexact
+    (1/3, 2/3, 0.7) as well as dyadic ones — each vs brute force with
+    the identical q*i >= p*u membership test."""
+    import random
+
+    vocab = [f"w{i}" for i in range(20)]
+    rng = random.Random(99)
+    rows = []
+    for i in range(30):
+        n = rng.randint(3, 10)
+        words = [rng.choice(vocab) for _ in range(n)]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.5:
+            mut = list(words)
+            mut[rng.randrange(n)] = rng.choice(vocab)
+            rows.append((100 + i, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_prefix_join(docs, threshold=threshold).collect()
+    }
+    want = _brute_force(spark, docs, threshold)
+    assert got == want, f"T={threshold}: {got ^ want}"

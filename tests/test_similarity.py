@@ -805,3 +805,35 @@ def test_semantic_dedup_max_cluster_error_mode_raises(spark):
         dedup.semantic_dedup(df, max_cluster=8, oversize="bogus", dim=8)
     with _pytest.raises(ValueError, match="max_cluster"):
         dedup.semantic_dedup(df, max_cluster=1, dim=8)
+
+
+def test_semantic_dedup_split_rule_matches_reference_md5(spark):
+    """The oversize hash-split must be EXACTLY sub(i) = int(md5(str(id))
+    hex[:15], 16) % ceil(n/max_cluster) — pinned against an independent
+    hashlib computation. 12 identical-direction vectors in one cluster
+    with max_cluster=6 -> 2 sub-cells; with cosine 1 everywhere, each
+    sub-cell drops all but its min id in favor of that min."""
+    import hashlib
+
+    from wikidata_to_surrealdb_spark.operators import dedup
+
+    base = [1.0, 2.0, -1.0, 0.5] * 2
+    rows = [(i, [x * (1.0 + i * 0.001) for x in base]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.semantic_dedup(
+        df, k=1, iterations=1, threshold=0.99, dim=8, max_cluster=6
+    ).collect()
+
+    nsub = 2  # ceil(12/6)
+    groups: dict[int, list[int]] = {}
+    for i in range(12):
+        sub = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % nsub
+        groups.setdefault(sub, []).append(i)
+    expect = {}
+    for members in groups.values():
+        keep = min(members)
+        for m in members:
+            if m != keep:
+                expect[m] = keep
+    got = {r.drop_id: r.keep_id for r in out}
+    assert got == expect
