@@ -244,7 +244,11 @@ DRIFT_CLASSIFICATIONS = {
         "pre-registration: 1.037 s vs ref 1.044 s, nominal 0.993, "
         "shuffle_write_ratio 0.926 — fewer bands = fewer banded rows "
         "and buckets, so ~7% less shuffle; a shuffle-byte 'plan-change' "
-        "verdict vs r11 on this query is this intentional change"
+        "verdict vs r11 on this query is this intentional change. The "
+        "downstream composites dedup_clusters and dedup_quality_survivor "
+        "moved to b2r4 with it (the r12 full-catalog dupdense sweep "
+        "caught them drifting from the shared oracle fragment), so the "
+        "same expectation applies to their r13 deltas"
     ),
 }
 

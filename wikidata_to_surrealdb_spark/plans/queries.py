@@ -5178,8 +5178,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.operators import graph
 
     t = register_views(spark, sf_dir)
+    # b2r4: the s-curve default, same banding as _MINHASH_ORACLE —
+    # keep these in lockstep (the r12 full-catalog dupdense sweep
+    # caught exactly this pair drifting apart)
     pairs = dedup.minhash_dedup(
-        t["documents"], num_hashes=8, bands=4, k=3, threshold=0.1
+        t["documents"], num_hashes=8, bands=2, k=3, threshold=0.1
     )
     comp = graph.connected_components(pairs, src="id_a", dst="id_b")
     return comp.select(
@@ -7324,8 +7327,9 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.operators import curation, graph
 
     t = register_views(spark, sf_dir)
+    # b2r4 in lockstep with _MINHASH_ORACLE (see dedup_clusters)
     pairs = dedup.minhash_dedup(
-        t["documents"], num_hashes=8, bands=4, k=3, threshold=0.1
+        t["documents"], num_hashes=8, bands=2, k=3, threshold=0.1
     )
     comp = graph.connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
