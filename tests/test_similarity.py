@@ -837,3 +837,27 @@ def test_semantic_dedup_split_rule_matches_reference_md5(spark):
                 expect[m] = keep
     got = {r.drop_id: r.keep_id for r in out}
     assert got == expect
+
+
+def test_retrained_artifacts_are_side_by_side_and_distinct():
+    """VERDICT r11 #8: the sf0.1-retrained artifacts live BESIDE the
+    canonical sf0.01 ones (the oracles embed the canonical books as
+    literals, so retraining must never overwrite them): same geometry,
+    genuinely different coefficients."""
+    from wikidata_to_surrealdb_spark.data.ivf_centroids import IVF_CENTROIDS
+    from wikidata_to_surrealdb_spark.data.ivf_centroids_sf0_1 import (
+        IVF_CENTROIDS as IVF_SF01,
+    )
+    from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
+    from wikidata_to_surrealdb_spark.data.pq_codebooks_sf0_1 import (
+        PQ_CODEBOOKS as PQ_SF01,
+    )
+
+    assert len(IVF_SF01) == len(IVF_CENTROIDS) == 8
+    assert all(len(c) == 64 for c in IVF_SF01)
+    assert len(PQ_SF01) == len(PQ_CODEBOOKS) == 8
+    assert all(len(book) == 16 and len(book[0]) == 8 for book in PQ_SF01)
+    # different training data -> different coefficients (no accidental
+    # overwrite in either direction)
+    assert IVF_SF01 != IVF_CENTROIDS
+    assert PQ_SF01 != PQ_CODEBOOKS
