@@ -20,6 +20,12 @@ Variants (all deterministic — fixed id residues, so findings reproduce):
            appended/prepended to documents.text
   numeric  NaN/+Inf/-Inf/-0.0 into events.value; 0 and 1e12 into
            documents.n_chars
+  dupdense every document x4 (2 exact copies + 1 prefixed near-copy,
+           fresh ids) — the dedup-family worst case
+  longdoc  ~2/31 docs become giants: 40x pure repetition (tiny
+           distinct-shingle sets) or +200 pseudo-random vocab words
+           (huge distinct-shingle sets) — the per-row array-HOF and
+           posting-list worst case
 
 Exit code = number of disagreeing queries (0 = full parity).
 Round-8 provenance: this sweep found 10+ real cross-engine bugs the
@@ -83,6 +89,29 @@ DOC_SQL = {
                   ELSE n_chars END AS n_chars
       FROM read_parquet('{src}/documents.parquet'),
            (SELECT unnest([0, 1, 2, 3]) AS rep)""",
+    # long-document tail (r12, new axis): ~2 of every 31 docs become
+    # giants — one class is the SAME text repeated 40x (pathological
+    # repetition: huge token arrays collapsing to tiny distinct-shingle
+    # sets; stresses rolling windows, winnowing, repetition filters,
+    # substring/span dedup), the other gains 200 deterministic
+    # pseudo-random vocabulary words (large DISTINCT shingle sets;
+    # stresses shingle explosion, posting lists, BPE segmentation,
+    # chunking). Every per-row array HOF runs on 10-40x its usual
+    # input; n_chars tracks the new lengths.
+    "longdoc": """
+      SELECT doc_id,
+             CASE WHEN doc_id % 31 = 4 THEN repeat(text || ' ', 40)
+                  WHEN doc_id % 31 = 9 THEN text || ' ' || array_to_string(
+                    list_transform(generate_series(1, 200),
+                      i -> 'w' || ((doc_id * 7919 + i * 104729) % 9973)), ' ')
+                  ELSE text END AS text,
+             lang, source,
+             CASE WHEN doc_id % 31 = 4 THEN length(repeat(text || ' ', 40))
+                  WHEN doc_id % 31 = 9 THEN length(text || ' ' || array_to_string(
+                    list_transform(generate_series(1, 200),
+                      i -> 'w' || ((doc_id * 7919 + i * 104729) % 9973)), ' '))
+                  ELSE n_chars END AS n_chars
+      FROM read_parquet('{src}/documents.parquet')""",
 }
 
 EVENT_SQL = {
@@ -96,6 +125,7 @@ EVENT_SQL = {
       FROM read_parquet('{src}/events.parquet')""",
     "unicode": "SELECT * FROM read_parquet('{src}/events.parquet')",
     "dupdense": "SELECT * FROM read_parquet('{src}/events.parquet')",
+    "longdoc": "SELECT * FROM read_parquet('{src}/events.parquet')",
     "numeric": """
       SELECT event_id, ts, user_id, event_type,
              CASE WHEN event_id % 31 = 4 THEN 'nan'::DOUBLE

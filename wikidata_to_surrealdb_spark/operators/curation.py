@@ -841,6 +841,7 @@ def importance_weights(
     ever crosses an exchange except the final per-doc sums.
     """
     from wikidata_to_surrealdb_spark.operators.text import (
+        _char_array,
         _char_grams,
         train_char_lm,
     )
@@ -848,8 +849,8 @@ def importance_weights(
     lm_t = train_char_lm(docs.where(target_cond), text_col, n, k)
     lm_b = train_char_lm(docs, text_col, n, k)
     g = docs.select(
-        F.col(id_col), F.explode(_char_grams(text_col, n)).alias("gram")
-    )
+        F.col(id_col), _char_array(text_col, n).alias("_ch")
+    ).select(F.col(id_col), F.explode(_char_grams("_ch", n)).alias("gram"))
     tm = lm_t.model.select("gram", F.col("logp_e12").alias("_t"))
     bm = lm_b.model.select("gram", F.col("logp_e12").alias("_b"))
     tcu = lm_t.ctx.select(F.col("p").alias("_tp"), F.col("unseen_e12").alias("_tu"))

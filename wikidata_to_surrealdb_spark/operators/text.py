@@ -685,17 +685,31 @@ def chunk_documents(
 # Character n-gram language model (KenLM-style quality scoring, Spark-first)
 # ---------------------------------------------------------------------------
 
-def _char_grams(text_col: str, n: int) -> Column:
-    """Overlapping lowercased character n-grams as an array — array-local
-    (one `transform` over a `sequence`, no explode until the caller asks).
-    Guarded so texts shorter than ``n`` yield an EMPTY array (Spark's
-    ``sequence(1, 0)`` would descend, not stop)."""
+def _char_array(text_col: str, n: int) -> Column:
+    """Lowercased codepoint array of ``text_col`` (``split`` on the empty
+    pattern keeps astral chars whole, matching substring semantics), or
+    an EMPTY array for texts shorter than ``n`` (also the guard for
+    split('','') = [''], which is length 1, not 0)."""
     t = f"lower({text_col})"
     return F.expr(
-        f"CASE WHEN length({t}) >= {n} THEN "
-        f"transform(sequence(1, length({t}) - {n - 1}), i -> substring({t}, i, {n})) "
+        f"CASE WHEN length({t}) >= {n} THEN split({t}, '') "
         f"ELSE CAST(array() AS array<string>) END"
     )
+
+
+def _char_grams(chars_col: str, n: int) -> Column:
+    """Overlapping character n-grams over a STAGED codepoint array (from
+    :func:`_char_array`, materialized in its own projection so the split
+    runs once, not once per zip_with slice) — the rolling zip_with chain
+    touches each char n times in O(L) total. The previous per-position
+    ``transform(sequence(...), i -> substring(t, i, n))`` was O(L^2):
+    UTF8String.substring scans codepoints from the start of the string,
+    so a position-i gram costs O(i) — measured 12.97 s vs 0.47 s on ONE
+    50k-char document, found by the r12 longdoc adversarial sweep
+    (text_lm_score at 375 s on a giant-document sf0.1 corpus)."""
+    from wikidata_to_surrealdb_spark.functions import rolling_expr
+
+    return F.expr(rolling_expr(chars_col, n, "concat({a}, {b})"))
 
 
 class CharLM:
@@ -741,7 +755,9 @@ def train_char_lm(
     """
     from wikidata_to_surrealdb_spark.functions import plog10
 
-    g = corpus.select(F.explode(_char_grams(text_col, n)).alias("gram"))
+    g = corpus.select(_char_array(text_col, n).alias("_ch")).select(
+        F.explode(_char_grams("_ch", n)).alias("gram")
+    )
     c = g.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("c"))
     ctx_tot = c.groupBy(F.substring("gram", 1, n - 1).alias("p")).agg(
         F.sum("c").alias("total")
@@ -787,7 +803,9 @@ def lm_score(
     id-keyed aggregation, which map-side-combines per doc.
     """
     n = lm.n
-    g = docs.select(F.col(id_col), F.explode(_char_grams(text_col, n)).alias("gram"))
+    g = docs.select(F.col(id_col), _char_array(text_col, n).alias("_ch")).select(
+        id_col, F.explode(_char_grams("_ch", n)).alias("gram")
+    )
     scored = (
         g.join(F.broadcast(lm.model), "gram", "left")
         .withColumn("_p", F.substring("gram", 1, n - 1))
