@@ -438,3 +438,48 @@ def test_finite_sql_excludes_only_nonfinite():
     assert got[:3] == [None, None, None]
     assert got[3] == 0.0 and got[4] == 5e-324 and got[5] == 1.5
     assert got[6] is None
+
+
+@settings(
+    deadline=None,
+    max_examples=25,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    # a case-mapping-stable alphabet (Python's and the JVM's lower()
+    # agree codepoint-for-codepoint here across unicode versions):
+    # ASCII incl. uppercase, multibyte BMP (ß keeps, CJK/kana caseless,
+    # lowercase cyrillic, combining acute) and an astral emoji — the
+    # split('')-keeps-codepoints case the rewrite must preserve
+    text=st.text(
+        alphabet="abcXYZ 09.,!ß北京かй́🎉",
+        max_size=120,
+    ),
+    n=st.integers(min_value=1, max_value=5),
+)
+def test_char_grams_match_python_reference(spark, text, n):
+    """The r12 O(L) char-gram rewrite (staged split('') codepoint array
+    + rolling zip_with) must produce EXACTLY the old substring-semantics
+    grams — overlapping lowercased codepoint n-grams, empty below n —
+    including for multibyte and astral codepoints."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.operators.text import (
+        _char_array,
+        _char_grams,
+    )
+
+    df = spark.createDataFrame([(text,)], "t string")
+    got = (
+        df.select(_char_array("t", n).alias("_ch"))
+        .select(_char_grams("_ch", n).alias("g"))
+        .collect()[0]["g"]
+    )
+    low = text.lower()
+    cps = list(low)  # codepoints, matching split('') / substring units
+    want = (
+        ["".join(cps[i : i + n]) for i in range(len(cps) - n + 1)]
+        if len(cps) >= n
+        else []
+    )
+    assert got == want, (text, n, got, want)
