@@ -238,6 +238,16 @@ DRIFT_CLASSIFICATIONS = {
         "(broadcast-only path). Any r13+ flag on this query should "
         "first check against these numbers, not r11's"
     ),
+    "mm_resize_roundtrip": (
+        "r12 local smoke flagged 1.818 vs its epoch-3 record (1.63 s); "
+        "isolated re-bench 2.015 s best-of-3, repeat fresh-session runs "
+        "2.85-2.91 s first-exec — but ZERO commits touched multimodal.py "
+        "or the codecs this round (git log over the r12 range is empty "
+        "for its path). The query is Python/Arrow-heavy (from-spec PNG "
+        "codec in a pandas UDF), which the JVM-side calibration probe "
+        "does not track — host/Python-runtime variance on a ~2 s query, "
+        "same class as the r11 sketch_sample_quantiles verdict"
+    ),
     "dedup_minhash_lsh": (
         "r12 DELIBERATE change: banding b4r2 -> b2r4 (the s-curve "
         "operating point from dedup_lsh_recall_profile). Isolated "
