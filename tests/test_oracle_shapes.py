@@ -208,3 +208,70 @@ def test_materialized_decoy_in_comment_does_not_whitelist():
     assert cte_shape_violations(fixed) == []
     assert "/* x AS MATERIALIZED ( */" in fixed  # comment untouched
     assert duckdb.connect().sql(fixed).fetchall() == [(1, 1)]
+
+
+def test_mask_handles_nested_block_comments():
+    """ADVICE r12: DuckDB nests block comments (PostgreSQL rule), so
+    /* /* */ x AS MATERIALIZED ( */ is ONE comment — the old
+    non-greedy regex ended the mask at the first */ and let the
+    MATERIALIZED scan see still-commented text. A decoy definition
+    site inside the nested tail must neither whitelist a real
+    violation nor corrupt the splice."""
+    from wikidata_to_surrealdb_spark.plans.oracle_shapes import _mask
+
+    sql = (
+        "WITH x AS (SELECT 1 AS y) "
+        "/* outer /* inner */ x AS MATERIALIZED ( */ "
+        "SELECT * FROM x, x b"
+    )
+    masked = _mask(sql)
+    assert len(masked) == len(sql)
+    assert "MATERIALIZED" not in masked  # fully inside the comment
+    # DuckDB itself treats the whole span as one comment
+    assert duckdb.connect().sql(sql).fetchall() == [(1, 1)]
+    # so the real inlined 2-ref CTE is still a violation and repairable
+    assert cte_shape_violations(sql) == [{"cte": "x", "refs": 2}]
+    fixed = materialize_hot_ctes(sql)
+    assert cte_shape_violations(fixed) == []
+    assert "/* outer /* inner */ x AS MATERIALIZED ( */" in fixed
+    assert duckdb.connect().sql(fixed).fetchall() == [(1, 1)]
+
+
+def test_mask_handles_escape_strings():
+    """ADVICE r12: E'...' escape strings continue past a backslash-
+    escaped quote (E'\\' ...'), which the plain '...' rule would close
+    early — a decoy `AS MATERIALIZED (` inside one must stay masked,
+    and the splice must leave the literal byte-identical."""
+    from wikidata_to_surrealdb_spark.plans.oracle_shapes import _mask
+
+    lit = r"E'\' x AS MATERIALIZED ('"
+    sql = (
+        "WITH x AS (SELECT 1 AS y) "
+        f"SELECT *, {lit} AS s FROM x, x b"
+    )
+    masked = _mask(sql)
+    assert len(masked) == len(sql)
+    assert "MATERIALIZED" not in masked
+    assert cte_shape_violations(sql) == [{"cte": "x", "refs": 2}]
+    fixed = materialize_hot_ctes(sql)
+    assert lit in fixed  # literal untouched by the splice
+    assert cte_shape_violations(fixed) == []
+    con = duckdb.connect()
+    rows = con.sql(fixed).fetchall()
+    con.close()
+    assert rows == [(1, 1, "' x AS MATERIALIZED (")]
+
+
+def test_mask_doubled_quotes_and_identifier_tail_e():
+    """'' doubling inside plain strings, "" doubling inside quoted
+    identifiers, and an identifier ending in E directly before a
+    string (CASE'x' is not an E-string) all mask correctly."""
+    from wikidata_to_surrealdb_spark.plans.oracle_shapes import _mask
+
+    sql = "SELECT 'it''s /*', \"a\"\"b\", tablE'--no comment' FROM t"
+    masked = _mask(sql)
+    assert len(masked) == len(sql)
+    assert "it" not in masked and "no comment" not in masked
+    assert "/*" not in masked and "--" not in masked
+    assert "tablE" in masked  # the identifier itself survives
+    assert "FROM t" in masked

@@ -235,3 +235,33 @@ def test_prefix_join_complete_at_many_thresholds(spark, threshold):
     }
     want = _brute_force(spark, docs, threshold)
     assert got == want, f"T={threshold}: {got ^ want}"
+
+
+def test_lsh_banding_guard_fails_loudly(spark):
+    """ADVICE r12: bands x rows_per_band beyond the signature width
+    used to hash md5('') in the overflow bands and silently degenerate
+    to all-pairs. Now: explicit overflow raises in-plan;
+    rows_per_band=None derives the width split (the pre-r12 contract
+    where `bands` alone was valid); Python-level arg validation."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    sigs = dedup.minhash_signatures(docs)  # width 8
+
+    # bands=4 with the default rows_per_band=4 needs width 16 -> loud
+    with pytest.raises(Exception, match="lsh_candidate_pairs"):
+        dedup.lsh_candidate_pairs(sigs, bands=4).count()
+
+    # rows_per_band=None derives 8 DIV 4 = 2 -> identical to explicit b4r2
+    derived = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=None)
+    explicit = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+    # derivation still requires at least one row per band
+    with pytest.raises(Exception, match="lsh_candidate_pairs"):
+        dedup.lsh_candidate_pairs(sigs, bands=9, rows_per_band=None).count()
+
+    with pytest.raises(ValueError, match="bands"):
+        dedup.lsh_candidate_pairs(sigs, bands=0)
+    with pytest.raises(ValueError, match="rows_per_band"):
+        dedup.lsh_candidate_pairs(sigs, bands=2, rows_per_band=0)

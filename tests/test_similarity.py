@@ -803,6 +803,10 @@ def test_semantic_dedup_max_cluster_error_mode_raises(spark):
         ).collect()
     with _pytest.raises(ValueError, match="oversize"):
         dedup.semantic_dedup(df, max_cluster=8, oversize="bogus", dim=8)
+    # ADVICE r12: a typo'd oversize= fails even while max_cluster is
+    # still None (default), not months later when the guard is added
+    with _pytest.raises(ValueError, match="oversize"):
+        dedup.semantic_dedup(df, oversize="bogus", dim=8)
     with _pytest.raises(ValueError, match="max_cluster"):
         dedup.semantic_dedup(df, max_cluster=1, dim=8)
 

@@ -149,7 +149,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 2,
-    rows_per_band: int = 4,
+    rows_per_band: int | None = 4,
 ) -> DataFrame:
     """Band the signature, group docs into (band_id, band_hash) buckets,
     and emit i<j pairs array-locally within each bucket — the scalable
@@ -161,14 +161,43 @@ def lsh_candidate_pairs(
     plus a dedup exchange; the groupBy is ONE shuffle on the band key and
     the pair explosion stays inside each bucket's collected id array —
     whose size LSH bounds by design. Returns distinct (id_a < id_b)
-    candidate pairs."""
-    banded = signatures.select(
+    candidate pairs.
+
+    Banding must fit the signature: a band slicing past ``size(sig)``
+    hashes ``md5('')`` for every doc and silently degenerates to
+    all-pairs (ADVICE r12), so rows with
+    ``size(sig) < bands * rows_per_band`` fail the job loudly via an
+    in-plan ``raise_error`` guard. Pass ``rows_per_band=None`` to derive
+    it from the signature width at runtime (``size(sig) DIV bands`` —
+    the pre-r12 caller contract where ``bands`` alone was valid)."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if rows_per_band is None:
+        rpb = f"(size(sig) DIV {bands})"
+        need = str(bands)  # every band needs at least one row
+    else:
+        if rows_per_band < 1:
+            raise ValueError(
+                f"rows_per_band must be >= 1, got {rows_per_band}"
+            )
+        rpb = str(rows_per_band)
+        need = str(bands * rows_per_band)
+    guarded = signatures.select(
+        F.col(id_col),
+        F.expr(
+            f"CASE WHEN size(sig) >= {need} THEN sig ELSE raise_error("
+            f"concat('lsh_candidate_pairs: bands={bands} x rows_per_band="
+            f"{rows_per_band} needs a signature of width >= {need}, got ', "
+            f"CAST(size(sig) AS STRING))) END"
+        ).alias("sig"),
+    )
+    banded = guarded.select(
         F.col(id_col),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> named_struct("
                 f"'band_id', b, "
-                f"'band_hash', md5(concat_ws('|', slice(sig, b * {rows_per_band} + 1, {rows_per_band})))))"
+                f"'band_hash', md5(concat_ws('|', slice(sig, b * {rpb} + 1, {rpb})))))"
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
@@ -611,9 +640,11 @@ def semantic_dedup(
     ``oversize='split'`` (default), cells above the bound are
     deterministically hash-split (md5 of the id) into
     ``ceil(n/max_cluster)`` sub-cells — each task's quadratic term is
-    bounded, at the documented cost of missing pairs that straddle
-    sub-cells of the SAME oversized cell (the standard blocking
-    trade-off; pairs in well-sized cells are unaffected).
+    bounded *in expectation* (~``max_cluster`` per sub-cell: the md5
+    split is multinomial, so a sub-cell can run modestly over the bound
+    — ADVICE r12), at the documented cost of missing pairs that
+    straddle sub-cells of the SAME oversized cell (the standard
+    blocking trade-off; pairs in well-sized cells are unaffected).
     ``oversize='error'`` instead fails the task with a clear message —
     the safety valve for runs where silent approximation is worse than
     an abort. ``None`` (default) preserves exact SemDeDup semantics.
@@ -645,14 +676,16 @@ def semantic_dedup(
     f = float(10**decimals)
     thr = float(threshold)
 
+    # validated unconditionally so a typo'd oversize= fails at the call
+    # site, not months later when max_cluster is first set (ADVICE r12)
+    if oversize not in ("split", "error"):
+        raise ValueError(
+            f"oversize must be 'split' or 'error', got {oversize!r}"
+        )
     err_bound: int | None = None
     if max_cluster is not None:
         if max_cluster < 2:
             raise ValueError(f"max_cluster must be >= 2, got {max_cluster}")
-        if oversize not in ("split", "error"):
-            raise ValueError(
-                f"oversize must be 'split' or 'error', got {oversize!r}"
-            )
         if oversize == "error":
             err_bound = int(max_cluster)
             grouped = grouped.withColumn("_sub", F.lit(0).cast("bigint"))

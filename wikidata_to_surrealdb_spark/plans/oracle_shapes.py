@@ -49,21 +49,87 @@ _MAT_DEF = re.compile(
 )
 _MAT_STRIP = re.compile(r"\bAS\s+MATERIALIZED\b", re.IGNORECASE)
 
-# comments (line + block), single-quoted literals, double-quoted
-# identifiers — everything a lexical scan must not look inside
-_QUOTED_OR_COMMENT = re.compile(
-    r"/\*.*?\*/|--[^\n]*|'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"",
-    re.DOTALL,
-)
-
-
 def _mask(sql: str) -> str:
     """Length-preserving copy of ``sql`` with comments, string
     literals, and double-quoted identifiers blanked to spaces, so
     lexical scans (MATERIALIZED detection/stripping, definition-site
     location) never match decoys inside quoted or commented text
-    (ADVICE r11). Offsets into the mask are valid in the original."""
-    return _QUOTED_OR_COMMENT.sub(lambda m: " " * len(m.group(0)), sql)
+    (ADVICE r11). Offsets into the mask are valid in the original.
+
+    A character scanner rather than a regex (ADVICE r12): DuckDB
+    follows PostgreSQL in nesting block comments (``/* /* */ */`` is
+    one comment), which a non-greedy ``/\\*.*?\\*/`` ends at the first
+    ``*/``, leaving still-commented text visible to the scan; and
+    ``E'...'`` escape strings let ``\\'`` continue the literal past
+    what a plain ``'(?:[^']|'')*'`` would close. Handled here:
+    ``--`` line comments, depth-tracked block comments, ``'...'``
+    (with ``''`` doubling), ``E'...'`` (backslash escapes + ``''``
+    doubling), and ``"..."`` identifiers (with ``""`` doubling)."""
+    out = list(sql)
+    n = len(sql)
+
+    def _blank(a: int, b: int) -> None:
+        for j in range(a, min(b, n)):
+            out[j] = " "
+
+    i = 0
+    while i < n:
+        c = sql[i]
+        if c == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j == -1 else j  # newline itself stays
+            _blank(i, j)
+            i = j
+        elif c == "/" and sql.startswith("/*", i):
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql.startswith("/*", j):
+                    depth += 1
+                    j += 2
+                elif sql.startswith("*/", j):
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            _blank(i, j)
+            i = j
+        elif (
+            c in "eE"
+            and i + 1 < n
+            and sql[i + 1] == "'"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+        ):
+            j = i + 2
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                elif sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                    else:
+                        j += 1
+                        break
+                else:
+                    j += 1
+            _blank(i, j)
+            i = j
+        elif c == "'" or c == '"':
+            q = c
+            j = i + 1
+            while j < n:
+                if sql[j] == q:
+                    if j + 1 < n and sql[j + 1] == q:
+                        j += 2
+                    else:
+                        j += 1
+                        break
+                else:
+                    j += 1
+            _blank(i, j)
+            i = j
+        else:
+            i += 1
+    return "".join(out)
 
 
 def _walk(node, base_tables: list[str], cte_defs: dict[str, bool]) -> None:
