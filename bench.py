@@ -179,6 +179,35 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r13_lsh_guard_preregistration": (
+        "r13 DELIBERATE change: lsh_candidate_pairs grew an in-plan "
+        "banding-width guard (ADVICE r12 — overflow banding used to "
+        "degenerate silently to all-pairs). Implemented as an always-true "
+        "short-circuit WHERE (size(sig) >= need OR raise_error(...)), NOT "
+        "a CASE wrap of the array (the r8 fround-guard trap; the CASE "
+        "variant A/B-measured ~35% on the candidate stage, the WHERE "
+        "variant is free within host noise: none 0.394 vs where 0.346 "
+        "best-of-5 on frozen sf0.1 signatures). Isolated pre-registration "
+        "post-change on a cal_drift-1.88 host: dedup_minhash_lsh nominal "
+        "1.279, dedup_clusters 1.287, both shuffle_write_ratio 1.0 — "
+        "i.e. within ambient drift. r14+ flags on the minhash family "
+        "should baseline against these numbers"
+    ),
+    "r12_suite_flags_batch": (
+        "r12 flagged 5 queries normalized >1.3 (dedup_containment 1.501, "
+        "dedup_semantic 1.361, mm_audio_features 1.54, wd_stream_upsert "
+        "1.524, layout_scan_zorder 1.306), ALL shuffle-byte-identical "
+        "(verdict host-or-data / no-bytes). r13 isolated re-bench, fresh "
+        "session, nothing concurrent, best-of-3: nominal ratios "
+        "dedup_containment 0.746, dedup_semantic 0.844, mm_audio_features "
+        "0.735, wd_stream_upsert 0.754, layout_zorder_scan 1.142 "
+        "(normalized 0.45-0.77; cal_drift 1.656 — the r12 record's probe "
+        "0.102/0.055 was unusually fast, inflating every r12-relative "
+        "suite ratio), shuffle_write_ratio 1.0 for all five over identical "
+        "stage counts. Every flag FASTER in isolation than its r12 suite "
+        "time — suite-position/host weather on a burstable VM, resolved; "
+        "no code path in any of the five changed in r12"
+    ),
     "mm_ahash_neardup": (
         "r8 flagged 1.387 normalized; r9 re-measured 0.968 with zero "
         "code change in its path (r9 diff: 8 files, none multimodal); "

@@ -182,14 +182,19 @@ def lsh_candidate_pairs(
             )
         rpb = str(rows_per_band)
         need = str(bands * rows_per_band)
-    guarded = signatures.select(
-        F.col(id_col),
+    # short-circuit OR filter, NOT a CASE wrap of the array: wrapping
+    # sig in CASE re-enters the r8 fround-guard trap (the array value
+    # is re-materialized per reference after projection collapse,
+    # measured ~35% on the candidate stage); the always-true predicate
+    # leaves the data path untouched and only evaluates raise_error on
+    # a violating (or NULL-signature) row.
+    guarded = signatures.where(
         F.expr(
-            f"CASE WHEN size(sig) >= {need} THEN sig ELSE raise_error("
+            f"size(sig) >= {need} OR raise_error("
             f"concat('lsh_candidate_pairs: bands={bands} x rows_per_band="
             f"{rows_per_band} needs a signature of width >= {need}, got ', "
-            f"CAST(size(sig) AS STRING))) END"
-        ).alias("sig"),
+            f"CAST(size(sig) AS STRING))) IS NULL"
+        )
     )
     banded = guarded.select(
         F.col(id_col),
