@@ -52,6 +52,9 @@ CASES = {
     "dedup_simhash": lambda t: dedup.simhash_dedup(t["docs"]),
     "dedup_substring": lambda t: dedup.substring_dedup(t["docs"]),
     "dedup_containment": lambda t: dedup.containment_pairs(t["docs"]),
+    "dedup_incremental": lambda t: dedup.incremental_minhash_dedup(
+        t["docs"], t["docs"]
+    ),
     "dedup_semantic": lambda t: dedup.semantic_dedup(t["embs"], k=4),
     "sim_brute_topk": lambda t: similarity.brute_force_topk(
         t["embs"], [0.0] * 64

@@ -265,3 +265,70 @@ def test_lsh_banding_guard_fails_loudly(spark):
         dedup.lsh_candidate_pairs(sigs, bands=0)
     with pytest.raises(ValueError, match="rows_per_band"):
         dedup.lsh_candidate_pairs(sigs, bands=2, rows_per_band=0)
+
+
+def test_incremental_dedup_matches_full_pipeline_restriction(spark):
+    """incremental_minhash_dedup(corpus, delta) must equal the full
+    minhash_dedup pair set restricted to pairs touching the delta —
+    same signatures => same buckets => same candidates, with corpus x
+    corpus pairs (and only those) excluded."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where("doc_id % 5 != 0")
+    delta = docs.where("doc_id % 5 = 0")
+    inc = dedup.incremental_minhash_dedup(corpus, delta, threshold=0.1)
+    rows = inc.collect()
+    got = {(min(r.new_id, r.dup_of), max(r.new_id, r.dup_of)) for r in rows}
+    delta_ids = {r.doc_id for r in delta.select("doc_id").distinct().collect()}
+    full = dedup.minhash_dedup(
+        docs, num_hashes=8, bands=2, k=3, threshold=0.1
+    ).collect()
+    want = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in full
+        if r.id_a in delta_ids or r.id_b in delta_ids
+    }
+    assert got == want and len(got) > 0
+    # orientation + origin invariants: new_id is always a delta doc;
+    # origin says which side dup_of came from
+    for r in rows:
+        assert r.new_id % 5 == 0
+        assert (r.origin == "delta") == (r.dup_of % 5 == 0)
+
+
+def test_incremental_dedup_precomputed_index_path(spark, tmp_path):
+    """The persisted-artifact contract: band_index + shingle sets
+    written to parquet and read back must yield byte-identical results
+    to the inline recompute path — the index build is paid once, every
+    delta batch reuses it."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where("doc_id % 5 != 0")
+    delta = docs.where("doc_id % 5 = 0")
+
+    sigs = dedup.minhash_signatures(corpus)
+    idx_path = str(tmp_path / "corpus_lsh_index")
+    sh_path = str(tmp_path / "corpus_shingles")
+    dedup.band_index(sigs).write.parquet(idx_path)
+    dedup.shingle_sets(corpus).write.parquet(sh_path)
+
+    from_index = dedup.incremental_minhash_dedup(
+        corpus,
+        delta,
+        threshold=0.1,
+        corpus_index=spark.read.parquet(idx_path),
+        corpus_shingles=spark.read.parquet(sh_path),
+    )
+    inline = dedup.incremental_minhash_dedup(corpus, delta, threshold=0.1)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    # and the index relation itself is what lsh_candidate_pairs buckets
+    # on: grouping the read-back index reproduces the candidate pairs
+    import pyspark.sql.functions as F
+
+    idx = spark.read.parquet(idx_path)
+    bucketed = (
+        idx.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    ).count()
+    assert bucketed > 0

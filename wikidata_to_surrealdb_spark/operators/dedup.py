@@ -145,6 +145,79 @@ def minhash_signatures(
     )
 
 
+def _banding_exprs(
+    bands: int, rows_per_band: int | None
+) -> tuple[str, str]:
+    """Validate banding args; return (per-band row-count SQL fragment,
+    required-signature-width SQL fragment)."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if rows_per_band is None:
+        return f"(size(sig) DIV {bands})", str(bands)
+    if rows_per_band < 1:
+        raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
+    return str(rows_per_band), str(bands * rows_per_band)
+
+
+def _banded(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rpb: str,
+    need: str,
+    rows_per_band: int | None,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows from guarded signatures.
+
+    The width guard is an always-true short-circuit WHERE, NOT a CASE
+    wrap of the array: wrapping sig in CASE re-enters the r8
+    fround-guard trap (the array value is re-materialized per reference
+    after projection collapse, measured ~35% on the candidate stage);
+    the predicate leaves the data path untouched and only evaluates
+    raise_error on a violating (or NULL-signature) row."""
+    guarded = signatures.where(
+        F.expr(
+            f"size(sig) >= {need} OR raise_error("
+            f"concat('lsh_candidate_pairs: bands={bands} x rows_per_band="
+            f"{rows_per_band} needs a signature of width >= {need}, got ', "
+            f"CAST(size(sig) AS STRING))) IS NULL"
+        )
+    )
+    return guarded.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> named_struct("
+                f"'band_id', b, "
+                f"'band_hash', md5(concat_ws('|', slice(sig, b * {rpb} + 1, {rpb})))))"
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def band_index(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 2,
+    rows_per_band: int | None = 4,
+) -> DataFrame:
+    """The persistable LSH index artifact: ``(id, band_id, band_hash)``
+    rows of the banded MinHash signature — exactly the relation
+    :func:`lsh_candidate_pairs` buckets on, exposed so a standing
+    corpus can compute it ONCE and store it.
+
+    At scale, write it bucketed on the join key so the daily delta
+    join never reshuffles the corpus::
+
+        band_index(sigs).write.bucketBy(1024, "band_hash")
+            .sortBy("band_hash").saveAsTable("corpus_lsh_index")
+
+    then hand the read-back table to
+    :func:`incremental_minhash_dedup` as ``corpus_index``."""
+    rpb, need = _banding_exprs(bands, rows_per_band)
+    return _banded(signatures, id_col, bands, rpb, need, rows_per_band)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -170,42 +243,8 @@ def lsh_candidate_pairs(
     in-plan ``raise_error`` guard. Pass ``rows_per_band=None`` to derive
     it from the signature width at runtime (``size(sig) DIV bands`` —
     the pre-r12 caller contract where ``bands`` alone was valid)."""
-    if bands < 1:
-        raise ValueError(f"bands must be >= 1, got {bands}")
-    if rows_per_band is None:
-        rpb = f"(size(sig) DIV {bands})"
-        need = str(bands)  # every band needs at least one row
-    else:
-        if rows_per_band < 1:
-            raise ValueError(
-                f"rows_per_band must be >= 1, got {rows_per_band}"
-            )
-        rpb = str(rows_per_band)
-        need = str(bands * rows_per_band)
-    # short-circuit OR filter, NOT a CASE wrap of the array: wrapping
-    # sig in CASE re-enters the r8 fround-guard trap (the array value
-    # is re-materialized per reference after projection collapse,
-    # measured ~35% on the candidate stage); the always-true predicate
-    # leaves the data path untouched and only evaluates raise_error on
-    # a violating (or NULL-signature) row.
-    guarded = signatures.where(
-        F.expr(
-            f"size(sig) >= {need} OR raise_error("
-            f"concat('lsh_candidate_pairs: bands={bands} x rows_per_band="
-            f"{rows_per_band} needs a signature of width >= {need}, got ', "
-            f"CAST(size(sig) AS STRING))) IS NULL"
-        )
-    )
-    banded = guarded.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> named_struct("
-                f"'band_id', b, "
-                f"'band_hash', md5(concat_ws('|', slice(sig, b * {rpb} + 1, {rpb})))))"
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    rpb, need = _banding_exprs(bands, rows_per_band)
+    banded = _banded(signatures, id_col, bands, rpb, need, rows_per_band)
     buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -354,6 +393,128 @@ def minhash_dedup(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     return ngram_jaccard(pairs, df, text_col, id_col, k, threshold, shingles=sh)
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    corpus_index: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Delta-batch near-dup detection against a standing corpus — the
+    daily-crawl pattern: yesterday's corpus is already deduped and
+    LSH-indexed; today's delta must be checked against it AND within
+    itself, WITHOUT ever re-pairing corpus x corpus.
+
+    Returns ``(new_id, dup_of, origin, jaccard)``: each delta doc whose
+    exact k-gram Jaccard with some corpus doc (``origin='corpus'``) or
+    lower-id delta doc (``origin='delta'``) reaches ``threshold``.
+    Survivors = delta ids absent from ``new_id`` (plus, per batch,
+    keeping the lowest id of each intra-delta group — the same
+    lowest-id survivorship as the rest of the dedup family).
+
+    Scale shape (the whole point of the operator):
+
+    - corpus cost is index lookup, not recompute: pass ``corpus_index``
+      (:func:`band_index` written bucketed on ``band_hash``) and
+      ``corpus_shingles`` (bucketed on the id) read back from storage;
+      then the only full-corpus work in the plan is two co-located
+      joins, and everything O(corpus) was paid ONCE at index build.
+      Omitting them recomputes both from ``corpus`` — correct, but
+      re-scans the corpus per batch.
+    - the corpus shingle side is semi-join-pruned to candidate ids
+      BEFORE the fat verification join, so verification shuffles
+      O(candidates), not O(corpus) — with a bucketed shingle table the
+      semi join itself is also shuffle-free on the corpus side.
+    - intra-delta dedup is the standard banded
+      :func:`lsh_candidate_pairs` on the (small) delta only.
+
+    Corpus and delta id spaces must be disjoint (an id present in both
+    would double its shingle row in the verification side and fan out
+    pair rows) — the natural contract when ids are assigned at crawl
+    time.
+
+    Cites reference behavior: NexVeridian/wikidata-to-surrealdb ingests
+    dump snapshots incrementally (README.md quickstart; the
+    CREATE_VERSION mode in src/main.rs) but has no cross-snapshot
+    dedup; this operator is the LLM-pipeline extension of that
+    incremental posture."""
+    delta_sh = shingle_sets(delta, text_col, id_col, k)
+    delta_sigs = minhash_signatures(
+        delta, text_col, id_col, num_hashes, k, shingles=delta_sh
+    )
+    rows = num_hashes // bands
+    delta_bands = band_index(delta_sigs, id_col, bands, rows)
+    if corpus_index is None:
+        corpus_index = band_index(
+            minhash_signatures(
+                corpus, text_col, id_col, num_hashes, k,
+                shingles=corpus_shingles
+                if corpus_shingles is not None
+                else shingle_sets(corpus, text_col, id_col, k),
+            ),
+            id_col,
+            bands,
+            rows,
+        )
+    if corpus_shingles is None:
+        corpus_shingles = shingle_sets(corpus, text_col, id_col, k)
+
+    # cross candidates: delta band rows probe the corpus index. The
+    # delta side is the small one — broadcast it when it fits; here the
+    # join stays declarative and AQE picks the strategy, while a
+    # bucketed corpus_index makes the corpus side exchange-free.
+    cross = (
+        delta_bands.withColumnRenamed(id_col, "new_id")
+        .join(
+            corpus_index.withColumnRenamed(id_col, "dup_of"),
+            ["band_id", "band_hash"],
+        )
+        .select("new_id", "dup_of")
+        .dropDuplicates(["new_id", "dup_of"])
+        .withColumn("origin", F.lit("corpus"))
+    )
+    intra = (
+        lsh_candidate_pairs(delta_sigs, id_col, bands, rows)
+        .select(
+            F.col("id_b").alias("new_id"), F.col("id_a").alias("dup_of")
+        )
+        .withColumn("origin", F.lit("delta"))
+    )
+    cand = cross.unionByName(intra)
+
+    # verification: semi-join-prune each shingle side to candidate ids
+    # before the fat-array join (corpus shingles are the big side —
+    # pruning bounds the verification shuffle by candidate volume)
+    new_sh = delta_sh.withColumnsRenamed({id_col: "new_id", "sh": "sh_n"})
+    dup_sh = (
+        corpus_shingles.unionByName(delta_sh)
+        .withColumnsRenamed({id_col: "dup_of", "sh": "sh_d"})
+    )
+    dup_sh = dup_sh.join(
+        cand.select("dup_of").dropDuplicates(["dup_of"]), "dup_of", "left_semi"
+    )
+    j = (
+        cand.join(new_sh.hint("shuffle_hash"), "new_id")
+        .join(dup_sh.hint("shuffle_hash"), "dup_of")
+        .withColumn(
+            "jaccard",
+            fround(
+                F.size(F.array_intersect("sh_n", "sh_d"))
+                / F.size(F.array_union("sh_n", "sh_d")).cast("double"),
+                4,
+            ),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select(
+        "new_id", "dup_of", "origin", "jaccard"
+    )
 
 
 def simhash_signatures(

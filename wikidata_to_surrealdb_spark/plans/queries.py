@@ -1314,6 +1314,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_incremental",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) > 0) AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+      FROM toks WHERE len(t) >= 3
+    ), sigs AS (
+      SELECT doc_id, list_transform(generate_series(0, 7),
+               s -> list_aggregate(list_transform(sh, g -> md5(s::VARCHAR || ':' || g)), 'min')) AS sig
+      FROM sh WHERE len(sh) > 0
+    ), bands AS (
+      SELECT doc_id, b AS band_id,
+             md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS band_hash
+      FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b)
+    ), cand AS (
+      SELECT DISTINCT d.doc_id AS new_id, c.doc_id AS dup_of, 'corpus' AS origin
+      FROM bands d JOIN bands c
+        ON d.band_id = c.band_id AND d.band_hash = c.band_hash
+      WHERE d.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+      UNION ALL
+      SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS dup_of, 'delta' AS origin
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+    )
+    SELECT new_id, dup_of, origin, jaccard FROM (
+      SELECT c.new_id, c.dup_of, c.origin,
+             {fround_sql(_JACCARD_DUCK.format(a="x.sh", b="y.sh"), 4)} AS jaccard
+      FROM cand c JOIN sh x ON c.new_id = x.doc_id JOIN sh y ON c.dup_of = y.doc_id
+    ) WHERE jaccard >= 0.1
+    """,
+    "Incremental delta-vs-corpus MinHash dedup (doc_id%5=0 is today's "
+    "batch): delta docs probe the standing corpus LSH index plus "
+    "intra-delta banding; corpus x corpus is NEVER re-paired — the "
+    "daily-crawl shape where corpus cost is one index build, amortized "
+    "over every batch. Verification is semi-join-pruned to candidates",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    docs = t["documents"]
+    return dedup.incremental_minhash_dedup(
+        docs.where("doc_id % 5 != 0"),
+        docs.where("doc_id % 5 = 0"),
+        num_hashes=8,
+        bands=2,
+        k=3,
+        threshold=0.1,
+    )
+
+
+@_q(
     "dedup_simhash",
     """
     WITH toks AS (
