@@ -603,11 +603,32 @@ class ShuffleMeter:
             return None
         try:
             stages = [s for s in self._stages() if s["stageId"] > mark]
-            return {
+            out = {
                 "write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
                 "read": sum(s.get("shuffleReadBytes", 0) for s in stages),
                 "stages": len(stages),
             }
+            # memory posture (r13): spill is the "would this fit at
+            # 100 TB" signal wall time can't give — a query spilling at
+            # sf0.1 has already outgrown its partition sizing. Spill
+            # keys are recorded only when nonzero (they almost always
+            # are zero; emit_record surfaces offenders in
+            # spilled_queries). peak_mem is the max single-stage
+            # peakExecutionMemory — plan-scale-stable, host-independent.
+            spill = sum(s.get("diskBytesSpilled", 0) for s in stages) + sum(
+                s.get("memoryBytesSpilled", 0) for s in stages
+            )
+            if spill:
+                out["disk_spill"] = sum(
+                    s.get("diskBytesSpilled", 0) for s in stages
+                )
+                out["mem_spill"] = sum(
+                    s.get("memoryBytesSpilled", 0) for s in stages
+                )
+            out["peak_mem"] = max(
+                [s.get("peakExecutionMemory", 0) for s in stages] + [0]
+            )
+            return out
         except Exception:
             self.base = None
             return None
@@ -1329,6 +1350,21 @@ def emit_record(
     # investigated-swing dispositions ride every full record so the
     # judge reads the classification next to the numbers it explains
     full["drift_classifications"] = DRIFT_CLASSIFICATIONS
+    # memory posture (r13): any query that spilled at bench scale has
+    # outgrown its partition sizing 1000x before the 100 TB target —
+    # surfaced as a first-class list, and on the printed headline when
+    # nonempty, so a spill can never hide inside the per-query map
+    sb = full.get("shuffle_bytes")
+    if isinstance(sb, dict):
+        spilled = sorted(
+            q
+            for q, v in sb.items()
+            if isinstance(v, dict)
+            and (v.get("disk_spill", 0) or v.get("mem_spill", 0))
+        )
+        full["spilled_queries"] = spilled
+        if spilled:
+            record["spilled"] = spilled
     if out_path is None:
         out_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_full.json"

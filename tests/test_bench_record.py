@@ -300,6 +300,25 @@ def test_adversarial_probe_variant_builders(tmp_path):
                 "WHERE octet_length(encode(text)) > length(text)"
             ).fetchone()[0]
             assert uni > 0
+        if variant == "hotkey":
+            hot_ev = con.sql(
+                f"SELECT count(*) FILTER (user_id = 777)::DOUBLE / count(*) "
+                f"FROM '{dst}/events.parquet'"
+            ).fetchone()[0]
+            assert hot_ev > 0.5  # one user dominates the stream
+            hot_src = con.sql(
+                f"SELECT count(*) FILTER (source = 'hotsource')::DOUBLE / count(*) "
+                f"FROM '{dst}/documents.parquet'"
+            ).fetchone()[0]
+            assert hot_src > 0.5
+            # text/ids untouched — divergence on this variant is a
+            # key-handling bug, never a content effect
+            same_text = con.sql(
+                f"SELECT count(*) FROM '{dst}/documents.parquet' d "
+                f"JOIN '{src}/documents.parquet' s USING (doc_id) "
+                f"WHERE d.text IS DISTINCT FROM s.text"
+            ).fetchone()[0]
+            assert same_text == 0
         con.close()
     # normalize: column-name order (a before b), float formatting,
     # NULL/NaN forms, row sort ('' < 'nan')
@@ -480,3 +499,48 @@ def test_shuffle_vs_prev_classifies_regressions():
     assert bench.shuffle_vs_prev(cur, {"sf": 0.1}, 0.1, []) == {}
     assert bench.shuffle_vs_prev({}, prev, 0.1, []) == {}
     assert bench.shuffle_vs_prev(cur, None, 0.1, []) == {}
+
+
+def test_emit_record_surfaces_spilled_queries(tmp_path, capsys):
+    """r13 memory posture: a query spilling at bench scale must land in
+    full['spilled_queries'] AND on the printed headline — never hidden
+    inside the per-query shuffle map. Zero-spill runs record the empty
+    list (the gate's green state is explicit)."""
+    base = {
+        "queries": {"q1": 0.5, "q2": 0.6},
+        "metric": "m",
+        "value": 1.1,
+        "unit": "sec",
+        "sf": 0.01,
+        "calibration_sec": {"start": 0.1, "end": 0.1},
+    }
+    sb = {
+        "q1": {"write": 10, "read": 10, "stages": 2, "peak_mem": 100},
+        "q2": {
+            "write": 10,
+            "read": 10,
+            "stages": 2,
+            "peak_mem": 100,
+            "disk_spill": 4096,
+            "mem_spill": 0,
+        },
+    }
+    out = tmp_path / "bench_full.json"
+    line = bench.emit_record(
+        dict(base), out_path=str(out), extra_full={"shuffle_bytes": sb}
+    )
+    full = json.loads(out.read_text())
+    assert full["spilled_queries"] == ["q2"]
+    assert json.loads(line)["spilled"] == ["q2"]
+    capsys.readouterr()
+
+    clean_sb = {q: {k: v for k, v in d.items() if "spill" not in k}
+                for q, d in sb.items()}
+    out2 = tmp_path / "bench_full2.json"
+    line2 = bench.emit_record(
+        dict(base), out_path=str(out2), extra_full={"shuffle_bytes": clean_sb}
+    )
+    full2 = json.loads(out2.read_text())
+    assert full2["spilled_queries"] == []
+    assert "spilled" not in json.loads(line2)
+    capsys.readouterr()

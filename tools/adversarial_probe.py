@@ -26,6 +26,11 @@ Variants (all deterministic — fixed id residues, so findings reproduce):
            distinct-shingle sets) or +200 pseudo-random vocab words
            (huge distinct-shingle sets) — the per-row array-HOF and
            posting-list worst case
+  hotkey   key skew (r13): ~4/5 of events land on ONE user_id (777)
+           and ~3/4 of documents on one source / ~2/3 on one lang —
+           giant window partitions, giant applyInPandas groups, hot
+           groupBy/join keys, mass ts ties inside the hot user (any
+           under-specified sort/tie-break surfaces here)
 
 Exit code = number of disagreeing queries (0 = full parity).
 Round-8 provenance: this sweep found 10+ real cross-engine bugs the
@@ -112,6 +117,19 @@ DOC_SQL = {
                       i -> 'w' || ((doc_id * 7919 + i * 104729) % 9973)), ' '))
                   ELSE n_chars END AS n_chars
       FROM read_parquet('{src}/documents.parquet')""",
+    # key skew (r13): the scale killer the clean data never shows. A
+    # production crawl/event stream always has a dominant tenant — the
+    # variant pins that shape: one hot source (3/4 of docs) and one hot
+    # lang (2/3) so per-source/per-lang aggregates, stratified quotas,
+    # and the (lang, min-shingle) blocking key all see one giant group.
+    # Text/ids untouched — any divergence is a key-handling bug, not a
+    # content effect.
+    "hotkey": """
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 3 != 0 THEN 'en' ELSE lang END AS lang,
+             CASE WHEN doc_id % 4 != 0 THEN 'hotsource' ELSE source END AS source,
+             n_chars
+      FROM read_parquet('{src}/documents.parquet')""",
 }
 
 EVENT_SQL = {
@@ -134,6 +152,16 @@ EVENT_SQL = {
                   WHEN event_id % 31 = 19 THEN -0.0
                   ELSE value END AS value,
              props
+      FROM read_parquet('{src}/events.parquet')""",
+    # ~4/5 of all events collapse onto user 777: one giant sessionize/
+    # asof/funnel/retention partition, and — because the collapsed users
+    # previously interleaved freely — the hot user now has many events
+    # at IDENTICAL timestamps, so every per-user ordering needs a total
+    # tie-break to stay cross-engine deterministic.
+    "hotkey": """
+      SELECT event_id, ts,
+             CASE WHEN user_id % 5 != 0 THEN 777 ELSE user_id END AS user_id,
+             event_type, value, props
       FROM read_parquet('{src}/events.parquet')""",
 }
 
