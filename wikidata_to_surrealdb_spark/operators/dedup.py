@@ -445,26 +445,35 @@ def incremental_minhash_dedup(
     CREATE_VERSION mode in src/main.rs) but has no cross-snapshot
     dedup; this operator is the LLM-pipeline extension of that
     incremental posture."""
-    delta_sh = shingle_sets(delta, text_col, id_col, k)
+    # delta shingles feed THREE consumers (signatures, the new_id
+    # verification side, the dup_of union) — without a checkpoint each
+    # branch replays the tokenize/shingle subtree (the round-7 lesson);
+    # the relation is delta-sized, the bounded thing to materialize
+    delta_sh = shingle_sets(delta, text_col, id_col, k).localCheckpoint(
+        eager=False
+    )
     delta_sigs = minhash_signatures(
         delta, text_col, id_col, num_hashes, k, shingles=delta_sh
     )
     rows = num_hashes // bands
     delta_bands = band_index(delta_sigs, id_col, bands, rows)
+    if corpus_shingles is None:
+        # computed once, shared by the (recomputed) index and the
+        # verification side; a passed-in parquet/bucketed relation is
+        # already materialized and needs no checkpoint
+        corpus_shingles = shingle_sets(
+            corpus, text_col, id_col, k
+        ).localCheckpoint(eager=False)
     if corpus_index is None:
         corpus_index = band_index(
             minhash_signatures(
                 corpus, text_col, id_col, num_hashes, k,
-                shingles=corpus_shingles
-                if corpus_shingles is not None
-                else shingle_sets(corpus, text_col, id_col, k),
+                shingles=corpus_shingles,
             ),
             id_col,
             bands,
             rows,
         )
-    if corpus_shingles is None:
-        corpus_shingles = shingle_sets(corpus, text_col, id_col, k)
 
     # cross candidates: delta band rows probe the corpus index. The
     # delta side is the small one — broadcast it when it fits; here the
@@ -487,7 +496,9 @@ def incremental_minhash_dedup(
         )
         .withColumn("origin", F.lit("delta"))
     )
-    cand = cross.unionByName(intra)
+    # candidates are consumed twice (the semi-join prune + the
+    # verification join) and are the bounded relation by design
+    cand = cross.unionByName(intra).localCheckpoint(eager=False)
 
     # verification: semi-join-prune each shingle side to candidate ids
     # before the fat-array join (corpus shingles are the big side —
