@@ -153,13 +153,17 @@ EVENT_SQL = {
                   ELSE value END AS value,
              props
       FROM read_parquet('{src}/events.parquet')""",
-    # ~4/5 of all events collapse onto user 777: one giant sessionize/
-    # asof/funnel/retention partition, and — because the collapsed users
-    # previously interleaved freely — the hot user now has many events
-    # at IDENTICAL timestamps, so every per-user ordering needs a total
-    # tie-break to stay cross-engine deterministic.
+    # ~4/5 of all events collapse onto user 777 (one giant sessionize/
+    # asof/funnel/retention partition) and half the timestamps truncate
+    # to the hour — the source data has globally unique ts, so without
+    # the truncation the tie-break regime is unreachable; with it the
+    # hot user holds ~60 identical-(user, ts) groups and every per-user
+    # ordering needs a total tie-break to stay cross-engine
+    # deterministic.
     "hotkey": """
-      SELECT event_id, ts,
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN date_trunc('hour', ts)
+                  ELSE ts END AS ts,
              CASE WHEN user_id % 5 != 0 THEN 777 ELSE user_id END AS user_id,
              event_type, value, props
       FROM read_parquet('{src}/events.parquet')""",

@@ -396,7 +396,7 @@ def minhash_dedup(
 
 
 def incremental_minhash_dedup(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     delta: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -438,7 +438,10 @@ def incremental_minhash_dedup(
     Corpus and delta id spaces must be disjoint (an id present in both
     would double its shingle row in the verification side and fan out
     pair rows) — the natural contract when ids are assigned at crawl
-    time.
+    time. ``corpus`` itself may be ``None`` when BOTH artifacts are
+    passed — the steady state, where the raw corpus never needs to be
+    touched at all (and the streaming twin's contract: each micro-batch
+    sees only the accumulated index).
 
     Cites reference behavior: NexVeridian/wikidata-to-surrealdb ingests
     dump snapshots incrementally (README.md quickstart; the
@@ -449,6 +452,11 @@ def incremental_minhash_dedup(
     # verification side, the dup_of union) — without a checkpoint each
     # branch replays the tokenize/shingle subtree (the round-7 lesson);
     # the relation is delta-sized, the bounded thing to materialize
+    if corpus is None and (corpus_index is None or corpus_shingles is None):
+        raise ValueError(
+            "incremental_minhash_dedup: corpus=None requires both "
+            "corpus_index and corpus_shingles"
+        )
     delta_sh = shingle_sets(delta, text_col, id_col, k).localCheckpoint(
         eager=False
     )

@@ -3659,6 +3659,36 @@ def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_incremental_dedup",
+    f"""
+    SELECT CASE WHEN id_a % 4 > id_b % 4 THEN id_a ELSE id_b END AS new_id,
+           CASE WHEN id_a % 4 > id_b % 4 THEN id_b ELSE id_a END AS dup_of,
+           CASE WHEN id_a % 4 = id_b % 4 THEN 'delta' ELSE 'corpus' END
+             AS origin,
+           jaccard
+    FROM ({_MINHASH_ORACLE}) p
+    """,
+    "Streaming near-dup detection over a GROWING corpus: documents "
+    "arrive as 4 id-residue micro-batches; each foreachBatch checks the "
+    "batch against the accumulated on-disk LSH band index (+ intra-"
+    "batch), emits pairs, then appends its own band rows/shingles — "
+    "corpus x corpus is never paired at any point in the stream's "
+    "lifetime, and state is parquet bytes, not the state store. Every "
+    "near-dup pair is found exactly once, in the later member's batch, "
+    "so the final set equals the batch minhash_dedup pairs re-oriented "
+    "by arrival order (the oracle's CASE re-orientation)",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        incremental_dedup_streaming,
+    )
+
+    return incremental_dedup_streaming(
+        spark, f"{sf_dir}/documents.parquet", slices=4, threshold=0.1
+    )
+
+
+@_q(
     "stream_static_enrich",
     """
     SELECT CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS hour_start,

@@ -1,0 +1,196 @@
+"""Streaming near-duplicate detection over a growing document corpus.
+
+The batch :func:`~wikidata_to_surrealdb_spark.operators.dedup.
+incremental_minhash_dedup` is the daily-delta shape; this module is its
+Structured Streaming twin: document files arrive as micro-batches
+(file source, ``maxFilesPerTrigger=1``) and ``foreachBatch`` checks each
+batch against the ACCUMULATED corpus LSH index, emits the near-dup
+pairs, then appends the batch's own band rows and shingle sets to the
+index — so the index grows monotonically and corpus x corpus work is
+never done at any point in the stream's lifetime.
+
+Delivery semantics: the per-batch emit is deterministic given the
+arrived prefix (banding and verification are md5/exact-Jaccard, no RNG,
+no wall clock), and replaying a micro-batch after a crash re-derives
+the same pairs; the index append is idempotent per batch id (the batch
+writes under a ``batch=<id>`` subdirectory, so a replay OVERWRITES its
+own previous partial output instead of doubling rows) — the same
+effectively-once-through-idempotence contract as the manifest upsert
+stream (streaming/upserts.py).
+
+Scale: per-trigger cost is O(batch + candidates) — the corpus enters
+only through the band-index join (lookup-shaped; bucketed storage makes
+the corpus side exchange-free) and the semi-join-pruned shingle fetch.
+State is the on-disk index, not the state store: unbounded corpus
+growth costs parquet bytes, not executor memory.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_INDEX_SCHEMA = "doc_id BIGINT, band_id INT, band_hash STRING"
+_SHINGLE_SCHEMA = "doc_id BIGINT, sh ARRAY<STRING>"
+_PAIRS_SCHEMA = (
+    "new_id BIGINT, dup_of BIGINT, origin STRING, jaccard DOUBLE"
+)
+
+
+def slice_documents_table(
+    spark: SparkSession, docs_path: str, out_dir: str, slices: int = 4
+) -> str:
+    """Materialize the documents table as ``slices`` id-residue parquet
+    files with increasing mtimes, so a file-source stream with
+    ``maxFilesPerTrigger=1`` replays them as separate micro-batches in
+    residue order (slice k = ``doc_id % slices == k``) — deterministic
+    batch membership AND order, which is what makes the stream's final
+    output oracle-expressible."""
+    import time as _time
+
+    df = spark.read.parquet(docs_path)
+    base = _time.time()
+    for i in range(slices):
+        part = df.where(F.col("doc_id") % slices == i)
+        slice_dir = os.path.join(out_dir, f"slice={i}")
+        part.coalesce(1).write.mode("overwrite").parquet(slice_dir)
+        t = base + i
+        for root, _, files in os.walk(slice_dir):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (t, t))
+    return out_dir
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a parquet dir that may not exist yet (before the first
+    batch lands) as an explicitly-typed empty relation. Batch outputs
+    live in ``batch_<id>`` subdirs (deliberately NOT ``batch=<id>`` —
+    that spelling would trip partition-column discovery), so the read
+    needs recursiveFileLookup."""
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    ):
+        return (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+    return spark.createDataFrame([], schema)
+
+
+def incremental_dedup_multibatch(
+    spark: SparkSession,
+    sliced_dir: str,
+    work_dir: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    progress: list | None = None,
+) -> DataFrame:
+    """Run the streaming incremental dedup over a pre-sliced documents
+    dir (:func:`slice_documents_table`), one file per micro-batch.
+
+    Returns the accumulated pairs ``(new_id, dup_of, origin, jaccard)``
+    across all batches. Because every near-dup pair is detected exactly
+    once — in the LATER member's batch, against the index if the other
+    member arrived earlier (``origin='corpus'``) or intra-batch
+    (``origin='delta'``) — the final set equals the batch
+    ``minhash_dedup`` pair set over the full corpus, re-oriented by
+    arrival order. The multibatch==batch invariant the tests pin."""
+    from wikidata_to_surrealdb_spark.operators import dedup
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        _drain_progress,
+        _state_partitions,
+    )
+
+    idx_dir = os.path.join(work_dir, "band_index")
+    sh_dir = os.path.join(work_dir, "shingles")
+    pairs_dir = os.path.join(work_dir, "pairs")
+    rows = num_hashes // bands
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        corpus_index = _read_or_empty(spark, idx_dir, _INDEX_SCHEMA)
+        corpus_sh = _read_or_empty(spark, sh_dir, _SHINGLE_SCHEMA)
+        pairs = dedup.incremental_minhash_dedup(
+            None,
+            batch_df,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+            threshold=threshold,
+            corpus_index=corpus_index,
+            corpus_shingles=corpus_sh,
+        )
+        # per-batch subdirs make a foreachBatch replay overwrite its
+        # own previous partial output (effectively-once), and keep
+        # appends from ever rewriting earlier batches' files
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_{batch_id}")
+        )
+        # the batch's own artifacts: shingles feed both the signature
+        # job and their own write — checkpoint so the batch is
+        # tokenized once, not per consumer
+        batch_sh = dedup.shingle_sets(
+            batch_df, "text", "doc_id"
+        ).localCheckpoint(eager=False)
+        sigs = dedup.minhash_signatures(
+            batch_df, "text", "doc_id", num_hashes, k, shingles=batch_sh
+        )
+        dedup.band_index(sigs, "doc_id", bands, rows).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx_dir, f"batch_{batch_id}"))
+        batch_sh.write.mode("overwrite").parquet(
+            os.path.join(sh_dir, f"batch_{batch_id}")
+        )
+
+    schema = spark.read.parquet(sliced_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sliced_dir)
+    )
+    checkpoint = os.path.join(
+        work_dir, f"_checkpoint_{uuid.uuid4().hex[:8]}"
+    )
+    with _state_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _drain_progress(q, progress)
+    return _read_or_empty(spark, pairs_dir, _PAIRS_SCHEMA)
+
+
+def incremental_dedup_streaming(
+    spark: SparkSession,
+    docs_path: str,
+    slices: int = 4,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Slice the documents table and run the full streaming incremental
+    dedup to completion — the self-contained catalog/bench entry."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_incdedup_")
+    sliced = slice_documents_table(
+        spark, docs_path, os.path.join(base, "slices"), slices=slices
+    )
+    return incremental_dedup_multibatch(
+        spark,
+        sliced,
+        os.path.join(base, "work"),
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        threshold=threshold,
+    )
