@@ -332,3 +332,72 @@ def test_incremental_dedup_precomputed_index_path(spark, tmp_path):
         .where(F.size("ids") > 1)
     ).count()
     assert bucketed > 0
+
+
+def test_bucketed_corpus_index_probe_has_no_corpus_exchange(
+    spark, tmp_path
+):
+    """The 100 TB claim behind incremental_minhash_dedup: a corpus
+    band index BUCKETED on bucket_key (the single-column
+    (band_id, band_hash) fold) satisfies the probe join's clustering
+    requirement, so the corpus side is read exchange-free — only the
+    delta shuffles. Also pins fold-vs-pair candidate equivalence."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where("doc_id % 5 != 0")
+    delta = docs.where("doc_id % 5 = 0")
+    sigs = dedup.minhash_signatures(corpus)
+    idx = dedup.band_index(sigs)
+    spark.sql("DROP TABLE IF EXISTS corpus_lsh_index")
+    (
+        idx.write.bucketBy(8, "bucket_key")
+        .sortBy("bucket_key")
+        .option("path", str(tmp_path / "idx_tbl"))
+        .saveAsTable("corpus_lsh_index")
+    )
+    try:
+        bidx = spark.table("corpus_lsh_index")
+        delta_bands = dedup.band_index(dedup.minhash_signatures(delta))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = delta_bands.withColumnRenamed("doc_id", "new_id").join(
+                bidx.withColumnRenamed("doc_id", "dup_of"), ["bucket_key"]
+            ).select("new_id", "dup_of")
+            probe.collect()
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("+- == Initial Plan ==")[0]
+            assert "SortMergeJoin" in final, final
+            # the corpus scan is bucket-pruned straight into the join
+            assert "Bucketed: true" in final, final
+            # every exchange in the final plan sits on the DELTA branch
+            # (the ':'-prefixed left child): computing the delta's own
+            # signatures shuffles the delta, never the corpus
+            for line in final.splitlines():
+                if "Exchange" in line:
+                    assert line.lstrip().startswith(":"), (line, final)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # the fold probe finds the same candidate set as the pair probe
+        pair_probe = (
+            delta_bands.withColumnRenamed("doc_id", "new_id")
+            .join(
+                idx.withColumnRenamed("doc_id", "dup_of"),
+                ["band_id", "band_hash"],
+            )
+            .select("new_id", "dup_of")
+        )
+        assert sorted(map(tuple, probe.collect())) == sorted(
+            map(tuple, pair_probe.collect())
+        )
+        # end-to-end: the operator with the bucketed table matches the
+        # inline path byte for byte
+        from_bucketed = dedup.incremental_minhash_dedup(
+            corpus, delta, threshold=0.1, corpus_index=bidx
+        )
+        inline = dedup.incremental_minhash_dedup(corpus, delta, threshold=0.1)
+        assert sorted(map(tuple, from_bucketed.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_lsh_index")

@@ -744,7 +744,7 @@ def test_stream_incremental_dedup_equals_batch_and_replays_idempotent(
     # the pre-batch-0 state (an EMPTY index dir is what batch 0 saw):
     # the write path must overwrite, leaving identical output
     empty_idx = spark.createDataFrame(
-        [], "doc_id BIGINT, band_id INT, band_hash STRING"
+        [], "doc_id BIGINT, band_id INT, band_hash STRING, bucket_key STRING"
     )
     empty_sh = spark.createDataFrame([], "doc_id BIGINT, sh ARRAY<STRING>")
     replay_pairs = dedup.incremental_minhash_dedup(

@@ -206,16 +206,32 @@ def band_index(
     :func:`lsh_candidate_pairs` buckets on, exposed so a standing
     corpus can compute it ONCE and store it.
 
-    At scale, write it bucketed on the join key so the daily delta
-    join never reshuffles the corpus::
+    ``bucket_key`` folds ``(band_id, band_hash)`` into one md5 so the
+    index can be BUCKETED on a single column — Spark's co-partition
+    check requires all join keys clustered
+    (``spark.sql.requireAllClusterKeysForCoPartition``), so a two-key
+    probe join could not ride single-column bucketing. Probing on
+    ``bucket_key`` alone is candidate-equivalent to probing
+    ``(band_id, band_hash)`` up to md5 collision, and a colliding
+    candidate is still exact-Jaccard-verified downstream — collisions
+    cost verification work, never correctness.
 
-        band_index(sigs).write.bucketBy(1024, "band_hash")
-            .sortBy("band_hash").saveAsTable("corpus_lsh_index")
+    At scale, write it bucketed on the fold so the daily delta join
+    never reshuffles the corpus::
+
+        band_index(sigs).write.bucketBy(1024, "bucket_key")
+            .sortBy("bucket_key").saveAsTable("corpus_lsh_index")
 
     then hand the read-back table to
-    :func:`incremental_minhash_dedup` as ``corpus_index``."""
+    :func:`incremental_minhash_dedup` as ``corpus_index``
+    (``tests/test_prefix_join.py`` pins the exchange-free corpus side)."""
     rpb, need = _banding_exprs(bands, rows_per_band)
-    return _banded(signatures, id_col, bands, rpb, need, rows_per_band)
+    return _banded(signatures, id_col, bands, rpb, need, rows_per_band).withColumn(
+        "bucket_key",
+        F.md5(
+            F.concat_ws(":", F.col("band_id").cast("string"), "band_hash")
+        ),
+    )
 
 
 def lsh_candidate_pairs(
@@ -486,12 +502,21 @@ def incremental_minhash_dedup(
     # cross candidates: delta band rows probe the corpus index. The
     # delta side is the small one — broadcast it when it fits; here the
     # join stays declarative and AQE picks the strategy, while a
-    # bucketed corpus_index makes the corpus side exchange-free.
+    # bucketed corpus_index makes the corpus side exchange-free. When
+    # both sides carry the single-column (band_id, band_hash) fold, the
+    # probe joins on it — that is what lets single-key bucketing of the
+    # index satisfy the join's clustering requirement (candidates are
+    # md5-collision-equivalent, and verified exactly downstream).
+    join_keys = (
+        ["bucket_key"]
+        if "bucket_key" in corpus_index.columns
+        else ["band_id", "band_hash"]
+    )
     cross = (
         delta_bands.withColumnRenamed(id_col, "new_id")
         .join(
             corpus_index.withColumnRenamed(id_col, "dup_of"),
-            ["band_id", "band_hash"],
+            join_keys,
         )
         .select("new_id", "dup_of")
         .dropDuplicates(["new_id", "dup_of"])

@@ -33,7 +33,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_INDEX_SCHEMA = "doc_id BIGINT, band_id INT, band_hash STRING"
+_INDEX_SCHEMA = (
+    "doc_id BIGINT, band_id INT, band_hash STRING, bucket_key STRING"
+)
 _SHINGLE_SCHEMA = "doc_id BIGINT, sh ARRAY<STRING>"
 _PAIRS_SCHEMA = (
     "new_id BIGINT, dup_of BIGINT, origin STRING, jaccard DOUBLE"
