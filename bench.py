@@ -292,10 +292,18 @@ DRIFT_CLASSIFICATIONS = {
 }
 
 
+# timed elsewhere in the suite, so a smoke-tier slot would double-pay:
+# stream_incremental_dedup runs as the stream_incdedup_multibatch probe
+# (a full 4-trigger streaming job, ~18 s at sf0.1 — a smoke slot is for
+# sub-second-to-few-second single queries)
+SMOKE_EXCLUDE = {"stream_incremental_dedup"}
+
+
 def smoke_candidates() -> list[str]:
     """Catalog queries outside the main bench tier. Alias specs are
-    excluded — an alias times the identical plan under another name."""
-    main = set(BENCH_QUERIES)
+    excluded — an alias times the identical plan under another name —
+    as are ``SMOKE_EXCLUDE`` entries timed by dedicated probes."""
+    main = set(BENCH_QUERIES) | SMOKE_EXCLUDE
     return [
         n
         for n, spec in QUERIES.items()
@@ -1017,6 +1025,36 @@ def main() -> None:
                 if dt < best:
                     best, stream_batches[name] = dt, prog
             timings[name] = round(best, 3)
+
+        # streaming incremental dedup probe (r13): slice documents
+        # (untimed scaffolding) and run the growing-index multibatch
+        # ONCE — a full 4-trigger streaming job whose wall is dominated
+        # by the per-trigger floor, so best-of-2 would double a ~18 s
+        # cost for no extra signal (same rationale as the ingest
+        # probes); per-batch progress recorded for attributability
+        from wikidata_to_surrealdb_spark.streaming.documents import (
+            incremental_dedup_multibatch,
+            slice_documents_table,
+        )
+
+        doc_sliced = slice_documents_table(
+            spark,
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(tmp, "docs4"),
+        )
+        prog_inc: list = []
+        t0 = time.perf_counter()
+        incremental_dedup_multibatch(
+            spark,
+            doc_sliced,
+            os.path.join(tmp, "incdedup_work"),
+            threshold=0.1,
+            progress=prog_inc,
+        ).collect()
+        timings["stream_incdedup_multibatch"] = round(
+            time.perf_counter() - t0, 3
+        )
+        stream_batches["stream_incdedup_multibatch"] = prog_inc
 
         # layout delta pair (module-level so the isolated re-bench tool
         # times the identical scans): see time_layout_pair

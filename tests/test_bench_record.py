@@ -335,10 +335,16 @@ def test_smoke_candidates_exclude_main_tier_and_aliases():
     cands = bench.smoke_candidates()
     assert not set(cands) & set(bench.BENCH_QUERIES)
     assert all("alias" not in QUERIES[n].tags for n in cands)
-    # every non-alias catalog query is timed SOMEWHERE: main tier or
-    # smoke rotation
+    # every non-alias catalog query is timed SOMEWHERE: main tier,
+    # smoke rotation, or a dedicated probe (SMOKE_EXCLUDE — each entry
+    # must correspond to a suite timing under another name)
     non_alias = {n for n, s in QUERIES.items() if "alias" not in s.tags}
-    assert set(cands) | (set(bench.BENCH_QUERIES) & non_alias) == non_alias
+    assert (
+        set(cands)
+        | (set(bench.BENCH_QUERIES) & non_alias)
+        | bench.SMOKE_EXCLUDE
+    ) == non_alias
+    assert bench.SMOKE_EXCLUDE <= non_alias  # no dangling exclusions
 
 
 def test_smoke_rotation_covers_catalog_within_staleness_budget():

@@ -261,6 +261,14 @@ def lsh_candidate_pairs(
     the pre-r12 caller contract where ``bands`` alone was valid)."""
     rpb, need = _banding_exprs(bands, rows_per_band)
     banded = _banded(signatures, id_col, bands, rpb, need, rows_per_band)
+    return _bucket_pairs(banded, id_col)
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """i<j pairs within each (band_id, band_hash) bucket of an
+    already-banded relation — the grouping half of
+    :func:`lsh_candidate_pairs`, shared with callers that hold a
+    :func:`band_index` artifact and must not recompute signatures."""
     buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -422,6 +430,8 @@ def incremental_minhash_dedup(
     threshold: float = 0.5,
     corpus_index: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
+    delta_shingles: DataFrame | None = None,
+    delta_index: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-batch near-dup detection against a standing corpus — the
     daily-crawl pattern: yesterday's corpus is already deduped and
@@ -473,14 +483,33 @@ def incremental_minhash_dedup(
             "incremental_minhash_dedup: corpus=None requires both "
             "corpus_index and corpus_shingles"
         )
-    delta_sh = shingle_sets(delta, text_col, id_col, k).localCheckpoint(
-        eager=False
-    )
-    delta_sigs = minhash_signatures(
-        delta, text_col, id_col, num_hashes, k, shingles=delta_sh
-    )
     rows = num_hashes // bands
-    delta_bands = band_index(delta_sigs, id_col, bands, rows)
+    # ``delta_shingles``/``delta_index`` let a caller that already
+    # built the batch's artifacts (the streaming twin builds them to
+    # append to the store anyway) avoid a second tokenize+signature
+    # pass; passed-in artifacts are trusted (the width guard ran when
+    # band_index built them)
+    delta_sh = (
+        delta_shingles
+        if delta_shingles is not None
+        else shingle_sets(delta, text_col, id_col, k).localCheckpoint(
+            eager=False
+        )
+    )
+    delta_bands = (
+        delta_index
+        if delta_index is not None
+        # two consumers (the corpus probe + intra-delta bucketing):
+        # checkpoint so the signature subtree runs once
+        else band_index(
+            minhash_signatures(
+                delta, text_col, id_col, num_hashes, k, shingles=delta_sh
+            ),
+            id_col,
+            bands,
+            rows,
+        ).localCheckpoint(eager=False)
+    )
     if corpus_shingles is None:
         # computed once, shared by the (recomputed) index and the
         # verification side; a passed-in parquet/bucketed relation is
@@ -523,7 +552,7 @@ def incremental_minhash_dedup(
         .withColumn("origin", F.lit("corpus"))
     )
     intra = (
-        lsh_candidate_pairs(delta_sigs, id_col, bands, rows)
+        _bucket_pairs(delta_bands, id_col)
         .select(
             F.col("id_b").alias("new_id"), F.col("id_a").alias("dup_of")
         )

@@ -117,6 +117,21 @@ def incremental_dedup_multibatch(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         corpus_index = _read_or_empty(spark, idx_dir, _INDEX_SCHEMA)
         corpus_sh = _read_or_empty(spark, sh_dir, _SHINGLE_SCHEMA)
+        # build the batch's artifacts ONCE (they get appended to the
+        # store anyway) and hand them to the dedup — without this the
+        # batch was tokenized and signed twice per trigger, measured
+        # ~35% of the per-batch wall at bench scale
+        batch_sh = dedup.shingle_sets(
+            batch_df, "text", "doc_id"
+        ).localCheckpoint(eager=False)
+        batch_idx = dedup.band_index(
+            dedup.minhash_signatures(
+                batch_df, "text", "doc_id", num_hashes, k, shingles=batch_sh
+            ),
+            "doc_id",
+            bands,
+            rows,
+        ).localCheckpoint(eager=False)
         pairs = dedup.incremental_minhash_dedup(
             None,
             batch_df,
@@ -126,6 +141,8 @@ def incremental_dedup_multibatch(
             threshold=threshold,
             corpus_index=corpus_index,
             corpus_shingles=corpus_sh,
+            delta_shingles=batch_sh,
+            delta_index=batch_idx,
         )
         # per-batch subdirs make a foreachBatch replay overwrite its
         # own previous partial output (effectively-once), and keep
@@ -133,18 +150,9 @@ def incremental_dedup_multibatch(
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_{batch_id}")
         )
-        # the batch's own artifacts: shingles feed both the signature
-        # job and their own write — checkpoint so the batch is
-        # tokenized once, not per consumer
-        batch_sh = dedup.shingle_sets(
-            batch_df, "text", "doc_id"
-        ).localCheckpoint(eager=False)
-        sigs = dedup.minhash_signatures(
-            batch_df, "text", "doc_id", num_hashes, k, shingles=batch_sh
+        batch_idx.write.mode("overwrite").parquet(
+            os.path.join(idx_dir, f"batch_{batch_id}")
         )
-        dedup.band_index(sigs, "doc_id", bands, rows).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(idx_dir, f"batch_{batch_id}"))
         batch_sh.write.mode("overwrite").parquet(
             os.path.join(sh_dir, f"batch_{batch_id}")
         )
