@@ -28,7 +28,20 @@ from wikidata_to_surrealdb_spark.plans.oracle_shapes import (
     cte_shape_violations,
     materialize_hot_ctes,
 )
+
 from wikidata_to_surrealdb_spark.plans.queries import QUERIES, oracle_sql
+
+
+def _run(sql):
+    """fetchall through a HELD connection: the chained
+    duckdb.connect().sql(...).fetchall() can lose the connection to GC
+    mid-fetch under pytest (observed r13: 'Connection has already been
+    closed')."""
+    con = duckdb.connect()
+    try:
+        return con.sql(sql).fetchall()
+    finally:
+        con.close()
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = (
@@ -191,7 +204,7 @@ def test_materialize_skips_block_comment_and_quoted_identifier_decoys():
     assert fixed.count("MATERIALIZED") == 1  # only the real def site
     assert cte_shape_violations(fixed) == []
     # the repaired SQL still parses and runs
-    assert duckdb.connect().sql(fixed).fetchall() == [(1, 1, 1)]
+    assert _run(fixed) == [(1, 1, 1)]
 
 
 def test_materialized_decoy_in_comment_does_not_whitelist():
@@ -207,7 +220,7 @@ def test_materialized_decoy_in_comment_does_not_whitelist():
     fixed = materialize_hot_ctes(sql)
     assert cte_shape_violations(fixed) == []
     assert "/* x AS MATERIALIZED ( */" in fixed  # comment untouched
-    assert duckdb.connect().sql(fixed).fetchall() == [(1, 1)]
+    assert _run(fixed) == [(1, 1)]
 
 
 def test_mask_handles_nested_block_comments():
@@ -228,13 +241,13 @@ def test_mask_handles_nested_block_comments():
     assert len(masked) == len(sql)
     assert "MATERIALIZED" not in masked  # fully inside the comment
     # DuckDB itself treats the whole span as one comment
-    assert duckdb.connect().sql(sql).fetchall() == [(1, 1)]
+    assert _run(sql) == [(1, 1)]
     # so the real inlined 2-ref CTE is still a violation and repairable
     assert cte_shape_violations(sql) == [{"cte": "x", "refs": 2}]
     fixed = materialize_hot_ctes(sql)
     assert cte_shape_violations(fixed) == []
     assert "/* outer /* inner */ x AS MATERIALIZED ( */" in fixed
-    assert duckdb.connect().sql(fixed).fetchall() == [(1, 1)]
+    assert _run(fixed) == [(1, 1)]
 
 
 def test_mask_handles_escape_strings():
@@ -256,10 +269,7 @@ def test_mask_handles_escape_strings():
     fixed = materialize_hot_ctes(sql)
     assert lit in fixed  # literal untouched by the splice
     assert cte_shape_violations(fixed) == []
-    con = duckdb.connect()
-    rows = con.sql(fixed).fetchall()
-    con.close()
-    assert rows == [(1, 1, "' x AS MATERIALIZED (")]
+    assert _run(fixed) == [(1, 1, "' x AS MATERIALIZED (")]
 
 
 def test_mask_doubled_quotes_and_identifier_tail_e():
