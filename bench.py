@@ -295,8 +295,14 @@ DRIFT_CLASSIFICATIONS = {
 # timed elsewhere in the suite, so a smoke-tier slot would double-pay:
 # stream_incremental_dedup runs as the stream_incdedup_multibatch probe
 # (a full 4-trigger streaming job, ~18 s at sf0.1 — a smoke slot is for
-# sub-second-to-few-second single queries)
-SMOKE_EXCLUDE = {"stream_incremental_dedup"}
+# sub-second-to-few-second single queries); the survivors variant
+# shares that job's machinery wholesale (it differs by two bounded
+# anti-joins on the appended artifacts), so the probe's wall is its
+# perf signal too
+SMOKE_EXCLUDE = {
+    "stream_incremental_dedup",
+    "stream_incremental_dedup_survivors",
+}
 
 
 def smoke_candidates() -> list[str]:

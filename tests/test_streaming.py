@@ -763,3 +763,59 @@ def test_stream_incremental_dedup_equals_batch_and_replays_idempotent(
         os.path.join(work, "pairs")
     ).count()
     assert n_after == n_before
+
+
+def test_stream_incremental_dedup_survivors_index_is_canonical(
+    spark, tmp_path
+):
+    """survivors_only=True is the production loop: every doc reported
+    as a duplicate is ABSENT from the appended index/shingle store (the
+    index tracks the unique corpus, not crawl volume), while the base
+    mode appends everything. Oracle parity is pinned separately; this
+    pins the operational claim on the store itself."""
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        incremental_dedup_multibatch,
+        slice_documents_table,
+    )
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    sliced = slice_documents_table(
+        spark, docs_path, str(tmp_path / "slices"), slices=4
+    )
+    work = str(tmp_path / "surv_work")
+    out = incremental_dedup_multibatch(
+        spark, sliced, work, threshold=0.1, survivors_only=True
+    )
+    rows = out.collect()
+    assert rows
+    dropped = {r.new_id for r in rows}
+    import os
+
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(work, "band_index"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert not dropped & idx_ids  # no dropped doc ever indexed
+    # every CROSS pair references a canonical (indexed) keeper; intra
+    # pairs are raw within-batch duplicates and may point at a doc that
+    # itself got dropped (chain resolution is dedup_clusters' job)
+    keepers = {r.dup_of for r in rows if r.origin == "corpus"}
+    assert keepers and keepers <= idx_ids
+    # base mode, for contrast, indexes the dropped docs too
+    base_work = str(tmp_path / "base_work")
+    incremental_dedup_multibatch(
+        spark, sliced, base_work, threshold=0.1
+    ).collect()
+    base_ids = {
+        r.doc_id
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(base_work, "band_index"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert dropped <= base_ids

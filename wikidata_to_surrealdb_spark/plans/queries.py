@@ -3658,6 +3658,74 @@ def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_dedup_streaming(spark, f"{sf_dir}/events.parquet")
 
 
+def _survivor_chain_oracle(slices: int = 4) -> str:
+    """Unrolled per-batch survivor chain for the survivors-only
+    streaming dedup (the ``_kmeans_ctes`` pattern: data-dependent
+    iteration made declarative by unrolling the FIXED batch count).
+
+    ``vp`` is the verified all-pairs relation (pair verification is
+    doc-pair-local, independent of survivor state, so it is computed
+    once); batch k's reported pairs are vp edges whose later member is
+    in batch k and whose earlier member is an accumulated SURVIVOR
+    (cross) or a lower-id batch-k doc (intra); batch k's survivors are
+    its docs with no reported pair. The accumulator CTEs are referenced
+    repeatedly — the oracle-shape gate auto-materializes them."""
+    parts = [
+        f"""
+    , p0_intra AS (
+      SELECT id_b AS new_id, id_a AS dup_of, jaccard FROM vp
+      WHERE id_a % {slices} = 0 AND id_b % {slices} = 0
+    ), s_acc_0 AS (
+      SELECT DISTINCT doc_id FROM documents
+      WHERE doc_id % {slices} = 0
+        AND doc_id NOT IN (SELECT new_id FROM p0_intra)
+    )"""
+    ]
+    unions = [
+        "SELECT new_id, dup_of, 'delta' AS origin, jaccard FROM p0_intra"
+    ]
+    for s in range(1, slices):
+        parts.append(f"""
+    , p{s}_corpus AS (
+      SELECT CASE WHEN id_a % {slices} = {s} THEN id_a ELSE id_b END AS new_id,
+             CASE WHEN id_a % {slices} = {s} THEN id_b ELSE id_a END AS dup_of,
+             jaccard
+      FROM vp
+      WHERE (id_a % {slices} = {s} AND id_b % {slices} != {s}
+             AND id_b IN (SELECT doc_id FROM s_acc_{s - 1}))
+         OR (id_b % {slices} = {s} AND id_a % {slices} != {s}
+             AND id_a IN (SELECT doc_id FROM s_acc_{s - 1}))
+    ), p{s}_intra AS (
+      SELECT id_b AS new_id, id_a AS dup_of, jaccard FROM vp
+      WHERE id_a % {slices} = {s} AND id_b % {slices} = {s}
+    ), s_acc_{s} AS (
+      SELECT doc_id FROM s_acc_{s - 1}
+      UNION
+      SELECT DISTINCT doc_id FROM documents
+      WHERE doc_id % {slices} = {s}
+        AND doc_id NOT IN (SELECT new_id FROM p{s}_corpus)
+        AND doc_id NOT IN (SELECT new_id FROM p{s}_intra)
+    )""")
+        unions.append(
+            f"SELECT new_id, dup_of, 'corpus' AS origin, jaccard FROM p{s}_corpus"
+        )
+        unions.append(
+            f"SELECT new_id, dup_of, 'delta' AS origin, jaccard FROM p{s}_intra"
+        )
+    # vp reuses the shared minhash pair SQL verbatim as a nested-WITH
+    # CTE body (DuckDB, like PostgreSQL, allows WITH inside a CTE)
+    body = _MINHASH_ORACLE.strip()
+    assert body.startswith("WITH ")
+    return (
+        "WITH vp AS (\n    "
+        + body
+        + "\n    )"
+        + "".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(unions)
+    )
+
+
 @_q(
     "stream_incremental_dedup",
     f"""
@@ -3685,6 +3753,33 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return incremental_dedup_streaming(
         spark, f"{sf_dir}/documents.parquet", slices=4, threshold=0.1
+    )
+
+
+@_q(
+    "stream_incremental_dedup_survivors",
+    _survivor_chain_oracle(4),
+    "The survivors-only production loop: a batch doc with any reported "
+    "near-dup (corpus keeper or lower-id batch sibling) is dropped "
+    "BEFORE the index append, so the index holds canonical docs only "
+    "and its growth tracks the unique corpus, not crawl volume. Later "
+    "batches therefore dedup against keepers — the oracle unrolls the "
+    "4-batch survivor chain over the shared verified-pair relation "
+    "(pair verification is doc-pair-local, so vp is computed once)",
+)
+def stream_incremental_dedup_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        incremental_dedup_streaming,
+    )
+
+    return incremental_dedup_streaming(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        slices=4,
+        threshold=0.1,
+        survivors_only=True,
     )
 
 

@@ -91,6 +91,7 @@ def incremental_dedup_multibatch(
     bands: int = 2,
     k: int = 3,
     threshold: float = 0.5,
+    survivors_only: bool = False,
     progress: list | None = None,
 ) -> DataFrame:
     """Run the streaming incremental dedup over a pre-sliced documents
@@ -102,7 +103,19 @@ def incremental_dedup_multibatch(
     member arrived earlier (``origin='corpus'``) or intra-batch
     (``origin='delta'``) — the final set equals the batch
     ``minhash_dedup`` pair set over the full corpus, re-oriented by
-    arrival order. The multibatch==batch invariant the tests pin."""
+    arrival order. The multibatch==batch invariant the tests pin.
+
+    ``survivors_only=True`` is the production loop: a batch doc with
+    ANY reported pair (a corpus near-dup, or a lower-id near-dup in its
+    own batch) is dropped BEFORE the index append, so the index only
+    ever holds canonical documents — later batches dedup against
+    keepers, not against dropped copies, and index growth tracks the
+    UNIQUE corpus, not the crawl volume (at web dup rates of 30-60%
+    that is the difference between an index that fits and one that
+    doesn't). Reported pairs then reference only surviving ``dup_of``
+    docs; a doc similar to a dropped duplicate matches its keeper
+    instead (near-dup classes overlap — the standard survivor-index
+    trade, same as every canonicalizing crawler)."""
     from wikidata_to_surrealdb_spark.operators import dedup
     from wikidata_to_surrealdb_spark.streaming.events import (
         _drain_progress,
@@ -150,10 +163,23 @@ def incremental_dedup_multibatch(
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_{batch_id}")
         )
-        batch_idx.write.mode("overwrite").parquet(
+        idx_out, sh_out = batch_idx, batch_sh
+        if survivors_only:
+            # read the batch's own just-written pairs back (bounded,
+            # and cheaper than recomputing the verification) and drop
+            # every paired doc before the append
+            dropped = (
+                spark.read.schema(_PAIRS_SCHEMA)
+                .parquet(os.path.join(pairs_dir, f"batch_{batch_id}"))
+                .select(F.col("new_id").alias("doc_id"))
+                .dropDuplicates(["doc_id"])
+            )
+            idx_out = batch_idx.join(dropped, "doc_id", "left_anti")
+            sh_out = batch_sh.join(dropped, "doc_id", "left_anti")
+        idx_out.write.mode("overwrite").parquet(
             os.path.join(idx_dir, f"batch_{batch_id}")
         )
-        batch_sh.write.mode("overwrite").parquet(
+        sh_out.write.mode("overwrite").parquet(
             os.path.join(sh_dir, f"batch_{batch_id}")
         )
 
@@ -186,6 +212,7 @@ def incremental_dedup_streaming(
     num_hashes: int = 8,
     bands: int = 2,
     k: int = 3,
+    survivors_only: bool = False,
 ) -> DataFrame:
     """Slice the documents table and run the full streaming incremental
     dedup to completion — the self-contained catalog/bench entry."""
@@ -203,4 +230,5 @@ def incremental_dedup_streaming(
         bands=bands,
         k=k,
         threshold=threshold,
+        survivors_only=survivors_only,
     )
