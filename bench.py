@@ -179,6 +179,15 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r13_suite_wall_preregistration": (
+        "r13 DELIBERATE suite additions: the stream_incdedup_multibatch "
+        "probe (~18 s at sf0.1: a full 4-trigger foreachBatch streaming "
+        "job whose wall is the per-trigger floor, run once by design) "
+        "plus new smoke candidates (dedup_incremental ~4 s). Expect the "
+        "r13 suite wall ~+20 s over r12's 131.9 s from these additions "
+        "alone — compare per-query values, not the headline, when "
+        "classifying r13/r14 drift"
+    ),
     "r13_lsh_guard_preregistration": (
         "r13 DELIBERATE change: lsh_candidate_pairs grew an in-plan "
         "banding-width guard (ADVICE r12 — overflow banding used to "
