@@ -819,3 +819,75 @@ def test_stream_incremental_dedup_survivors_index_is_canonical(
         .collect()
     }
     assert dropped <= base_ids
+
+
+def test_stream_incremental_dedup_checkpoint_resume(spark, tmp_path):
+    """The restart/recovery path: run the stream over the first two
+    slices, 'crash' (stream ends), stage the remaining slices, rerun
+    with the SAME checkpoint + work dir — only the new files drain,
+    against the already-accumulated index, and the final pair set
+    equals the uninterrupted one-shot run."""
+    import glob
+    import shutil
+
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        incremental_dedup_multibatch,
+        slice_documents_table,
+    )
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    full_sliced = slice_documents_table(
+        spark, docs_path, str(tmp_path / "all_slices"), slices=4
+    )
+    oneshot = sorted(
+        map(
+            tuple,
+            incremental_dedup_multibatch(
+                spark, full_sliced, str(tmp_path / "oneshot_work"), threshold=0.1
+            ).collect(),
+        )
+    )
+
+    # staged run: only slices 0-1 visible at first
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    def stage(i):
+        src = glob.glob(str(tmp_path / "all_slices" / f"slice={i}" / "*.parquet"))
+        assert len(src) == 1
+        dst = staged / f"{i:02d}.parquet"
+        shutil.copyfile(src[0], str(dst))
+        st = os.stat(src[0])
+        os.utime(dst, (st.st_mtime, st.st_mtime))
+
+    stage(0)
+    stage(1)
+    work = str(tmp_path / "resume_work")
+    ckpt = str(tmp_path / "ckpt")
+    first = incremental_dedup_multibatch(
+        spark, str(staged), work, threshold=0.1, checkpoint_dir=ckpt
+    ).collect()
+    n_first = len(first)
+
+    # 'restart': the remaining slices arrive, same checkpoint + work
+    stage(2)
+    stage(3)
+    prog: list = []
+    resumed = sorted(
+        map(
+            tuple,
+            incremental_dedup_multibatch(
+                spark,
+                str(staged),
+                work,
+                threshold=0.1,
+                checkpoint_dir=ckpt,
+                progress=prog,
+            ).collect(),
+        )
+    )
+    assert resumed == oneshot
+    assert n_first < len(resumed)  # the first run really was partial
+    # the resumed run drained ONLY the two new files
+    assert len(prog) <= 2 or sum(
+        1 for p in prog if (p.get("numInputRows") or 0) > 0
+    ) <= 2

@@ -93,9 +93,16 @@ def incremental_dedup_multibatch(
     threshold: float = 0.5,
     survivors_only: bool = False,
     progress: list | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run the streaming incremental dedup over a pre-sliced documents
     dir (:func:`slice_documents_table`), one file per micro-batch.
+
+    ``checkpoint_dir`` pins the streaming checkpoint so a LATER call
+    with the same work dir resumes where the stream left off — new
+    files staged since the last run drain as fresh micro-batches
+    against the already-accumulated index (the restart/recovery path);
+    the default is a fresh checkpoint per call (one-shot runs).
 
     Returns the accumulated pairs ``(new_id, dup_of, origin, jaccard)``
     across all batches. Because every near-dup pair is detected exactly
@@ -189,7 +196,7 @@ def incremental_dedup_multibatch(
         .option("maxFilesPerTrigger", "1")
         .parquet(sliced_dir)
     )
-    checkpoint = os.path.join(
+    checkpoint = checkpoint_dir or os.path.join(
         work_dir, f"_checkpoint_{uuid.uuid4().hex[:8]}"
     )
     with _state_partitions(spark, 8):
