@@ -891,3 +891,22 @@ def test_stream_incremental_dedup_checkpoint_resume(spark, tmp_path):
     assert len(prog) <= 2 or sum(
         1 for p in prog if (p.get("numInputRows") or 0) > 0
     ) <= 2
+
+
+def test_slice_documents_rejects_negative_ids(spark, tmp_path):
+    """Residue slicing only PARTITIONS the corpus for non-negative ids
+    (negative % keeps the dividend's sign in both engines, so those
+    docs would match no slice and silently vanish from the stream) —
+    the slicer must fail loudly instead."""
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        slice_documents_table,
+    )
+
+    df = spark.createDataFrame(
+        [(-7, "negative id doc", "en", "src", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "negdocs")
+    df.write.parquet(p)
+    with pytest.raises(ValueError, match="negative doc_id"):
+        slice_documents_table(spark, p, str(tmp_path / "out"))

@@ -54,6 +54,18 @@ def slice_documents_table(
     import time as _time
 
     df = spark.read.parquet(docs_path)
+    # residue slicing is only a partition of the corpus for
+    # non-negative ids (negative % keeps the dividend's sign in both
+    # Spark and DuckDB, so residues -1..-(slices-1) would match NO
+    # slice and those docs would silently vanish from the stream) —
+    # fail loudly instead
+    bad = df.where(F.col("doc_id") < 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "slice_documents_table: negative doc_id "
+            f"{bad[0]['doc_id']} — residue slices would drop it; "
+            "remap ids to non-negative first"
+        )
     base = _time.time()
     for i in range(slices):
         part = df.where(F.col("doc_id") % slices == i)
