@@ -910,3 +910,77 @@ def test_slice_documents_rejects_negative_ids(spark, tmp_path):
     df.write.parquet(p)
     with pytest.raises(ValueError, match="negative doc_id"):
         slice_documents_table(spark, p, str(tmp_path / "out"))
+
+
+def test_compact_index_store_preserves_stream_results(spark, tmp_path):
+    """Small-files maintenance: after compaction (a) the store is one
+    sorted file per side instead of per-batch subdirs, (b) a resumed
+    stream appends beside the compacted generation and the final pair
+    set still equals the uninterrupted one-shot run."""
+    import glob
+    import shutil
+
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        compact_index_store,
+        incremental_dedup_multibatch,
+        slice_documents_table,
+    )
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    full_sliced = slice_documents_table(
+        spark, docs_path, str(tmp_path / "all_slices"), slices=4
+    )
+    oneshot = sorted(
+        map(
+            tuple,
+            incremental_dedup_multibatch(
+                spark, full_sliced, str(tmp_path / "oneshot"), threshold=0.1
+            ).collect(),
+        )
+    )
+
+    staged = tmp_path / "staged"
+    staged.mkdir()
+
+    def stage(i):
+        src = glob.glob(
+            str(tmp_path / "all_slices" / f"slice={i}" / "*.parquet")
+        )
+        dst = staged / f"{i:02d}.parquet"
+        shutil.copyfile(src[0], str(dst))
+        st = os.stat(src[0])
+        os.utime(dst, (st.st_mtime, st.st_mtime))
+
+    stage(0)
+    stage(1)
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+    incremental_dedup_multibatch(
+        spark, str(staged), work, threshold=0.1, checkpoint_dir=ckpt
+    ).collect()
+
+    # maintenance window: stream stopped, compact the two-batch store
+    stats = compact_index_store(spark, work)
+    assert stats["band_index"]["files_before"] >= 2
+    assert stats["band_index"]["files_after"] == 1
+    assert stats["shingles"]["files_after"] == 1
+    assert os.path.isdir(os.path.join(work, "band_index", "compacted_0"))
+
+    # restart: remaining slices drain against the compacted store
+    stage(2)
+    stage(3)
+    resumed = sorted(
+        map(
+            tuple,
+            incremental_dedup_multibatch(
+                spark, str(staged), work, threshold=0.1, checkpoint_dir=ckpt
+            ).collect(),
+        )
+    )
+    assert resumed == oneshot
+    # re-compaction folds the new batches into a FRESH generation;
+    # reusing a live generation is refused (it would race the scan)
+    with pytest.raises(ValueError, match="generation"):
+        compact_index_store(spark, work, generation=0)
+    stats2 = compact_index_store(spark, work, generation=1)
+    assert stats2["band_index"]["files_after"] == 1

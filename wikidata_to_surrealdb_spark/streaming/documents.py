@@ -13,7 +13,7 @@ Delivery semantics: the per-batch emit is deterministic given the
 arrived prefix (banding and verification are md5/exact-Jaccard, no RNG,
 no wall clock), and replaying a micro-batch after a crash re-derives
 the same pairs; the index append is idempotent per batch id (the batch
-writes under a ``batch=<id>`` subdirectory, so a replay OVERWRITES its
+writes under a ``batch_<id>`` subdirectory, so a replay OVERWRITES its
 own previous partial output instead of doubling rows) — the same
 effectively-once-through-idempotence contract as the manifest upsert
 stream (streaming/upserts.py).
@@ -251,3 +251,85 @@ def incremental_dedup_streaming(
         threshold=threshold,
         survivors_only=survivors_only,
     )
+
+
+def compact_index_store(
+    spark: SparkSession,
+    work_dir: str,
+    generation: int | None = None,
+) -> dict:
+    """Compact the streaming dedup's accumulated index store.
+
+    Every micro-batch appends a ``batch_<id>`` subdir to the band-index
+    and shingle stores — after a year of hourly batches that is ~9k
+    directories of small files, the classic small-files failure mode:
+    file-listing dominates the probe join's planning, and each parquet
+    footer is a seek. Compaction reads the whole store once and
+    rewrites it as ONE ``compacted_<gen>`` subdir per store (sorted by
+    the join key, so row-group stats make the probe's semi joins
+    skippable), then removes the constituent batch dirs.
+
+    MUST run in a maintenance window (stream stopped): foreachBatch's
+    replay contract overwrites ``batch_<id>`` dirs, so a replay racing
+    a compaction could resurrect a batch that was just folded in. The
+    stream's checkpoint is untouched — on restart, new batches append
+    ``batch_<id>`` dirs beside the compacted generation and the readers
+    (recursive listing, explicit schema) see the union, exactly as
+    before. Returns per-store file counts before/after."""
+    import glob
+    import shutil
+
+    stats: dict = {}
+    gen = generation if generation is not None else 0
+    for store in ("band_index", "shingles"):
+        out = os.path.join(work_dir, store, f"compacted_{gen}")
+        if os.path.isdir(out):
+            # overwriting a generation while reading it would destroy
+            # the store (the scan's file list races the overwrite) —
+            # each compaction must target a FRESH generation number
+            raise ValueError(
+                f"compact_index_store: {out} already exists; pass "
+                f"generation={gen + 1} (or higher) for a re-compaction"
+            )
+    for store, schema, sort_key in (
+        ("band_index", _INDEX_SCHEMA, "bucket_key"),
+        ("shingles", _SHINGLE_SCHEMA, "doc_id"),
+    ):
+        root = os.path.join(work_dir, store)
+        if not os.path.isdir(root):
+            continue
+        old_dirs = sorted(
+            d
+            for d in glob.glob(os.path.join(root, "*"))
+            if os.path.isdir(d)
+            and os.path.basename(d) != f"compacted_{gen}"
+        )
+        before = sum(
+            1
+            for d in old_dirs
+            for _, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if before == 0:
+            continue
+        df = (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(root)
+        )
+        out = os.path.join(root, f"compacted_{gen}")
+        # one sorted file per store at test scale; at cluster scale
+        # raise the partition count (or bucketBy into a table) — the
+        # invariant is fewer, bigger, stat-sorted files, not one file
+        df.sort(sort_key).coalesce(1).write.mode("overwrite").parquet(out)
+        for d in old_dirs:
+            shutil.rmtree(d)
+        after = sum(
+            1
+            for _, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        stats[store] = {"files_before": before, "files_after": after}
+    return stats
