@@ -272,6 +272,41 @@ def test_mask_handles_escape_strings():
     assert _run(fixed) == [(1, 1, "' x AS MATERIALIZED (")]
 
 
+def test_mask_handles_dollar_quoted_strings():
+    """ADVICE r13: DuckDB/PostgreSQL dollar-quoted strings ($$...$$ /
+    $tag$...$tag$) are raw bodies closed only by the matching tag — a
+    decoy `x AS MATERIALIZED (` or a comment opener inside one must
+    stay masked (the nested-comment fix would otherwise swallow the
+    rest of the statement), the splice must leave the literal
+    byte-identical, and an inner DIFFERENT-tag dollar sign must not
+    close the outer quote. A bare $1 positional never opens one."""
+    from wikidata_to_surrealdb_spark.plans.oracle_shapes import _mask
+
+    lit = "$q$ /* x AS MATERIALIZED ( $inner$ -- $q$"
+    sql = (
+        "WITH x AS (SELECT 1 AS y) "
+        f"SELECT *, {lit} AS s, $$' AS MATERIALIZED ($$ AS t "
+        "FROM x, x b"
+    )
+    masked = _mask(sql)
+    assert len(masked) == len(sql)
+    assert "MATERIALIZED" not in masked
+    assert "/*" not in masked and "--" not in masked
+    assert "FROM x, x b" in masked
+    assert cte_shape_violations(sql) == [{"cte": "x", "refs": 2}]
+    fixed = materialize_hot_ctes(sql)
+    assert lit in fixed  # literal untouched by the splice
+    assert cte_shape_violations(fixed) == []
+    assert _run(fixed) == [
+        (1, 1, " /* x AS MATERIALIZED ( $inner$ -- ", "' AS MATERIALIZED (")
+    ]
+    # $1 is a positional parameter, not an opener: the $ must not
+    # start blanking everything through the next stray dollar
+    sql2 = "SELECT $1 + 1 AS a, 'MATERIALIZED' AS b FROM t"
+    m2 = _mask(sql2)
+    assert "$1 + 1 AS a" in m2 and "MATERIALIZED" not in m2
+
+
 def test_mask_doubled_quotes_and_identifier_tail_e():
     """'' doubling inside plain strings, "" doubling inside quoted
     identifiers, and an identifier ending in E directly before a

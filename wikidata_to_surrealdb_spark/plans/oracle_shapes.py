@@ -64,7 +64,13 @@ def _mask(sql: str) -> str:
     what a plain ``'(?:[^']|'')*'`` would close. Handled here:
     ``--`` line comments, depth-tracked block comments, ``'...'``
     (with ``''`` doubling), ``E'...'`` (backslash escapes + ``''``
-    doubling), and ``"..."`` identifiers (with ``""`` doubling)."""
+    doubling), ``"..."`` identifiers (with ``""`` doubling), and
+    dollar-quoted strings ``$$...$$`` / ``$tag$...$tag$`` (ADVICE
+    r13: the tag is an identifier-shaped run, the body is raw — no
+    escapes, no nesting of the SAME tag — and everything through the
+    matching closing tag is blanked; a lone ``$1`` positional
+    parameter never opens one because the opener requires the
+    second ``$``)."""
     out = list(sql)
     n = len(sql)
 
@@ -113,6 +119,21 @@ def _mask(sql: str) -> str:
                     j += 1
             _blank(i, j)
             i = j
+        elif c == "$":
+            # dollar-quote opener: $<identifier-shaped tag or empty>$
+            j = i + 1
+            while j < n and (sql[j].isalpha() or sql[j] == "_" or (
+                j > i + 1 and sql[j].isdigit()
+            )):
+                j += 1
+            if j < n and sql[j] == "$":
+                tag = sql[i : j + 1]  # includes both dollars
+                close = sql.find(tag, j + 1)
+                end = n if close == -1 else close + len(tag)
+                _blank(i, end)
+                i = end
+            else:
+                i += 1
         elif c == "'" or c == '"':
             q = c
             j = i + 1
