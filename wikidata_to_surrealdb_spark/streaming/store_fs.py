@@ -1,0 +1,217 @@
+"""Filesystem seam for the streaming dedup index store.
+
+The store's DATA path (parquet reads/writes, the file-source stream)
+always goes through Spark, which already speaks every Hadoop
+filesystem. What used to bind the store to the local disk was the
+Python-side *bookkeeping*: existence probes, batch-dir deletes for
+replay idempotence, compaction's list/delete/rename, the manifest
+file, and mtime staging in :func:`slice_documents_table`. This module
+routes exactly those operations through a two-implementation adapter
+(VERDICT r13 directive 3):
+
+- :class:`LocalFS` — plain ``os``/``shutil``, for bare paths.
+- :class:`HadoopFS` — the JVM's ``org.apache.hadoop.fs.FileSystem``
+  via the active session, for any scheme-qualified path
+  (``hdfs://``, ``s3a://``, ``file:``, ...). All calls are
+  driver-side py4j (a handful per batch/compaction — never in a hot
+  per-row path), so the overhead is round-trips, not data volume.
+
+:func:`for_path` picks the implementation from the path's scheme, so
+pointing ``work_dir`` at ``hdfs://...`` is the only change a cluster
+deployment needs. One semantic caveat the adapter cannot paper over:
+``rename`` is atomic on HDFS and POSIX but copy-based on object
+stores (S3A) — the compaction commit protocol in
+``streaming/documents.py`` therefore orders operations so that every
+crash window is recoverable from the intent marker rather than
+relying on rename atomicity.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import SparkSession
+
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _hidden(name: str) -> bool:
+    """Spark's file index skips path components starting with ``_`` or
+    ``.`` — the store's tmp/marker/manifest entries live behind this
+    rule, and the bookkeeping must agree with the reader about what
+    counts as data."""
+    return name.startswith("_") or name.startswith(".")
+
+
+class LocalFS:
+    """Local-disk bookkeeping (bare, scheme-less paths)."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_subdirs(self, root: str) -> list[str]:
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+
+    def count_parquet(self, root: str) -> int:
+        """Visible (non-hidden-component) ``*.parquet`` files under
+        ``root`` — the files a recursive Spark read would actually
+        scan."""
+        n = 0
+        for cur, dirs, files in os.walk(root):
+            dirs[:] = [d for d in dirs if not _hidden(d)]
+            n += sum(
+                1
+                for f in files
+                if f.endswith(".parquet") and not _hidden(f)
+            )
+        return n
+
+    def list_files(self, root: str) -> list[str]:
+        out = []
+        for cur, _dirs, files in os.walk(root):
+            out.extend(os.path.join(cur, f) for f in files)
+        return sorted(out)
+
+    def rmtree(self, path: str) -> None:
+        """Remove a directory tree OR a single file; missing is a
+        no-op (idempotent — recovery and replay both re-delete)."""
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def write_text(self, path: str, text: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def set_mtime(self, path: str, t: float) -> None:
+        os.utime(path, (t, t))
+
+
+class HadoopFS:
+    """Hadoop ``FileSystem`` bookkeeping for scheme-qualified paths.
+
+    Resolved once per store root (``FileSystem.get`` caches per
+    scheme+authority inside the JVM); every method is a single py4j
+    round-trip except the recursive parquet count, which streams a
+    ``RemoteIterator``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(root),
+            spark._jsc.hadoopConfiguration(),
+        )
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._p(path))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._p(path)
+        return self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory()
+
+    def list_subdirs(self, root: str) -> list[str]:
+        if not self.is_dir(root):
+            return []
+        return sorted(
+            str(st.getPath().getName())
+            for st in self._fs.listStatus(self._p(root))
+            if st.isDirectory()
+        )
+
+    def count_parquet(self, root: str) -> int:
+        if not self.is_dir(root):
+            return 0
+        it = self._fs.listFiles(self._p(root), True)
+        n = 0
+        root_uri = str(self._fs.makeQualified(self._p(root)).toUri().getPath())
+        while it.hasNext():
+            st = it.next()
+            rel = str(st.getPath().toUri().getPath())
+            if rel.startswith(root_uri):
+                rel = rel[len(root_uri):].lstrip("/")
+            parts = rel.split("/")
+            if any(_hidden(c) for c in parts):
+                continue
+            if parts[-1].endswith(".parquet"):
+                n += 1
+        return n
+
+    def list_files(self, root: str) -> list[str]:
+        if not self.is_dir(root):
+            return []
+        it = self._fs.listFiles(self._p(root), True)
+        out = []
+        while it.hasNext():
+            out.append(str(it.next().getPath().toString()))
+        return sorted(out)
+
+    def rmtree(self, path: str) -> None:
+        p = self._p(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise OSError(f"HadoopFS rename failed: {src} -> {dst}")
+
+    def makedirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._p(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            return str(
+                self._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            )
+        finally:
+            stream.close()
+
+    def set_mtime(self, path: str, t: float) -> None:
+        # (mtime_ms, atime_ms); -1 leaves atime unchanged
+        self._fs.setTimes(self._p(path), int(t * 1000), -1)
+
+
+def for_path(spark: SparkSession, path: str):
+    """Pick the bookkeeping implementation from the path's scheme:
+    scheme-qualified -> :class:`HadoopFS`, bare -> :class:`LocalFS`."""
+    if _SCHEME.match(path):
+        return HadoopFS(spark, path)
+    return LocalFS()
