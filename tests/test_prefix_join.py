@@ -401,3 +401,63 @@ def test_bucketed_corpus_index_probe_has_no_corpus_exchange(
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS corpus_lsh_index")
+
+
+def test_incremental_dedup_on_conflict_replace_recrawl(spark):
+    """VERDICT r14 directive 5: on_conflict='replace' is the recrawl
+    contract — a delta id already present in the corpus supersedes its
+    old version (last-writer-wins), so the doc is never compared
+    against its own stale text and pairs reflect the new text only.
+    The default 'error' contract on the same input shows the exact
+    hazard: the re-crawled doc pairs with its own stale version
+    (new_id == dup_of) and the doubled shingle row fans out pair rows."""
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (5, "lambda mu nu xi omicron"),
+            (6, "pi rho sigma tau upsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            # recrawl: near-identical to its own stale text (J=0.75)
+            (1, "alpha beta gamma delta epsilon phi"),
+            # recrawl: the new text now equals doc 5's
+            (2, "lambda mu nu xi omicron"),
+            # brand-new doc, unrelated vocabulary
+            (10, "chi psi omega aleph bet"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_minhash_dedup(
+        corpus, delta, threshold=0.5, on_conflict="replace"
+    ).collect()
+    assert {(r.new_id, r.dup_of, r.origin, r.jaccard) for r in out} == {
+        (2, 5, "corpus", 1.0)
+    }
+
+    with pytest.raises(ValueError, match="on_conflict"):
+        dedup.incremental_minhash_dedup(corpus, delta, on_conflict="merge")
+
+    legacy = dedup.incremental_minhash_dedup(
+        corpus, delta, threshold=0.5
+    ).collect()
+    assert any(r.new_id == r.dup_of == 1 for r in legacy)
+
+    # the passed-in-artifact steady state prunes the same way: index
+    # and shingles anti-joined on delta ids before the probe
+    idx = dedup.band_index(dedup.minhash_signatures(corpus))
+    sh = dedup.shingle_sets(corpus)
+    from_art = dedup.incremental_minhash_dedup(
+        None,
+        delta,
+        threshold=0.5,
+        corpus_index=idx,
+        corpus_shingles=sh,
+        on_conflict="replace",
+    ).collect()
+    assert sorted(map(tuple, from_art)) == sorted(map(tuple, out))

@@ -1153,7 +1153,7 @@ def test_compaction_geometry_knob_and_crash_recovery(spark, tmp_path):
     from wikidata_to_surrealdb_spark.streaming.documents import (
         compact_index_store,
         incremental_dedup_multibatch,
-        recover_compaction,
+        recover_store,
         slice_documents_table,
     )
 
@@ -1175,7 +1175,7 @@ def test_compaction_geometry_knob_and_crash_recovery(spark, tmp_path):
     )[0]
     shutil.copyfile(src, os.path.join(tmp_dir, "junk.parquet"))
     assert _read_store(spark, work, "band_index", _IDX_SCHEMA) == idx_rows
-    actions = recover_compaction(fs, work)
+    actions = recover_store(fs, work)
     assert any("rolled back" in a for a in actions)
     assert not os.path.exists(tmp_dir)
 
@@ -1196,12 +1196,19 @@ def test_compaction_geometry_knob_and_crash_recovery(spark, tmp_path):
     df.sort("bucket_key").coalesce(1).write.parquet(
         os.path.join(root, "_tmp_compact_0")
     )
-    with open(os.path.join(root, "_COMPACT_COMMIT.json"), "w") as fh:
-        _json.dump({"generation": 0, "old_dirs": old_dirs}, fh)
+    with open(os.path.join(root, "_SWAP_COMMIT.json"), "w") as fh:
+        _json.dump(
+            {
+                "tmp": "_tmp_compact_0",
+                "target": "compacted_0",
+                "old_dirs": old_dirs,
+            },
+            fh,
+        )
     assert _read_store(spark, work, "band_index", _IDX_SCHEMA) == idx_rows
-    recover_compaction(fs, work)
+    recover_store(fs, work)
     assert os.path.isdir(os.path.join(root, "compacted_0"))
-    assert not os.path.exists(os.path.join(root, "_COMPACT_COMMIT.json"))
+    assert not os.path.exists(os.path.join(root, "_SWAP_COMMIT.json"))
     assert not any(os.path.isdir(os.path.join(root, d)) for d in old_dirs)
     assert _read_store(spark, work, "band_index", _IDX_SCHEMA) == idx_rows
 
@@ -1263,3 +1270,88 @@ def test_store_works_on_hadoop_filesystem_scheme(spark, tmp_path):
     stats = compact_index_store(spark, work)
     assert stats["band_index"]["files_after"] == 1
     assert stats["shingles"]["files_after"] == 1
+
+
+def test_stream_incdedup_upsert_recrawl(spark, tmp_path):
+    """VERDICT r14 directive 5, streaming half: upsert=True removes a
+    re-arriving doc_id's stale band/shingle rows from the store before
+    the probe (surgically — only the subdirs containing the ids are
+    rewritten, via the same intent-marker swap as compaction), so
+    recrawled docs never match their own old text, the store holds
+    exactly one version per id, and new pairs reflect the new text
+    only. Append mode on the same input shows the stale self-match."""
+    import glob
+    import shutil
+
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        apply_incremental_batch,
+        incremental_dedup_multibatch,
+    )
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (5, "lambda mu nu xi omicron"),
+            (6, "pi rho sigma tau upsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon phi"),  # near-dup of own stale
+            (2, "lambda mu nu xi omicron"),  # now equals doc 5
+            (10, "chi psi omega aleph bet"),  # new
+        ],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def stage(df, name, t_off):
+        p = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(p))
+        f = glob.glob(str(p / "*.parquet"))[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copyfile(f, dst)
+        t = time.time() + t_off
+        os.utime(dst, (t, t))
+
+    stage(b1, "00", 0)
+    stage(b2, "01", 1)
+    work = str(tmp_path / "work")
+    rows = incremental_dedup_multibatch(
+        spark, str(src), work, threshold=0.5, upsert=True
+    ).collect()
+    assert {(r.new_id, r.dup_of, r.origin, r.jaccard) for r in rows} == {
+        (2, 5, "corpus", 1.0)
+    }
+    # the store holds exactly ONE version per id, and the recrawled
+    # doc 2's shingles are its NEW text's (== doc 5's)
+    sh_rows = spark.read.schema("doc_id BIGINT, sh ARRAY<STRING>").option(
+        "recursiveFileLookup", "true"
+    ).parquet(os.path.join(work, "shingles")).collect()
+    by_id = {}
+    for r in sh_rows:
+        by_id.setdefault(r.doc_id, []).append(frozenset(r.sh))
+    assert {i: len(v) for i, v in by_id.items()} == {
+        1: 1, 2: 1, 5: 1, 6: 1, 10: 1
+    }
+    assert by_id[2][0] == by_id[5][0]
+
+    # replay of the recrawl batch (post-append crash window) is a
+    # no-op: removal is idempotent, state byte-identical
+    idx_before = _read_store(spark, work, "band_index", _IDX_SCHEMA)
+    pairs_before = _read_store(spark, work, "pairs", _PAIR_SCHEMA)
+    apply_incremental_batch(
+        spark, b2, 1, work, threshold=0.5, upsert=True
+    )
+    assert _read_store(spark, work, "band_index", _IDX_SCHEMA) == idx_before
+    assert _read_store(spark, work, "pairs", _PAIR_SCHEMA) == pairs_before
+
+    # contrast: append mode leaves the stale rows, and the recrawled
+    # doc matches its own old text (the documented contract violation)
+    legacy = incremental_dedup_multibatch(
+        spark, str(src), str(tmp_path / "legacy_work"), threshold=0.5
+    ).collect()
+    assert any(r.new_id == r.dup_of == 1 for r in legacy)

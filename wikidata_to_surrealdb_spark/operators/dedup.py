@@ -432,6 +432,7 @@ def incremental_minhash_dedup(
     corpus_shingles: DataFrame | None = None,
     delta_shingles: DataFrame | None = None,
     delta_index: DataFrame | None = None,
+    on_conflict: str = "error",
 ) -> DataFrame:
     """Delta-batch near-dup detection against a standing corpus — the
     daily-crawl pattern: yesterday's corpus is already deduped and
@@ -461,10 +462,27 @@ def incremental_minhash_dedup(
     - intra-delta dedup is the standard banded
       :func:`lsh_candidate_pairs` on the (small) delta only.
 
-    Corpus and delta id spaces must be disjoint (an id present in both
-    would double its shingle row in the verification side and fan out
-    pair rows) — the natural contract when ids are assigned at crawl
-    time. ``corpus`` itself may be ``None`` when BOTH artifacts are
+    ``on_conflict`` governs id overlap between corpus and delta:
+
+    - ``'error'`` (default): id spaces must be disjoint (an id present
+      in both would double its shingle row in the verification side
+      and fan out pair rows) — the natural contract when ids are
+      assigned at crawl time. The overlap is NOT actively detected
+      (that would cost a corpus-wide join per batch); the contract is
+      the caller's.
+    - ``'replace'``: the RECRAWL contract — a delta id that already
+      exists in the corpus supersedes its old version (last-writer-
+      wins, mirroring ``merge_into_bucketed``). The corpus side (raw
+      corpus and/or passed-in index+shingle artifacts) is anti-joined
+      on the delta's id set before the probe, so a re-crawled doc is
+      never compared against its own stale text and pairs reflect the
+      new text only. The anti-join is declarative: AQE broadcasts the
+      (bounded, ids-only) delta key set when it fits, and a broadcast
+      anti-join leaves the bucketed corpus artifacts exchange-free.
+      Callers that maintain a persistent store must also drop the
+      stale rows there (the streaming twin's ``upsert=True`` does).
+
+    ``corpus`` itself may be ``None`` when BOTH artifacts are
     passed — the steady state, where the raw corpus never needs to be
     touched at all (and the streaming twin's contract: each micro-batch
     sees only the accumulated index).
@@ -483,6 +501,26 @@ def incremental_minhash_dedup(
             "incremental_minhash_dedup: corpus=None requires both "
             "corpus_index and corpus_shingles"
         )
+    if on_conflict not in ("error", "replace"):
+        raise ValueError(
+            "incremental_minhash_dedup: on_conflict must be 'error' or "
+            f"'replace', got {on_conflict!r}"
+        )
+    if on_conflict == "replace":
+        # bounded ids-only key set, consumed by up to three anti-joins
+        delta_ids = (
+            delta.select(id_col)
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=False)
+        )
+        if corpus is not None:
+            corpus = corpus.join(delta_ids, id_col, "left_anti")
+        if corpus_index is not None:
+            corpus_index = corpus_index.join(delta_ids, id_col, "left_anti")
+        if corpus_shingles is not None:
+            corpus_shingles = corpus_shingles.join(
+                delta_ids, id_col, "left_anti"
+            )
     rows = num_hashes // bands
     # ``delta_shingles``/``delta_index`` let a caller that already
     # built the batch's artifacts (the streaming twin builds them to

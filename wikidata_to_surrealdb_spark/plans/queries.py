@@ -1371,6 +1371,97 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_incremental_recrawl",
+    f"""
+    WITH uniq AS (
+      SELECT doc_id, min(text) AS text FROM documents GROUP BY doc_id
+    ), recrawl AS (
+      SELECT a.doc_id, b.text
+      FROM uniq a JOIN uniq b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 10 = 1
+    ), alldocs AS (
+      SELECT doc_id, text, 0 AS is_delta FROM uniq
+      WHERE doc_id % 5 != 0
+        AND doc_id NOT IN (SELECT doc_id FROM recrawl)
+      UNION ALL
+      SELECT doc_id, text, 1 AS is_delta FROM recrawl
+      UNION ALL
+      SELECT doc_id, text, 1 AS is_delta FROM uniq WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, is_delta,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> length(t) > 0) AS t
+      FROM alldocs
+    ), sh AS (
+      SELECT doc_id, is_delta, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+      FROM toks WHERE len(t) >= 3
+    ), sigs AS (
+      SELECT doc_id, is_delta, list_transform(generate_series(0, 7),
+               s -> list_aggregate(list_transform(sh, g -> md5(s::VARCHAR || ':' || g)), 'min')) AS sig
+      FROM sh WHERE len(sh) > 0
+    ), bands AS (
+      SELECT doc_id, is_delta, b AS band_id,
+             md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS band_hash
+      FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b)
+    ), cand AS (
+      SELECT DISTINCT d.doc_id AS new_id, c.doc_id AS dup_of, 'corpus' AS origin
+      FROM bands d JOIN bands c
+        ON d.band_id = c.band_id AND d.band_hash = c.band_hash
+      WHERE d.is_delta = 1 AND c.is_delta = 0
+      UNION ALL
+      SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS dup_of, 'delta' AS origin
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      WHERE a.is_delta = 1 AND b.is_delta = 1
+    )
+    SELECT new_id, dup_of, origin, jaccard FROM (
+      SELECT c.new_id, c.dup_of, c.origin,
+             {fround_sql(_JACCARD_DUCK.format(a="x.sh", b="y.sh"), 4)} AS jaccard
+      FROM cand c JOIN sh x ON c.new_id = x.doc_id JOIN sh y ON c.dup_of = y.doc_id
+    ) WHERE jaccard >= 0.1
+    """,
+    "Recrawl upsert for incremental dedup (VERDICT r14 dir. 5): today's "
+    "batch re-crawls doc_id%10=1 with CHANGED text (modeled as the "
+    "successor doc's text) plus the usual doc_id%5=0 new docs; "
+    "on_conflict='replace' anti-joins the corpus side on the delta's id "
+    "set (last-writer-wins, mirroring merge_into_bucketed), so a "
+    "re-crawled doc never pairs with its own stale text and every pair "
+    "reflects the new text only — each recrawled id surfaces its "
+    "successor as a jaccard-1.0 corpus pair, which only exists under "
+    "the new text",
+)
+def dedup_incremental_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    # canonicalize duplicate doc_ids first (the documents table carries
+    # repeated ids; upsert semantics need one version per id)
+    uniq = t["documents"].groupBy("doc_id").agg(F.min("text").alias("text"))
+    succ = uniq.select(
+        (F.col("doc_id") - F.lit(1)).alias("prev_id"),
+        F.col("text").alias("text"),
+    )
+    recrawl = (
+        uniq.where("doc_id % 10 = 1")
+        .select("doc_id")
+        .join(succ, F.col("doc_id") == F.col("prev_id"))
+        .select("doc_id", "text")
+    )
+    delta = recrawl.unionByName(uniq.where("doc_id % 5 = 0"))
+    corpus = uniq.where("doc_id % 5 != 0")  # still holds the stale texts
+    return dedup.incremental_minhash_dedup(
+        corpus,
+        delta,
+        num_hashes=8,
+        bands=2,
+        k=3,
+        threshold=0.1,
+        on_conflict="replace",
+    )
+
+
+@_q(
     "dedup_simhash",
     """
     WITH toks AS (

@@ -191,7 +191,7 @@ def load_index_store(
     they shape which PAIRS a run reports, not the comparability of the
     index artifacts a probe reads."""
     fs = store_fs.for_path(spark, work_dir)
-    recover_compaction(fs, work_dir)
+    recover_store(fs, work_dir)
     check_store_manifest(
         fs,
         work_dir,
@@ -207,6 +207,56 @@ def load_index_store(
     )
 
 
+def _remove_store_ids(
+    spark: SparkSession, fs, work_dir: str, ids_df: DataFrame
+) -> None:
+    """Surgically drop every band/shingle row of the given doc ids
+    from the store — the recrawl half of upsert (last-writer-wins,
+    mirroring ``merge_into_bucketed``). Only the subdirs that actually
+    CONTAIN the ids are rewritten (discovered via ``input_file_name``
+    + a semi join), each through the same verified-tmp + intent-marker
+    swap as compaction, so per-batch cost is bounded by the affected
+    dirs and a crash at any point is recoverable by
+    :func:`recover_store`. Removal is idempotent: a replay finds the
+    ids already absent and rewrites nothing."""
+    ids = ids_df.localCheckpoint(eager=False)
+    for store, schema in (
+        ("band_index", _INDEX_SCHEMA),
+        ("shingles", _SHINGLE_SCHEMA),
+    ):
+        root = os.path.join(work_dir, store)
+        if fs.count_parquet(root) == 0:
+            continue
+        tagged = (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(root)
+            .withColumn("_f", F.input_file_name())
+        )
+        hit_files = (
+            tagged.join(ids, "doc_id", "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        subs = sorted(
+            {os.path.basename(os.path.dirname(r["_f"])) for r in hit_files}
+        )
+        for sub in subs:
+            src = os.path.join(root, sub)
+            tmpname = f"_tmp_upsert_{sub}"
+            fs.rmtree(os.path.join(root, tmpname))
+            kept = (
+                spark.read.schema(schema)
+                .parquet(src)
+                .join(ids, "doc_id", "left_anti")
+            )
+            kept.write.mode("overwrite").parquet(
+                os.path.join(root, tmpname)
+            )
+            _swap_subdir(fs, root, tmpname, sub, [sub])
+
+
 def apply_incremental_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -217,6 +267,7 @@ def apply_incremental_batch(
     k: int = 3,
     threshold: float = 0.5,
     survivors_only: bool = False,
+    upsert: bool = False,
     fs=None,
 ) -> None:
     """The ``foreachBatch`` body, module-level so crash-replay can be
@@ -229,7 +280,15 @@ def apply_incremental_batch(
     that crashed anywhere after the appends still probes the exact
     pre-batch corpus (re-reading one's own band rows would self-pair
     every batch doc — ADVICE r13). The subsequent per-subdir
-    overwrites then restore the appends idempotently."""
+    overwrites then restore the appends idempotently.
+
+    ``upsert=True`` is the RECRAWL contract: a batch doc whose id is
+    already in the store supersedes its old version — the stale
+    band/shingle rows are removed (:func:`_remove_store_ids`) BEFORE
+    the corpus state is read, so the doc is never compared against its
+    own old text and its pairs reflect the new text only. Earlier
+    batches' PAIR rows are an append-only event log and are not
+    rewritten (each records the decision at its arrival time)."""
     from wikidata_to_surrealdb_spark.operators import dedup
 
     fs = fs or store_fs.for_path(spark, work_dir)
@@ -241,6 +300,15 @@ def apply_incremental_batch(
     # output FIRST, so the corpus reads below can never include it
     for root in (idx_dir, sh_dir, pairs_dir):
         fs.rmtree(os.path.join(root, sub))
+    if upsert:
+        # must precede the corpus reads: spark.read resolves its file
+        # index eagerly, so a pre-rewrite read would list stale files
+        _remove_store_ids(
+            spark,
+            fs,
+            work_dir,
+            batch_df.select("doc_id").dropDuplicates(["doc_id"]),
+        )
     corpus_index = _read_or_empty(spark, idx_dir, _INDEX_SCHEMA, fs)
     corpus_sh = _read_or_empty(spark, sh_dir, _SHINGLE_SCHEMA, fs)
     # build the batch's artifacts ONCE (they get appended to the
@@ -300,11 +368,20 @@ def incremental_dedup_multibatch(
     k: int = 3,
     threshold: float = 0.5,
     survivors_only: bool = False,
+    upsert: bool = False,
     progress: list | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run the streaming incremental dedup over a pre-sliced documents
     dir (:func:`slice_documents_table`), one file per micro-batch.
+
+    ``upsert=True`` enables the recrawl contract per batch (see
+    :func:`apply_incremental_batch`): a re-arriving doc_id supersedes
+    its stored version instead of violating the disjoint-id contract.
+    It is an ingest-mode switch, not an index-comparability parameter,
+    so it is not part of the store manifest — but note the accumulated
+    pairs are an event log (batch-time decisions), so under recrawls
+    the CURRENT pair state is the latest batch's view, not the union.
 
     ``checkpoint_dir`` pins the streaming checkpoint so a LATER call
     with the same work dir resumes where the stream left off — new
@@ -339,7 +416,7 @@ def incremental_dedup_multibatch(
     )
 
     fs = store_fs.for_path(spark, work_dir)
-    recover_compaction(fs, work_dir)
+    recover_store(fs, work_dir)
     params = _store_params(num_hashes, bands, k, threshold, survivors_only)
     check_store_manifest(fs, work_dir, params, create=True)
     pairs_dir = os.path.join(work_dir, "pairs")
@@ -355,6 +432,7 @@ def incremental_dedup_multibatch(
             k=k,
             threshold=threshold,
             survivors_only=survivors_only,
+            upsert=upsert,
             fs=fs,
         )
 
@@ -410,50 +488,75 @@ def incremental_dedup_streaming(
 
 
 def _marker_path(root: str) -> str:
-    return os.path.join(root, "_COMPACT_COMMIT.json")
+    return os.path.join(root, "_SWAP_COMMIT.json")
 
 
-def recover_compaction(fs, work_dir: str) -> list[str]:
-    """Complete or roll back an interrupted :func:`compact_index_store`
-    so readers never see a double-counted or half-missing store. Runs
-    at the top of every store open (multibatch, probe, compaction).
+def _swap_subdir(fs, root: str, tmp: str, target: str, old_dirs: list[str]) -> None:
+    """Transactionally replace ``old_dirs`` under ``root`` with the
+    already-written, already-verified hidden ``tmp`` subdir installed
+    as ``target``. The intent marker is the commit point: before it,
+    recovery rolls the tmp back; after it, recovery finishes the swap
+    — so no crash window ever exposes both copies (double counting)
+    or neither (data loss). Used by compaction (many dirs -> one
+    generation) and by the upsert path (one dir rewritten minus the
+    re-crawled ids)."""
+    fs.write_text(
+        _marker_path(root),
+        json.dumps({"tmp": tmp, "target": target, "old_dirs": old_dirs}),
+    )
+    for d in old_dirs:
+        fs.rmtree(os.path.join(root, d))
+    target_path = os.path.join(root, target)
+    if fs.exists(target_path):
+        fs.rmtree(target_path)
+    fs.rename(os.path.join(root, tmp), target_path)
+    fs.rmtree(_marker_path(root))
 
-    The compaction protocol writes its output to a ``_``-prefixed tmp
-    dir (invisible to Spark's file index), verifies it, then writes a
-    commit marker listing the constituent dirs, deletes them, renames
-    tmp into place, and removes the marker. Recovery is therefore
-    two-case: a marker means the compaction COMMITTED — finish it
-    (delete any listed dirs still present, move tmp into place); a
-    markerless tmp dir means it never committed — delete the tmp and
-    leave the constituents untouched. Every crash point lands in
-    exactly one case, and double counting is impossible because the
-    constituents are only ever deleted after the commit marker exists
-    and the verified replacement is already on disk (ADVICE r13)."""
+
+def recover_store(fs, work_dir: str) -> list[str]:
+    """Complete or roll back an interrupted store swap (compaction or
+    upsert rewrite) so readers never see a double-counted or
+    half-missing store. Runs at the top of every store open
+    (multibatch, probe, compaction).
+
+    Swaps write their output to a ``_``-prefixed tmp dir (invisible to
+    Spark's file index), verify it, then write a commit marker naming
+    tmp/target/constituents, delete the constituents, rename tmp into
+    place, and remove the marker (:func:`_swap_subdir`). Recovery is
+    therefore two-case: a marker with the tmp still present means the
+    swap COMMITTED but didn't finish — delete any listed constituents
+    still present and move tmp into place; a marker whose tmp is GONE
+    means the swap completed through the rename (constituents were
+    already deleted before it) — just clear the marker; a markerless
+    tmp dir never committed — delete it and leave the constituents
+    untouched. Every crash point lands in exactly one case, and double
+    counting is impossible because constituents are only ever deleted
+    after the commit marker exists and the verified replacement is
+    already on disk (ADVICE r13)."""
     actions: list[str] = []
     for store in _STORES:
         root = os.path.join(work_dir, store)
         marker = _marker_path(root)
         if fs.exists(marker):
             meta = json.loads(fs.read_text(marker))
-            gen = meta["generation"]
-            for d in meta["old_dirs"]:
-                path = os.path.join(root, d)
-                if fs.exists(path):
-                    fs.rmtree(path)
-                    actions.append(f"{store}: removed constituent {d}")
-            tmp = os.path.join(root, f"_tmp_compact_{gen}")
-            final = os.path.join(root, f"compacted_{gen}")
+            tmp = os.path.join(root, meta["tmp"])
+            target = os.path.join(root, meta["target"])
             if fs.is_dir(tmp):
+                for d in meta["old_dirs"]:
+                    path = os.path.join(root, d)
+                    if fs.exists(path):
+                        fs.rmtree(path)
+                        actions.append(f"{store}: removed constituent {d}")
                 # tmp is the verified source of truth post-commit; a
-                # partially-renamed final (copy-based FS) is replaced
-                if fs.exists(final):
-                    fs.rmtree(final)
-                fs.rename(tmp, final)
-                actions.append(f"{store}: installed compacted_{gen}")
+                # partially-renamed target (copy-based FS) is replaced
+                if fs.exists(target):
+                    fs.rmtree(target)
+                fs.rename(tmp, target)
+                actions.append(f"{store}: installed {meta['target']}")
             fs.rmtree(marker)
         else:
             for d in fs.list_subdirs(root):
-                if d.startswith("_tmp_compact_"):
+                if d.startswith("_tmp_"):
                     fs.rmtree(os.path.join(root, d))
                     actions.append(f"{store}: rolled back {d}")
     return actions
@@ -481,7 +584,7 @@ def compact_index_store(
     small-files problem in reverse — no read parallelism).
 
     Crash-safe via an intent-marker protocol (see
-    :func:`recover_compaction`): the replacement is written to a
+    :func:`recover_store`): the replacement is written to a
     hidden tmp dir and COUNT-VERIFIED before the commit marker is
     written; constituents are deleted only after the marker exists, so
     no crash point ever exposes both copies (double-counted shingles
@@ -497,7 +600,7 @@ def compact_index_store(
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
     fs = store_fs.for_path(spark, work_dir)
-    recover_compaction(fs, work_dir)
+    recover_store(fs, work_dir)
     check_store_manifest(fs, work_dir)
     stats: dict = {}
     gen = generation if generation is not None else 0
@@ -551,16 +654,11 @@ def compact_index_store(
                 f"({n_tmp} rows written vs {n_rows} read) — store left "
                 "untouched"
             )
-        # COMMIT POINT: after this marker exists, recovery always
-        # finishes the swap; before it, recovery rolls the tmp back
-        fs.write_text(
-            _marker_path(root),
-            json.dumps({"generation": gen, "old_dirs": old_dirs}),
+        # COMMIT POINT inside: after the marker exists, recovery
+        # always finishes the swap; before it, recovery rolls back
+        _swap_subdir(
+            fs, root, f"_tmp_compact_{gen}", f"compacted_{gen}", old_dirs
         )
-        for d in old_dirs:
-            fs.rmtree(os.path.join(root, d))
-        fs.rename(tmp, os.path.join(root, f"compacted_{gen}"))
-        fs.rmtree(_marker_path(root))
         after = fs.count_parquet(root)
         stats[store] = {"files_before": before, "files_after": after}
     return stats
