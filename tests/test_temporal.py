@@ -325,3 +325,119 @@ def test_top_paths_tie_break_same_timestamp(spark):
     df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
     (r,) = top_paths(df, prefix_len=2, k=5).collect()
     assert r.path == "early>late"  # event_id breaks the ts tie
+
+
+# ---------------------------------------------------------------------------
+# bounded_trailing_agg — the skew-resilient trailing window (r14)
+# ---------------------------------------------------------------------------
+
+
+def _trailing_naive(rows, horizon):
+    """Reference: per (key, ts) trailing count/sum over [ts-H, ts]."""
+    out = {}
+    for key, ts, eid, val in rows:
+        frame = [
+            v
+            for k2, t2, _e2, v in rows
+            if k2 == key and ts - horizon <= t2 <= ts
+        ]
+        n = len(frame)
+        vals = [v for v in frame if v is not None]
+        out[eid] = (n, sum(vals) if vals else None)
+    return out
+
+
+def test_bounded_trailing_matches_naive_with_ties_and_nulls(spark):
+    from wikidata_to_surrealdb_spark.operators.temporal import (
+        bounded_trailing_agg,
+    )
+
+    H = 100
+    # ties at the same ts (frame peers), values straddling bucket
+    # boundaries (ts=100 exactly H after ts=0 -> closed edge included),
+    # an all-NULL frame, and a second key
+    rows = [
+        ("a", 0, 1, 10.0),
+        ("a", 50, 2, None),
+        ("a", 100, 3, 1.0),   # frame = {0,50,100}: closed edge keeps ts=0
+        ("a", 100, 4, 2.0),   # tie with eid=3 -> frame peers see each other
+        ("a", 201, 5, 5.0),   # frame = {201} only (101..201 excludes 100? no:
+        #                       201-100=101 > 100 -> excludes everything)
+        ("b", 10, 6, None),   # all-NULL frame -> NULL sum, count 1
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts long, eid int, value double"
+    ).select("key", "ts", "eid", F.col("value").cast("decimal(18,6)").alias("value"))
+    got = {
+        r["eid"]: (r["trailing_n"], r["trailing_sum"])
+        for r in bounded_trailing_agg(df, "key", "ts", "value", H).collect()
+    }
+    want = _trailing_naive(rows, H)
+    assert set(got) == set(want)
+    for eid, (n, s) in want.items():
+        gn, gs = got[eid]
+        assert gn == n, f"eid={eid} count {gn} != {n}"
+        if s is None:
+            assert gs is None, f"eid={eid} expected NULL sum, got {gs}"
+        else:
+            assert gs is not None and abs(float(gs) - s) < 1e-9, (
+                f"eid={eid} sum {gs} != {s}"
+            )
+
+
+def test_bounded_trailing_equals_plain_range_frame(spark, sf_dir):
+    """The decomposed plan must be bit-identical to the single-partition
+    RANGE frame on real data (the catalog pair shares one oracle)."""
+    from pyspark.sql.window import Window
+
+    from wikidata_to_surrealdb_spark.operators.temporal import (
+        bounded_trailing_agg,
+    )
+
+    H = 3_600_000_000
+    base = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("value").cast("decimal(18,6)").alias("value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-H, Window.currentRow)
+    )
+    plain = base.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_n"),
+        F.sum("value").over(w).alias("trailing_sum"),
+    )
+    bounded = bounded_trailing_agg(
+        base, "user_id", "ts_us", "value", H
+    ).select("event_id", "trailing_n", "trailing_sum")
+    sym = plain.exceptAll(bounded).unionAll(bounded.exceptAll(plain))
+    assert sym.limit(1).count() == 0
+
+
+def test_bounded_trailing_partitions_by_key_and_bucket(spark):
+    """The skew story: a single hot key's rows must land in DISTINCT
+    window partitions (one per horizon bucket), not one giant one."""
+    from wikidata_to_surrealdb_spark.operators.temporal import (
+        bounded_trailing_agg,
+    )
+
+    H = 10
+    rows = [("hot", t, t, 1.0) for t in range(0, 100)]  # 10 buckets
+    df = spark.createDataFrame(
+        rows, "key string, ts long, eid int, value double"
+    )
+    out = bounded_trailing_agg(df, "key", "ts", "value", H)
+    got = {r["eid"]: r["trailing_n"] for r in out.collect()}
+    # trailing [t-10, t] over consecutive ints = min(t, 10) + 1
+    assert all(got[t] == min(t, H) + 1 for t in range(100))
+    # plan shape: the window partitions on (key, bucket) — visible as a
+    # hashpartitioning on two expressions, never on key alone
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan

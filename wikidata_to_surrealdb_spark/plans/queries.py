@@ -3290,6 +3290,59 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_trailing_window_bounded",
+    f"""
+    SELECT event_id, user_id, ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+           {fround_sql(
+               "CAST(sum(CAST(" + finite_sql("value")
+               + " AS DECIMAL(18,6))) OVER w AS DOUBLE)", 2
+           )} AS trailing_sum
+    FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                 value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "skew-resilient trailing window — SAME semantics (and oracle) as "
+    "events_trailing_window, but computed with (user, time-bucket) "
+    "parallelism instead of one window partition per user: the 1h RANGE "
+    "frame only ever reaches one horizon back, so each event's frame "
+    "lives in its own 1h bucket plus the previous one — a prefix sum in "
+    "its bucket plus a suffix sum probed into the one before, combined "
+    "by row id, all in exact DECIMAL so the split is bit-identical. The "
+    "per-key RANGE frame is the one operation skew can't salt (r13 "
+    "hotkey: 80% one-key = 1.43x straggler); here the max task is "
+    "bounded by events-per-key-per-HOUR, not events-per-key",
+)
+def events_trailing_window_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from wikidata_to_surrealdb_spark.operators.temporal import (
+        bounded_trailing_agg,
+    )
+
+    t = register_views(spark, sf_dir)
+    base = t["events"].select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        finite(F.col("value")).alias("value"),
+    )
+    out = bounded_trailing_agg(
+        base, "user_id", "ts_us", "value", horizon=3_600_000_000
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "trailing_n",
+        fround(F.col("trailing_sum").cast("double"), 2).alias(
+            "trailing_sum"
+        ),
+    )
+
+
+@_q(
     "stream_lateness_audit_bounded",
     """
     WITH e AS (
