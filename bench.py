@@ -179,6 +179,27 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "tpch_q5": (
+        "r13 flagged 1.383 normalized in-suite, shuffle-byte-identical "
+        "(1 exchange, 5 broadcast joins, all filters pushed — PLANS.md). "
+        "r14 isolated re-bench, fresh session, nothing concurrent, "
+        "best-of-3, run twice: 0.658/0.658 s vs ref 0.45 s nominal "
+        "1.46-1.50, but the bracketing calibration probe ran 2.18x the "
+        "committed ref probe (0.131-0.190 s vs 0.073 s) — normalized "
+        "0.67-0.69, i.e. FASTER than ref once host speed is factored; "
+        "shuffle_write_ratio 1.0 over the same 8 stages. Host weather, "
+        "resolved (8th of 8 suite flags closed by this protocol)"
+    ),
+    "r13_smoke_flags_batch": (
+        "r13 smoke tier flagged lineitem_unpivot (1.583 vs its epoch-7 "
+        "record 0.239 s) and b12_update (1.529 vs 0.159 s) — sub-second "
+        "zero-shuffle single-stage scans where probe variance dominates. "
+        "r14 isolated re-bench on a cal_drift-2.18 host, best-of-3, two "
+        "fresh sessions: lineitem_unpivot 0.187/0.250 s, b12_update "
+        "0.116/0.141 s — BOTH at-or-under their all-time records "
+        "nominally, on a 2x-slower host; zero shuffle bytes both. Host "
+        "variance, resolved; no code touched either path in r13"
+    ),
     "r13_suite_wall_preregistration": (
         "r13 DELIBERATE suite additions: the stream_incdedup_multibatch "
         "probe (~18 s at sf0.1: a full 4-trigger foreachBatch streaming "
