@@ -44,6 +44,7 @@ NAMES = [
     "events_sessionize",
     "events_asof_join",
     "events_trailing_window",
+    "events_trailing_window_bounded",
     "events_funnel",
     "events_top_paths",
     "events_dedup",
