@@ -1355,3 +1355,118 @@ def test_stream_incdedup_upsert_recrawl(spark, tmp_path):
         spark, str(src), str(tmp_path / "legacy_work"), threshold=0.5
     ).collect()
     assert any(r.new_id == r.dup_of == 1 for r in legacy)
+
+
+def test_remap_pairs_to_survivors_deep_chain(spark):
+    """Operator pin: a 3-deep intra chain resolves to the ultimate
+    survivor (pointer-doubling), remapped edges collapse on
+    (new_id, dup_of) keeping max(jaccard)/min(origin), and edges whose
+    dup_of already survives pass through untouched."""
+    from wikidata_to_surrealdb_spark.operators.dedup import (
+        remap_pairs_to_survivors,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # chain: 9 -> 7 -> 5 -> 3 (3 survives: never a new_id)
+            (9, 7, "delta", 0.6),
+            (7, 5, "delta", 0.7),
+            (5, 3, "delta", 0.8),
+            # 9 also paired directly with 3 at a higher jaccard: the
+            # remapped (9, 3) must collapse with it keeping 0.9
+            (9, 3, "delta", 0.9),
+            # corpus edge from a dropped doc: 7's min dup_of is 5, not
+            # the corpus id 100 — chase still ends on a survivor
+            (7, 100, "corpus", 0.65),
+        ],
+        "new_id BIGINT, dup_of BIGINT, origin STRING, jaccard DOUBLE",
+    )
+    got = {
+        (r.new_id, r.dup_of): (r.origin, r.jaccard)
+        for r in remap_pairs_to_survivors(pairs).collect()
+    }
+    dropped = {9, 7, 5}
+    assert not dropped & {d for _, d in got}  # every dup_of survives
+    # 9 -> 7 remaps through 7 -> 5 -> 3; collapses with raw (9, 3)
+    assert got[(9, 3)] == ("delta", 0.9)
+    assert got[(7, 3)] == ("delta", 0.7)   # via keeper(5) = 3
+    assert got[(5, 3)] == ("delta", 0.8)   # untouched: 3 survives
+    assert got[(7, 100)] == ("corpus", 0.65)  # corpus edge untouched
+    assert len(got) == 4
+
+
+def test_remap_pairs_to_survivors_cycle_raises(spark):
+    from wikidata_to_surrealdb_spark.operators.dedup import (
+        remap_pairs_to_survivors,
+    )
+
+    cycle = spark.createDataFrame(
+        [(1, 2, "delta", 0.5), (2, 1, "delta", 0.5)],
+        "new_id BIGINT, dup_of BIGINT, origin STRING, jaccard DOUBLE",
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        remap_pairs_to_survivors(cycle, max_rounds=4).collect()
+
+
+def test_stream_incdedup_remap_closes_chains(spark, tmp_path):
+    """Integration pin for remap_intra=True: on a duplicate-dense batch
+    every reported dup_of is a doc that actually made it into the
+    index; survivorship (and therefore the index) is identical to the
+    base survivors mode — remap rewrites edges, never who survives."""
+    import os
+
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        apply_incremental_batch,
+        incremental_dedup_multibatch,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observant cat watches from the warm windowsill"
+    )
+    rows = [
+        (1, base_text),
+        (2, base_text + " copy two"),
+        (3, base_text + " copy three"),
+        (10, "completely unrelated content about parquet row groups "
+             "and columnar compression strategies for analytics"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    sliced = str(tmp_path / "slices")
+    docs.coalesce(1).write.parquet(sliced)
+
+    for mode, workname in ((True, "remap"), (False, "plain")):
+        work = str(tmp_path / f"work_{workname}")
+        out = incremental_dedup_multibatch(
+            spark,
+            sliced,
+            work,
+            threshold=0.1,
+            survivors_only=True,
+            remap_intra=mode,
+        ).collect()
+        assert out
+        idx_ids = {
+            r.doc_id
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(work, "band_index"))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        if mode:
+            assert {r.dup_of for r in out} <= idx_ids  # chains closed
+            remap_idx = idx_ids
+        else:
+            plain_idx = idx_ids
+    assert remap_idx == plain_idx  # survivorship unchanged
+
+    # remap without survivors mode is a contract error, loudly
+    with pytest.raises(ValueError, match="requires survivors_only"):
+        apply_incremental_batch(
+            spark,
+            spark.read.parquet(sliced),
+            0,
+            str(tmp_path / "work_bad"),
+            remap_intra=True,
+        )

@@ -628,6 +628,87 @@ def incremental_minhash_dedup(
     )
 
 
+def remap_pairs_to_survivors(
+    pairs: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """Close the survivor chains in an incremental-dedup pair set:
+    re-point every ``dup_of`` that references a DROPPED doc (one that
+    itself appears as ``new_id``) to that doc's surviving keeper, so
+    downstream consumers can follow any pair to a doc that is actually
+    in the index.
+
+    Keeper resolution is the deterministic chase: each dropped doc's
+    next hop is the MIN of its own ``dup_of`` values (the family's
+    lowest-id survivorship convention), followed until a non-dropped id
+    — termination is structural, because intra pairs always point
+    lower-id and corpus-origin ``dup_of`` are survivors by
+    construction, so every chain strictly descends onto a survivor.
+    The chase runs as pointer-doubling self-joins on the (bounded,
+    batch-sized) hop map — path length doubles per round, so
+    ``max_rounds=16`` covers chains 65k deep; non-convergence raises
+    rather than shipping open chains.
+
+    After remapping, an edge can coincide with an existing one (doc
+    paired with both a dropped copy and its keeper), so the output is
+    collapsed on ``(new_id, dup_of)`` keeping ``max(jaccard)`` (the
+    strongest verified edge now pointing at that keeper — jaccard
+    remains the ORIGINAL edge's verified similarity, not a recomputed
+    doc-vs-keeper value) and ``min(origin)`` ('corpus' before 'delta').
+
+    Scale: every relation here is bounded by the batch's pair set; the
+    corpus is never touched. This is the opt-in half of the documented
+    intra-batch trade (``streaming/documents.py``) — the full
+    connected-component canonicalization remains ``dedup_clusters``."""
+    step = (
+        pairs.groupBy("new_id")
+        .agg(F.min("dup_of").alias("cur"))
+        .select(F.col("new_id").alias("src"), "cur")
+        .localCheckpoint(eager=False)
+    )
+    dropped = step.select("src")
+    m = step
+    for _ in range(max_rounds):
+        pending = m.join(
+            dropped.withColumnRenamed("src", "cur"), "cur", "left_semi"
+        )
+        if pending.limit(1).count() == 0:
+            break
+        hop = m.select(
+            F.col("src").alias("hop_src"), F.col("cur").alias("hop_cur")
+        )
+        m = (
+            m.join(hop, m["cur"] == hop["hop_src"], "left")
+            .select(
+                "src", F.coalesce("hop_cur", "cur").alias("cur")
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise ValueError(
+            "remap_pairs_to_survivors: keeper chase did not converge in "
+            f"{max_rounds} pointer-doubling rounds — the pair set has a "
+            "cycle, which violates the lower-id intra / survivor corpus "
+            "orientation contract"
+        )
+    keeper = m.withColumnRenamed("src", "dup_of").withColumnRenamed(
+        "cur", "keeper"
+    )
+    return (
+        pairs.join(keeper, "dup_of", "left")
+        .select(
+            "new_id",
+            F.coalesce("keeper", "dup_of").alias("dup_of"),
+            "origin",
+            "jaccard",
+        )
+        .groupBy("new_id", "dup_of")
+        .agg(
+            F.min("origin").alias("origin"),
+            F.max("jaccard").alias("jaccard"),
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

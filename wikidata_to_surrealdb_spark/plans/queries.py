@@ -3802,7 +3802,7 @@ def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_dedup_streaming(spark, f"{sf_dir}/events.parquet")
 
 
-def _survivor_chain_oracle(slices: int = 4) -> str:
+def _survivor_chain_oracle(slices: int = 4, remap: bool = False) -> str:
     """Unrolled per-batch survivor chain for the survivors-only
     streaming dedup (the ``_kmeans_ctes`` pattern: data-dependent
     iteration made declarative by unrolling the FIXED batch count).
@@ -3813,7 +3813,14 @@ def _survivor_chain_oracle(slices: int = 4) -> str:
     in batch k and whose earlier member is an accumulated SURVIVOR
     (cross) or a lower-id batch-k doc (intra); batch k's survivors are
     its docs with no reported pair. The accumulator CTEs are referenced
-    repeatedly — the oracle-shape gate auto-materializes them."""
+    repeatedly — the oracle-shape gate auto-materializes them.
+
+    ``remap=True`` mirrors ``remap_pairs_to_survivors``: per batch, a
+    WITH RECURSIVE chase follows each dropped doc's min-``dup_of`` hop
+    until a survivor (the same deterministic keeper rule as the Spark
+    side), then re-points and collapses on (new_id, dup_of) keeping
+    max(jaccard) / min(origin). Recursive CTEs are exempt from the
+    materialization gate by design (DuckDB executes them iteratively)."""
     parts = [
         f"""
     , p0_intra AS (
@@ -3825,8 +3832,8 @@ def _survivor_chain_oracle(slices: int = 4) -> str:
         AND doc_id NOT IN (SELECT new_id FROM p0_intra)
     )"""
     ]
-    unions = [
-        "SELECT new_id, dup_of, 'delta' AS origin, jaccard FROM p0_intra"
+    batch_pair_sql = [
+        ["SELECT new_id, dup_of, 'delta' AS origin, jaccard FROM p0_intra"]
     ]
     for s in range(1, slices):
         parts.append(f"""
@@ -3850,18 +3857,42 @@ def _survivor_chain_oracle(slices: int = 4) -> str:
         AND doc_id NOT IN (SELECT new_id FROM p{s}_corpus)
         AND doc_id NOT IN (SELECT new_id FROM p{s}_intra)
     )""")
-        unions.append(
-            f"SELECT new_id, dup_of, 'corpus' AS origin, jaccard FROM p{s}_corpus"
-        )
-        unions.append(
-            f"SELECT new_id, dup_of, 'delta' AS origin, jaccard FROM p{s}_intra"
-        )
+        batch_pair_sql.append([
+            f"SELECT new_id, dup_of, 'corpus' AS origin, jaccard FROM p{s}_corpus",
+            f"SELECT new_id, dup_of, 'delta' AS origin, jaccard FROM p{s}_intra",
+        ])
+    if remap:
+        unions = []
+        for s, selects in enumerate(batch_pair_sql):
+            all_body = "\n      UNION ALL\n      ".join(selects)
+            parts.append(f"""
+    , r{s}_all AS (
+      {all_body}
+    ), r{s}_step AS (
+      SELECT new_id, min(dup_of) AS mn FROM r{s}_all GROUP BY new_id
+    ), r{s}_chase AS (
+      SELECT new_id AS src, mn AS cur FROM r{s}_step
+      UNION ALL
+      SELECT c.src, t.mn FROM r{s}_chase c JOIN r{s}_step t ON t.new_id = c.cur
+    ), r{s}_keeper AS (
+      SELECT src, cur AS keeper FROM r{s}_chase
+      WHERE cur NOT IN (SELECT new_id FROM r{s}_step)
+    )""")
+            unions.append(
+                f"""SELECT p.new_id,
+           COALESCE(k.keeper, p.dup_of) AS dup_of,
+           min(p.origin) AS origin, max(p.jaccard) AS jaccard
+    FROM r{s}_all p LEFT JOIN r{s}_keeper k ON k.src = p.dup_of
+    GROUP BY 1, 2"""
+            )
+    else:
+        unions = [sel for selects in batch_pair_sql for sel in selects]
     # vp reuses the shared minhash pair SQL verbatim as a nested-WITH
     # CTE body (DuckDB, like PostgreSQL, allows WITH inside a CTE)
     body = _MINHASH_ORACLE.strip()
     assert body.startswith("WITH ")
     return (
-        "WITH vp AS (\n    "
+        ("WITH RECURSIVE vp AS (\n    " if remap else "WITH vp AS (\n    ")
         + body
         + "\n    )"
         + "".join(parts)
@@ -3924,6 +3955,36 @@ def stream_incremental_dedup_survivors(
         slices=4,
         threshold=0.1,
         survivors_only=True,
+    )
+
+
+@_q(
+    "stream_incremental_dedup_remap",
+    _survivor_chain_oracle(4, remap=True),
+    "Survivors-only streaming dedup with CLOSED chains (remap_intra): "
+    "an intra-batch dup_of that was itself dropped in the same batch "
+    "is re-pointed to its surviving keeper — the deterministic "
+    "min-dup_of chase, pointer-doubled in Spark, WITH RECURSIVE in the "
+    "oracle — then edges collapsed on (new_id, dup_of) keeping "
+    "max(jaccard)/min(origin). Every reported dup_of is now a doc "
+    "actually in the index, without running dedup_clusters; the "
+    "dropped set (and therefore the index) is unchanged vs the base "
+    "survivors mode",
+)
+def stream_incremental_dedup_remap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        incremental_dedup_streaming,
+    )
+
+    return incremental_dedup_streaming(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        slices=4,
+        threshold=0.1,
+        survivors_only=True,
+        remap_intra=True,
     )
 
 

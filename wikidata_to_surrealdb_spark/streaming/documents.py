@@ -120,7 +120,7 @@ def _read_or_empty(
 
 def _store_params(
     num_hashes: int, bands: int, k: int, threshold: float,
-    survivors_only: bool,
+    survivors_only: bool, remap_intra: bool = False,
 ) -> dict:
     return {
         "num_hashes": int(num_hashes),
@@ -128,6 +128,7 @@ def _store_params(
         "k": int(k),
         "threshold": float(threshold),
         "survivors_only": bool(survivors_only),
+        "remap_intra": bool(remap_intra),
     }
 
 
@@ -268,6 +269,7 @@ def apply_incremental_batch(
     threshold: float = 0.5,
     survivors_only: bool = False,
     upsert: bool = False,
+    remap_intra: bool = False,
     fs=None,
 ) -> None:
     """The ``foreachBatch`` body, module-level so crash-replay can be
@@ -288,8 +290,22 @@ def apply_incremental_batch(
     the corpus state is read, so the doc is never compared against its
     own old text and its pairs reflect the new text only. Earlier
     batches' PAIR rows are an append-only event log and are not
-    rewritten (each records the decision at its arrival time)."""
+    rewritten (each records the decision at its arrival time).
+
+    ``remap_intra=True`` (survivors mode only) closes the documented
+    intra-batch chain trade before the pairs land: every ``dup_of``
+    that references a doc dropped in the SAME batch is re-pointed to
+    that doc's surviving keeper (:func:`operators.dedup.
+    remap_pairs_to_survivors`), so every pair in the log references a
+    doc that is actually in the index. The dropped set is unchanged —
+    remap rewrites edges, never survivorship."""
     from wikidata_to_surrealdb_spark.operators import dedup
+
+    if remap_intra and not survivors_only:
+        raise ValueError(
+            "remap_intra=True requires survivors_only=True: in base "
+            "mode every doc is indexed, so there is no chain to close"
+        )
 
     fs = fs or store_fs.for_path(spark, work_dir)
     idx_dir = os.path.join(work_dir, "band_index")
@@ -338,6 +354,8 @@ def apply_incremental_batch(
         delta_shingles=batch_sh,
         delta_index=batch_idx,
     )
+    if remap_intra:
+        pairs = dedup.remap_pairs_to_survivors(pairs)
     # per-batch subdirs make a foreachBatch replay overwrite its
     # own previous partial output (effectively-once), and keep
     # appends from ever rewriting earlier batches' files
@@ -369,6 +387,7 @@ def incremental_dedup_multibatch(
     threshold: float = 0.5,
     survivors_only: bool = False,
     upsert: bool = False,
+    remap_intra: bool = False,
     progress: list | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -409,7 +428,10 @@ def incremental_dedup_multibatch(
     doesn't). Reported pairs then reference only surviving ``dup_of``
     docs; a doc similar to a dropped duplicate matches its keeper
     instead (near-dup classes overlap — the standard survivor-index
-    trade, same as every canonicalizing crawler)."""
+    trade, same as every canonicalizing crawler). One residual:
+    INTRA-batch pairs may reference a sibling that was itself dropped
+    in the same batch; ``remap_intra=True`` closes those chains (see
+    :func:`apply_incremental_batch`)."""
     from wikidata_to_surrealdb_spark.streaming.events import (
         _drain_progress,
         _state_partitions,
@@ -417,7 +439,9 @@ def incremental_dedup_multibatch(
 
     fs = store_fs.for_path(spark, work_dir)
     recover_store(fs, work_dir)
-    params = _store_params(num_hashes, bands, k, threshold, survivors_only)
+    params = _store_params(
+        num_hashes, bands, k, threshold, survivors_only, remap_intra
+    )
     check_store_manifest(fs, work_dir, params, create=True)
     pairs_dir = os.path.join(work_dir, "pairs")
 
@@ -433,6 +457,7 @@ def incremental_dedup_multibatch(
             threshold=threshold,
             survivors_only=survivors_only,
             upsert=upsert,
+            remap_intra=remap_intra,
             fs=fs,
         )
 
@@ -466,6 +491,7 @@ def incremental_dedup_streaming(
     bands: int = 2,
     k: int = 3,
     survivors_only: bool = False,
+    remap_intra: bool = False,
 ) -> DataFrame:
     """Slice the documents table and run the full streaming incremental
     dedup to completion — the self-contained catalog/bench entry."""
@@ -484,6 +510,7 @@ def incremental_dedup_streaming(
         k=k,
         threshold=threshold,
         survivors_only=survivors_only,
+        remap_intra=remap_intra,
     )
 
 
