@@ -964,7 +964,11 @@ def test_compact_index_store_preserves_stream_results(spark, tmp_path):
     assert stats["band_index"]["files_before"] >= 2
     assert stats["band_index"]["files_after"] == 1
     assert stats["shingles"]["files_after"] == 1
+    # the pairs event log accumulates the same per-batch dirs and is
+    # folded by the same maintenance pass (r14)
+    assert stats["pairs"]["files_after"] == 1
     assert os.path.isdir(os.path.join(work, "band_index", "compacted_0"))
+    assert os.path.isdir(os.path.join(work, "pairs", "compacted_0"))
 
     # restart: remaining slices drain against the compacted store
     stage(2)

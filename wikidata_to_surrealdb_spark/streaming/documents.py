@@ -61,7 +61,7 @@ _PAIRS_SCHEMA = (
     "new_id BIGINT, dup_of BIGINT, origin STRING, jaccard DOUBLE"
 )
 _META_NAME = "_meta.json"
-_STORES = ("band_index", "shingles")
+_STORES = ("band_index", "shingles", "pairs")
 
 
 def slice_documents_table(
@@ -602,7 +602,9 @@ def compact_index_store(
     directories of small files, the classic small-files failure mode:
     file-listing dominates the probe join's planning, and each parquet
     footer is a seek. Compaction reads the whole store once and
-    rewrites it as one ``compacted_<gen>`` subdir per store holding
+    rewrites it as one ``compacted_<gen>`` subdir per store (the two
+    index stores AND the pairs event log, which accumulates the same
+    per-batch dirs) holding
     ``target_files`` range-partitioned files, each sorted by the join
     key (so row-group stats make the probe's semi joins skippable),
     then removes the constituent batch dirs. ``target_files`` is the
@@ -644,6 +646,9 @@ def compact_index_store(
     for store, schema, sort_key in (
         ("band_index", _INDEX_SCHEMA, "bucket_key"),
         ("shingles", _SHINGLE_SCHEMA, "doc_id"),
+        # the pairs event log accumulates the same per-batch small-file
+        # dirs; fold it too (sorted by the consumer-side join key)
+        ("pairs", _PAIRS_SCHEMA, "new_id"),
     ):
         root = os.path.join(work_dir, store)
         if not fs.is_dir(root):
