@@ -44,6 +44,7 @@ TABLES = (
 NAMES = [
     "events_window",
     "events_trailing_window",
+    "events_trailing_window_bounded",
     "events_sessionize",
     "events_props_json",
     "events_analytics",
