@@ -1474,3 +1474,74 @@ def test_stream_incdedup_remap_closes_chains(spark, tmp_path):
             str(tmp_path / "work_bad"),
             remap_intra=True,
         )
+
+
+def test_stream_incdedup_upsert_with_survivors_mode(spark, tmp_path):
+    """Recrawl x survivors interaction: (a) a re-crawled KEEPER whose
+    new text now duplicates another keeper is dropped AND its stale
+    index rows stay removed — the id vanishes from the store entirely,
+    it does not linger under its old text; (b) a doc that was DROPPED
+    on first crawl and re-arrives with unique text survives and is
+    indexed (its earlier drop was an event-log decision, not a
+    permanent ban); (c) earlier batches' pair rows are not rewritten
+    (the documented event-log contract)."""
+    import glob
+    import shutil
+
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        incremental_dedup_multibatch,
+    )
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # dropped: dup of 1
+            (5, "lambda mu nu xi omicron"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (5, "alpha beta gamma delta epsilon"),  # keeper recrawled INTO a dup of 1
+            (2, "pi rho sigma tau upsilon"),  # dropped doc recrawled unique
+        ],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def stage(df, name, t_off):
+        p = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(p))
+        f = glob.glob(str(p / "*.parquet"))[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copyfile(f, dst)
+        t = time.time() + t_off
+        os.utime(dst, (t, t))
+
+    stage(b1, "00", 0)
+    stage(b2, "01", 1)
+    work = str(tmp_path / "work")
+    rows = incremental_dedup_multibatch(
+        spark, str(src), work, threshold=0.5, upsert=True,
+        survivors_only=True,
+    ).collect()
+    got = {(r.new_id, r.dup_of, r.origin) for r in rows}
+    # batch 0: 2 dropped as dup of 1; batch 1: recrawled 5 now dups 1
+    assert (2, 1, "delta") in got
+    assert (5, 1, "corpus") in got
+    # recrawled-unique 2 reports no NEW pair (its batch-0 row remains
+    # in the event log untouched — that is the (2,1) above)
+    assert not any(n == 2 and o == "corpus" for n, _, o in got)
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.schema(_IDX_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(os.path.join(work, "band_index"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    # 5's stale rows removed AND its new version dropped -> absent;
+    # 2's re-crawl survives -> present; 1 was always the keeper
+    assert idx_ids == {1, 2}
