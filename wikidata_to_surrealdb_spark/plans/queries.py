@@ -3343,6 +3343,41 @@ def events_trailing_window_bounded(
 
 
 @_q(
+    "stream_trailing_window",
+    f"""
+    SELECT event_id, user_id, ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+           {fround_sql(
+               "CAST(sum(CAST(" + finite_sql("value")
+               + " AS DECIMAL(18,6))) OVER w AS DOUBLE)", 2
+           )} AS trailing_sum
+    FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                 value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "stateful STREAMING trailing window (the state-store twin of the "
+    "RANGE frame and of events_trailing_window_bounded): per arriving "
+    "event, applyInPandasWithState keyed by user emits its 1h trailing "
+    "count/sum from a horizon buffer that evicts everything older than "
+    "max_seen - 1h at every trigger — state is bounded by events-per-"
+    "key-per-HORIZON (the watermark-eviction answer to hot-key trailing "
+    "analytics; the giant per-key partition never materializes). Values "
+    "are quantized JVM-side to exact DECIMAL(18,6) micro-units so the "
+    "int64 buffer sums are bit-identical to the SQL DECIMAL sum; with "
+    "time-ordered arrival the availableNow result equals the batch "
+    "RANGE-frame oracle verbatim",
+)
+def stream_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        trailing_window_streaming,
+    )
+
+    register_views(spark, sf_dir)
+    return trailing_window_streaming(spark, f"{sf_dir}/events.parquet")
+
+
+@_q(
     "stream_lateness_audit_bounded",
     """
     WITH e AS (

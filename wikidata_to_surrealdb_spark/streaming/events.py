@@ -269,6 +269,183 @@ def sessionize_stateful_streaming(
     return spark.table(table)
 
 
+_TRAIL_STATE_SCHEMA = "ts array<bigint>, mic array<bigint>, ok array<boolean>"
+_TRAIL_UDF_SCHEMA = (
+    "event_id bigint, user_id bigint, ts_us bigint, trailing_n bigint, "
+    "sum_mic bigint, n_ok bigint"
+)
+
+
+def apply_trailing_window(
+    events: DataFrame, horizon_us: int = 3_600_000_000
+) -> DataFrame:
+    """Stateful streaming trailing window: for every arriving event,
+    emit its count/sum over ``[ts - horizon, ts]`` of the SAME user's
+    events — the state-store twin of the batch RANGE frame (and of the
+    batch :func:`~wikidata_to_surrealdb_spark.operators.temporal.
+    bounded_trailing_agg`).
+
+    State per user is the horizon buffer: only events with
+    ``ts >= max_seen_ts - horizon`` are kept, everything older is
+    evicted at every trigger — so state is bounded by
+    events-per-key-per-horizon, the same bound the batch decomposition
+    achieves with (key, bucket) partitioning. This is the production
+    answer to hot-key trailing analytics: the RANGE frame's giant
+    per-key partition never materializes anywhere.
+
+    Arrival contract (same as the stateful sessionizer): batches are
+    time-ordered (the sliced file-source contract); an event older than
+    ``max_seen - horizon`` when it arrives computes against whatever
+    remains buffered — the watermark-style trade, late data cannot
+    resurrect evicted history. Within a batch order is free: frames are
+    computed over the SORTED union of buffer + batch, so same-``ts``
+    peers see each other exactly like RANGE frame peers.
+
+    Input columns: (event_id, user_id, us, mic) where ``mic`` is the
+    value already quantized JVM-side to exact DECIMAL(18,6) micro-units
+    (bigint, NULL for non-finite) — the UDF only ever adds int64, so
+    the sum is bit-identical to the SQL DECIMAL sum. Output adds
+    (trailing_n, sum_mic, n_ok); ``sum_mic`` is meaningful only when
+    ``n_ok > 0`` (SQL SUM over an all-NULL frame is NULL)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def trail(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            st_ts, st_mic, st_ok = state.get
+            st_ts = np.asarray(st_ts, dtype=np.int64)
+            st_mic = np.asarray(st_mic, dtype=np.int64)
+            st_ok = np.asarray(st_ok, dtype=bool)
+        else:
+            st_ts = np.empty(0, dtype=np.int64)
+            st_mic = np.empty(0, dtype=np.int64)
+            st_ok = np.empty(0, dtype=bool)
+
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        if not frames:
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "trailing_n": pd.Series([], dtype="int64"),
+                    "sum_mic": pd.Series([], dtype="int64"),
+                    "n_ok": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        batch = pd.concat(frames, ignore_index=True)
+        b_ts = batch["us"].to_numpy(dtype=np.int64)
+        b_eid = batch["event_id"].to_numpy(dtype=np.int64)
+        # mic is nullable int64 -> float with NaN through Arrow/pandas
+        b_mic_raw = batch["mic"].to_numpy(dtype=np.float64)
+        b_ok = np.isfinite(b_mic_raw)
+        b_mic = np.where(b_ok, b_mic_raw, 0.0).astype(np.int64)
+
+        # sorted union of the horizon buffer and this batch; frames are
+        # range lookups into its prefix sums (peers included on both
+        # edges, exactly the RANGE frame contract)
+        all_ts = np.concatenate([st_ts, b_ts])
+        all_mic = np.concatenate([np.where(st_ok, st_mic, 0), b_mic])
+        all_ok = np.concatenate([st_ok, b_ok])
+        order = np.argsort(all_ts, kind="stable")
+        all_ts = all_ts[order]
+        all_mic = all_mic[order]
+        all_ok = all_ok[order]
+        pref_mic = np.concatenate(([0], np.cumsum(all_mic)))
+        pref_ok = np.concatenate(
+            ([0], np.cumsum(all_ok.astype(np.int64)))
+        )
+        lo = np.searchsorted(all_ts, b_ts - horizon_us, side="left")
+        hi = np.searchsorted(all_ts, b_ts, side="right")
+        out = pd.DataFrame(
+            {
+                "event_id": b_eid,
+                "user_id": np.full(len(b_eid), user_id, dtype=np.int64),
+                "ts_us": b_ts,
+                "trailing_n": (hi - lo).astype(np.int64),
+                "sum_mic": pref_mic[hi] - pref_mic[lo],
+                "n_ok": pref_ok[hi] - pref_ok[lo],
+            }
+        )
+        # evict: future frames (ts >= max_seen) reach back at most to
+        # max_seen - horizon; keep the closed edge
+        keep = all_ts >= all_ts[-1] - horizon_us
+        # NULL-valued buffer entries round-trip as ok=False
+        state.update(
+            (
+                [int(v) for v in all_ts[keep]],
+                [int(v) for v in all_mic[keep]],
+                [bool(v) for v in all_ok[keep]],
+            )
+        )
+        yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        trail,
+        outputStructType=_TRAIL_UDF_SCHEMA,
+        stateStructType=_TRAIL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def trailing_window_stream_df(
+    spark: SparkSession, events_path: str, horizon_us: int = 3_600_000_000
+) -> DataFrame:
+    """Wire the stateful trailing window onto the events file source,
+    with the value quantized to exact DECIMAL(18,6) micro-units
+    JVM-SIDE (decimal multiply + bigint cast — the UDF never touches a
+    float value), and the output sum reconstructed as an exact decimal
+    so the result matches the batch RANGE-frame oracle bit-for-bit."""
+    from wikidata_to_surrealdb_spark.functions import finite, fround
+
+    stream = _event_stream_source(spark, events_path)
+    ev = stream.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (finite(F.col("value")).cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("mic"),
+    )
+    out = apply_trailing_window(ev, horizon_us=horizon_us)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "trailing_n",
+        fround(
+            F.when(
+                F.col("n_ok") > 0,
+                F.col("sum_mic").cast("decimal(38,6)") / 1_000_000,
+            ).cast("double"),
+            2,
+        ).alias("trailing_sum"),
+    )
+
+
+def trailing_window_streaming(
+    spark: SparkSession, events_path: str, horizon_us: int = 3_600_000_000
+) -> DataFrame:
+    """Run the stateful trailing window to completion (availableNow)
+    into a memory sink and return the materialized per-event rows."""
+    table = f"stream_trail_{uuid.uuid4().hex[:8]}"
+    q = (
+        trailing_window_stream_df(spark, events_path, horizon_us)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def slice_events_table(
     spark: SparkSession, events_path: str, out_dir: str, slices: int = 4
 ) -> str:
