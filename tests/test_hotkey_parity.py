@@ -45,6 +45,7 @@ NAMES = [
     "events_asof_join",
     "events_trailing_window",
     "events_trailing_window_bounded",
+    "stream_trailing_window",
     "events_funnel",
     "events_top_paths",
     "events_dedup",
