@@ -1571,13 +1571,15 @@ def test_trailing_window_state_resumes_and_evicts(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(sliced)
     )
+    mic = (
+        finite(F.col("value")).cast("decimal(18,6)") * 1_000_000
+    ).cast("bigint")
     ev = stream.select(
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("us"),
-        (finite(F.col("value")).cast("decimal(18,6)") * 1_000_000)
-        .cast("bigint")
-        .alias("mic"),
+        F.coalesce(mic, F.lit(0)).alias("mic"),
+        mic.isNotNull().alias("ok"),
     )
     out = apply_trailing_window(ev).select(
         "event_id",
@@ -1619,7 +1621,8 @@ def test_trailing_window_state_resumes_and_evicts(spark, tmp_path):
 
     def stage(rows, name, t_off):
         df = spark.createDataFrame(
-            rows, "event_id long, user_id long, us long, mic long"
+            [r + (True,) for r in rows],
+            "event_id long, user_id long, us long, mic long, ok boolean",
         )
         p = tmp_path / f"_st_{name}"
         df.coalesce(1).write.parquet(str(p))
@@ -1635,7 +1638,7 @@ def test_trailing_window_state_resumes_and_evicts(spark, tmp_path):
     stage([(4, 7, 5 * H, 400)], "02", 2)
     syn_stream = (
         spark.readStream.schema(
-            "event_id long, user_id long, us long, mic long"
+            "event_id long, user_id long, us long, mic long, ok boolean"
         )
         .option("maxFilesPerTrigger", "1")
         .parquet(str(tmp_path / "syn"))

@@ -301,12 +301,16 @@ def apply_trailing_window(
     computed over the SORTED union of buffer + batch, so same-``ts``
     peers see each other exactly like RANGE frame peers.
 
-    Input columns: (event_id, user_id, us, mic) where ``mic`` is the
-    value already quantized JVM-side to exact DECIMAL(18,6) micro-units
-    (bigint, NULL for non-finite) — the UDF only ever adds int64, so
-    the sum is bit-identical to the SQL DECIMAL sum. Output adds
-    (trailing_n, sum_mic, n_ok); ``sum_mic`` is meaningful only when
-    ``n_ok > 0`` (SQL SUM over an all-NULL frame is NULL)."""
+    Input columns: (event_id, user_id, us, mic, ok) where ``mic`` is
+    the value already quantized JVM-side to exact DECIMAL(18,6)
+    micro-units as a NEVER-NULL bigint (0 when absent) and ``ok`` marks
+    presence — null-ness must travel as a separate boolean because a
+    nullable int64 crosses Arrow into pandas as float64, which is only
+    exact to 2^53 and would silently corrupt large micro-unit sums.
+    The UDF only ever adds int64, so the sum is bit-identical to the
+    SQL DECIMAL sum. Output adds (trailing_n, sum_mic, n_ok);
+    ``sum_mic`` is meaningful only when ``n_ok > 0`` (SQL SUM over an
+    all-NULL frame is NULL)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def trail(key, pdf_iter, state: GroupState):
@@ -340,10 +344,11 @@ def apply_trailing_window(
         batch = pd.concat(frames, ignore_index=True)
         b_ts = batch["us"].to_numpy(dtype=np.int64)
         b_eid = batch["event_id"].to_numpy(dtype=np.int64)
-        # mic is nullable int64 -> float with NaN through Arrow/pandas
-        b_mic_raw = batch["mic"].to_numpy(dtype=np.float64)
-        b_ok = np.isfinite(b_mic_raw)
-        b_mic = np.where(b_ok, b_mic_raw, 0.0).astype(np.int64)
+        # mic arrives null-free int64 (exact through Arrow), presence
+        # as its own boolean — see the docstring's 2^53 rationale
+        b_mic = batch["mic"].to_numpy(dtype=np.int64)
+        b_ok = batch["ok"].to_numpy(dtype=bool)
+        b_mic = np.where(b_ok, b_mic, 0)
 
         # sorted union of the horizon buffer and this batch; frames are
         # range lookups into its prefix sums (peers included on both
@@ -404,13 +409,15 @@ def trailing_window_stream_df(
     from wikidata_to_surrealdb_spark.functions import finite, fround
 
     stream = _event_stream_source(spark, events_path)
+    mic = (
+        finite(F.col("value")).cast("decimal(18,6)") * 1_000_000
+    ).cast("bigint")
     ev = stream.select(
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("us"),
-        (finite(F.col("value")).cast("decimal(18,6)") * 1_000_000)
-        .cast("bigint")
-        .alias("mic"),
+        F.coalesce(mic, F.lit(0)).alias("mic"),
+        mic.isNotNull().alias("ok"),
     )
     out = apply_trailing_window(ev, horizon_us=horizon_us)
     return out.select(
