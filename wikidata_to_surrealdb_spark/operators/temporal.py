@@ -432,8 +432,10 @@ def bounded_trailing_agg(
     analytics; this extends the driver-mandated event-stream family.
     """
     taken = set(df.columns)
-    c_bucket, c_t, c_isdata, c_val, c_rid, c_n, c_s = _internal_names(
-        taken, "bucket", "t", "isdata", "val", "rid", "n", "s"
+    c_bucket, c_t, c_to, c_isdata, c_val, c_rid, c_n, c_s = (
+        _internal_names(
+            taken, "bucket", "t", "to", "isdata", "val", "rid", "n", "s"
+        )
     )
     dec = f"decimal(18,{sum_scale})"
     base = df.select(
@@ -469,9 +471,8 @@ def bounded_trailing_agg(
     # every in-bucket event with ts' <= ts (ties included, like the
     # original frame peers) and the suffix at a probe row sees every
     # previous-bucket event with ts' >= ts - horizon (closed edge).
-    order = (F.col(c_t) * F.lit(2) + F.col(c_isdata)).alias(c_t + "o")
-    u = u.withColumn(c_t + "o", order)
-    w = Window.partitionBy(key_col, c_bucket).orderBy(c_t + "o")
+    u = u.withColumn(c_to, F.col(c_t) * F.lit(2) + F.col(c_isdata))
+    w = Window.partitionBy(key_col, c_bucket).orderBy(c_to)
     prefix = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     suffix = w.rangeBetween(Window.currentRow, Window.unboundedFollowing)
     piece_n = F.when(
