@@ -1661,3 +1661,22 @@ def test_trailing_window_state_resumes_and_evicts(spark, tmp_path):
     assert by_eid[2] == (2, 300)   # 0 and 1 within 1s
     assert by_eid[3] == (1, 300)   # burst evicted/out of frame
     assert by_eid[4] == (2, 700)   # 4*H within H of 5*H (closed edge)
+
+
+def test_remap_converges_exactly_on_final_hop(spark):
+    """Regression: convergence is tested AFTER each hop, so max_rounds
+    hops genuinely cover 2^max_rounds-deep chains — a depth-3 chain
+    must resolve within 2 doubling rounds, not raise a false cycle."""
+    from wikidata_to_surrealdb_spark.operators.dedup import (
+        remap_pairs_to_survivors,
+    )
+
+    pairs = spark.createDataFrame(
+        [(9, 7, "delta", 0.6), (7, 5, "delta", 0.7), (5, 3, "delta", 0.8)],
+        "new_id BIGINT, dup_of BIGINT, origin STRING, jaccard DOUBLE",
+    )
+    got = {
+        (r.new_id, r.dup_of)
+        for r in remap_pairs_to_survivors(pairs, max_rounds=2).collect()
+    }
+    assert got == {(9, 3), (7, 3), (5, 3)}

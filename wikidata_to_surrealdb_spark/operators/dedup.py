@@ -667,12 +667,29 @@ def remap_pairs_to_survivors(
     )
     dropped = step.select("src")
     m = step
-    for _ in range(max_rounds):
-        pending = m.join(
-            dropped.withColumnRenamed("src", "cur"), "cur", "left_semi"
+
+    def _pending(rel: DataFrame) -> bool:
+        return (
+            rel.join(
+                dropped.withColumnRenamed("src", "cur"), "cur", "left_semi"
+            )
+            .limit(1)
+            .count()
+            > 0
         )
-        if pending.limit(1).count() == 0:
-            break
+
+    rounds = 0
+    # convergence is tested AFTER each hop too, so a chain that
+    # resolves exactly on the final hop is accepted (max_rounds hops
+    # really do cover 2^max_rounds-deep chains)
+    while _pending(m):
+        if rounds >= max_rounds:
+            raise ValueError(
+                "remap_pairs_to_survivors: keeper chase did not converge "
+                f"in {max_rounds} pointer-doubling rounds — the pair set "
+                "has a cycle, which violates the lower-id intra / "
+                "survivor corpus orientation contract"
+            )
         hop = m.select(
             F.col("src").alias("hop_src"), F.col("cur").alias("hop_cur")
         )
@@ -683,13 +700,7 @@ def remap_pairs_to_survivors(
             )
             .localCheckpoint(eager=False)
         )
-    else:
-        raise ValueError(
-            "remap_pairs_to_survivors: keeper chase did not converge in "
-            f"{max_rounds} pointer-doubling rounds — the pair set has a "
-            "cycle, which violates the lower-id intra / survivor corpus "
-            "orientation contract"
-        )
+        rounds += 1
     keeper = m.withColumnRenamed("src", "dup_of").withColumnRenamed(
         "cur", "keeper"
     )

@@ -221,6 +221,16 @@ def _remove_store_ids(
     :func:`recover_store`. Removal is idempotent: a replay finds the
     ids already absent and rewrites nothing."""
     ids = ids_df.localCheckpoint(eager=False)
+    # bounded driver-side range of the batch's ids: pushed into the
+    # discovery scans as a BETWEEN so parquet row-group min/max stats
+    # prune them (compacted generations are sorted by doc_id) — without
+    # it every upsert batch re-reads the ENTIRE store just to learn
+    # which subdirs contain recrawled ids. Two scalars, not the id set.
+    bounds = ids.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return
     for store, schema in (
         ("band_index", _INDEX_SCHEMA),
         ("shingles", _SHINGLE_SCHEMA),
@@ -232,6 +242,7 @@ def _remove_store_ids(
             spark.read.schema(schema)
             .option("recursiveFileLookup", "true")
             .parquet(root)
+            .where(F.col("doc_id").between(bounds["lo"], bounds["hi"]))
             .withColumn("_f", F.input_file_name())
         )
         hit_files = (
@@ -301,13 +312,20 @@ def apply_incremental_batch(
     remap rewrites edges, never survivorship."""
     from wikidata_to_surrealdb_spark.operators import dedup
 
+    fs = fs or store_fs.for_path(spark, work_dir)
+    # a replay may land while an upsert's subdir swap is mid-flight
+    # (marker written, rename pending) — complete/roll back FIRST, or
+    # the corpus reads below would see a store missing a whole subdir
+    # and this batch's pairs would be computed against a truncated
+    # corpus (idempotent and metadata-cheap when there is nothing to do)
+    recover_store(fs, work_dir)
+
     if remap_intra and not survivors_only:
         raise ValueError(
             "remap_intra=True requires survivors_only=True: in base "
             "mode every doc is indexed, so there is no chain to close"
         )
 
-    fs = fs or store_fs.for_path(spark, work_dir)
     idx_dir = os.path.join(work_dir, "band_index")
     sh_dir = os.path.join(work_dir, "shingles")
     pairs_dir = os.path.join(work_dir, "pairs")

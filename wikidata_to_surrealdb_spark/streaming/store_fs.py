@@ -34,7 +34,9 @@ import shutil
 
 from pyspark.sql import SparkSession
 
-_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+# two-character minimum: a Windows drive letter ("C:\\tmp") must not
+# route to HadoopFS as scheme "C"
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+:")
 
 
 def _hidden(name: str) -> bool:
@@ -187,11 +189,20 @@ class HadoopFS:
         self._fs.mkdirs(self._p(path))
 
     def write_text(self, path: str, text: str) -> None:
-        out = self._fs.create(self._p(path), True)
+        # write-then-rename so a crash mid-write can never leave a
+        # truncated marker/manifest visible (LocalFS does the same via
+        # os.replace); HDFS rename is atomic, object stores reduce the
+        # window to the (small, post-flush) copy
+        tmp = path + "._tmp_write"
+        out = self._fs.create(self._p(tmp), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        if self._fs.exists(self._p(path)):
+            self._fs.delete(self._p(path), False)
+        if not self._fs.rename(self._p(tmp), self._p(path)):
+            raise OSError(f"HadoopFS write_text rename failed: {path}")
 
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._p(path))
