@@ -354,6 +354,11 @@ DRIFT_CLASSIFICATIONS = {
 SMOKE_EXCLUDE = {
     "stream_incremental_dedup",
     "stream_incremental_dedup_survivors",
+    # r14: the remap variant is the same 4-trigger streaming job plus
+    # one bounded per-batch self-join on the pair set — the multibatch
+    # probe's wall is its perf signal too; a smoke slot would pay the
+    # ~15 s per-trigger floor for no extra information
+    "stream_incremental_dedup_remap",
 }
 
 
