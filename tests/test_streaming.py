@@ -1680,3 +1680,43 @@ def test_remap_converges_exactly_on_final_hop(spark):
         for r in remap_pairs_to_survivors(pairs, max_rounds=2).collect()
     }
     assert got == {(9, 3), (7, 3), (5, 3)}
+
+
+def test_upsert_discovery_scan_pushes_id_range(spark, tmp_path):
+    """The upsert rewrite-discovery read must push the batch-id BETWEEN
+    into the parquet scan (row-group stats prune doc_id-sorted
+    compacted generations) — without it every upsert batch re-reads
+    the whole store (r14 review finding)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        _INDEX_SCHEMA,
+        incremental_dedup_multibatch,
+        slice_documents_table,
+    )
+
+    sliced = slice_documents_table(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        str(tmp_path / "slices"),
+        slices=2,
+    )
+    work = str(tmp_path / "work")
+    incremental_dedup_multibatch(spark, sliced, work, threshold=0.1).collect()
+    tagged = (
+        spark.read.schema(_INDEX_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(os.path.join(work, "band_index"))
+        .where(F.col("doc_id").between(100, 140))
+        .withColumn("_f", F.input_file_name())
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tagged.explain(True)
+    pushed = [
+        ln for ln in buf.getvalue().splitlines() if "PushedFilters" in ln
+    ]
+    assert pushed, "no PushedFilters line in the discovery-scan plan"
+    assert "GreaterThanOrEqual(doc_id,100" in pushed[0]
+    assert "LessThanOrEqual(doc_id,140" in pushed[0]
