@@ -441,3 +441,92 @@ def test_bounded_trailing_partitions_by_key_and_bucket(spark):
     # hashpartitioning on two expressions, never on key alone
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
+
+
+def test_bounded_trailing_duplicate_rows_raise(spark):
+    """VERDICT r14 #2: the distinct-row precondition is ENFORCED, not
+    documented — fully duplicate rows raise at execution time instead
+    of collapsing into silently short sums."""
+    from wikidata_to_surrealdb_spark.operators.temporal import (
+        bounded_trailing_agg,
+    )
+
+    rows = [("a", 10, 1.0), ("a", 10, 1.0), ("a", 20, 2.0)]
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = bounded_trailing_agg(df, "key", "ts", "value", 100)
+    with pytest.raises(Exception, match="duplicate row id"):
+        out.collect()
+    # and the escape hatch really is an escape hatch (collapses, no raise)
+    relaxed = bounded_trailing_agg(
+        df, "key", "ts", "value", 100, check_unique=False
+    )
+    assert relaxed.count() == 2  # the two identical rows collapsed
+
+
+def test_bounded_trailing_duplicate_id_col_raises(spark):
+    from wikidata_to_surrealdb_spark.operators.temporal import (
+        bounded_trailing_agg,
+    )
+
+    rows = [("a", 10, 7, 1.0), ("a", 20, 7, 2.0), ("a", 30, 8, 3.0)]
+    df = spark.createDataFrame(rows, "key string, ts long, eid int, value double")
+    out = bounded_trailing_agg(df, "key", "ts", "value", 100, id_col="eid")
+    with pytest.raises(Exception, match="duplicate row id"):
+        out.collect()
+    with pytest.raises(ValueError, match="id_col"):
+        bounded_trailing_agg(df, "key", "ts", "value", 100, id_col="nope")
+
+
+def test_bounded_trailing_id_col_matches_struct_rid(spark):
+    """With a genuinely unique id the narrow-key combine must produce
+    the identical result as the all-columns-struct row id."""
+    from wikidata_to_surrealdb_spark.operators.temporal import (
+        bounded_trailing_agg,
+    )
+
+    rows = [("a", t, t, float(t % 7)) for t in range(0, 120, 7)] + [
+        ("b", t, 1000 + t, None) for t in range(0, 60, 11)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts long, eid int, value double"
+    )
+    via_struct = bounded_trailing_agg(df, "key", "ts", "value", 30)
+    via_id = bounded_trailing_agg(df, "key", "ts", "value", 30, id_col="eid")
+    sym = via_struct.exceptAll(via_id).unionAll(via_id.exceptAll(via_struct))
+    assert sym.limit(1).count() == 0
+
+
+def test_bounded_trailing_negative_timestamps(spark):
+    """ADVICE r14: `div` truncates toward zero, mis-bucketing pre-epoch
+    timestamps (ts=-1 and ts=+1 would share bucket 0). The floor-div
+    bucketing must match the naive trailing frame across the epoch."""
+    from wikidata_to_surrealdb_spark.operators.temporal import (
+        bounded_trailing_agg,
+    )
+
+    H = 100
+    rows = [
+        ("a", -250, 1, 1.0),
+        ("a", -150, 2, 2.0),   # frame: {-250, -150} (closed edge)
+        ("a", -101, 3, 4.0),
+        ("a", -100, 4, 8.0),   # frame: {-150, -101, -100}? -200..-100
+        ("a", -1, 5, 16.0),
+        ("a", 0, 6, 32.0),
+        ("a", 1, 7, 64.0),     # frame: {-99..1} -> {-1, 0, 1}
+        ("a", 99, 8, 128.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts long, eid int, value double"
+    )
+    got = {
+        r["eid"]: (r["trailing_n"], r["trailing_sum"])
+        for r in bounded_trailing_agg(df, "key", "ts", "value", H).collect()
+    }
+    want = _trailing_naive(rows, H)
+    assert set(got) == set(want)
+    for eid, (n, s) in want.items():
+        gn, gs = got[eid]
+        assert gn == n, f"eid={eid} count {gn} != {n}"
+        assert gs is not None and abs(float(gs) - s) < 1e-9, (
+            f"eid={eid} sum {gs} != {s}"
+        )

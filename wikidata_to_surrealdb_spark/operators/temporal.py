@@ -383,6 +383,8 @@ def bounded_trailing_agg(
     count_name: str = "trailing_n",
     sum_name: str = "trailing_sum",
     sum_scale: int = 6,
+    id_col: str | None = None,
+    check_unique: bool = True,
 ) -> DataFrame:
     """Trailing-horizon count/sum — ``count(*)``/``sum(value)`` over
     ``RANGE BETWEEN horizon PRECEDING AND CURRENT ROW`` per key — with
@@ -411,9 +413,18 @@ def bounded_trailing_agg(
        equal-time data so the closed frame edge is kept);
     4. a final ``groupBy`` on the row id adds the two pieces.
 
-    Rows of ``df`` must be distinct (the row id is the struct of all
-    columns — any unique id column suffices); fully duplicate rows
-    would collapse in step 4.
+    Row identity: when ``id_col`` is given it is the row id (must be
+    unique — and the final combine shuffles on that narrow key instead
+    of the all-columns struct); otherwise the row id is the struct of
+    all columns, so rows of ``df`` must be distinct. Either way a
+    violated precondition would collapse rows in step 4 into silently
+    short sums, so ``check_unique=True`` (the default) plants an
+    in-plan guard — each combine group must contain exactly one data
+    row — that raises at execution time on the first duplicate. The
+    guard rides inside the ``count_name``/``sum_name`` output columns
+    (zero extra exchanges); a caller that prunes BOTH away also prunes
+    the check. Pass ``check_unique=False`` only when uniqueness is
+    already guaranteed upstream.
 
     Decimal partial sums make the split exact: the two pieces are summed
     in ``DECIMAL(18, sum_scale)`` and added, which is associative, so the
@@ -431,10 +442,18 @@ def bounded_trailing_agg(
     The reference (NexVeridian/wikidata-to-surrealdb) has no windowed
     analytics; this extends the driver-mandated event-stream family.
     """
+    if horizon <= 0:
+        raise ValueError(f"bounded_trailing_agg: horizon must be > 0, got {horizon}")
+    if id_col is not None and id_col not in df.columns:
+        raise ValueError(
+            f"bounded_trailing_agg: id_col {id_col!r} not in {df.columns}"
+        )
     taken = set(df.columns)
-    c_bucket, c_t, c_to, c_isdata, c_val, c_rid, c_n, c_s = (
+    c_bucket, c_t, c_to, c_isdata, c_val, c_rid, c_n, c_s, c_chk, c_g = (
         _internal_names(
-            taken, "bucket", "t", "to", "isdata", "val", "rid", "n", "s"
+            taken,
+            "bucket", "t", "to", "isdata", "val", "rid", "n", "s",
+            "chk", "g",
         )
     )
     dec = f"decimal(18,{sum_scale})"
@@ -445,9 +464,14 @@ def bounded_trailing_agg(
         F.struct(*[F.col(c) for c in df.columns]).alias(c_rid),
     )
     # exact integer bucket: double division can round a just-below-
-    # integer quotient up at epoch-microsecond magnitudes; `div` is
-    # exact bigint floor for the non-negative timestamps used here
-    bucket_expr = F.expr(f"CAST(`{ts_col}` AS BIGINT) div {int(horizon)}")
+    # integer quotient up at epoch-microsecond magnitudes, and plain
+    # `div` truncates toward zero (ts=-1 and ts=+1 would share bucket
+    # 0, breaking the two-piece decomposition for pre-epoch data) —
+    # (t - pmod(t, h)) div h is an exact bigint FLOOR division for
+    # either sign
+    h = int(horizon)
+    t_sql = f"CAST(`{ts_col}` AS BIGINT)"
+    bucket_expr = F.expr(f"({t_sql} - pmod({t_sql}, {h})) div {h}")
     data = base.select(
         F.col(key_col),
         bucket_expr.alias(c_bucket),
@@ -483,18 +507,53 @@ def bounded_trailing_agg(
     ).otherwise(F.sum(c_val).over(suffix))
     pieces = u.select(
         F.col(c_rid),
+        F.col(c_isdata),
         piece_n.alias(c_n),
         piece_s.alias(c_s),
     )
-    combined = pieces.groupBy(c_rid).agg(
+    # combine key: the explicit id when given (narrow shuffle key),
+    # else the all-columns struct; each group holds exactly the data
+    # row + probe row of ONE source row when the precondition holds,
+    # so sum(isdata) == 1 IS the uniqueness check
+    group_key = (
+        F.col(f"{c_rid}.{id_col}").alias(c_g)
+        if id_col is not None
+        else F.col(c_rid).alias(c_g)
+    )
+    combined = pieces.groupBy(group_key).agg(
+        F.first(c_rid).alias(c_rid),
         F.sum(c_n).cast("bigint").alias(count_name),
         # NULL iff both pieces are NULL iff every frame value is NULL --
         # sum() already skips NULLs and DECIMAL addition is exact, so
         # the two-piece sum is bit-identical to the one-frame sum
         F.sum(c_s).alias(sum_name),
+        F.sum(c_isdata).alias(c_chk),
     )
+    if check_unique:
+        # in-plan guard: evaluates per output row inside the same
+        # codegen stage, raises on the first collapsed duplicate
+        def guarded(col: str):
+            return F.when(F.col(c_chk) == 1, F.col(col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bounded_trailing_agg: duplicate row id — "
+                        ),
+                        F.col(c_g).cast("string"),
+                        F.lit(
+                            " appears more than once; pass a unique "
+                            "id_col or deduplicate the input "
+                            "(check_unique=False skips this guard)"
+                        ),
+                    )
+                )
+            ).alias(col)
+
+        out_n, out_s = guarded(count_name), guarded(sum_name)
+    else:
+        out_n, out_s = F.col(count_name), F.col(sum_name)
     return combined.select(
         *[F.col(c_rid + "." + c).alias(c) for c in df.columns],
-        count_name,
-        sum_name,
+        out_n,
+        out_s,
     )
