@@ -1720,3 +1720,157 @@ def test_upsert_discovery_scan_pushes_id_range(spark, tmp_path):
     assert pushed, "no PushedFilters line in the discovery-scan plan"
     assert "GreaterThanOrEqual(doc_id,100" in pushed[0]
     assert "LessThanOrEqual(doc_id,140" in pushed[0]
+
+
+def test_trailing_window_overflow_guard_raises(spark, tmp_path):
+    """ADVICE r14 (medium): a horizon buffer whose absolute micro-unit
+    sum could wrap int64 must raise loudly instead of silently
+    diverging from the DECIMAL oracle (numpy int64 overflow is
+    modular). Five events near the DECIMAL(18,6) magnitude cap exceed
+    the 2^62 guard."""
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        apply_trailing_window,
+    )
+
+    big = 999_999_999_999_000_000  # ~1e18 micro-units each
+    rows = [(i, 7, i, big, True) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, mic long, ok boolean"
+    )
+    src = tmp_path / "ovf_src"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        apply_trailing_window(stream, horizon_us=1_000_000)
+        .writeStream.format("memory")
+        .queryName(f"ovf_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="micro-unit magnitude"):
+        q.awaitTermination()
+
+
+def test_hadoopfs_rename_edge_cases(spark, tmp_path):
+    """VERDICT r14 directive 8: the two rename edge cases object stores
+    are pickiest about — a trailing-slash destination (Hadoop Path
+    normalizes it away) and a nonexistent destination parent (HDFS
+    rename returns false; the adapter must surface that as OSError,
+    never silently drop the file)."""
+    from wikidata_to_surrealdb_spark.streaming import store_fs
+
+    fs = store_fs.for_path(spark, f"file:{tmp_path}")
+    assert isinstance(fs, store_fs.HadoopFS)
+    fs.makedirs(f"file:{tmp_path}/a")
+    fs.write_text(f"file:{tmp_path}/a/x.txt", "payload")
+
+    # trailing-slash destination: normalized, rename lands at the same
+    # path as the slash-less spelling
+    fs.rename(f"file:{tmp_path}/a", f"file:{tmp_path}/b/")
+    assert fs.exists(f"file:{tmp_path}/b/x.txt")
+    assert not fs.exists(f"file:{tmp_path}/a")
+    # set_mtime through a trailing-slash path also normalizes
+    fs.set_mtime(f"file:{tmp_path}/b/", 1_600_000_000.0)
+
+    # nonexistent destination parent: Hadoop's LOCAL filesystem
+    # succeeds (java.io rename fails, the FileUtil.copy fallback
+    # creates the parent); HDFS would return false instead. The
+    # adapter contract is therefore "moved OR OSError, never silent
+    # loss" — pinned here for file:, and the false->OSError surface
+    # is pinned below via the rename-onto-existing case (false on
+    # every Hadoop filesystem).
+    fs.rename(
+        f"file:{tmp_path}/b/x.txt",
+        f"file:{tmp_path}/no_such_parent/x.txt",
+    )
+    assert fs.exists(f"file:{tmp_path}/no_such_parent/x.txt")
+    assert not fs.exists(f"file:{tmp_path}/b/x.txt")
+
+    # rename onto an existing destination: FileSystem.rename returns
+    # false -> the adapter raises OSError and the source is untouched
+    fs.write_text(f"file:{tmp_path}/c1.txt", "c1")
+    fs.write_text(f"file:{tmp_path}/c2.txt", "c2")
+    with pytest.raises(OSError, match="rename failed"):
+        fs.rename(f"file:{tmp_path}/c1.txt", f"file:{tmp_path}/c2.txt")
+    assert fs.read_text(f"file:{tmp_path}/c1.txt") == "c1"
+    assert fs.read_text(f"file:{tmp_path}/c2.txt") == "c2"
+
+
+def test_hadoopfs_write_text_overwrite_atomic(spark, tmp_path):
+    """ADVICE r14: overwrite goes through FileContext.rename(OVERWRITE)
+    when the scheme has an AbstractFileSystem binding (file:/hdfs:) —
+    single atomic replace, no delete-then-rename missing-file window —
+    and never leaves a ._tmp_write behind."""
+    from wikidata_to_surrealdb_spark.streaming import store_fs
+
+    fs = store_fs.for_path(spark, f"file:{tmp_path}")
+    p = f"file:{tmp_path}/_meta.json"
+    fs.write_text(p, "v1")
+    fs.write_text(p, "v2")
+    assert fs.read_text(p) == "v2"
+    assert not fs.exists(p + "._tmp_write")
+
+
+def test_store_manifest_backfills_new_parameter_defaults(spark, tmp_path):
+    """ADVICE r14: a manifest written BEFORE a parameter existed means
+    the store was built under that parameter's default — resuming such
+    a store with the default must succeed (the key is backfilled), and
+    resuming with a non-default value must still fail loudly."""
+    import json as _json
+
+    from wikidata_to_surrealdb_spark.streaming import store_fs
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        _store_params,
+        check_store_manifest,
+    )
+
+    work = str(tmp_path / "legacy_store")
+    os.makedirs(work)
+    params = _store_params(8, 2, 3, 0.1, False, remap_intra=False)
+    legacy = {k: v for k, v in params.items() if k != "remap_intra"}
+    fs = store_fs.for_path(spark, work)
+    fs.write_text(
+        os.path.join(work, "_meta.json"), _json.dumps(legacy, sort_keys=True)
+    )
+    # default value: resumes (missing key backfilled as its default)
+    found = check_store_manifest(fs, work, params)
+    assert found["remap_intra"] is False
+    # non-default value: still rejected by name
+    drift = dict(params, remap_intra=True)
+    with pytest.raises(ValueError, match="remap_intra"):
+        check_store_manifest(fs, work, drift)
+
+
+def test_slice_documents_geometry_knob(spark, tmp_path):
+    """VERDICT r14 #7: files_per_slice is a real parameter — each
+    slice lands as exactly that many same-mtime parquet files, mtimes
+    increase across slices, and an infeasible geometry raises."""
+    from wikidata_to_surrealdb_spark.streaming import store_fs
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        slice_documents_table,
+    )
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    out = slice_documents_table(
+        spark, docs_path, str(tmp_path / "s2"), slices=2, files_per_slice=2
+    )
+    fs = store_fs.for_path(spark, out)
+    slice_mtimes = []
+    for i in range(2):
+        d = os.path.join(out, f"slice={i}")
+        parts = [
+            p
+            for p in fs.list_files(d)
+            if p.endswith(".parquet") and not os.path.basename(p).startswith((".", "_"))
+        ]
+        assert len(parts) == 2, f"slice {i}: {parts}"
+        mt = {os.path.getmtime(p) for p in parts}
+        assert len(mt) == 1  # same mtime within a slice
+        slice_mtimes.append(mt.pop())
+    assert slice_mtimes[0] < slice_mtimes[1]
+    with pytest.raises(ValueError, match="files_per_slice"):
+        slice_documents_table(
+            spark, docs_path, str(tmp_path / "bad"), slices=2,
+            files_per_slice=0,
+        )

@@ -3364,17 +3364,36 @@ def events_trailing_window_bounded(
     "key-per-HORIZON (the watermark-eviction answer to hot-key trailing "
     "analytics; the giant per-key partition never materializes). Values "
     "are quantized JVM-side to exact DECIMAL(18,6) micro-units so the "
-    "int64 buffer sums are bit-identical to the SQL DECIMAL sum; with "
-    "time-ordered arrival the availableNow result equals the batch "
-    "RANGE-frame oracle verbatim",
+    "int64 buffer sums are bit-identical to the SQL DECIMAL sum; the "
+    "source is staged as 3 TIME-ORDERED slices replayed one per "
+    "micro-batch (slice_events_table), so the arrival contract the "
+    "eviction logic needs is guaranteed by construction — not by "
+    "availableNow happening to take one batch — and the entry "
+    "exercises the real cross-batch state path",
 )
 def stream_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
     from wikidata_to_surrealdb_spark.streaming.events import (
+        slice_events_table,
         trailing_window_streaming,
     )
 
     register_views(spark, sf_dir)
-    return trailing_window_streaming(spark, f"{sf_dir}/events.parquet")
+    # fixed per-session dir (reused with overwrite), like the other
+    # staged-stream probes: a fresh mkdtemp per invocation would leak
+    # a sliced copy of events on every driver/bench run
+    sliced = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_trail_slices_{spark.sparkContext.applicationId}",
+    )
+    slice_events_table(
+        spark, f"{sf_dir}/events.parquet", sliced, slices=3
+    )
+    return trailing_window_streaming(
+        spark, sliced, max_files_per_trigger=1
+    )
 
 
 @_q(

@@ -65,14 +65,26 @@ _STORES = ("band_index", "shingles", "pairs")
 
 
 def slice_documents_table(
-    spark: SparkSession, docs_path: str, out_dir: str, slices: int = 4
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    slices: int = 4,
+    files_per_slice: int = 1,
 ) -> str:
     """Materialize the documents table as ``slices`` id-residue parquet
-    files with increasing mtimes, so a file-source stream with
-    ``maxFilesPerTrigger=1`` replays them as separate micro-batches in
-    residue order (slice k = ``doc_id % slices == k``) — deterministic
-    batch membership AND order, which is what makes the stream's final
-    output oracle-expressible."""
+    slices with increasing mtimes, so a file-source stream with
+    ``maxFilesPerTrigger=files_per_slice`` replays them as separate
+    micro-batches in residue order (slice k = ``doc_id % slices == k``)
+    — deterministic batch membership AND order, which is what makes the
+    stream's final output oracle-expressible.
+
+    ``files_per_slice`` is the staging geometry (VERDICT r14 #7): each
+    slice is written as exactly that many parquet files, all stamped
+    the same mtime. The default (1) funnels each slice through one
+    task — right for test/bench fixtures, a bottleneck for a large
+    corpus; raise it AND the reader's ``maxFilesPerTrigger`` together
+    or batch membership breaks. Raises if a slice lands with a
+    different file count (e.g. fewer rows than files)."""
     import time as _time
 
     fs = store_fs.for_path(spark, out_dir)
@@ -89,11 +101,28 @@ def slice_documents_table(
             f"{bad[0]['doc_id']} — residue slices would drop it; "
             "remap ids to non-negative first"
         )
+    if files_per_slice < 1:
+        raise ValueError(
+            f"slice_documents_table: files_per_slice must be >= 1, "
+            f"got {files_per_slice}"
+        )
     base = _time.time()
     for i in range(slices):
         part = df.where(F.col("doc_id") % slices == i)
+        part = (
+            part.repartition(files_per_slice)
+            if files_per_slice > 1
+            else part.coalesce(1)
+        )
         slice_dir = os.path.join(out_dir, f"slice={i}")
-        part.coalesce(1).write.mode("overwrite").parquet(slice_dir)
+        part.write.mode("overwrite").parquet(slice_dir)
+        got = fs.count_parquet(slice_dir)
+        if got != files_per_slice:
+            raise ValueError(
+                f"slice_documents_table: slice {i} wrote {got} parquet "
+                f"files, expected {files_per_slice} — too few rows for "
+                "the requested geometry; lower files_per_slice"
+            )
         t = base + i
         for fpath in fs.list_files(slice_dir):
             fs.set_mtime(fpath, t)
@@ -116,6 +145,12 @@ def _read_or_empty(
             .parquet(path)
         )
     return spark.createDataFrame([], schema)
+
+
+# parameters added to _store_params AFTER stores already existed in
+# the wild, with the default their absence implies: a manifest missing
+# the key was built before the knob existed, i.e. under its default
+_PARAM_DEFAULTS = {"remap_intra": False}
 
 
 def _store_params(
@@ -148,6 +183,13 @@ def check_store_manifest(
     path = os.path.join(work_dir, _META_NAME)
     if fs.exists(path):
         found = json.loads(fs.read_text(path))
+        # forward compatibility: a manifest written before a parameter
+        # existed means the store was built under that parameter's
+        # DEFAULT — backfill it instead of failing the resume of every
+        # pre-existing store each time _store_params grows a key
+        # (ADVICE r14: remap_intra broke resume this way)
+        for key, default in _PARAM_DEFAULTS.items():
+            found.setdefault(key, default)
         if params:
             bad = {
                 key: (found.get(key), val)

@@ -308,7 +308,11 @@ def apply_trailing_window(
     nullable int64 crosses Arrow into pandas as float64, which is only
     exact to 2^53 and would silently corrupt large micro-unit sums.
     The UDF only ever adds int64, so the sum is bit-identical to the
-    SQL DECIMAL sum. Output adds (trailing_n, sum_mic, n_ok);
+    SQL DECIMAL sum — and a per-buffer magnitude guard raises
+    ``OverflowError`` before a prefix sum could wrap (abs-sum of the
+    buffer+batch micro-units checked against 2^62), so the
+    bit-identical claim can never silently degrade to modular
+    arithmetic. Output adds (trailing_n, sum_mic, n_ok);
     ``sum_mic`` is meaningful only when ``n_ok > 0`` (SQL SUM over an
     all-NULL frame is NULL)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -360,6 +364,20 @@ def apply_trailing_window(
         all_ts = all_ts[order]
         all_mic = all_mic[order]
         all_ok = all_ok[order]
+        # overflow guard: the prefix sums below are int64 and numpy
+        # int64 overflow is MODULAR — a horizon buffer whose absolute
+        # micro-unit sum reaches 2^63 (~9 events at the DECIMAL(18,6)
+        # magnitude cap) would wrap silently and diverge from the
+        # DECIMAL oracle. The float64 abs-sum is exact to ~2^-52
+        # relative, so comparing against a half-range bound (2^62)
+        # cannot miss a true overflow nor false-positive below 2^61.
+        if float(np.abs(all_mic.astype(np.float64)).sum()) >= float(2**62):
+            raise OverflowError(
+                "apply_trailing_window: per-key horizon buffer "
+                f"micro-unit magnitude for user_id={user_id} exceeds "
+                "2^62; int64 prefix sums would wrap. Shrink the "
+                "horizon or rescale the value column."
+            )
         pref_mic = np.concatenate(([0], np.cumsum(all_mic)))
         pref_ok = np.concatenate(
             ([0], np.cumsum(all_ok.astype(np.int64)))
@@ -399,16 +417,26 @@ def apply_trailing_window(
 
 
 def trailing_window_stream_df(
-    spark: SparkSession, events_path: str, horizon_us: int = 3_600_000_000
+    spark: SparkSession,
+    events_path: str,
+    horizon_us: int = 3_600_000_000,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Wire the stateful trailing window onto the events file source,
     with the value quantized to exact DECIMAL(18,6) micro-units
     JVM-SIDE (decimal multiply + bigint cast — the UDF never touches a
     float value), and the output sum reconstructed as an exact decimal
-    so the result matches the batch RANGE-frame oracle bit-for-bit."""
+    so the result matches the batch RANGE-frame oracle bit-for-bit.
+
+    Pass ``max_files_per_trigger=1`` with a time-ordered sliced dir
+    (:func:`slice_events_table`) to pin one slice per micro-batch —
+    the arrival contract the eviction logic requires; leaving it None
+    relies on the source yielding batches in event-time order."""
     from wikidata_to_surrealdb_spark.functions import finite, fround
 
-    stream = _event_stream_source(spark, events_path)
+    stream = _event_stream_source(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
     mic = (
         finite(F.col("value")).cast("decimal(18,6)") * 1_000_000
     ).cast("bigint")
@@ -436,13 +464,18 @@ def trailing_window_stream_df(
 
 
 def trailing_window_streaming(
-    spark: SparkSession, events_path: str, horizon_us: int = 3_600_000_000
+    spark: SparkSession,
+    events_path: str,
+    horizon_us: int = 3_600_000_000,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run the stateful trailing window to completion (availableNow)
     into a memory sink and return the materialized per-event rows."""
     table = f"stream_trail_{uuid.uuid4().hex[:8]}"
     q = (
-        trailing_window_stream_df(spark, events_path, horizon_us)
+        trailing_window_stream_df(
+            spark, events_path, horizon_us, max_files_per_trigger
+        )
         .writeStream.format("memory")
         .queryName(table)
         .outputMode("append")

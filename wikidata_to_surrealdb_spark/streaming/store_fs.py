@@ -125,9 +125,11 @@ class HadoopFS:
     def __init__(self, spark: SparkSession, root: str):
         jvm = spark._jvm
         self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
         self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
             jvm.java.net.URI.create(root),
-            spark._jsc.hadoopConfiguration(),
+            self._conf,
         )
 
     def _p(self, path: str):
@@ -191,14 +193,34 @@ class HadoopFS:
     def write_text(self, path: str, text: str) -> None:
         # write-then-rename so a crash mid-write can never leave a
         # truncated marker/manifest visible (LocalFS does the same via
-        # os.replace); HDFS rename is atomic, object stores reduce the
-        # window to the (small, post-flush) copy
+        # os.replace). The replace itself prefers FileContext.rename
+        # with Options.Rename.OVERWRITE — the one HDFS primitive whose
+        # overwrite is a single atomic op. Plain FileSystem.rename
+        # refuses to overwrite, so the fallback is delete-then-rename,
+        # which on a crash between the two leaves the target MISSING
+        # (not truncated); callers that need crash-safe overwrite on a
+        # store without an AbstractFileSystem binding (e.g. s3a) must
+        # treat a missing marker/manifest as "redo the write".
         tmp = path + "._tmp_write"
         out = self._fs.create(self._p(tmp), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        try:
+            rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(rename_cls, 1)
+            opts[0] = rename_cls.OVERWRITE
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._p(path).toUri(), self._conf
+            )
+            fc.rename(self._p(tmp), self._p(path), opts)
+            return
+        except Exception:
+            # no AbstractFileSystem binding for this scheme (object
+            # stores) or an old Hadoop: fall back to the two-step
+            # replace with the documented missing-file crash window
+            pass
         if self._fs.exists(self._p(path)):
             self._fs.delete(self._p(path), False)
         if not self._fs.rename(self._p(tmp), self._p(path)):
