@@ -204,6 +204,8 @@ def test_current_suite_final_line_fits_tail_window(tmp_path, capsys):
         "metric": f"suite wall ({len(bench.BENCH_QUERIES)}q+ingest+streaming)",
         "value": 123.456,
         "unit": "sec",
+        "query_suite_sec": 98.765,
+        "deliberate_probes_sec": 24.691,
         "sf": 0.1,
         "ingest_entities_per_sec": 66742.1,
         "ingest_10x_entities_per_sec": 180882.1,
@@ -235,7 +237,15 @@ def test_current_suite_final_line_fits_tail_window(tmp_path, capsys):
         "budget; the headline fallback in emit_record must kick in"
     )
     tail = json.loads(final)
-    for key in ("value", "sf", "ingest_entities_per_sec", "calibration_sec"):
+    for key in (
+        "value",
+        "sf",
+        "ingest_entities_per_sec",
+        "calibration_sec",
+        # VERDICT r14 #4: the split headline must survive the fallback
+        "query_suite_sec",
+        "deliberate_probes_sec",
+    ):
         assert key in tail, final
     # the full query map stays recoverable from the bench_full.json file
     full = json.loads((tmp_path / "b.json").read_text())

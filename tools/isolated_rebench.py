@@ -29,7 +29,7 @@ import os
 import subprocess
 import sys
 import tempfile
-import time
+import time  # noqa: F401  (kept for interactive use)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -56,12 +56,133 @@ def load_reference(repo_dir: str, ref_path: str | None) -> dict:
         return {}
 
 
+# the bench-main-only measurements (not catalog queries) that the
+# standing protocol must also be able to re-bench in isolation
+# (VERDICT r14 #1): ingest-family probes map to _bench_ingest kwargs,
+# the streaming multibatch probes re-run their slice+stream jobs
+INGEST_PROBES = {
+    "wd_ingest": {},
+    "wd_ingest_unique": {"unique_content": True},
+    "wd_ingest_skewed": {"skew": True},
+    "wd_ingest_10x": {"replication": 200},
+    "wd_ingest_10x_bz2": {"replication": 200, "compress": "bz2"},
+}
+STREAM_PROBES = (
+    "stream_incdedup_multibatch",
+    "stream_sessionize_multibatch",
+    "stream_dedup_multibatch",
+)
+
+
+def run_probes(
+    spark, probe_names, sf_dir, tmp, reps, timings, probe_info
+) -> None:
+    """Time the named bench-main probes exactly as bench.main does
+    (same warm discipline: codegen warm at sf0.001 + one untimed
+    target-scale run before the first timed ingest; slice staging
+    untimed for the streaming jobs), best-of-``reps``."""
+    import time as _t
+
+    ingest_warmed = False
+    for name in probe_names:
+        if name in INGEST_PROBES:
+            kwargs = dict(INGEST_PROBES[name])
+            if not ingest_warmed:
+                warm_dir = "/root/testdata/sf0.001"
+                if os.path.isdir(warm_dir):
+                    for wk in ({}, {"unique_content": True}, {"skew": True}):
+                        try:
+                            bench._bench_ingest(
+                                spark, warm_dir, tmp, replication=1, **wk
+                            )
+                        except Exception:
+                            pass
+                bench._bench_ingest(spark, sf_dir, tmp)
+                ingest_warmed = True
+            info: dict = {}
+            if kwargs.get("compress"):
+                kwargs["info"] = info
+            best, n = float("inf"), 0
+            for _ in range(reps):
+                s, n = bench._bench_ingest(spark, sf_dir, tmp, **kwargs)
+                best = min(best, s)
+            timings[name] = round(best, 3)
+            probe_info[name] = {
+                "entities_per_sec": round(n / best, 1),
+                **({"bz2": info} if info else {}),
+            }
+        elif name == "stream_incdedup_multibatch":
+            from wikidata_to_surrealdb_spark.streaming.documents import (
+                incremental_dedup_multibatch,
+                slice_documents_table,
+            )
+
+            doc_sliced = slice_documents_table(
+                spark,
+                os.path.join(sf_dir, "documents.parquet"),
+                os.path.join(tmp, "iso_docs4"),
+            )
+            best, best_prog = float("inf"), []
+            for i in range(reps):
+                prog: list = []
+                t0 = _t.perf_counter()
+                incremental_dedup_multibatch(
+                    spark,
+                    doc_sliced,
+                    os.path.join(tmp, f"iso_incwork_{i}"),
+                    threshold=0.1,
+                    progress=prog,
+                ).collect()
+                dt = _t.perf_counter() - t0
+                if dt < best:
+                    best, best_prog = dt, prog
+            timings[name] = round(best, 3)
+            probe_info[name] = {"batches": best_prog}
+        elif name in STREAM_PROBES:
+            from wikidata_to_surrealdb_spark.streaming.events import (
+                event_dedup_multibatch,
+                sessionize_stateful_multibatch,
+                slice_events_table,
+            )
+
+            fn_mb = (
+                sessionize_stateful_multibatch
+                if name == "stream_sessionize_multibatch"
+                else event_dedup_multibatch
+            )
+            ev_sliced = slice_events_table(
+                spark,
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(tmp, "iso_ev4"),
+            )
+            best, best_prog = float("inf"), []
+            for _ in range(reps):
+                prog = []
+                t0 = _t.perf_counter()
+                fn_mb(spark, ev_sliced, progress=prog).collect()
+                dt = _t.perf_counter() - t0
+                if dt < best:
+                    best, best_prog = dt, prog
+            timings[name] = round(best, 3)
+            probe_info[name] = {"batches": best_prog}
+        else:
+            raise SystemExit(f"unknown probe: {name}")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--queries",
         default="layout_zorder_scan,mm_ahash_neardup",
         help="comma-separated catalog names",
+    )
+    ap.add_argument(
+        "--probes",
+        default="",
+        help=(
+            "comma-separated bench-main probes (wd_ingest*, "
+            "stream_*_multibatch) to re-bench in isolation"
+        ),
     )
     ap.add_argument(
         "--layout-pair",
@@ -78,6 +199,19 @@ def main() -> int:
     args = ap.parse_args()
 
     names = [n.strip() for n in args.queries.split(",") if n.strip()]
+    probe_names = [n.strip() for n in args.probes.split(",") if n.strip()]
+    if probe_names:
+        # probes are opt-in heavy: with --probes given and --queries
+        # left at its default, skip the default query pair
+        if args.queries == ap.get_default("queries"):
+            names = []
+        bad = [
+            n
+            for n in probe_names
+            if n not in INGEST_PROBES and n not in STREAM_PROBES
+        ]
+        if bad:
+            raise SystemExit(f"unknown probes: {bad}")
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown catalog queries: {unknown}")
@@ -131,6 +265,17 @@ def main() -> int:
             shuffle_bytes=shuffle_bytes,
             meter=meter,
         )
+        probe_info: dict[str, dict] = {}
+        if probe_names:
+            run_probes(
+                spark,
+                probe_names,
+                args.sf_dir,
+                tmp,
+                args.reps,
+                timings,
+                probe_info,
+            )
         if args.layout_pair:
             pair: dict[str, float] = {}
             for _ in range(max(1, args.reps - 1)):
@@ -161,6 +306,8 @@ def main() -> int:
         "cal_drift_vs_ref": cal_drift,
         "isolated": {},
     }
+    if probe_names:
+        report["probe_info"] = probe_info
     # byte ratios only against a SAME-SCALE reference: shuffle volume is
     # data-sized, so an sf0.01 re-bench against the sf0.1 committed
     # record would read as a phantom 10x plan change (the same

@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Empirical scaling probe (VERDICT r14 #3): validate the 100x story
+with data, not just plan audits.
+
+Stages a ~sf1 dataset by replicating sf0.1 ``--factor`` times with
+key remaps that PRESERVE join semantics (orders/customer/lineitem
+replicas reference each other's replica, dims stay fixed where the
+facts reference them by key), then runs the most expensive non-probe
+families once at sf0.1 and once at the scaled dir, recording wall
+seconds AND max single-task executorRunTime (status REST taskSummary,
+quantile 1.0). Prints a JSON report with per-family scaling exponents
+
+    alpha = ln(T_scaled / T_base) / ln(factor)
+
+alpha <= ~1 in max-task is the "no straggler cliff at scale" signal:
+a super-linear max-task exponent means some partition grows faster
+than the data and will be the 100 TB bottleneck.
+
+Remap design (why each family's scaled input is honest):
+- lineitem/orders: replica r remaps ``*_orderkey -> key*factor + r``
+  and ``o_custkey -> key*factor + r`` so each replica joins its own
+  customer replica; part/supplier keys unchanged -> per-part/supplier
+  fan-in grows with volume, like a real scale-up of fixed catalogs.
+- customer: ``c_custkey*factor + r`` (er_resolve's corpus grows 10x
+  duplicate-dense — every name has factor-1 more exact copies).
+- events: ``event_id*factor + r``, user_id/ts UNCHANGED — events per
+  user per horizon grow by the factor, the exact density the trailing
+  window decompositions must absorb.
+- documents: ``doc_id*factor + r``, text unchanged (duplicate-dense,
+  the LSH worst case, same design as bench's dedup_minhash_10x).
+- embeddings: ``vec_id*factor + r``, vector unchanged (LSH buckets go
+  factor-x denser).
+
+Usage:
+    python tools/scaling_probe.py [--factor 10] [--out /tmp/...] \
+        [--families tpch_q1,tpch_q5,...] [--keep-staged]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from wikidata_to_surrealdb_spark.plans.queries import QUERIES  # noqa: E402
+from wikidata_to_surrealdb_spark.session import get_spark  # noqa: E402
+
+FAMILIES = [
+    "tpch_q1",
+    "tpch_q5",
+    "tpch_q9",
+    "dedup_minhash_lsh",
+    "er_resolve",
+    "sim_knn_join",
+    "graph_pagerank",
+    "events_trailing_window",
+    "events_trailing_window_bounded",
+]
+
+# (key remap columns) per replicated table; None = copy verbatim
+COPY_TABLES = ("region", "nation", "supplier", "part")
+REMAP = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def stage_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in COPY_TABLES:
+        src, dst = f"{base_dir}/{t}.parquet", f"{out_dir}/{t}.parquet"
+        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    rep = spark.range(factor).select(F.col("id").alias("_rep"))
+    for t, keys in REMAP.items():
+        df = spark.read.parquet(f"{base_dir}/{t}.parquet")
+        big = df.crossJoin(rep)
+        for k in keys:
+            big = big.withColumn(
+                k, F.col(k) * F.lit(factor) + F.col("_rep")
+            )
+        (
+            big.drop("_rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{t}.parquet")
+        )
+
+
+class TaskMeter:
+    """Max single-task executorRunTime (ms) across the stages executed
+    since ``mark()`` — the straggler signal wall time hides. Reads the
+    same status REST API as bench.ShuffleMeter; any failure disables
+    the meter (diagnostic, must never fail the probe)."""
+
+    def __init__(self, spark):
+        self.base = None
+        try:
+            url = spark.sparkContext.uiWebUrl
+            app_id = spark.sparkContext.applicationId
+            if url:
+                self.base = f"{url}/api/v1/applications/{app_id}/stages"
+        except Exception:
+            self.base = None
+
+    def _get(self, url: str):
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.load(r)
+
+    def mark(self) -> int:
+        if self.base is None:
+            return -1
+        try:
+            return max(
+                [s["stageId"] for s in self._get(self.base)] + [-1]
+            )
+        except Exception:
+            self.base = None
+            return -1
+
+    def max_task_ms_since(self, mark: int) -> float | None:
+        if self.base is None:
+            return None
+        try:
+            worst = 0.0
+            for s in self._get(self.base):
+                if s["stageId"] <= mark or s.get("status") == "SKIPPED":
+                    continue
+                url = (
+                    f"{self.base}/{s['stageId']}/"
+                    f"{s.get('attemptId', 0)}/taskSummary?quantiles=1.0"
+                )
+                try:
+                    summ = self._get(url)
+                except Exception:
+                    continue  # stage may have no tasks / been evicted
+                run = summ.get("executorRunTime") or [0.0]
+                worst = max(worst, float(run[-1]))
+            return worst
+        except Exception:
+            self.base = None
+            return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/spark_graft_scaled_sf1")
+    ap.add_argument("--families", default=",".join(FAMILIES))
+    ap.add_argument(
+        "--keep-staged",
+        action="store_true",
+        help="leave the scaled parquet dir on disk for reruns",
+    )
+    args = ap.parse_args()
+    names = [n.strip() for n in args.families.split(",") if n.strip()]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown catalog queries: {unknown}")
+
+    spark = get_spark(
+        app_name="scaling_probe",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    meter = TaskMeter(spark)
+
+    t0 = time.perf_counter()
+    stage_scaled(spark, args.base, args.out, args.factor)
+    staging_sec = round(time.perf_counter() - t0, 1)
+
+    # codegen warm outside every timed region
+    warm_dir = "/root/testdata/sf0.001"
+    for n in names:
+        try:
+            QUERIES[n].fn(spark, warm_dir).collect()
+        except Exception:
+            pass
+
+    report: dict = {
+        "factor": args.factor,
+        "base": args.base,
+        "staging_sec": staging_sec,
+        "families": {},
+    }
+    ln_f = math.log(args.factor)
+    for n in names:
+        row: dict = {}
+        for tier, sf_dir in (("base", args.base), ("scaled", args.out)):
+            mark = meter.mark()
+            t0 = time.perf_counter()
+            try:
+                QUERIES[n].fn(spark, sf_dir).collect()
+                wall = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                row[tier] = {"err": str(e)[:200]}
+                continue
+            mt = meter.max_task_ms_since(mark)
+            row[tier] = {"wall_sec": wall, "max_task_ms": mt}
+        b, s = row.get("base", {}), row.get("scaled", {})
+        if b.get("wall_sec") and s.get("wall_sec"):
+            row["alpha_wall"] = round(
+                math.log(s["wall_sec"] / b["wall_sec"]) / ln_f, 3
+            )
+        if b.get("max_task_ms") and s.get("max_task_ms"):
+            row["alpha_max_task"] = round(
+                math.log(s["max_task_ms"] / b["max_task_ms"]) / ln_f, 3
+            )
+        report["families"][n] = row
+        print(f"# {n}: {json.dumps(row)}", file=sys.stderr)
+
+    if not args.keep_staged:
+        shutil.rmtree(args.out, ignore_errors=True)
+    print(json.dumps(report, indent=1))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
