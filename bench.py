@@ -179,6 +179,34 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r15_throughput_probes_isolated": (
+        "VERDICT r14 #1: the three r14 throughput flags closed by "
+        "reasoning are now closed by the standing protocol — r15 "
+        "isolated re-bench (tools/isolated_rebench.py --probes, fresh "
+        "session, nothing concurrent, best-of-2, same warm discipline "
+        "as bench.main, cal_drift 1.301 vs the r14 ref record): "
+        "wd_ingest_10x 6.786 s vs ref 7.704 (nominal 0.881, normalized "
+        "0.677; 147,358 e/s vs the 129,799 the r14 suite recorded), "
+        "wd_ingest_10x_bz2 12.956 s vs ref 22.564 (nominal 0.574, "
+        "normalized 0.441; 77,183 e/s, splits 16 > files 8 so the "
+        "intra-file split path is still exercised), "
+        "stream_incdedup_multibatch 9.207 s vs ref 9.565 (nominal "
+        "0.963, normalized 0.740; per-trigger 2.0-2.6 s across 4 "
+        "batches). All three FASTER than the r14 suite numbers even "
+        "nominally — the r14 flags were host weather/suite position, "
+        "measured, not argued. Ingest e/s gate intact with margin"
+    ),
+    "r15_smoke_residue_isolated": (
+        "VERDICT r14 #6: the two r14 smoke-tier residues through the "
+        "same isolated protocol (same run as the probe re-bench, "
+        "reps=2): dedup_exact 0.272 s vs ref 0.2 (normalized 1.045, "
+        "shuffle_write_ratio 1.0 over the same 3 stages) and "
+        "text_top_terms 0.757 s vs its epoch-9 smoke record 0.578 s at "
+        "cal 0.140 (normalized (0.757/0.578)/(0.1815/0.140) = 1.011, "
+        "shuffle_write_ratio 1.0 over the same 10 stages). Both at "
+        "record once host speed is factored; sub-second probe "
+        "variance, closed on-record"
+    ),
     "r14_suite_flags_batch": (
         "r14's suite ran on a 1.9x-slower host (calibration probe "
         "0.12-0.16 s vs the r13 record's 0.073 s; median normalized "

@@ -560,3 +560,55 @@ def test_emit_record_surfaces_spilled_queries(tmp_path, capsys):
     assert full2["spilled_queries"] == []
     assert "spilled" not in json.loads(line2)
     capsys.readouterr()
+
+
+def test_scaling_probe_remap_preserves_joins(spark, tmp_path):
+    """tools/scaling_probe.py stage_scaled: the x-factor replication
+    must preserve join semantics — every scaled lineitem row still
+    finds its order, every scaled order its customer, and row counts
+    grow by exactly the factor (dims copied verbatim)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    from scaling_probe import COPY_TABLES, REMAP, stage_scaled
+
+    base = "/root/testdata/sf0.001"
+    out = str(tmp_path / "scaled")
+    stage_scaled(spark, base, out, factor=3)
+
+    import pyspark.sql.functions as F
+
+    for t in list(REMAP) + list(COPY_TABLES):
+        n0 = spark.read.parquet(f"{base}/{t}.parquet").count()
+        n1 = spark.read.parquet(f"{out}/{t}.parquet").count()
+        want = n0 * 3 if t in REMAP else n0
+        assert n1 == want, f"{t}: {n1} != {want}"
+
+    li = spark.read.parquet(f"{out}/lineitem.parquet")
+    od = spark.read.parquet(f"{out}/orders.parquet")
+    cu = spark.read.parquet(f"{out}/customer.parquet")
+    # no orphaned lineitems (anti-join empty) and no orphaned orders
+    orphans_li = li.join(
+        od, li.l_orderkey == od.o_orderkey, "left_anti"
+    ).count()
+    orphans_od = od.join(
+        cu, od.o_custkey == cu.c_custkey, "left_anti"
+    ).count()
+    assert orphans_li == 0 and orphans_od == 0
+    # per-order line multiplicity is preserved exactly (replica r of an
+    # order gets exactly the original order's lines, not a mixture):
+    # the lines-per-order histogram scales by exactly the factor
+    def mult_hist(df, scale):
+        rows = (
+            df.groupBy("l_orderkey")
+            .agg(F.count("*").alias("lines"))
+            .groupBy("lines")
+            .agg(F.count("*").alias("orders"))
+            .collect()
+        )
+        return sorted((r["lines"], r["orders"] // scale) for r in rows)
+
+    assert mult_hist(
+        spark.read.parquet(f"{base}/lineitem.parquet"), 1
+    ) == mult_hist(li, 3)
