@@ -31,6 +31,13 @@ Variants (all deterministic — fixed id residues, so findings reproduce):
            giant window partitions, giant applyInPandas groups, hot
            groupBy/join keys, mass ts ties inside the hot user (any
            under-specified sort/tie-break surfaces here)
+  preepoch (r15) ~1/3 of events shift 60 years into the past — every
+           per-user stream MIXES pre- and post-epoch timestamps, so
+           negative epoch-micros flow through sessionize gaps, as-of
+           lookups, range bins, trailing-window bucketing (the r15
+           floor-div fix's regime), SCD2 intervals, and date_trunc.
+           Any truncate-toward-zero arithmetic or unsigned-time
+           assumption surfaces here. Documents untouched.
 
 Exit code = number of disagreeing queries (0 = full parity).
 Round-8 provenance: this sweep found 10+ real cross-engine bugs the
@@ -130,6 +137,7 @@ DOC_SQL = {
              CASE WHEN doc_id % 4 != 0 THEN 'hotsource' ELSE source END AS source,
              n_chars
       FROM read_parquet('{src}/documents.parquet')""",
+    "preepoch": "SELECT * FROM read_parquet('{src}/documents.parquet')",
 }
 
 EVENT_SQL = {
@@ -166,6 +174,17 @@ EVENT_SQL = {
                   ELSE ts END AS ts,
              CASE WHEN user_id % 5 != 0 THEN 777 ELSE user_id END AS user_id,
              event_type, value, props
+      FROM read_parquet('{src}/events.parquet')""",
+    # pre-epoch mixture (r15): a third of all events move 60 years
+    # into the past, so negative epoch-micros mix with positive ones
+    # inside every per-user ordering. Ids/users/values untouched —
+    # any divergence is time-arithmetic (truncate-vs-floor, unsigned
+    # assumptions), not a content effect.
+    "preepoch": """
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 1 THEN ts - INTERVAL 60 YEAR
+                  ELSE ts END AS ts,
+             user_id, event_type, value, props
       FROM read_parquet('{src}/events.parquet')""",
 }
 

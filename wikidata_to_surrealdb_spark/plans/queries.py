@@ -8214,16 +8214,30 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.operators import temporal
 
     t = register_views(spark, sf_dir)
+    steps = ["view", "click", "purchase"]
     reached = temporal.funnel(
         t["events"],
-        ["view", "click", "purchase"],
+        steps,
         "user_id",
         "ts",
         "event_type",
         within_seconds=86400,
     )
-    return reached.groupBy("step", "step_idx").agg(
-        F.count(F.lit(1)).alias("users")
+    counts = reached.groupBy("step", "step_idx").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # a funnel REPORT shows every step, reached or not: left-join the
+    # step list so a step no user converts to emits users=0 instead of
+    # vanishing (preepoch sweep r15: the oracle's UNION ALL always
+    # emits 3 rows; the groupBy-only form dropped the empty step)
+    all_steps = spark.createDataFrame(
+        [(s, i + 1) for i, s in enumerate(steps)],
+        "step string, step_idx int",
+    )
+    return all_steps.join(counts, ["step", "step_idx"], "left").select(
+        "step",
+        "step_idx",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("users"),
     )
 
 

@@ -752,14 +752,25 @@ def attribution_join_stream_df(
     events, NOT the whole history (an unbounded stream-stream join would
     otherwise accumulate state forever). The join itself shuffles on
     user_id like the batch twin; the state store is the only addition.
+
+    Pre-epoch inputs: Structured Streaming's watermark starts at 0
+    (the epoch), and a watermarked stateful operator DROPS input rows
+    whose event time is below the current watermark — so pre-1970
+    event times are late-by-definition in the first batch and silently
+    vanish (found by the r15 preepoch sweep). The join therefore runs
+    on an internally +:data:`_EPOCH_SHIFT_DAYS`-shifted clock (a fixed
+    duration, so every event-time DIFFERENCE the condition and the
+    watermark use is untouched) and unshifts on output — historical
+    backfills back to ~year 970 compute exactly like the batch join.
     """
+    shift = F.expr(f"INTERVAL {_EPOCH_SHIFT_DAYS} DAYS")
     purchases = (
         _event_stream_source(spark, events_path)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id"),
-            F.col("ts").alias("purchase_ts"),
+            (F.col("ts") + shift).alias("purchase_ts"),
             F.col("value").alias("purchase_value"),
         )
         .withWatermark("purchase_ts", watermark)
@@ -770,7 +781,7 @@ def attribution_join_stream_df(
         .select(
             F.col("event_id").alias("view_id"),
             F.col("user_id").alias("view_user_id"),
-            F.col("ts").alias("view_ts"),
+            (F.col("ts") + shift).alias("view_ts"),
         )
         .withWatermark("view_ts", watermark)
     )
@@ -784,8 +795,12 @@ def attribution_join_stream_df(
         ),
         "inner",
     ).select(
-        "purchase_id", "user_id", "purchase_ts", "purchase_value",
-        "view_id", "view_ts",
+        "purchase_id",
+        "user_id",
+        (F.col("purchase_ts") - shift).alias("purchase_ts"),
+        "purchase_value",
+        "view_id",
+        (F.col("view_ts") - shift).alias("view_ts"),
     )
 
 
@@ -933,6 +948,17 @@ def hll_distinct_streaming(spark: SparkSession, events_path: str) -> DataFrame:
 
 _OUTER_SENTINEL_USER = -987654321
 
+# Internal clock shift for the watermarked stream-stream joins: a FIXED
+# duration (~1000 Julian years in days — never a YEAR interval, whose
+# add/subtract round-trip clamps Feb 29), added before the watermark
+# and subtracted on output. Structured Streaming's watermark begins at
+# the epoch and stateful operators drop input rows older than the
+# current watermark, so unshifted pre-1970 event times are
+# late-by-definition in batch one (r15 preepoch sweep finding). The
+# shift is transparent to every event-time DIFFERENCE (join window,
+# watermark delay) and bounds supported input to ~[970 AD, 8999 AD].
+_EPOCH_SHIFT_DAYS = 365_243
+
 
 def attribution_join_outer_streaming(
     spark: SparkSession,
@@ -995,13 +1021,17 @@ def attribution_join_outer_streaming(
             for fname in files:
                 os.utime(os.path.join(root, fname), (base + i, base + i))
 
+    # same internal clock shift as the inner join (see
+    # _EPOCH_SHIFT_DAYS): without it, pre-epoch purchases are dropped
+    # as late in batch one and their outer NULL rows silently vanish
+    shift = F.expr(f"INTERVAL {_EPOCH_SHIFT_DAYS} DAYS")
     purchases = (
         _event_stream_source(spark, staging_dir, max_files_per_trigger=1)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id"),
-            F.col("ts").alias("purchase_ts"),
+            (F.col("ts") + shift).alias("purchase_ts"),
             F.col("value").alias("purchase_value"),
         )
         .withWatermark("purchase_ts", watermark)
@@ -1012,7 +1042,7 @@ def attribution_join_outer_streaming(
         .select(
             F.col("event_id").alias("view_id"),
             F.col("user_id").alias("view_user_id"),
-            F.col("ts").alias("view_ts"),
+            (F.col("ts") + shift).alias("view_ts"),
         )
         .withWatermark("view_ts", watermark)
     )
@@ -1026,8 +1056,12 @@ def attribution_join_outer_streaming(
         ),
         "left_outer",
     ).select(
-        "purchase_id", "user_id", "purchase_ts", "purchase_value",
-        "view_id", "view_ts",
+        "purchase_id",
+        "user_id",
+        (F.col("purchase_ts") - shift).alias("purchase_ts"),
+        "purchase_value",
+        "view_id",
+        (F.col("view_ts") - shift).alias("view_ts"),
     )
     table = f"stream_attr_outer_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark, state_partitions):
