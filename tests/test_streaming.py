@@ -1874,3 +1874,42 @@ def test_slice_documents_geometry_knob(spark, tmp_path):
             spark, docs_path, str(tmp_path / "bad"), slices=2,
             files_per_slice=0,
         )
+
+
+def test_slice_events_geometry_knob(spark, tmp_path):
+    """r15 symmetry with slice_documents_table: files_per_slice is a
+    real parameter on the events staging too — exact file counts per
+    slice, same mtime within a slice, increasing across slices,
+    adapter-routed so a file: URI works, infeasible geometry raises."""
+    from wikidata_to_surrealdb_spark.streaming import store_fs
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        slice_events_table,
+    )
+
+    events_path = f"{SF_DIR}/events.parquet"
+    out = slice_events_table(
+        spark, events_path, f"file:{tmp_path}/s2", slices=2,
+        files_per_slice=2,
+    )
+    fs = store_fs.for_path(spark, out)
+    assert isinstance(fs, store_fs.HadoopFS)
+    mtimes = []
+    for i in range(2):
+        d = os.path.join(out, f"slice={i}")
+        parts = [
+            p
+            for p in fs.list_files(d)
+            if p.endswith(".parquet")
+            and not os.path.basename(p).startswith((".", "_"))
+        ]
+        assert len(parts) == 2, f"slice {i}: {parts}"
+        local = [p.replace("file:", "") for p in parts]
+        mt = {os.path.getmtime(p) for p in local}
+        assert len(mt) == 1
+        mtimes.append(mt.pop())
+    assert mtimes[0] < mtimes[1]
+    with pytest.raises(ValueError, match="files_per_slice"):
+        slice_events_table(
+            spark, events_path, str(tmp_path / "bad"), slices=2,
+            files_per_slice=0,
+        )

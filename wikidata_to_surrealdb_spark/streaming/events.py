@@ -487,17 +487,36 @@ def trailing_window_streaming(
 
 
 def slice_events_table(
-    spark: SparkSession, events_path: str, out_dir: str, slices: int = 4
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    slices: int = 4,
+    files_per_slice: int = 1,
 ) -> str:
     """Materialize the events table as ``slices`` time-ordered parquet
-    files with increasing mtimes, so a file-source stream with
-    ``maxFilesPerTrigger=1`` replays them as separate micro-batches in
-    event-time order — the cross-batch state path, for benchmarks/tests."""
+    slices with increasing mtimes, so a file-source stream with
+    ``maxFilesPerTrigger=files_per_slice`` replays them as separate
+    micro-batches in event-time order — the cross-batch state path,
+    for benchmarks/tests.
+
+    Same staging contract as ``documents.slice_documents_table``
+    (r15 symmetry): ``files_per_slice`` is the geometry (each slice =
+    exactly that many same-mtime files; raise the reader's
+    ``maxFilesPerTrigger`` with it or batch membership breaks, and a
+    mismatched landing raises), and the mtime staging routes through
+    the ``store_fs`` adapter so a scheme-qualified ``out_dir`` works."""
     import os
     import time as _time
 
     from wikidata_to_surrealdb_spark.sources.tables import normalize_ts
+    from wikidata_to_surrealdb_spark.streaming import store_fs
 
+    if files_per_slice < 1:
+        raise ValueError(
+            f"slice_events_table: files_per_slice must be >= 1, "
+            f"got {files_per_slice}"
+        )
+    fs = store_fs.for_path(spark, out_dir)
     df = normalize_ts(spark.read.parquet(events_path))
     # slice on ts so batches are time-ordered (the stateful sessionizer's
     # arrival contract)
@@ -514,12 +533,23 @@ def slice_events_table(
             if i > 0
             else F.unix_micros("ts") < F.lit(hi)
         )
+        part = (
+            part.repartition(files_per_slice)
+            if files_per_slice > 1
+            else part.coalesce(1)
+        )
         slice_dir = os.path.join(out_dir, f"slice={i}")
-        part.coalesce(1).write.mode("overwrite").parquet(slice_dir)
+        part.write.mode("overwrite").parquet(slice_dir)
+        got = fs.count_parquet(slice_dir)
+        if got != files_per_slice:
+            raise ValueError(
+                f"slice_events_table: slice {i} wrote {got} parquet "
+                f"files, expected {files_per_slice} — too few rows for "
+                "the requested geometry; lower files_per_slice"
+            )
         t = base + i
-        for root, _, files in os.walk(slice_dir):
-            for fname in files:
-                os.utime(os.path.join(root, fname), (t, t))
+        for fpath in fs.list_files(slice_dir):
+            fs.set_mtime(fpath, t)
     return out_dir
 
 
