@@ -3312,7 +3312,10 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by row id, all in exact DECIMAL so the split is bit-identical. The "
     "per-key RANGE frame is the one operation skew can't salt (r13 "
     "hotkey: 80% one-key = 1.43x straggler); here the max task is "
-    "bounded by events-per-key-per-HOUR, not events-per-key",
+    "bounded by events-per-key-per-HOUR, not events-per-key. The "
+    "combine shuffles on event_id (id_col — an 8-byte key instead of "
+    "the all-columns struct; measured 14% faster at sf0.1, identical "
+    "output, and the r15 uniqueness guard raises on a duplicate id)",
 )
 def events_trailing_window_bounded(
     spark: SparkSession, sf_dir: str
@@ -3329,7 +3332,12 @@ def events_trailing_window_bounded(
         finite(F.col("value")).alias("value"),
     )
     out = bounded_trailing_agg(
-        base, "user_id", "ts_us", "value", horizon=3_600_000_000
+        base,
+        "user_id",
+        "ts_us",
+        "value",
+        horizon=3_600_000_000,
+        id_col="event_id",
     )
     return out.select(
         "event_id",
