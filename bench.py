@@ -179,6 +179,18 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r15_stream_trailing_window_preregistration": (
+        "r15 DELIBERATE change: stream_trailing_window now replays 3 "
+        "TIME-ORDERED slices one per micro-batch (slice_events_table) "
+        "instead of streaming events.parquet in a single availableNow "
+        "batch — the eviction logic's arrival contract is guaranteed "
+        "by construction and the entry exercises the real cross-batch "
+        "state path (ADVICE r14). Expect a step change vs pre-r15 "
+        "records for this entry: +2 micro-batches of per-trigger floor "
+        "plus a one-time staging write (cached per session+scale, so "
+        "only the first rep pays it). Compare post-r15 epochs to each "
+        "other, not to the single-batch era"
+    ),
     "r15_throughput_probes_isolated": (
         "VERDICT r14 #1: the three r14 throughput flags closed by "
         "reasoning are now closed by the standing protocol — r15 "

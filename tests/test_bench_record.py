@@ -599,7 +599,7 @@ def test_scaling_probe_remap_preserves_joins(spark, tmp_path):
     # per-order line multiplicity is preserved exactly (replica r of an
     # order gets exactly the original order's lines, not a mixture):
     # the lines-per-order histogram scales by exactly the factor
-    def mult_hist(df, scale):
+    def mult_hist(df):
         rows = (
             df.groupBy("l_orderkey")
             .agg(F.count("*").alias("lines"))
@@ -607,8 +607,9 @@ def test_scaling_probe_remap_preserves_joins(spark, tmp_path):
             .agg(F.count("*").alias("orders"))
             .collect()
         )
-        return sorted((r["lines"], r["orders"] // scale) for r in rows)
+        return sorted((r["lines"], r["orders"]) for r in rows)
 
-    assert mult_hist(
-        spark.read.parquet(f"{base}/lineitem.parquet"), 1
-    ) == mult_hist(li, 3)
+    # exact equality after scaling by the factor — no floor division,
+    # which would mask an off-by-up-to-(factor-1) corruption
+    base_hist = mult_hist(spark.read.parquet(f"{base}/lineitem.parquet"))
+    assert [(ln, n * 3) for ln, n in base_hist] == mult_hist(li)

@@ -173,8 +173,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--queries",
-        default="layout_zorder_scan,mm_ahash_neardup",
-        help="comma-separated catalog names",
+        default=None,
+        help="comma-separated catalog names (default: the layout pair "
+        "unless --probes is given — an EXPLICIT value is always run)",
     )
     ap.add_argument(
         "--probes",
@@ -198,13 +199,18 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
-    names = [n.strip() for n in args.queries.split(",") if n.strip()]
     probe_names = [n.strip() for n in args.probes.split(",") if n.strip()]
-    if probe_names:
+    if args.queries is None:
         # probes are opt-in heavy: with --probes given and --queries
-        # left at its default, skip the default query pair
-        if args.queries == ap.get_default("queries"):
-            names = []
+        # OMITTED, skip the default query pair. An explicitly typed
+        # --queries value is always honored (None-default so argparse
+        # can tell explicit from omitted — a user asking for both gets
+        # both).
+        queries_csv = "" if probe_names else "layout_zorder_scan,mm_ahash_neardup"
+    else:
+        queries_csv = args.queries
+    names = [n.strip() for n in queries_csv.split(",") if n.strip()]
+    if probe_names:
         bad = [
             n
             for n in probe_names

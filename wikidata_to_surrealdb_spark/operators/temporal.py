@@ -539,7 +539,12 @@ def bounded_trailing_agg(
                         F.lit(
                             "bounded_trailing_agg: duplicate row id — "
                         ),
-                        F.col(c_g).cast("string"),
+                        # concat returns NULL if any piece is NULL,
+                        # which would erase the whole diagnostic for
+                        # duplicate NULL ids — spell those out
+                        F.coalesce(
+                            F.col(c_g).cast("string"), F.lit("NULL")
+                        ),
                         F.lit(
                             " appears more than once; pass a unique "
                             "id_col or deduplicate the input "

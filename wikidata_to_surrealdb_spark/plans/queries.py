@@ -665,6 +665,11 @@ def b14_fts_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cold path; these measure the served path.
 _FTS_INDEX_CACHE: dict[str, str] = {}
 
+# (appId, abs sf_dir) -> staged slice dir for stream_trailing_window:
+# the time-ordered replay staging is written once per session+scale so
+# repeated bench/smoke reps time the streaming job, not the staging
+_TRAIL_SLICES_CACHE: dict[tuple[str, str], str] = {}
+
 
 def fts_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Path of the persisted FTS index for ``sf_dir``'s documents,
@@ -3389,18 +3394,24 @@ def stream_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_views(spark, sf_dir)
-    # fixed per-session dir (reused with overwrite), like the other
-    # staged-stream probes: a fresh mkdtemp per invocation would leak
-    # a sliced copy of events on every driver/bench run
+    # fixed per-session dir (reused), like the other staged-stream
+    # probes: a fresh mkdtemp per invocation would leak a sliced copy
+    # of events on every driver/bench run. Staged ONCE per (app,
+    # sf_dir) — repeated bench/smoke invocations must time the
+    # streaming job, not re-pay the staging write every rep
+    sf_tag = os.path.basename(os.path.abspath(sf_dir))
     sliced = os.path.join(
         tempfile.gettempdir(),
-        f"stream_trail_slices_{spark.sparkContext.applicationId}",
+        f"stream_trail_slices_{spark.sparkContext.applicationId}_{sf_tag}",
     )
-    slice_events_table(
-        spark, f"{sf_dir}/events.parquet", sliced, slices=3
-    )
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _TRAIL_SLICES_CACHE:
+        slice_events_table(
+            spark, f"{sf_dir}/events.parquet", sliced, slices=3
+        )
+        _TRAIL_SLICES_CACHE[key] = sliced
     return trailing_window_streaming(
-        spark, sliced, max_files_per_trigger=1
+        spark, _TRAIL_SLICES_CACHE[key], max_files_per_trigger=1
     )
 
 

@@ -109,23 +109,14 @@ def slice_documents_table(
     base = _time.time()
     for i in range(slices):
         part = df.where(F.col("doc_id") % slices == i)
-        part = (
-            part.repartition(files_per_slice)
-            if files_per_slice > 1
-            else part.coalesce(1)
+        store_fs.write_staged_slice(
+            fs,
+            part,
+            os.path.join(out_dir, f"slice={i}"),
+            files_per_slice,
+            base + i,
+            "slice_documents_table",
         )
-        slice_dir = os.path.join(out_dir, f"slice={i}")
-        part.write.mode("overwrite").parquet(slice_dir)
-        got = fs.count_parquet(slice_dir)
-        if got != files_per_slice:
-            raise ValueError(
-                f"slice_documents_table: slice {i} wrote {got} parquet "
-                f"files, expected {files_per_slice} — too few rows for "
-                "the requested geometry; lower files_per_slice"
-            )
-        t = base + i
-        for fpath in fs.list_files(slice_dir):
-            fs.set_mtime(fpath, t)
     return out_dir
 
 

@@ -533,23 +533,14 @@ def slice_events_table(
             if i > 0
             else F.unix_micros("ts") < F.lit(hi)
         )
-        part = (
-            part.repartition(files_per_slice)
-            if files_per_slice > 1
-            else part.coalesce(1)
+        store_fs.write_staged_slice(
+            fs,
+            part,
+            os.path.join(out_dir, f"slice={i}"),
+            files_per_slice,
+            base + i,
+            "slice_events_table",
         )
-        slice_dir = os.path.join(out_dir, f"slice={i}")
-        part.write.mode("overwrite").parquet(slice_dir)
-        got = fs.count_parquet(slice_dir)
-        if got != files_per_slice:
-            raise ValueError(
-                f"slice_events_table: slice {i} wrote {got} parquet "
-                f"files, expected {files_per_slice} — too few rows for "
-                "the requested geometry; lower files_per_slice"
-            )
-        t = base + i
-        for fpath in fs.list_files(slice_dir):
-            fs.set_mtime(fpath, t)
     return out_dir
 
 

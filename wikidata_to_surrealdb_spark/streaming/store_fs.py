@@ -114,6 +114,30 @@ class LocalFS:
         os.utime(path, (t, t))
 
 
+def _fc_unavailable(e: Exception) -> bool:
+    """True iff ``e`` means the FileContext overwrite-rename path does
+    not EXIST for this scheme/Hadoop — an ``AbstractFileSystem``
+    binding is missing (UnsupportedFileSystemException; s3a has none)
+    or the classes themselves are absent. Only these may fall back to
+    delete-then-rename; anything else (transient RPC/IO failure on a
+    store that has the binding) must propagate."""
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        try:
+            name = str(je.getClass().getName())
+        except Exception:
+            return False
+        return (
+            "UnsupportedFileSystemException" in name
+            or "ClassNotFoundException" in name
+            or "NoClassDefFoundError" in name
+        )
+    # py4j class-resolution failures (missing class resolves to a
+    # JavaPackage; array construction / member access then fails)
+    # surface without a java_exception
+    return isinstance(e, TypeError) or type(e).__name__ == "Py4JError"
+
+
 class HadoopFS:
     """Hadoop ``FileSystem`` bookkeeping for scheme-qualified paths.
 
@@ -216,11 +240,16 @@ class HadoopFS:
             )
             fc.rename(self._p(tmp), self._p(path), opts)
             return
-        except Exception:
-            # no AbstractFileSystem binding for this scheme (object
-            # stores) or an old Hadoop: fall back to the two-step
-            # replace with the documented missing-file crash window
-            pass
+        except Exception as e:
+            # fall back ONLY when the atomic path doesn't exist for
+            # this scheme/Hadoop (no AbstractFileSystem binding, e.g.
+            # s3a, or the classes are absent). A transient I/O failure
+            # on a store that HAS the binding must surface, not
+            # silently downgrade to the non-atomic two-step replace —
+            # that would reopen the exact missing-file crash window
+            # the FileContext path closes.
+            if not _fc_unavailable(e):
+                raise
         if self._fs.exists(self._p(path)):
             self._fs.delete(self._p(path), False)
         if not self._fs.rename(self._p(tmp), self._p(path)):
@@ -248,3 +277,30 @@ def for_path(spark: SparkSession, path: str):
     if _SCHEME.match(path):
         return HadoopFS(spark, path)
     return LocalFS()
+
+
+def write_staged_slice(
+    fs, part, slice_dir: str, files_per_slice: int, mtime: float,
+    op_name: str,
+) -> None:
+    """Write one replay-staging slice as EXACTLY ``files_per_slice``
+    parquet files, all stamped ``mtime`` — the shared half of the
+    ``slice_events_table`` / ``slice_documents_table`` contract (one
+    mtime per micro-batch, file count matching the reader's
+    ``maxFilesPerTrigger``). Raises if the landed file count differs
+    (too few rows for the requested geometry)."""
+    part = (
+        part.repartition(files_per_slice)
+        if files_per_slice > 1
+        else part.coalesce(1)
+    )
+    part.write.mode("overwrite").parquet(slice_dir)
+    got = fs.count_parquet(slice_dir)
+    if got != files_per_slice:
+        raise ValueError(
+            f"{op_name}: slice at {slice_dir} wrote {got} parquet "
+            f"files, expected {files_per_slice} — too few rows for "
+            "the requested geometry; lower files_per_slice"
+        )
+    for fpath in fs.list_files(slice_dir):
+        fs.set_mtime(fpath, mtime)
