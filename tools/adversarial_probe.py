@@ -195,6 +195,20 @@ KNOWN_SCOPE = {
 }
 
 
+# the preepoch axis also rewrites ORDERS (cohort/SCD2/CDC period
+# arithmetic runs on o_orderdate): same residue, same 60-year shift.
+# Other variants copy orders verbatim.
+ORDER_SQL = {
+    "preepoch": """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 1
+                  THEN o_orderdate - INTERVAL 60 YEAR
+                  ELSE o_orderdate END AS o_orderdate,
+             o_orderpriority
+      FROM read_parquet('{src}/orders.parquet')""",
+}
+
+
 def build_variant(src: str, dst: str, variant: str) -> None:
     import duckdb
 
@@ -207,9 +221,16 @@ def build_variant(src: str, dst: str, variant: str) -> None:
         f"COPY ({EVENT_SQL[variant].format(src=src)}) "
         f"TO '{dst}/events.parquet' (FORMAT PARQUET)"
     )
+    rewritten = {"documents", "events"}
+    if variant in ORDER_SQL:
+        con.sql(
+            f"COPY ({ORDER_SQL[variant].format(src=src)}) "
+            f"TO '{dst}/orders.parquet' (FORMAT PARQUET)"
+        )
+        rewritten.add("orders")
     con.close()
     for t in TABLES:
-        if t not in ("documents", "events"):
+        if t not in rewritten:
             shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
 
