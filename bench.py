@@ -179,6 +179,31 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r15_events_funnel_preregistration": (
+        "r15 DELIBERATE change: events_funnel zero-fills the step list "
+        "(a 3-row broadcast join) so a step with no conversions emits "
+        "users=0 instead of vanishing — the preepoch sweep's "
+        "correctness fix. Cost is FIXED overhead (broadcast build + "
+        "one extra stage), visible at sub-second bench scale "
+        "(0.28->0.64 s at sf0.1, isolated best-of-3), constant at "
+        "100 TB (the step list never grows). Compare post-r15 epochs "
+        "to each other for this entry"
+    ),
+    "r15_afternoon_rerun_discarded": (
+        "r15 ran bench.py twice: the morning run (committed as the "
+        "round reference) on a fresh host (cal 0.10-0.11) and an "
+        "afternoon re-run after ~3 h of sustained suite/sweep load "
+        "that flagged 13 unrelated queries at normalized 1.35-4.36 "
+        "with shuffle_changed EMPTY and zero plan changes in their "
+        "paths — the documented burstable-credit-drain signature. "
+        "Isolated re-bench (fresh session, best-of-3, cal_drift "
+        "1.319): dedup_semantic 0.824, wd_stream_upsert 0.919, "
+        "scd2_merge 1.224, cdc_snapshot_diff 1.375 (0.388 s vs its "
+        "0.214-0.261 s two-round historical band — sub-second probe "
+        "variance, swr 1.0), events_funnel 1.762 = the pre-registered "
+        "deliberate zero-fill change above. The afternoon record was "
+        "NOT committed; the morning record stands as the reference"
+    ),
     "r15_stream_trailing_window_preregistration": (
         "r15 DELIBERATE change: stream_trailing_window now replays 3 "
         "TIME-ORDERED slices one per micro-batch (slice_events_table) "
