@@ -47,6 +47,7 @@ TABLES = (
 # windows, watermark eviction, date_trunc rollups
 NAMES = [
     "events_funnel",
+    "stream_funnel",
     "stream_join_attribution",
     "stream_join_attribution_outer",
     "events_sessionize",

@@ -1913,3 +1913,109 @@ def test_slice_events_geometry_knob(spark, tmp_path):
             spark, events_path, str(tmp_path / "bad"), slices=2,
             files_per_slice=0,
         )
+
+
+def test_funnel_stateful_multibatch_equals_batch(spark, tmp_path):
+    """Stateful streaming funnel (r15): the union of reached rows
+    emitted across 3 time-ordered micro-batches equals the batch
+    array-fold funnel exactly, including reach timestamps — and a
+    cross-batch reach (step i-1 in one batch, step i in a later one)
+    resumes from state."""
+    from wikidata_to_surrealdb_spark.operators import temporal
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        funnel_stateful_multibatch,
+        slice_events_table,
+    )
+
+    steps = ["view", "click", "purchase"]
+    sliced = slice_events_table(
+        spark, f"{SF_DIR}/events.parquet", str(tmp_path / "fslices"),
+        slices=3,
+    )
+    got = {
+        (r.user_id, r.step_idx, r.reached_us)
+        for r in funnel_stateful_multibatch(
+            spark, sliced, steps, within_seconds=86400
+        ).collect()
+    }
+    from wikidata_to_surrealdb_spark.sources.tables import normalize_ts
+
+    events = normalize_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    want = {
+        (r["user_id"], r["step_idx"], r["us"])
+        for r in temporal.funnel(
+            events, steps, "user_id", "ts", "event_type",
+            within_seconds=86400,
+        )
+        .select("user_id", "step_idx", F.unix_micros("reached_ts").alias("us"))
+        .collect()
+    }
+    assert got == want and got
+    # (cross-batch resume is pinned DETERMINISTICALLY by the synthetic
+    # test below — at sf0.001 the 24h horizon rarely straddles a
+    # time-third slice boundary, so a data-dependent spans assertion
+    # here would be flaky)
+
+
+def test_funnel_stateful_tiebreak_and_horizon(spark, tmp_path):
+    """Constructed edges: same-ts click does NOT satisfy 'strictly
+    after' the view that reaches step 0; the within horizon excludes a
+    click exactly one micro past view+24h; and cross-batch state
+    resumes (view in batch 0, click in batch 1)."""
+    import glob
+    import shutil
+
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        funnel_stateful_multibatch,
+    )
+
+    H = 86400 * 1_000_000
+    t0 = 1_700_000_000_000_000
+    rows_b0 = [
+        # user 1: view and click at the SAME ts -> click must not count
+        (1, 1, t0, "view"), (2, 1, t0, "click"),
+        # user 2: view only (click arrives in batch 1)
+        (3, 2, t0, "view"),
+        # user 3: view; click at exactly view+H (closed edge: counts)
+        (4, 3, t0, "view"),
+    ]
+    rows_b1 = [
+        (5, 2, t0 + 5, "click"),          # resumes user 2 from state
+        (6, 3, t0 + H, "click"),           # exactly at horizon: counts
+        (7, 3, t0 + H + 1, "purchase"),    # one past horizon: excluded
+        (8, 1, t0 + 10, "click"),          # later click reaches user 1
+    ]
+
+    def stage(rows, name, off):
+        df = spark.createDataFrame(
+            [(eid, u, us, tp, 0.0, "{}") for eid, u, us, tp in rows],
+            "event_id long, user_id long, us long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        p = tmp_path / f"_f_{name}"
+        df.coalesce(1).write.parquet(str(p))
+        f = glob.glob(str(p / "*.parquet"))[0]
+        dst = tmp_path / "fsyn" / f"{name}.parquet"
+        dst.parent.mkdir(exist_ok=True)
+        shutil.copyfile(f, str(dst))
+        t = time.time() + off
+        os.utime(dst, (t, t))
+
+    stage(rows_b0, "00", 0)
+    stage(rows_b1, "01", 1)
+    got = {
+        (r.user_id, r.step_idx, r.reached_us)
+        for r in funnel_stateful_multibatch(
+            spark, str(tmp_path / "fsyn"), ["view", "click", "purchase"],
+            within_seconds=86400,
+        ).collect()
+    }
+    assert got == {
+        (1, 1, t0), (1, 2, t0 + 10),
+        (2, 1, t0), (2, 2, t0 + 5),
+        (3, 1, t0), (3, 2, t0 + H),
+    }

@@ -665,10 +665,38 @@ def b14_fts_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cold path; these measure the served path.
 _FTS_INDEX_CACHE: dict[str, str] = {}
 
-# (appId, abs sf_dir) -> staged slice dir for stream_trailing_window:
-# the time-ordered replay staging is written once per session+scale so
-# repeated bench/smoke reps time the streaming job, not the staging
+# (appId, abs sf_dir) -> staged slice dir shared by the sliced-replay
+# streaming entries (stream_trailing_window, stream_funnel): the
+# time-ordered staging is written once per session+scale so repeated
+# bench/smoke reps time the streaming job, not the staging
 _TRAIL_SLICES_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _staged_event_slices(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per session+scale) and return the 3-slice
+    time-ordered replay dir for the events table — the arrival
+    contract the stateful streaming twins require, guaranteed by
+    construction. Fixed per-session dir (a fresh mkdtemp per
+    invocation would leak a sliced copy on every driver/bench run)."""
+    import os
+    import tempfile
+
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        slice_events_table,
+    )
+
+    sf_tag = os.path.basename(os.path.abspath(sf_dir))
+    sliced = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_trail_slices_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _TRAIL_SLICES_CACHE:
+        slice_events_table(
+            spark, f"{sf_dir}/events.parquet", sliced, slices=3
+        )
+        _TRAIL_SLICES_CACHE[key] = sliced
+    return _TRAIL_SLICES_CACHE[key]
 
 
 def fts_index_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -3385,33 +3413,13 @@ def events_trailing_window_bounded(
     "exercises the real cross-batch state path",
 )
 def stream_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from wikidata_to_surrealdb_spark.streaming.events import (
-        slice_events_table,
         trailing_window_streaming,
     )
 
     register_views(spark, sf_dir)
-    # fixed per-session dir (reused), like the other staged-stream
-    # probes: a fresh mkdtemp per invocation would leak a sliced copy
-    # of events on every driver/bench run. Staged ONCE per (app,
-    # sf_dir) — repeated bench/smoke invocations must time the
-    # streaming job, not re-pay the staging write every rep
-    sf_tag = os.path.basename(os.path.abspath(sf_dir))
-    sliced = os.path.join(
-        tempfile.gettempdir(),
-        f"stream_trail_slices_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if key not in _TRAIL_SLICES_CACHE:
-        slice_events_table(
-            spark, f"{sf_dir}/events.parquet", sliced, slices=3
-        )
-        _TRAIL_SLICES_CACHE[key] = sliced
     return trailing_window_streaming(
-        spark, _TRAIL_SLICES_CACHE[key], max_files_per_trigger=1
+        spark, _staged_event_slices(spark, sf_dir), max_files_per_trigger=1
     )
 
 
@@ -8191,9 +8199,10 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ordered funnel analysis (operators/temporal.py:funnel)
 # ---------------------------------------------------------------------------
 
-@_q(
-    "events_funnel",
-    """
+# shared by events_funnel and its streaming twin stream_funnel: the
+# min-chaining join formulation, deliberately a DIFFERENT algorithm
+# from both Spark implementations so the three cross-check each other
+_FUNNEL_ORACLE = """
     WITH t1 AS (
       SELECT user_id, min(ts) AS t FROM events
       WHERE event_type = 'view' GROUP BY user_id
@@ -8220,7 +8229,12 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'click', CAST(2 AS INTEGER), CAST(count(*) AS BIGINT) FROM t2
     UNION ALL
     SELECT 'purchase', CAST(3 AS INTEGER), CAST(count(*) AS BIGINT) FROM t3
-    """,
+    """
+
+
+@_q(
+    "events_funnel",
+    _FUNNEL_ORACLE,
     "first-touch ordered funnel view -> click -> purchase with a 24h "
     "conversion horizon: ONE user-keyed shuffle + an array-local "
     "aggregate() fold threading reach times through each user's "
@@ -8254,6 +8268,47 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step string, step_idx int",
     )
     return all_steps.join(counts, ["step", "step_idx"], "left").select(
+        "step",
+        "step_idx",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("users"),
+    )
+
+
+@_q(
+    "stream_funnel",
+    _FUNNEL_ORACLE,
+    "stateful STREAMING first-touch funnel (r15 — the state-store twin "
+    "of events_funnel, completing the funnel family across both "
+    "regimes like the trailing-window family): applyInPandasWithState "
+    "keyed by user threads the reach-time PREFIX (at most len(steps) "
+    "int64s per user, forever) across 3 time-ordered micro-batches; a "
+    "step's first-touch reach is FINAL under time-ordered arrival, so "
+    "append mode emits each reached step exactly once, in the batch "
+    "that reaches it. Same-ts peers tie-break by (us, type) — byte-"
+    "identical to the batch fold's struct sort. The report aggregates "
+    "the emitted rows with the same zero-filled step list, so the "
+    "min-chaining join oracle applies verbatim — three independent "
+    "algorithms (array fold, stateful stream, k-way join) must agree",
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        funnel_stateful_multibatch,
+    )
+
+    register_views(spark, sf_dir)
+    steps = ["view", "click", "purchase"]
+    reached = funnel_stateful_multibatch(
+        spark,
+        _staged_event_slices(spark, sf_dir),
+        steps,
+        within_seconds=86400,
+    )
+    counts = reached.groupBy("step_idx").agg(F.count(F.lit(1)).alias("n"))
+    all_steps = spark.createDataFrame(
+        [(s, i + 1) for i, s in enumerate(steps)],
+        "step string, step_idx int",
+    )
+    return all_steps.join(counts, ["step_idx"], "left").select(
         "step",
         "step_idx",
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("users"),

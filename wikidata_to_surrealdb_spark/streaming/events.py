@@ -1097,3 +1097,141 @@ def attribution_join_outer_streaming(
     return spark.table(table).where(
         F.col("user_id") != _OUTER_SENTINEL_USER
     )
+
+
+_FUNNEL_UDF_SCHEMA = "user_id bigint, step_idx int, reached_us bigint"
+# the reached set is always a PREFIX of the step list (step i requires
+# step i-1), so state is just the reach times of that prefix — no
+# sentinel values needed (a sentinel would collide with legitimate
+# pre-epoch micros)
+_FUNNEL_STATE_SCHEMA = "reached array<bigint>"
+
+
+def apply_funnel_stateful(
+    events: DataFrame,
+    steps: list[str],
+    within_us: int | None = None,
+) -> DataFrame:
+    """Stateful STREAMING first-touch funnel — the state-store twin of
+    :func:`~wikidata_to_surrealdb_spark.operators.temporal.funnel`,
+    completing the funnel family across both regimes the way the
+    trailing-window family spans batch/decomposed/streaming.
+
+    Per user, state is the reach-time prefix (step i is reached at the
+    earliest event of type ``steps[i]`` STRICTLY after step i-1's
+    reach time; ``within_us`` additionally bounds every later step to
+    the horizon after step 0). A newly reached step emits
+    ``(user_id, step_idx, reached_us)`` in the batch that reaches it —
+    and under time-ordered arrival a first-touch reach time is FINAL
+    (later batches only carry later events), so append mode needs no
+    retraction. State is at most ``len(steps)`` int64s per user,
+    forever — smaller than the sessionizer's.
+
+    Arrival contract (same as the stateful sessionizer): micro-batches
+    are time-ordered (:func:`slice_events_table`); within a batch,
+    events are sorted by ``(us, event_type)`` — byte-identical to the
+    batch operator's ``sort_array`` of ``(tp_ts, tp)`` structs, so
+    same-timestamp peers tie-break identically cross-engine.
+
+    Input columns: ``(user_id, us, tp)``, pre-filtered to step types
+    (keep the filter JVM-side so the scan prunes).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    step_index = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def fold(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        reached = list(state.get[0]) if state.exists else []
+
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        if not frames:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "step_idx": pd.Series([], dtype="int32"),
+                    "reached_us": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        batch = pd.concat(frames, ignore_index=True)
+        us = batch["us"].to_numpy(dtype=np.int64)
+        tp = batch["tp"].to_numpy()
+        # (us, tp-string) ascending == the batch fold's struct sort
+        order = np.lexsort((tp, us))
+
+        new_rows = []
+        for j in order:
+            i = step_index.get(tp[j])
+            if i is None or i != len(reached) or i >= n_steps:
+                continue
+            t = int(us[j])
+            if i > 0 and t <= reached[i - 1]:
+                continue
+            if i > 0 and within_us is not None and t > reached[0] + within_us:
+                continue
+            reached.append(t)
+            new_rows.append((int(user_id), i + 1, t))
+            if len(reached) == n_steps:
+                break
+        state.update(([int(t) for t in reached],))
+        yield pd.DataFrame(
+            new_rows, columns=["user_id", "step_idx", "reached_us"]
+        ).astype(
+            {"user_id": "int64", "step_idx": "int32", "reached_us": "int64"}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_FUNNEL_UDF_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_stateful_multibatch(
+    spark: SparkSession,
+    sliced_dir: str,
+    steps: list[str],
+    within_seconds: int | None = None,
+    state_partitions: int | None = 8,
+    progress: list | None = None,
+) -> DataFrame:
+    """Run the stateful funnel over a pre-sliced events dir
+    (:func:`slice_events_table`), one slice per micro-batch, to
+    completion (availableNow, memory sink) — reach state threads
+    across real batches, and with time-ordered arrival the union of
+    emitted rows equals the batch funnel's reached set exactly."""
+    schema = spark.read.parquet(sliced_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sliced_dir)
+    )
+    ev = (
+        stream.where(F.col("event_type").isin(list(steps)))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.col("event_type").alias("tp"),
+        )
+    )
+    within_us = None if within_seconds is None else within_seconds * 1_000_000
+    table = f"stream_funnel_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark, state_partitions):
+        q = (
+            apply_funnel_stateful(ev, steps, within_us=within_us)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _drain_progress(q, progress)
+    return spark.table(table)
