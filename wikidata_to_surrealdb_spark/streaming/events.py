@@ -1,16 +1,34 @@
 """Structured Streaming over the events table.
 
 The reference has no streaming surface (SURVEY §2A note) — this is part
-of the driver-mandated extension set. Batch twins of these ops live in
-plans/queries.py (events_window / events_sessionize) so every streaming
-result is oracle-checkable against the same SQL.
+of the driver-mandated extension set. Every operator here has a batch
+twin in plans/queries.py so every streaming result is oracle-checkable
+against the same SQL.
 
-Design for scale: file-source streaming with `maxFilesPerTrigger` gives
-bounded micro-batches; watermarks bound state; the windowed aggregation
-state is per (window, event_type) — tiny. Sessionization's stateful twin
-would use applyInPandasWithState keyed by user_id; here the batch form is
-canonical and the streaming window agg demonstrates the
-readStream -> watermark -> agg -> sink wiring.
+The operator classes, and what bounds their state:
+
+- windowed aggregation / streaming dedup / HLL — watermark-bounded (or
+  sketch-bounded) agg state; drained in COMPLETE mode, which applies
+  no late-row filter, so they are pre-epoch-safe as-is.
+- stream-stream attribution joins (inner + LEFT OUTER with the
+  sentinel end-of-stream flush) — watermark + bounded event-time range
+  give the eviction bound; they run on an internally
+  +``_EPOCH_SHIFT_DAYS``-shifted clock because append-mode stateful
+  operators DROP rows below the watermark, which starts at the epoch
+  (pre-1970 events would be late-by-definition in batch one).
+- applyInPandasWithState operators keyed by user — sessionization
+  (state = the open session's running aggregates), the trailing window
+  (state = the horizon buffer, with an int64-overflow guard), and the
+  first-touch funnel (state = the reach-time prefix, at most
+  len(steps) int64s). No watermark: each manages its own eviction, and
+  all assume time-ordered micro-batch arrival (the
+  :func:`slice_events_table` staging contract; equal timestamps never
+  split across slices, so tie regimes stay batch-identical).
+
+Design for scale: file-source streaming with ``maxFilesPerTrigger``
+gives bounded micro-batches; the only data-sized shuffle anywhere is
+the hash exchange on the group key; Arrow batches bound executor
+memory in the Python-state operators.
 """
 
 from __future__ import annotations
