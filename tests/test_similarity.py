@@ -865,3 +865,34 @@ def test_retrained_artifacts_are_side_by_side_and_distinct():
     # overwrite in either direction)
     assert IVF_SF01 != IVF_CENTROIDS
     assert PQ_SF01 != PQ_CODEBOOKS
+
+
+def test_knn_join_auto_band_bits(spark, sf_dir):
+    """band_bits='auto' sizes buckets from the corpus count: the rule
+    reproduces both measured operating points (bits=4 at ~2k vectors,
+    bits=8 at ~20k — the r15 scaling probe's fix), and auto results
+    equal the fixed-bits results at the same resolved width."""
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        auto_band_bits,
+        knn_join,
+    )
+
+    assert auto_band_bits(2_000) == 4
+    assert auto_band_bits(20_000) == 8
+    assert auto_band_bits(0) == 4          # degenerate: floor
+    assert auto_band_bits(128 * (1 << 20)) == 20
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    fixed = knn_join(emb, k=3, bands=2, band_bits=auto_band_bits(n))
+    auto = knn_join(emb, k=3, bands=2, band_bits="auto")
+    # collected-set compare (exceptAll over these two window plans trips
+    # a Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND resolution bug)
+    assert {tuple(r) for r in fixed.collect()} == {
+        tuple(r) for r in auto.collect()
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="band_bits"):
+        knn_join(emb, band_bits="wide")

@@ -1397,13 +1397,30 @@ def ann_recall_panel(
     )
 
 
+def auto_band_bits(
+    n_vectors: int, target_occupancy: int = 128, floor_bits: int = 4
+) -> int:
+    """Bucket-width rule for sign-LSH at scale: ``band_bits`` such
+    that expected bucket occupancy ``n / 2^bits`` is at most
+    ``target_occupancy`` (bucket self-join candidates grow with
+    occupancy SQUARED, so fixed bits at growing volume is quadratic —
+    the r15 sf1 scaling probe measured exactly that: a_max_task 1.55
+    at bits=4/x10, sub-linear 0.22 wall after re-sizing to bits=8,
+    which is precisely what this rule returns at that n)."""
+    import math
+
+    if n_vectors <= 0:
+        return floor_bits
+    return max(floor_bits, math.ceil(math.log2(max(1, n_vectors) / target_occupancy)))
+
+
 def knn_join(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     bands: int = 4,
-    band_bits: int = 4,
+    band_bits: int | str = 4,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
@@ -1431,7 +1448,10 @@ def knn_join(
     multi-band duplicates, and the exchange-bytes win is what matters
     on a real network. Per-node ranking partitions by the node id —
     bounded by per-bucket occupancy, which band_bits controls (raise it
-    as the corpus grows). SHUFFLE_HASH hints for the fat-vector rows,
+    as the corpus grows — or pass ``band_bits="auto"`` to size it from
+    a corpus count via :func:`auto_band_bits`, one cheap count() at
+    plan-build time; the fixed-bits default stays for oracle-pinned
+    reproducibility). SHUFFLE_HASH hints for the fat-vector rows,
     same rationale as ann_bucketed_pairs.
     """
     from pyspark.sql import Window
@@ -1439,6 +1459,13 @@ def knn_join(
     from wikidata_to_surrealdb_spark.functions import respread
 
     from wikidata_to_surrealdb_spark.functions import fround
+
+    if band_bits == "auto":
+        band_bits = auto_band_bits(embeddings.count())
+    elif not isinstance(band_bits, int):
+        raise ValueError(
+            f"knn_join: band_bits must be an int or 'auto', got {band_bits!r}"
+        )
 
     tagged = F.expr(
         f"transform({_band_keys_sql(vec_col, bands, band_bits, dim, seed)},"
