@@ -407,6 +407,18 @@ def test_knn_join_respects_k_and_dedups_bands(spark):
     assert len(pairs) == len(set(pairs))
 
 
+def test_knn_join_rejects_bool_band_bits(spark):
+    """ADVICE r15: bool is an int subclass — band_bits=True must raise
+    like other invalid inputs, not silently run with 1-bit bands."""
+    from wikidata_to_surrealdb_spark.operators.similarity import knn_join
+
+    df = _clustered_vectors(spark, n_clusters=2, per_cluster=4)
+    with pytest.raises(ValueError, match="band_bits"):
+        knn_join(df, k=2, bands=2, band_bits=True, dim=16, seed=7)
+    with pytest.raises(ValueError, match="band_bits"):
+        knn_join(df, k=2, bands=2, band_bits=False, dim=16, seed=7)
+
+
 # ---------------------------------------------------------------------------
 # kmeans_train
 # ---------------------------------------------------------------------------

@@ -1812,6 +1812,73 @@ def test_hadoopfs_write_text_overwrite_atomic(spark, tmp_path):
     assert not fs.exists(p + "._tmp_write")
 
 
+def test_fc_availability_detected_positively(spark):
+    """ADVICE r15: FileContext-class absence is detected POSITIVELY
+    (py4j JavaPackage probe) before the rename attempt — unrelated
+    TypeErrors / py4j network errors must no longer be mistaken for
+    'class missing' and silently downgrade write_text to the
+    non-atomic delete-then-rename path."""
+    from wikidata_to_surrealdb_spark.streaming.store_fs import (
+        _fc_classes_present,
+        _fc_unavailable,
+    )
+
+    # this container's Hadoop has the classes
+    assert _fc_classes_present(spark._jvm) is True
+    # exception matching now only recognizes the per-scheme binding
+    # gap; everything else propagates
+    assert _fc_unavailable(TypeError("bad arg")) is False
+    assert _fc_unavailable(RuntimeError("py4j down")) is False
+
+    class FakePy4JError(Exception):
+        pass
+
+    assert _fc_unavailable(FakePy4JError()) is False
+
+    class FakeCls:
+        def getName(self):
+            return (
+                "org.apache.hadoop.fs.UnsupportedFileSystemException"
+            )
+
+    class FakeJE:
+        def getClass(self):
+            return FakeCls()
+
+    e = Exception("binding missing")
+    e.java_exception = FakeJE()
+    assert _fc_unavailable(e) is True
+
+
+def test_staged_event_slices_distinct_for_same_basename(spark, tmp_path):
+    """ADVICE r15 (medium): two sf_dirs sharing a BASENAME (e.g. tmp
+    copies of 'sf0.001') must stage into distinct dirs — the staging
+    dir is keyed by the same value as the cache (the abspath), so the
+    second call cannot overwrite the dir the first cache entry still
+    points at."""
+    import shutil
+
+    from wikidata_to_surrealdb_spark.plans.queries import (
+        _staged_event_slices,
+    )
+
+    src = f"{SF_DIR}/events.parquet"
+    a = tmp_path / "a" / "sfX"
+    b = tmp_path / "b" / "sfX"
+    copy = shutil.copytree if os.path.isdir(src) else shutil.copy
+    for d in (a, b):
+        os.makedirs(d)
+        copy(src, str(d / "events.parquet"))
+    out_a = _staged_event_slices(spark, str(a))
+    out_b = _staged_event_slices(spark, str(b))
+    assert out_a != out_b
+    # and both stagings are intact (neither overwrote the other)
+    assert spark.read.parquet(out_a).count() > 0
+    assert spark.read.parquet(out_b).count() > 0
+    # cache stability: a repeat call returns the same dir, no re-stage
+    assert _staged_event_slices(spark, str(a)) == out_a
+
+
 def test_store_manifest_backfills_new_parameter_defaults(spark, tmp_path):
     """ADVICE r14: a manifest written BEFORE a parameter existed means
     the store was built under that parameter's default — resuming such

@@ -477,6 +477,42 @@ def test_bounded_trailing_duplicate_id_col_raises(spark):
         bounded_trailing_agg(df, "key", "ts", "value", 100, id_col="nope")
 
 
+def test_bounded_trailing_id_col_with_dot_in_name(spark):
+    """ADVICE r15: the combine key is resolved by FIELD NAME (item
+    access), not a parsed dot-path — an id column literally named
+    'event.id' must work, not break field resolution."""
+    from wikidata_to_surrealdb_spark.operators.temporal import (
+        bounded_trailing_agg,
+    )
+
+    rows = [("a", 10, 1, 1.0), ("a", 20, 2, 2.0), ("a", 30, 3, 3.0)]
+    df = spark.createDataFrame(
+        rows, "key string, ts long, eid int, value double"
+    ).withColumnRenamed("eid", "event.id")
+    out = bounded_trailing_agg(
+        df, "key", "ts", "value", 100, id_col="event.id"
+    )
+    got = {r["event.id"]: r["trailing_n"] for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_bounded_trailing_null_id_col_raises_dedicated_error(spark):
+    """ADVICE r15: NULL ids all share one combine group — two DISTINCT
+    rows with NULL ids must raise the dedicated NULL-id error (naming
+    the real problem), not masquerade as a 'duplicate row id'."""
+    from wikidata_to_surrealdb_spark.operators.temporal import (
+        bounded_trailing_agg,
+    )
+
+    rows = [("a", 10, None, 1.0), ("a", 20, None, 2.0), ("a", 30, 3, 3.0)]
+    df = spark.createDataFrame(
+        rows, "key string, ts long, eid int, value double"
+    )
+    out = bounded_trailing_agg(df, "key", "ts", "value", 100, id_col="eid")
+    with pytest.raises(Exception, match="contains NULL"):
+        out.collect()
+
+
 def test_bounded_trailing_id_col_matches_struct_rid(spark):
     """With a genuinely unique id the narrow-key combine must produce
     the identical result as the all-columns-struct row id."""

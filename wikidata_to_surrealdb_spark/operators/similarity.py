@@ -1462,7 +1462,9 @@ def knn_join(
 
     if band_bits == "auto":
         band_bits = auto_band_bits(embeddings.count())
-    elif not isinstance(band_bits, int):
+    elif isinstance(band_bits, bool) or not isinstance(band_bits, int):
+        # bool is an int subclass — band_bits=True would otherwise
+        # silently run with 1-bit bands instead of raising
         raise ValueError(
             f"knn_join: band_bits must be an int or 'auto', got {band_bits!r}"
         )

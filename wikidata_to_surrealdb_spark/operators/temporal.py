@@ -44,6 +44,13 @@ def _internal_names(taken: set[str], *wanted: str) -> list[str]:
     return out
 
 
+def _qc(name: str) -> Column:
+    """``F.col`` with the name backtick-quoted so a column literally
+    named ``event.id`` resolves as one column, not a dot path (embedded
+    backticks escaped by doubling, per Spark identifier rules)."""
+    return F.col(f"`{name.replace('`', '``')}`")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -414,9 +421,11 @@ def bounded_trailing_agg(
     4. a final ``groupBy`` on the row id adds the two pieces.
 
     Row identity: when ``id_col`` is given it is the row id (must be
-    unique — and the final combine shuffles on that narrow key instead
-    of the all-columns struct); otherwise the row id is the struct of
-    all columns, so rows of ``df`` must be distinct. Either way a
+    unique AND non-NULL — NULL ids all share one combine group, so the
+    guard raises a dedicated error on any NULL id; the final combine
+    shuffles on that narrow key instead of the all-columns struct);
+    otherwise the row id is the struct of all columns, so rows of
+    ``df`` must be distinct. Either way a
     violated precondition would collapse rows in step 4 into silently
     short sums, so ``check_unique=True`` (the default) plants an
     in-plan guard — each combine group must contain exactly one data
@@ -461,7 +470,9 @@ def bounded_trailing_agg(
         F.col(key_col),
         F.col(ts_col),
         F.col(value_col).cast(dec).alias(c_val),
-        F.struct(*[F.col(c) for c in df.columns]).alias(c_rid),
+        # backtick-quoted resolution, so a column literally named
+        # 'event.id' lands as one struct field, not a dot path
+        F.struct(*[_qc(c).alias(c) for c in df.columns]).alias(c_rid),
     )
     # exact integer bucket: double division can round a just-below-
     # integer quotient up at epoch-microsecond magnitudes, and plain
@@ -515,8 +526,10 @@ def bounded_trailing_agg(
     # else the all-columns struct; each group holds exactly the data
     # row + probe row of ONE source row when the precondition holds,
     # so sum(isdata) == 1 IS the uniqueness check
+    # item access ([...]) resolves the field BY NAME with no dot-path
+    # parsing, so an id column whose name contains a '.' still works
     group_key = (
-        F.col(f"{c_rid}.{id_col}").alias(c_g)
+        F.col(c_rid)[id_col].alias(c_g)
         if id_col is not None
         else F.col(c_rid).alias(c_g)
     )
@@ -532,8 +545,31 @@ def bounded_trailing_agg(
     if check_unique:
         # in-plan guard: evaluates per output row inside the same
         # codegen stage, raises on the first collapsed duplicate
+        # NULL ids all land in ONE combine group (groupBy treats NULLs
+        # as equal), so two DISTINCT rows with NULL ids would trip the
+        # duplicate guard even though the struct-key mode keeps them
+        # apart — raise a dedicated, accurate error for that case
+        null_id_err = (
+            F.raise_error(
+                F.lit(
+                    "bounded_trailing_agg: id_col "
+                    f"{id_col!r} contains NULL — NULL ids cannot "
+                    "identify rows (all NULLs share one combine "
+                    "group); drop/repair NULL ids or omit id_col to "
+                    "use whole-row identity"
+                )
+            )
+            if id_col is not None
+            else None
+        )
+
         def guarded(col: str):
-            return F.when(F.col(c_chk) == 1, F.col(col)).otherwise(
+            base_case = F.when(F.col(c_chk) == 1, F.col(col))
+            if null_id_err is not None:
+                base_case = F.when(
+                    F.col(c_g).isNull(), null_id_err
+                ).when(F.col(c_chk) == 1, F.col(col))
+            return base_case.otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit(
@@ -558,7 +594,9 @@ def bounded_trailing_agg(
     else:
         out_n, out_s = F.col(count_name), F.col(sum_name)
     return combined.select(
-        *[F.col(c_rid + "." + c).alias(c) for c in df.columns],
+        # item access resolves each struct field by exact name, so
+        # original column names containing '.' survive the round-trip
+        *[F.col(c_rid)[c].alias(c) for c in df.columns],
         out_n,
         out_s,
     )

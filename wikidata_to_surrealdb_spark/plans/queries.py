@@ -685,12 +685,23 @@ def _staged_event_slices(spark: SparkSession, sf_dir: str) -> str:
         slice_events_table,
     )
 
-    sf_tag = os.path.basename(os.path.abspath(sf_dir))
+    import hashlib
+
+    # dir name must be keyed by the SAME value as the cache (the full
+    # abspath): two sf_dirs sharing a basename (tmp copies of
+    # 'sf0.001') would otherwise overwrite one shared staging dir
+    # while the first cache entry still points at it
+    abs_dir = os.path.abspath(sf_dir)
+    sf_tag = (
+        os.path.basename(abs_dir)
+        + "_"
+        + hashlib.md5(abs_dir.encode()).hexdigest()[:8]
+    )
     sliced = os.path.join(
         tempfile.gettempdir(),
         f"stream_trail_slices_{spark.sparkContext.applicationId}_{sf_tag}",
     )
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, abs_dir)
     if key not in _TRAIL_SLICES_CACHE:
         slice_events_table(
             spark, f"{sf_dir}/events.parquet", sliced, slices=3

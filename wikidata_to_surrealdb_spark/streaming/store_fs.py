@@ -114,28 +114,42 @@ class LocalFS:
         os.utime(path, (t, t))
 
 
+def _fc_classes_present(jvm) -> bool:
+    """POSITIVE availability check for the FileContext overwrite-rename
+    classes: in py4j a class that is absent from the JVM classpath
+    resolves to a ``JavaPackage`` stub instead of a ``JavaClass``, so
+    we can test for presence BEFORE attempting the rename rather than
+    pattern-matching exceptions after the fact (a TypeError from bad
+    arguments or a py4j network error must never be mistaken for
+    "class missing" and silently downgrade to the non-atomic path)."""
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext
+        rename = jvm.org.apache.hadoop.fs.Options.Rename
+    except Exception:
+        return False
+    return (
+        type(fc).__name__ != "JavaPackage"
+        and type(rename).__name__ != "JavaPackage"
+    )
+
+
 def _fc_unavailable(e: Exception) -> bool:
     """True iff ``e`` means the FileContext overwrite-rename path does
-    not EXIST for this scheme/Hadoop — an ``AbstractFileSystem``
-    binding is missing (UnsupportedFileSystemException; s3a has none)
-    or the classes themselves are absent. Only these may fall back to
-    delete-then-rename; anything else (transient RPC/IO failure on a
-    store that has the binding) must propagate."""
+    not EXIST for this scheme — the ``AbstractFileSystem`` binding is
+    missing (UnsupportedFileSystemException; s3a has none). Class
+    absence is detected positively by :func:`_fc_classes_present`
+    before the attempt, so only the per-scheme binding gap may fall
+    back to delete-then-rename here; anything else (transient RPC/IO
+    failure on a store that has the binding, TypeError from bad
+    arguments, py4j network errors) must propagate."""
     je = getattr(e, "java_exception", None)
-    if je is not None:
-        try:
-            name = str(je.getClass().getName())
-        except Exception:
-            return False
-        return (
-            "UnsupportedFileSystemException" in name
-            or "ClassNotFoundException" in name
-            or "NoClassDefFoundError" in name
-        )
-    # py4j class-resolution failures (missing class resolves to a
-    # JavaPackage; array construction / member access then fails)
-    # surface without a java_exception
-    return isinstance(e, TypeError) or type(e).__name__ == "Py4JError"
+    if je is None:
+        return False
+    try:
+        name = str(je.getClass().getName())
+    except Exception:
+        return False
+    return "UnsupportedFileSystemException" in name
 
 
 class HadoopFS:
@@ -231,25 +245,29 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        try:
-            rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
-            opts = self._gateway.new_array(rename_cls, 1)
-            opts[0] = rename_cls.OVERWRITE
-            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-                self._p(path).toUri(), self._conf
-            )
-            fc.rename(self._p(tmp), self._p(path), opts)
-            return
-        except Exception as e:
-            # fall back ONLY when the atomic path doesn't exist for
-            # this scheme/Hadoop (no AbstractFileSystem binding, e.g.
-            # s3a, or the classes are absent). A transient I/O failure
-            # on a store that HAS the binding must surface, not
-            # silently downgrade to the non-atomic two-step replace —
-            # that would reopen the exact missing-file crash window
-            # the FileContext path closes.
-            if not _fc_unavailable(e):
-                raise
+        if _fc_classes_present(self._jvm):
+            try:
+                rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+                opts = self._gateway.new_array(rename_cls, 1)
+                opts[0] = rename_cls.OVERWRITE
+                fc = (
+                    self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                        self._p(path).toUri(), self._conf
+                    )
+                )
+                fc.rename(self._p(tmp), self._p(path), opts)
+                return
+            except Exception as e:
+                # fall back ONLY when the atomic path doesn't exist
+                # for this scheme (no AbstractFileSystem binding, e.g.
+                # s3a). Class absence was ruled out positively above,
+                # so a transient I/O failure / TypeError / py4j error
+                # on a store that HAS the binding surfaces here rather
+                # than silently downgrading to the non-atomic two-step
+                # replace — that would reopen the exact missing-file
+                # crash window the FileContext path closes.
+                if not _fc_unavailable(e):
+                    raise
         if self._fs.exists(self._p(path)):
             self._fs.delete(self._p(path), False)
         if not self._fs.rename(self._p(tmp), self._p(path)):
