@@ -908,3 +908,56 @@ def test_knn_join_auto_band_bits(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="band_bits"):
         knn_join(emb, band_bits="wide")
+
+
+def test_auto_band_bits_generalized_to_all_lsh_sites(spark, sf_dir):
+    """VERDICT r16 #2: the occupancy rule productized for knn_join in
+    r15 now covers the other fixed-geometry sign-LSH sites. For each,
+    'auto' must equal the fixed-bits run at the same resolved width
+    (so at sf0.001 the pinned oracles are unaffected), and bool /
+    garbage must raise."""
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        ann_banded_pairs_gemm,
+        ann_bucketed_pairs,
+        auto_band_bits,
+        diversity_sample,
+        hard_negatives,
+    )
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bits = auto_band_bits(emb.count())
+
+    fixed = ann_banded_pairs_gemm(emb, bands=2, band_bits=bits, threshold=0.3)
+    auto = ann_banded_pairs_gemm(emb, bands=2, band_bits="auto", threshold=0.3)
+    assert {tuple(r) for r in fixed.collect()} == {
+        tuple(r) for r in auto.collect()
+    }
+
+    fixed = ann_bucketed_pairs(emb, sign_bits=bits, threshold=0.3)
+    auto = ann_bucketed_pairs(emb, sign_bits="auto", threshold=0.3)
+    assert {tuple(r) for r in fixed.collect()} == {
+        tuple(r) for r in auto.collect()
+    }
+
+    fixed = diversity_sample(emb, per_bucket=2, band_bits=bits)
+    auto = diversity_sample(emb, per_bucket=2, band_bits="auto")
+    assert {tuple(r) for r in fixed.collect()} == {
+        tuple(r) for r in auto.collect()
+    }
+
+    lab = emb.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    fixed = hard_negatives(lab, k=2, bands=2, band_bits=bits)
+    auto = hard_negatives(lab, k=2, bands=2, band_bits="auto")
+    assert {tuple(r) for r in fixed.collect()} == {
+        tuple(r) for r in auto.collect()
+    }
+
+    for bad in (True, False, "wide", 3.5):
+        with pytest.raises(ValueError, match="bits"):
+            ann_banded_pairs_gemm(emb, band_bits=bad)
+        with pytest.raises(ValueError, match="bits"):
+            ann_bucketed_pairs(emb, sign_bits=bad)
+        with pytest.raises(ValueError, match="bits"):
+            diversity_sample(emb, band_bits=bad)

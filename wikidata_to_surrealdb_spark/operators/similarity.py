@@ -154,7 +154,7 @@ def ann_bucketed_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sign_bits: int = 6,
+    sign_bits: int | str = 6,
     threshold: float = 0.9,
     bucket_expr: Column | None = None,
 ) -> DataFrame:
@@ -166,11 +166,21 @@ def ann_bucketed_pairs(
     rows carry the full dense vectors, and building a broadcast relation
     of the whole (re-computed) vector table runs single-threaded — the
     same fat-row pathology as the MinHash verify join. A shuffle join
-    moves the same bytes but stays parallel."""
+    moves the same bytes but stays parallel.
+
+    ``sign_bits="auto"`` sizes the bucket width from a corpus count so
+    expected occupancy stays <= 128 (within-bucket pairs grow with
+    occupancy SQUARED — the fixed default goes super-linear once the
+    corpus passes ~128 x 2^sign_bits rows, i.e. ~8.2 k at the default
+    6 bits); the int default stays for oracle-pinned reproducibility."""
     from wikidata_to_surrealdb_spark.functions import respread
 
     from wikidata_to_surrealdb_spark.functions import fround
 
+    if bucket_expr is None:
+        sign_bits = _resolve_band_bits(
+            sign_bits, embeddings, "ann_bucketed_pairs", name="sign_bits"
+        )
     bucket = (
         bucket_expr if bucket_expr is not None else sign_bucket_expr(vec_col, sign_bits)
     )
@@ -354,7 +364,7 @@ def ann_banded_pairs_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 4,
-    band_bits: int = 4,
+    band_bits: int | str = 4,
     dim: int = 64,
     seed: int = 42,
     threshold: float = 0.9,
@@ -378,9 +388,18 @@ def ann_banded_pairs_gemm(
     Transfer stays O(bands x docs x dim) (the vectors ride the one
     groupBy exchange per band) — deliberately NOT the candidate-pair
     join form, whose transfer is O(pairs x dim) and loses badly when
-    buckets hold more than a handful of rows each."""
+    buckets hold more than a handful of rows each.
+
+    ``band_bits="auto"`` sizes the per-band bucket width from a corpus
+    count (occupancy rule, :func:`auto_band_bits`) — per-bucket GEMM
+    work grows with occupancy squared, so the fixed default goes
+    super-linear past ~128 x 2^band_bits rows (~2 k at the 4-bit
+    default); the int default stays for oracle-pinned runs."""
     import pandas as pd
 
+    band_bits = _resolve_band_bits(
+        band_bits, embeddings, "ann_banded_pairs_gemm"
+    )
     f = float(10**decimals)
 
     def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1414,6 +1433,28 @@ def auto_band_bits(
     return max(floor_bits, math.ceil(math.log2(max(1, n_vectors) / target_occupancy)))
 
 
+def _resolve_band_bits(
+    band_bits: int | str,
+    embeddings: DataFrame,
+    caller: str,
+    name: str = "band_bits",
+) -> int:
+    """Shared bucket-width resolver for every fixed-geometry sign-LSH
+    site (VERDICT r15 #2): ``"auto"`` sizes the bits from a corpus
+    count via :func:`auto_band_bits` (one cheap count() at plan-build
+    — the occupancy rule the r15 sf1 probe proved: fixed bits at
+    growing volume is quadratic in bucket occupancy); an explicit int
+    stays as-is for oracle-pinned reproducibility; bool (an int
+    subclass) and anything else raise."""
+    if band_bits == "auto":
+        return auto_band_bits(embeddings.count())
+    if isinstance(band_bits, bool) or not isinstance(band_bits, int):
+        raise ValueError(
+            f"{caller}: {name} must be an int or 'auto', got {band_bits!r}"
+        )
+    return band_bits
+
+
 def knn_join(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -1460,14 +1501,7 @@ def knn_join(
 
     from wikidata_to_surrealdb_spark.functions import fround
 
-    if band_bits == "auto":
-        band_bits = auto_band_bits(embeddings.count())
-    elif isinstance(band_bits, bool) or not isinstance(band_bits, int):
-        # bool is an int subclass — band_bits=True would otherwise
-        # silently run with 1-bit bands instead of raising
-        raise ValueError(
-            f"knn_join: band_bits must be an int or 'auto', got {band_bits!r}"
-        )
+    band_bits = _resolve_band_bits(band_bits, embeddings, "knn_join")
 
     tagged = F.expr(
         f"transform({_band_keys_sql(vec_col, bands, band_bits, dim, seed)},"
@@ -1716,7 +1750,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     bands: int = 4,
-    band_bits: int = 4,
+    band_bits: int | str = 4,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
@@ -1734,6 +1768,11 @@ def hard_negatives(
     id) — a total order, deterministic. Recall is the banding
     trade-off, identically mirrored in the oracle. Null labels never
     match the inequality and drop out in both engines.
+
+    ``band_bits="auto"`` delegates the occupancy rule to
+    :func:`ann_banded_pairs_gemm` — use it when the corpus outgrows the
+    fixed default's ~128 x 2^band_bits occupancy bound (~2 k rows at
+    4 bits).
     """
     from pyspark.sql.window import Window
 
@@ -1789,7 +1828,7 @@ def diversity_sample(
     embeddings: DataFrame,
     per_bucket: int = 4,
     bands: int = 1,
-    band_bits: int = 12,
+    band_bits: int | str = 12,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -1810,8 +1849,21 @@ def diversity_sample(
     bucket key for the per-stratum rank window; at 100 TB strata are
     2^bits-way parallel and each holds ~n/2^bits rows (sign-LSH on
     centered data splits roughly evenly), so no reducer hot-spots.
-    Returns (id, bucket, kept_rank) for the kept rows."""
+    Returns (id, bucket, kept_rank) for the kept rows.
+
+    ``band_bits="auto"`` sizes the strata count from a corpus count
+    (occupancy rule, :func:`auto_band_bits`): the per-stratum window
+    sorts occupancy x log(occupancy) rows per task, so fixed bits at
+    growing volume makes the stratum the straggler past
+    ~128 x 2^band_bits rows (~524 k at the 12-bit default, ~8.2 k at
+    the catalog entry's 6 bits). NOTE: unlike the pair operators, the
+    bits here CHANGE THE RESULT (they define the strata), so "auto" is
+    a scale knob for new pipelines, not a drop-in for pinned runs."""
     from pyspark.sql import Window
+
+    band_bits = _resolve_band_bits(
+        band_bits, embeddings, "diversity_sample"
+    )
 
     bucket_expr = hyperplane_bucket_sql(
         f"transform({vec_col}, x -> CAST(x AS DOUBLE))",
