@@ -82,11 +82,67 @@ def _last_verified_round(
     return {n: (v[0], v[1]) for n, v in last.items()}
 
 
+def _query_content_hash(name: str) -> str:
+    """Content hash of a catalog query's *implementation*: md5 over its
+    plan-function source plus its raw oracle SQL. Drives the
+    changed-since-last-pass rotation bump (VERDICT r15 #4) — the hash
+    is deliberately over the plan function in plans/queries.py, not
+    its transitive operator imports: operator-level changes are
+    covered every round by the local oracle-parity suites, while a
+    changed plan function (or oracle) is exactly the case where the
+    DRIVER's independent hash needs to re-confirm next round."""
+    import hashlib
+    import inspect
+
+    q = _catalog.QUERIES[name]
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):
+        src = ""
+    oracle = q._oracle_src or ""
+    return hashlib.md5((src + "\x00" + oracle).encode()).hexdigest()
+
+
+def _changed_since_ledger(repo_dir: str = _REPO_DIR) -> set[str]:
+    """Names whose current content hash differs from the committed
+    per-round ledger (QUERY_HASHES.json, rewritten at each round's end
+    by tools/update_query_hashes.py). A hit means the implementation
+    changed since the last committed round, so the query must jump the
+    rotation queue and be driver-re-hashed next round regardless of
+    cohort. Names absent from the ledger (brand-new queries) are not
+    'changed' — they already sort first as never-passed."""
+    path = os.path.join(repo_dir, "QUERY_HASHES.json")
+    try:
+        with open(path) as fh:
+            ledger = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    if not isinstance(ledger, dict):
+        return set()
+    return {
+        name
+        for name in _catalog.QUERIES
+        if isinstance(ledger.get(name), str)
+        and ledger[name] != _query_content_hash(name)
+    }
+
+
 def _rotated_names() -> list[str]:
     names = list(_catalog.QUERIES)
     pos = {n: i for i, n in enumerate(names)}
     last = _last_verified_round()
-    return sorted(names, key=lambda n: (*last.get(n, (-1, -1)), pos[n]))
+    changed = _changed_since_ledger()
+
+    def key(n: str):
+        lf, lw = last.get(n, (-1, -1))
+        # a changed implementation re-verifies NEXT round: sort it with
+        # the never-full-passed (right after brand-new queries — lw=0
+        # is below any real round, rounds start at 1)
+        if n in changed and (lf, lw) != (-1, -1):
+            lf, lw = -1, 0
+        return (lf, lw, pos[n])
+
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -59,6 +59,67 @@ def test_rotated_order_puts_unverified_first():
     assert ranks == sorted(ranks)
 
 
+def test_changed_queries_jump_the_rotation_queue(monkeypatch):
+    """VERDICT r15 #4: a query whose implementation changed since the
+    committed hash ledger sorts ahead of the stale cohort — a round-N
+    behavior change is driver-re-hashed in round N+1 regardless of
+    where its last pass sits — while never-passed queries still sort
+    first of all."""
+    names = entry._rotated_names()
+    # pick a query from the BACK of the current rotation (most recently
+    # verified) and mark it changed
+    victim = names[-1]
+    monkeypatch.setattr(entry, "_changed_since_ledger", lambda: {victim})
+    rotated = entry._rotated_names()
+    last = entry._last_verified_round()
+    # the victim now precedes every OTHER full-passed query...
+    full_passed = [
+        n
+        for n in rotated
+        if n != victim and last.get(n, (-1, -1))[0] >= 0
+    ]
+    assert not full_passed or rotated.index(victim) < rotated.index(
+        full_passed[0]
+    )
+    vi = rotated.index(victim)
+    for n in rotated[vi + 1 :]:
+        lf, lw = last.get(n, (-1, -1))
+        assert (lf, lw) >= (-1, 0), f"{n} should precede the changed {victim}"
+    # ...but never-passed queries (if any) still come first
+    for n in rotated[:vi]:
+        lf, lw = last.get(n, (-1, -1))
+        assert (lf, lw) == (-1, -1) or n == victim
+    # set semantics intact
+    assert sorted(rotated) == sorted(names)
+
+
+def test_ledger_hash_tracks_fn_source_and_oracle(tmp_path, monkeypatch):
+    """The content hash covers both the plan-function source and the
+    raw oracle SQL; a ledger mismatch flags the query, a matching
+    ledger (or a missing/garbage one) flags nothing."""
+    import json as _json
+
+    from wikidata_to_surrealdb_spark.plans.queries import QUERIES
+
+    some = next(iter(QUERIES))
+    h = entry._query_content_hash(some)
+    assert h == entry._query_content_hash(some)  # deterministic
+
+    ledger = {n: entry._query_content_hash(n) for n in QUERIES}
+    p = tmp_path / "QUERY_HASHES.json"
+    p.write_text(_json.dumps(ledger))
+    assert entry._changed_since_ledger(str(tmp_path)) == set()
+
+    ledger[some] = "0" * 32
+    p.write_text(_json.dumps(ledger))
+    assert entry._changed_since_ledger(str(tmp_path)) == {some}
+
+    # missing / garbage ledgers are inert (fresh clone, driver boxes)
+    assert entry._changed_since_ledger(str(tmp_path / "nope")) == set()
+    p.write_text("not json")
+    assert entry._changed_since_ledger(str(tmp_path)) == set()
+
+
 def test_oracle_sql_order_matches_queries():
     qs = list(entry.queries())
     osql = list(entry.oracle_sql())
