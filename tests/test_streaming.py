@@ -2024,6 +2024,62 @@ def test_funnel_stateful_multibatch_equals_batch(spark, tmp_path):
     # here would be flaky)
 
 
+def test_funnel_ttl_eviction_preserves_emitted_set(spark, tmp_path):
+    """VERDICT r15 #6: the opt-in event-time TTL bounds funnel state
+    for open-world key spaces — once within_us has lapsed past the
+    watermark a user's funnel is final, so eviction must not change
+    the emitted set on the sliced corpus; the state store must
+    actually drain (observable via per-batch state_rows)."""
+    import pytest
+
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        apply_funnel_stateful,
+        funnel_stateful_multibatch,
+        slice_events_table,
+    )
+
+    steps = ["view", "click", "purchase"]
+    sliced = slice_events_table(
+        spark, f"{SF_DIR}/events.parquet", str(tmp_path / "fttl"),
+        slices=3,
+    )
+    prog_plain, prog_ttl = [], []
+    plain = {
+        (r.user_id, r.step_idx, r.reached_us)
+        for r in funnel_stateful_multibatch(
+            spark, sliced, steps, within_seconds=86400,
+            progress=prog_plain,
+        ).collect()
+    }
+    ttl = {
+        (r.user_id, r.step_idx, r.reached_us)
+        for r in funnel_stateful_multibatch(
+            spark, sliced, steps, within_seconds=86400, ttl_seconds=1,
+            progress=prog_ttl,
+        ).collect()
+    }
+    assert ttl == plain and plain
+    # without TTL the reach state never drains...
+    assert prog_plain[-1]["state_rows"] > 0
+    # ...with TTL every final funnel is evicted once the watermark
+    # passes horizon + ttl (availableNow runs a final timeout batch)
+    assert prog_ttl[-1]["state_rows"] == 0
+    assert prog_ttl[0]["state_rows"] > 0  # state did exist mid-stream
+
+    # guard rails: ttl without a horizon (never-final funnels) and
+    # non-int ttl values are rejected at plan build
+    df = spark.createDataFrame(
+        [(1, 1, "view")], "user_id long, us long, tp string"
+    )
+    with pytest.raises(ValueError, match="within_us"):
+        apply_funnel_stateful(df, steps, ttl_us=1)
+    for bad in (True, -1, 1.5):
+        with pytest.raises(ValueError, match="ttl_us"):
+            apply_funnel_stateful(
+                df, steps, within_us=86400_000_000, ttl_us=bad
+            )
+
+
 def test_funnel_stateful_tiebreak_and_horizon(spark, tmp_path):
     """Constructed edges: same-ts click does NOT satisfy 'strictly
     after' the view that reaches step 0; the within horizon excludes a

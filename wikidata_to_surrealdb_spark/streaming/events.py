@@ -599,11 +599,17 @@ def _drain_progress(q, progress: list | None) -> None:
             import json as _json
 
             p = _json.loads(p)
+        ops = p.get("stateOperators") or []
         progress.append(
             {
                 "batch_id": p.get("batchId"),
                 "input_rows": p.get("numInputRows"),
                 "trigger_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+                # total state-store rows after the batch — the
+                # observable for eviction/TTL behavior
+                "state_rows": (
+                    sum(o.get("numRowsTotal", 0) for o in ops) if ops else None
+                ),
             }
         )
 
@@ -1129,6 +1135,7 @@ def apply_funnel_stateful(
     events: DataFrame,
     steps: list[str],
     within_us: int | None = None,
+    ttl_us: int | None = None,
 ) -> DataFrame:
     """Stateful STREAMING first-touch funnel — the state-store twin of
     :func:`~wikidata_to_surrealdb_spark.operators.temporal.funnel`,
@@ -1153,8 +1160,36 @@ def apply_funnel_stateful(
 
     Input columns: ``(user_id, us, tp)``, pre-filtered to step types
     (keep the filter JVM-side so the scan prunes).
+
+    State bound (VERDICT r15 #6): reach state lives forever by default
+    — correct for bounded user populations, O(distinct users x steps)
+    for open-world key spaces. ``ttl_us`` (opt-in, requires
+    ``within_us`` and an event-time WATERMARK on ``events``) evicts a
+    user's state ``ttl_us`` after the funnel went FINAL: once the
+    watermark passes ``reached[0] + within_us`` no future event can
+    extend the funnel (every step > 0 fails the horizon check, step 0
+    requires an empty reach), so eviction does not change the emitted
+    set — UNLESS the corpus later carries a post-horizon step-0 event
+    for an evicted user, which then starts a fresh funnel (the
+    deliberate open-world trade: forgotten users are new users).
+    Empty reach lists are never stored at all (storing ``[]`` is
+    observationally identical to no state), so users who never hit
+    step 0 cost nothing either way.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if ttl_us is not None:
+        if within_us is None:
+            raise ValueError(
+                "apply_funnel_stateful: ttl_us requires within_us — "
+                "without a horizon a funnel is never final and "
+                "eviction would drop reachable steps"
+            )
+        if isinstance(ttl_us, bool) or not isinstance(ttl_us, int) or ttl_us < 0:
+            raise ValueError(
+                f"apply_funnel_stateful: ttl_us must be a non-negative "
+                f"int, got {ttl_us!r}"
+            )
 
     step_index = {s: i for i, s in enumerate(steps)}
     n_steps = len(steps)
@@ -1163,18 +1198,38 @@ def apply_funnel_stateful(
         import numpy as np
         import pandas as pd
 
+        empty_out = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "step_idx": pd.Series([], dtype="int32"),
+                "reached_us": pd.Series([], dtype="int64"),
+            }
+        )
+        if ttl_us is not None and state.hasTimedOut:
+            # watermark passed reached[0] + within_us + ttl_us: the
+            # funnel is final, the state is dead weight — evict
+            state.remove()
+            yield empty_out
+            return
+
         (user_id,) = key
         reached = list(state.get[0]) if state.exists else []
 
+        def arm_timeout() -> None:
+            # timeout fires once the WATERMARK passes the funnel-final
+            # time + slack; must be strictly above the current
+            # watermark or Spark rejects it
+            if ttl_us is None or not reached:
+                return
+            final_ms = (reached[0] + within_us + ttl_us) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(final_ms, state.getCurrentWatermarkMs() + 1)
+            )
+
         frames = [pdf for pdf in pdf_iter if len(pdf)]
         if not frames:
-            yield pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "step_idx": pd.Series([], dtype="int32"),
-                    "reached_us": pd.Series([], dtype="int64"),
-                }
-            )
+            arm_timeout()
+            yield empty_out
             return
         batch = pd.concat(frames, ignore_index=True)
         us = batch["us"].to_numpy(dtype=np.int64)
@@ -1196,7 +1251,12 @@ def apply_funnel_stateful(
             new_rows.append((int(user_id), i + 1, t))
             if len(reached) == n_steps:
                 break
-        state.update(([int(t) for t in reached],))
+        if reached:
+            state.update(([int(t) for t in reached],))
+            arm_timeout()
+        # empty reach: leave no state behind — [] stored is
+        # observationally identical to no state, so never-started
+        # users cost nothing
         yield pd.DataFrame(
             new_rows, columns=["user_id", "step_idx", "reached_us"]
         ).astype(
@@ -1208,7 +1268,11 @@ def apply_funnel_stateful(
         outputStructType=_FUNNEL_UDF_SCHEMA,
         stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_us is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
 
 
@@ -1219,31 +1283,45 @@ def funnel_stateful_multibatch(
     within_seconds: int | None = None,
     state_partitions: int | None = 8,
     progress: list | None = None,
+    ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Run the stateful funnel over a pre-sliced events dir
     (:func:`slice_events_table`), one slice per micro-batch, to
     completion (availableNow, memory sink) — reach state threads
     across real batches, and with time-ordered arrival the union of
-    emitted rows equals the batch funnel's reached set exactly."""
+    emitted rows equals the batch funnel's reached set exactly.
+
+    ``ttl_seconds`` (opt-in, needs ``within_seconds``) arms the
+    event-time state eviction of :func:`apply_funnel_stateful` with a
+    zero-delay watermark on ``ts`` — state for final funnels is
+    dropped once the watermark passes the horizon + TTL."""
     schema = spark.read.parquet(sliced_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(sliced_dir)
     )
-    ev = (
-        stream.where(F.col("event_type").isin(list(steps)))
-        .select(
-            "user_id",
-            F.unix_micros("ts").alias("us"),
-            F.col("event_type").alias("tp"),
-        )
-    )
+    if ttl_seconds is not None:
+        # EventTimeTimeout requires a watermark; the pre-epoch-safe
+        # shift is unnecessary here because the timeout timestamp is
+        # clamped above the current watermark in the fold
+        stream = stream.withWatermark("ts", "0 seconds")
+    cols = [
+        F.col("user_id"),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_type").alias("tp"),
+    ]
+    if ttl_seconds is not None:
+        # the watermarked column must survive to the stateful operator
+        # or Spark rejects the event-time timeout at analysis
+        cols.append(F.col("ts"))
+    ev = stream.where(F.col("event_type").isin(list(steps))).select(*cols)
     within_us = None if within_seconds is None else within_seconds * 1_000_000
+    ttl_us = None if ttl_seconds is None else ttl_seconds * 1_000_000
     table = f"stream_funnel_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark, state_partitions):
         q = (
-            apply_funnel_stateful(ev, steps, within_us=within_us)
+            apply_funnel_stateful(ev, steps, within_us=within_us, ttl_us=ttl_us)
             .writeStream.format("memory")
             .queryName(table)
             .outputMode("append")
