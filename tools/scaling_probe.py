@@ -65,6 +65,79 @@ FAMILIES = [
     "events_trailing_window_bounded",
 ]
 
+# Streaming families (VERDICT r15 #5): multi-trigger jobs whose wall is
+# n_batches x per-trigger floor + volume work, so the honest exponent is
+# measured on the PER-BATCH time PAST the floor — the floor is estimated
+# from the same job at sf0.001 (volume term ~0 there), subtracted from
+# the mean per-batch trigger time at each tier, and alpha computed on
+# the marginals. A wall-clock alpha over the full job would launder the
+# fixed floor into fake sub-linearity.
+STREAMING_FAMILIES = [
+    "stream_sessionize_multibatch",
+    "stream_incdedup_multibatch",
+    "stream_funnel_multibatch",
+]
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def run_streaming_family(spark, name: str, sf_dir: str, work: str):
+    """One full multi-batch streaming run of ``name`` against
+    ``sf_dir``; returns (wall_sec, per-batch progress rows). Slicing is
+    untimed scaffolding (same discipline as bench.py's probes)."""
+    from wikidata_to_surrealdb_spark.streaming.documents import (
+        incremental_dedup_multibatch,
+        slice_documents_table,
+    )
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        funnel_stateful_multibatch,
+        sessionize_stateful_multibatch,
+        slice_events_table,
+    )
+
+    os.makedirs(work, exist_ok=True)
+    prog: list = []
+    if name == "stream_incdedup_multibatch":
+        sliced = slice_documents_table(
+            spark,
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(work, "docs"),
+        )
+        t0 = time.perf_counter()
+        incremental_dedup_multibatch(
+            spark,
+            sliced,
+            os.path.join(work, "incdedup_work"),
+            threshold=0.1,
+            progress=prog,
+        ).collect()
+    else:
+        sliced = slice_events_table(
+            spark,
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(work, "ev"),
+        )
+        fn = (
+            sessionize_stateful_multibatch
+            if name == "stream_sessionize_multibatch"
+            else None
+        )
+        t0 = time.perf_counter()
+        if fn is not None:
+            fn(spark, sliced, progress=prog).collect()
+        else:
+            funnel_stateful_multibatch(
+                spark, sliced, _FUNNEL_STEPS, within_seconds=86400,
+                progress=prog,
+            ).collect()
+    wall = round(time.perf_counter() - t0, 3)
+    return wall, prog
+
+
+def mean_trigger_ms(prog: list) -> float | None:
+    ms = [p["trigger_ms"] for p in prog if p.get("trigger_ms")]
+    return round(sum(ms) / len(ms), 1) if ms else None
+
 # (key remap columns) per replicated table; None = copy verbatim
 COPY_TABLES = ("region", "nation", "supplier", "part")
 REMAP = {
@@ -166,6 +239,12 @@ def main() -> int:
         action="store_true",
         help="leave the scaled parquet dir on disk for reruns",
     )
+    ap.add_argument(
+        "--streaming",
+        default="",
+        help="comma list from STREAMING_FAMILIES to probe with the "
+        "floor-corrected per-batch alpha (or 'all')",
+    )
     args = ap.parse_args()
     names = [n.strip() for n in args.families.split(",") if n.strip()]
     unknown = [n for n in names if n not in QUERIES]
@@ -257,6 +336,74 @@ def main() -> int:
                 row[out_key] = a
         report["families"][n] = row
         print(f"# {n}: {json.dumps(row)}", file=sys.stderr)
+
+    snames = (
+        list(STREAMING_FAMILIES)
+        if args.streaming.strip() == "all"
+        else [n.strip() for n in args.streaming.split(",") if n.strip()]
+    )
+    bad = [n for n in snames if n not in STREAMING_FAMILIES]
+    if bad:
+        raise SystemExit(f"unknown streaming families: {bad}")
+    if snames:
+        import tempfile
+
+        report["streaming"] = {}
+        floor_dir = "/root/testdata/sf0.001"
+        for n in snames:
+            row = {}
+            # per-trigger floor: the same job on a tiny corpus is all
+            # floor (volume term ~0 at 1k rows)
+            _, fprog = run_streaming_family(
+                spark, n, floor_dir, tempfile.mkdtemp(prefix="scp_floor_")
+            )
+            floor = mean_trigger_ms(fprog)
+            row["floor_batch_ms"] = floor
+            for tier, sf_dir in (("base", args.base), ("scaled", args.out)):
+                try:
+                    wall, prog = run_streaming_family(
+                        spark, n, sf_dir, tempfile.mkdtemp(prefix="scp_str_")
+                    )
+                except Exception as e:
+                    row[tier] = {"err": str(e)[:200]}
+                    continue
+                row[tier] = {
+                    "wall_sec": wall,
+                    "n_batches": len(prog),
+                    "mean_batch_ms": mean_trigger_ms(prog),
+                }
+            b, s = row.get("base", {}), row.get("scaled", {})
+            bm, sm = b.get("mean_batch_ms"), s.get("mean_batch_ms")
+            if floor is not None and bm is not None and sm is not None:
+                mb, ms_ = bm - floor, sm - floor
+                if mb > 0 and ms_ > 0:
+                    row["alpha_batch_marginal"] = round(
+                        math.log(ms_ / mb) / ln_f, 3
+                    )
+                else:
+                    row["alpha_batch_marginal"] = (
+                        f"degenerate (marginal base={round(mb,1)} "
+                        f"scaled={round(ms_,1)} ms — floor dominates)"
+                    )
+            if bm is not None and sm is not None:
+                # floor-FREE difference measure: with equal batch
+                # counts the per-trigger floor cancels exactly in the
+                # tier difference, so under a linear volume model
+                # T = floor + v*rows the base volume term is
+                # delta/(factor-1). Robust to a contaminated sf0.001
+                # floor estimate (e.g. first-trigger store creation):
+                # delta <= 0 means the volume term is below host noise
+                # at this factor — floor-dominated, trivially
+                # sub-linear; a positive v with scaled mean ~
+                # floor' + factor*v is consistent with a LINEAR
+                # per-batch volume term (can't resolve beta != 1 with
+                # two volume points; linear is the conservative read).
+                row["batch_ms_delta"] = round(sm - bm, 1)
+                row["linear_volume_term_ms"] = round(
+                    (sm - bm) / (args.factor - 1), 1
+                )
+            print(f"# {n}: {json.dumps(row)}", file=sys.stderr)
+            report["streaming"][n] = row
 
     if not args.keep_staged:
         shutil.rmtree(args.out, ignore_errors=True)
