@@ -179,6 +179,31 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r16_reference_reseed": (
+        "VERDICT r15 #1 (second half): the committed r15 record was "
+        "taken at host_drift 1.502 / median 1.378, so r16 ratios "
+        "against it would look spuriously fast and hide real "
+        "regressions inside the credit. Re-seeded on a calm host: "
+        "calibration 0.129->0.106 (inside the all-time 0.071-0.141 "
+        "band), host_drift 0.734, median normalized 0.947. The nine "
+        "normalized-regressed entries vs the throttled r15 record are "
+        "ALL shuffle-byte-identical or no-shuffle "
+        "(regressed_shuffle_verdict: zero plan-change); the worst two "
+        "through the isolated protocol same-session: "
+        "sketch_sample_quantiles suite 1.121 s did NOT reproduce "
+        "(isolated 0.345 s, nominal 1.264 vs the r15 ref's 0.273 — "
+        "sub-second probe variance on an untouched path), "
+        "stream_join_attribution isolated 2.774 s vs ref 4.072 "
+        "(normalized 0.793, FASTER). Smoke residue: "
+        "stream_trailing_window ratio 2.348 vs a PRE-r15 epoch is the "
+        "pre-registered r15 3-micro-batch step change "
+        "(r15_stream_trailing_window_preregistration applies); "
+        "mm_decode_png suite 2.103 s isolated to 1.551 s (nominal "
+        "0.74 of the suite reading; +28% vs its 3-epoch-old 1.212 s "
+        "smoke record at a faster-probe cal on an untouched "
+        "pure-Python codec — same Python-side-throttling signature as "
+        "mm_decode_jpeg below, shuffle bytes byte-identical 2,087,146)"
+    ),
     "r16_mm_decode_jpeg_isolated": (
         "VERDICT r15 #1: the one r15 flag not closed in-round "
         "(normalized 5.36x, 2.0-2.7 s for four straight rounds then "
