@@ -568,6 +568,62 @@ def test_substring_dedup_rejects_tiny_window(spark):
         substring_dedup(docs, window=1)
 
 
+def test_importance_weights_empty_target_class(spark):
+    """r16 monokey finding: a target class NO document matches trained
+    an LM with vocabulary 0, and the uniform fallback divided by zero
+    (Spark ANSI error vs DuckDB NULL). With the greatest(v,1) guard the
+    empty model is well-defined and uninformative — every gram scores
+    the default 0 on the target side, so the weight reduces to
+    -log10 p_background."""
+    from wikidata_to_surrealdb_spark.operators.curation import (
+        importance_weights,
+    )
+
+    rows = [(i, "aha aha haha", "b") for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in importance_weights(docs, F.col("source") == "t").collect()
+    }
+    assert len(out) == 6
+    # target side contributes exactly 0 per gram -> weight = -score_b,
+    # and p_background < 1 per gram so the weight is strictly positive
+    assert all(out[i]["log10_weight"] > 0 for i in range(6))
+
+
+def test_nb_classifier_empty_seed_class(spark):
+    """r16 monokey finding: an empty seed class (nothing matches
+    pos_cond — or everything does) made the unsmoothed prior plog10(0),
+    overflowing the e12 BIGINT in both engines. Laplace-smoothed priors
+    keep it finite: the classifier still runs and the prior pulls every
+    token-less doc toward the populated class."""
+    from wikidata_to_surrealdb_spark.operators import curation
+
+    rows = [
+        (1, "spam spam click", "crawl"),
+        (2, "click junk spam", "crawl"),
+        (3, "", "crawl"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # no doc matches: n_pos = 0
+    out = {
+        r.doc_id: r
+        for r in curation.nb_quality_classifier(
+            df, F.col("source") == "seed"
+        ).collect()
+    }
+    assert len(out) == 3
+    assert all(isinstance(r.logodds_e12, int) for r in out.values())
+    assert out[3].pred == "lo"  # prior alone: negatives dominate
+    # every doc matches: n_neg = 0 — the mirror case
+    out2 = curation.nb_quality_classifier(
+        df, F.col("source") == "crawl"
+    ).collect()
+    assert len(out2) == 3 and all(r.pred == "hi" for r in out2)
+
+
 def test_importance_weights_favor_target_domain(spark):
     """DSIR sanity: docs from the target distribution must score higher
     log-ratio than off-domain docs; gramless docs get NULL weight."""

@@ -38,6 +38,13 @@ Variants (all deterministic — fixed id residues, so findings reproduce):
            floor-div fix's regime), SCD2 intervals, and date_trunc.
            Any truncate-toward-zero arithmetic or unsigned-time
            assumption surfaces here. Documents untouched.
+  monokey  (r16) fully degenerate keys: every document the SAME
+           text/lang/source, every event ONE user and ONE timestamp,
+           every embedding ONE vector — single-bucket LSH, df == N,
+           cardinality-1 keys, 100%-tie orderings, empty seed classes.
+           Debut sweep found two real bugs (NB classifier prior
+           overflow on an empty class; char-LM uniform fallback
+           dividing by zero vocab).
 
 Exit code = number of disagreeing queries (0 = full parity).
 Round-8 provenance: this sweep found 10+ real cross-engine bugs the
@@ -61,6 +68,15 @@ TABLES = (
 ).split()
 
 _UNI = " Ärger über naïve café straße ÇOCUK 北京 数据 🎉 Ω"
+
+# the one text every monokey document carries (long enough for k=3
+# shingles, chunking windows, and BPE merges; repeated words on purpose
+# so repetition stats are non-trivial yet identical per doc)
+_MONO_TEXT = (
+    "the quick brown fox jumps over the lazy dog while merge vector "
+    "stream pipelines shuffle data every day and the quick fox jumps "
+    "again over the same lazy stream of data"
+)
 
 DOC_SQL = {
     "clean": "SELECT * FROM read_parquet('{src}/documents.parquet')",
@@ -138,6 +154,23 @@ DOC_SQL = {
              n_chars
       FROM read_parquet('{src}/documents.parquet')""",
     "preepoch": "SELECT * FROM read_parquet('{src}/documents.parquet')",
+    # fully degenerate keys (r16, new axis): EVERY document carries the
+    # SAME text/lang/source — the single-bucket worst case the
+    # occupancy work points at, reached exactly: one LSH bucket holds
+    # the whole corpus (every signature identical), df == N collapses
+    # idf to 0 (BM25 goes negative-constant), every quantile input is
+    # constant, every blocking key has cardinality 1, and every
+    # ordering inside text/dedup families is 100% ties — any
+    # under-specified tie-break or divide-by-variance surfaces here.
+    # doc_id untouched, so divergence is degenerate-key handling, not
+    # content.
+    "monokey": f"""
+      SELECT doc_id,
+             '{_MONO_TEXT}' AS text,
+             'xx' AS lang,
+             'mono' AS source,
+             CAST({len(_MONO_TEXT)} AS BIGINT) AS n_chars
+      FROM read_parquet('{{src}}/documents.parquet')""",
 }
 
 EVENT_SQL = {
@@ -186,6 +219,32 @@ EVENT_SQL = {
                   ELSE ts END AS ts,
              user_id, event_type, value, props
       FROM read_parquet('{src}/events.parquet')""",
+    # fully degenerate keys (r16): ONE user and ONE timestamp for the
+    # entire stream — every per-user ordering is 100% ties, the
+    # sessionizer sees one mass-tie session, funnels can only ever
+    # reach step 0 (nothing is STRICTLY after), as-of joins match at
+    # the boundary everywhere, and every window/groupBy key has
+    # cardinality 1. event_id/event_type/value untouched.
+    "monokey": """
+      SELECT event_id,
+             TIMESTAMP '2024-01-15 12:00:00' AS ts,
+             CAST(777 AS BIGINT) AS user_id,
+             event_type, value, props
+      FROM read_parquet('{src}/events.parquet')""",
+}
+
+# the monokey axis also rewrites EMBEDDINGS: every vector becomes the
+# corpus's vec_id-min vector (labels kept), so every pairwise cosine is
+# exactly 1.0, sign-LSH puts the whole corpus in ONE bucket per band,
+# and every top-k / rank / neighbor choice is decided purely by the
+# documented id tie-breaks. Other variants copy embeddings verbatim.
+EMBED_SQL = {
+    "monokey": """
+      SELECT e.vec_id,
+             (SELECT embedding FROM read_parquet('{src}/embeddings.parquet')
+              ORDER BY vec_id LIMIT 1) AS embedding,
+             e.label
+      FROM read_parquet('{src}/embeddings.parquet') e""",
 }
 
 # documented oracle-scope exceptions per variant (the operator is right;
@@ -228,6 +287,12 @@ def build_variant(src: str, dst: str, variant: str) -> None:
             f"TO '{dst}/orders.parquet' (FORMAT PARQUET)"
         )
         rewritten.add("orders")
+    if variant in EMBED_SQL:
+        con.sql(
+            f"COPY ({EMBED_SQL[variant].format(src=src)}) "
+            f"TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"
+        )
+        rewritten.add("embeddings")
     con.close()
     for t in TABLES:
         if t not in rewritten:

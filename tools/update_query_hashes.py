@@ -2,13 +2,15 @@
 """Rewrite QUERY_HASHES.json — the per-round content-hash ledger behind
 the changed-query rotation bump (VERDICT r15 #4).
 
-Run at the END of each round (and commit the result): the ledger then
-records each catalog query's implementation hash *as of that round*, so
-any plan-function or oracle edit in the NEXT round makes
-``__spark_entry__._changed_since_ledger()`` flag the query and
-``_rotated_names()`` sorts it ahead of the stale cohort — the driver
-re-hashes a round-N behavior change in round N+1 regardless of where
-its last pass sits in the rotation.
+Run at the START of each round, BEFORE making changes (and commit the
+result): the ledger then records each query's implementation hash as of
+the previous round, so any plan-function or oracle edit made DURING the
+round makes ``__spark_entry__._changed_since_ledger()`` flag the query
+and ``_rotated_names()`` sorts it ahead of the stale cohort — the
+driver's end-of-round correctness run re-hashes every same-round
+behavior change regardless of where its last pass sits in the rotation.
+(Regenerating at round END would erase the flags right before the
+driver reads them.)
 
     python tools/update_query_hashes.py
 """

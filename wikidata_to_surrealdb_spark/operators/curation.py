@@ -926,8 +926,10 @@ def nb_quality_classifier(
 
     Determinism: log-probs are bit-portable :func:`...functions.plog10`
     e12 fixed-point values of ``(c + 1) / (t + V)`` (add-one smoothing)
-    and priors of ``n_c / n``; all sums integer — the DuckDB oracle
-    replays training and scoring bit for bit.
+    and priors of ``(n_c + 1) / (n + 2)`` (Laplace-smoothed, so an
+    EMPTY seed class stays finite instead of overflowing the e12
+    fixed-point — the monokey degenerate corpus); all sums integer —
+    the DuckDB oracle replays training and scoring bit for bit.
     """
     from wikidata_to_surrealdb_spark.functions import plog10
 
@@ -979,9 +981,17 @@ def nb_quality_classifier(
             F.sum("_dlp").alias("_s"),
         )
     )
+    # Laplace-smoothed PRIORS (r16, found by the monokey degenerate
+    # sweep): an empty seed class — nothing matches pos_cond, or
+    # everything does — made the unsmoothed prior plog10(0) ~ -9.3e8,
+    # whose e12 fixed-point blows the BIGINT range in both engines
+    # (Spark long-overflow, DuckDB ConversionException). (n_c + 1) /
+    # (n + 2) keeps every prior finite: an empty class degrades to a
+    # strong-but-finite prior and the classifier still scores by
+    # content. The oracle mirrors the same smoothing.
     dp = (
-        e12(plog10(F.col("n_pos") / F.col("n")))
-        - e12(plog10(F.col("n_neg") / F.col("n")))
+        e12(plog10((F.col("n_pos") + 1.0) / (F.col("n") + 2.0)))
+        - e12(plog10((F.col("n_neg") + 1.0) / (F.col("n") + 2.0)))
     ).alias("_dp")
     out = (
         docs.select(F.col(id_col))

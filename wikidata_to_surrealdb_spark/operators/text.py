@@ -780,7 +780,18 @@ def train_char_lm(
         "p",
         _e12(plog10(kl / (F.col("total") + kl * F.col("v")))).alias("unseen_e12"),
     )
-    default = v.select(_e12(plog10(F.lit(1.0) / F.col("v"))).alias("default_e12"))
+    # greatest(v, 1): an LM trained on an EMPTY corpus (e.g. a DSIR
+    # target class no document matches — the monokey degenerate sweep)
+    # has v = 0; the uniform fallback then divided by zero (Spark ANSI
+    # error vs DuckDB NULL — a cross-engine divergence). With the
+    # guard the empty model is well-defined and uninformative: model
+    # and ctx are empty relations, every gram scores the default
+    # log10(1/1) = 0. The oracle mirrors the same guard.
+    default = v.select(
+        _e12(plog10(F.lit(1.0) / F.greatest(F.col("v"), F.lit(1.0)))).alias(
+            "default_e12"
+        )
+    )
     return CharLM(model=model, ctx=ctx, default_e12=default, n=n)
 
 

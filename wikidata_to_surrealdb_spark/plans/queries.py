@@ -7471,7 +7471,8 @@ def _importance_oracle(target_where: str) -> str:
             f"({tag}c.c + 1.0) / ({tag}ctx.total + 1.0 * {tag}v.v)"
         )
         unseen = plog10_sql(f"1.0 / ({tag}ctx.total + 1.0 * {tag}v.v)")
-        dflt = plog10_sql(f"1.0 / {tag}v.v")
+        # greatest(v, 1): empty-class LM guard, mirrors char_lm_train
+        dflt = plog10_sql(f"1.0 / greatest({tag}v.v, 1.0)")
         return f"""
     {tag}g AS (
       SELECT unnest(list_transform(range(1, length(lower(text))),
@@ -7563,7 +7564,9 @@ def _nb_classifier_oracle(pos_in: str) -> str:
         + " - "
         + e12("(c_neg + 1.0) / (t_neg + 1.0 * v)")
     )
-    dp = e12("n_pos / n") + " - " + e12("n_neg / n")
+    # Laplace-smoothed priors, mirrors nb_quality_classifier (an empty
+    # seed class must stay finite — monokey degenerate sweep, r16)
+    dp = e12("(n_pos + 1.0) / (n + 2.0)") + " - " + e12("(n_neg + 1.0) / (n + 2.0)")
     return f"""
     WITH d AS (
       SELECT doc_id, coalesce(source IN {pos_in}, FALSE) AS pos,
