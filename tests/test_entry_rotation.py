@@ -50,12 +50,21 @@ def test_last_verified_round_ignores_garbage(tmp_path):
 def test_rotated_order_puts_unverified_first():
     names = entry._rotated_names()
     last = entry._last_verified_round()
+    changed = entry._changed_since_ledger()
     # Set semantics: rotation permutes, never drops or invents.
     from wikidata_to_surrealdb_spark.plans.queries import QUERIES
 
     assert sorted(names) == sorted(QUERIES)
-    # Every never-verified query precedes every verified one.
-    ranks = [last.get(n, (-1, -1)) for n in names]
+    # Every never-verified query precedes every verified one, with
+    # changed-since-ledger queries bumped to (-1, 0) — the effective
+    # rank _rotated_names() sorts on (r16 rotation bump).
+    def rank(n):
+        lf, lw = last.get(n, (-1, -1))
+        if n in changed and (lf, lw) != (-1, -1):
+            return (-1, 0)
+        return (lf, lw)
+
+    ranks = [rank(n) for n in names]
     assert ranks == sorted(ranks)
 
 

@@ -171,6 +171,26 @@ DOC_SQL = {
              'mono' AS source,
              CAST({len(_MONO_TEXT)} AS BIGINT) AS n_chars
       FROM read_parquet('{{src}}/documents.parquet')""",
+    # micro-documents (r16): the entire corpus becomes sub-gram /
+    # sub-shingle / sub-sentence texts — empty string, single char,
+    # one word, two chars. Every tokenizer emits empty-or-one arrays,
+    # every k-shingle set is empty, char-bigram streams vanish, BPE
+    # trains on (almost) nothing, chunkers and sentence splitters get
+    # inputs shorter than their windows — any length assumption,
+    # 0-denominator ratio, or empty-aggregate NULL mishandling
+    # surfaces here. Events/embeddings untouched.
+    "microdoc": """
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN ''
+                             WHEN 1 THEN 'a'
+                             WHEN 2 THEN 'hi'
+                             ELSE 'ok go' END AS text,
+             lang, source,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 0
+                                  WHEN 1 THEN 1
+                                  WHEN 2 THEN 2
+                                  ELSE 5 END AS BIGINT) AS n_chars
+      FROM read_parquet('{src}/documents.parquet')""",
 }
 
 EVENT_SQL = {
@@ -231,6 +251,7 @@ EVENT_SQL = {
              CAST(777 AS BIGINT) AS user_id,
              event_type, value, props
       FROM read_parquet('{src}/events.parquet')""",
+    "microdoc": "SELECT * FROM read_parquet('{src}/events.parquet')",
 }
 
 # the monokey axis also rewrites EMBEDDINGS: every vector becomes the
