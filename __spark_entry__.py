@@ -105,12 +105,14 @@ def _query_content_hash(name: str) -> str:
 
 def _changed_since_ledger(repo_dir: str = _REPO_DIR) -> set[str]:
     """Names whose current content hash differs from the committed
-    per-round ledger (QUERY_HASHES.json, rewritten at each round's end
-    by tools/update_query_hashes.py). A hit means the implementation
-    changed since the last committed round, so the query must jump the
-    rotation queue and be driver-re-hashed next round regardless of
-    cohort. Names absent from the ledger (brand-new queries) are not
-    'changed' — they already sort first as never-passed."""
+    per-round ledger (QUERY_HASHES.json, rewritten at the START of each
+    round by tools/update_query_hashes.py — regenerating at round end
+    would erase the changed flags right before the driver reads them).
+    A hit means the implementation changed since the ledger was taken,
+    so the query must jump the rotation queue and be driver-re-hashed
+    next round regardless of cohort. Names absent from the ledger
+    (brand-new queries) are not 'changed' — they already sort first as
+    never-passed."""
     path = os.path.join(repo_dir, "QUERY_HASHES.json")
     try:
         with open(path) as fh:
