@@ -82,25 +82,208 @@ def _last_verified_round(
     return {n: (v[0], v[1]) for n, v in last.items()}
 
 
-def _query_content_hash(name: str) -> str:
-    """Content hash of a catalog query's *implementation*: md5 over its
-    plan-function source plus its raw oracle SQL. Drives the
-    changed-since-last-pass rotation bump (VERDICT r15 #4) — the hash
-    is deliberately over the plan function in plans/queries.py, not
-    its transitive operator imports: operator-level changes are
-    covered every round by the local oracle-parity suites, while a
-    changed plan function (or oracle) is exactly the case where the
-    DRIVER's independent hash needs to re-confirm next round."""
+_PKG_PREFIX = "wikidata_to_surrealdb_spark"
+
+# key -> (own content digest, sorted dep keys). Keys are
+# "module:qualname" for functions/classes, "module:NAME#const" for
+# module-level literals, "module#file" for whole-module fallbacks.
+_HASH_GRAPH: dict[str, tuple[str, tuple[str, ...]]] = {}
+_MODULE_FILE_DIGEST: dict[str, str] = {}
+
+# literal types whose repr is process-stable (no memory addresses, no
+# nondeterministic iteration order) — safe to hash directly; anything
+# else degrades to the whole module file's digest.
+_STABLE_LITERALS = (int, float, complex, str, bytes, bool, type(None), tuple, list, dict)
+
+
+def _all_code_names(code) -> set[str]:
+    """Every global/attribute name referenced by a code object,
+    including nested code objects (comprehensions, inner defs)."""
+    import types
+
+    names: set[str] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        stack.extend(k for k in c.co_consts if isinstance(k, types.CodeType))
+    return names
+
+
+def _module_file_digest(mod) -> str:
     import hashlib
     import inspect
 
-    q = _catalog.QUERIES[name]
+    key = getattr(mod, "__name__", "")
+    if key not in _MODULE_FILE_DIGEST:
+        try:
+            path = inspect.getsourcefile(mod)
+            with open(path, "rb") as fh:  # type: ignore[arg-type]
+                digest = hashlib.md5(fh.read()).hexdigest()
+        except (OSError, TypeError):
+            digest = "<no-source>"
+        _MODULE_FILE_DIGEST[key] = digest
+    return _MODULE_FILE_DIGEST[key]
+
+
+def _collect_ref_modules(names: set[str], globals_dict: dict) -> dict:
+    """Package modules reachable from a code object's referenced names:
+    plain globals (``similarity.foo()`` via a top-level import), dotted
+    co_names (in-function ``from pkg.operators import er`` compiles the
+    dotted module path into co_names), and package submodules reached
+    as attributes of already-found package modules."""
+    import importlib
+    import types
+
+    mods: dict[str, object] = {}
+    for n in sorted(names):
+        v = globals_dict.get(n)
+        if isinstance(v, types.ModuleType) and v.__name__.startswith(_PKG_PREFIX):
+            mods[v.__name__] = v
+        if n.startswith(_PKG_PREFIX + ".") or n == _PKG_PREFIX:
+            m = sys.modules.get(n)
+            if m is None:
+                try:
+                    m = importlib.import_module(n)
+                except Exception:
+                    m = None
+            if m is not None:
+                mods[n] = m
+    # fixpoint over submodule attributes (operators -> operators.er)
+    frontier = list(mods.values())
+    while frontier:
+        m = frontier.pop()
+        for n in sorted(names):
+            v = getattr(m, n, None)
+            if (
+                isinstance(v, types.ModuleType)
+                and v.__name__.startswith(_PKG_PREFIX)
+                and v.__name__ not in mods
+            ):
+                mods[v.__name__] = v
+                frontier.append(v)
+    return mods
+
+
+def _build_hash_node(key: str, obj) -> None:
+    """Memoize (own digest, dep keys) for a package function/class.
+
+    Deps are the package-internal functions, classes, and module-level
+    literals the object's code references — resolved from its module's
+    globals and from any referenced package modules — so a behavior
+    change anywhere in a query's operator call chain changes the
+    query's content hash (VERDICT r16 #4: previously only the plan
+    function's own source and the oracle were hashed, so a
+    Spark-side-only operator fix with an unchanged oracle never jumped
+    the rotation queue)."""
+    import hashlib
+    import inspect
+    import types
+
+    if key in _HASH_GRAPH:
+        return
+    _HASH_GRAPH[key] = ("<building>", ())  # cycle guard
+
     try:
-        src = inspect.getsource(q.fn)
+        src = inspect.getsource(obj)
     except (OSError, TypeError):
         src = ""
+    own = hashlib.md5(src.encode()).hexdigest()
+
+    codes = []
+    if isinstance(obj, type):
+        codes = [
+            f.__code__
+            for f in vars(obj).values()
+            if isinstance(f, types.FunctionType)
+        ]
+        mod = sys.modules.get(obj.__module__)
+        globals_dict = getattr(mod, "__dict__", {})
+    else:
+        fn = inspect.unwrap(obj)
+        codes = [fn.__code__] if hasattr(fn, "__code__") else []
+        globals_dict = getattr(fn, "__globals__", {})
+
+    names: set[str] = set()
+    for c in codes:
+        names |= _all_code_names(c)
+
+    deps: set[str] = set()
+    mods = _collect_ref_modules(names, globals_dict)
+    candidates: list[tuple[str, object, object]] = []
+    for n in sorted(names):
+        v = globals_dict.get(n)
+        if v is not None and not isinstance(v, types.ModuleType):
+            candidates.append((n, v, None))
+    for mname in sorted(mods):
+        m = mods[mname]
+        for n in sorted(names):
+            v = getattr(m, n, None)
+            if v is not None and not isinstance(v, types.ModuleType):
+                candidates.append((n, v, m))
+
+    for n, v, owner in candidates:
+        vmod = getattr(v, "__module__", None)
+        if callable(v) and isinstance(vmod, str) and vmod.startswith(_PKG_PREFIX):
+            qual = getattr(v, "__qualname__", n)
+            dkey = f"{vmod}:{qual}"
+            deps.add(dkey)
+            _build_hash_node(dkey, v)
+        elif not callable(v) and owner is not None:
+            # a module-level literal pulled from a package module
+            # (trained codebooks/centroids, tuning constants)
+            oname = owner.__name__
+            if type(v) in _STABLE_LITERALS:
+                dkey = f"{oname}:{n}#const"
+                if dkey not in _HASH_GRAPH:
+                    _HASH_GRAPH[dkey] = (
+                        hashlib.md5(repr(v).encode()).hexdigest(),
+                        (),
+                    )
+            else:
+                dkey = f"{oname}#file"
+                if dkey not in _HASH_GRAPH:
+                    _HASH_GRAPH[dkey] = (_module_file_digest(owner), ())
+            deps.add(dkey)
+
+    _HASH_GRAPH[key] = (own, tuple(sorted(deps)))
+
+
+def _query_hash_sources(name: str) -> dict[str, str]:
+    """The full transitive source set behind a query's content hash:
+    {node key: digest} for the plan function and every package-internal
+    function/class/literal its call chain references. Exposed for the
+    rotation tests and for debugging which edit flagged a query."""
+    q = _catalog.QUERIES[name]
+    root = f"{getattr(q.fn, '__module__', '?')}:{getattr(q.fn, '__qualname__', name)}"
+    _build_hash_node(root, q.fn)
+    out: dict[str, str] = {}
+    stack = [root]
+    while stack:
+        k = stack.pop()
+        if k in out:
+            continue
+        digest, deps = _HASH_GRAPH.get(k, ("<missing>", ()))
+        out[k] = digest
+        stack.extend(deps)
+    return out
+
+
+def _query_content_hash(name: str) -> str:
+    """Content hash of a catalog query's *implementation*: md5 over the
+    raw oracle SQL plus the sorted (node, digest) set of the plan
+    function AND its transitive package-internal references (operator
+    functions, shared helpers, trained-artifact literals). Drives the
+    changed-since-last-pass rotation bump (VERDICT r15 #4, widened to
+    operator sources by r16 #4): any behavior-relevant source change in
+    the query's call chain makes the driver re-hash it next round, even
+    when the plan function and oracle are untouched."""
+    import hashlib
+
+    q = _catalog.QUERIES[name]
+    parts = [f"{k}={v}" for k, v in sorted(_query_hash_sources(name).items())]
     oracle = q._oracle_src or ""
-    return hashlib.md5((src + "\x00" + oracle).encode()).hexdigest()
+    return hashlib.md5(("\n".join(parts) + "\x00" + oracle).encode()).hexdigest()
 
 
 def _changed_since_ledger(repo_dir: str = _REPO_DIR) -> set[str]:

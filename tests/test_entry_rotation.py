@@ -129,6 +129,53 @@ def test_ledger_hash_tracks_fn_source_and_oracle(tmp_path, monkeypatch):
     assert entry._changed_since_ledger(str(tmp_path)) == set()
 
 
+def test_hash_covers_transitive_operator_sources():
+    """VERDICT r16 #4: the per-query content hash includes the query's
+    operator call chain, not just the plan-function source — so a
+    Spark-side-only operator fix with an unchanged oracle still jumps
+    the rotation queue. Pins: (a) the source set reaches the public
+    operator entry point AND its private transitive helpers, (b) a
+    trained-artifact literal is hashed, (c) each node's digest is the
+    md5 of its real source, (d) perturbing any one node's digest
+    changes the query hash."""
+    import hashlib
+    import inspect
+
+    from wikidata_to_surrealdb_spark.operators import dedup
+
+    src = entry._query_hash_sources("dedup_minhash_lsh")
+    op_key = "wikidata_to_surrealdb_spark.operators.dedup:minhash_dedup"
+    helper_key = "wikidata_to_surrealdb_spark.operators.dedup:_banded"
+    assert op_key in src, sorted(src)[:10]
+    assert helper_key in src, "transitive private helpers must be hashed"
+    assert src[op_key] == hashlib.md5(
+        inspect.getsource(dedup.minhash_dedup).encode()
+    ).hexdigest()
+
+    pq = entry._query_hash_sources("sim_pq_search")
+    assert "wikidata_to_surrealdb_spark.data.pq_codebooks:PQ_CODEBOOKS#const" in pq, (
+        "trained codebook literals are behavior: they must be hashed"
+    )
+
+
+def test_operator_node_change_changes_query_hash(monkeypatch):
+    """Perturbing the memoized digest of one transitive operator node
+    (standing in for an edit to that operator function's source) must
+    change the query's content hash — the exact class the plan-fn-only
+    hash missed."""
+    name = "dedup_minhash_lsh"
+    before = entry._query_content_hash(name)
+    op_key = "wikidata_to_surrealdb_spark.operators.dedup:minhash_dedup"
+    digest, deps = entry._HASH_GRAPH[op_key]
+    monkeypatch.setitem(entry._HASH_GRAPH, op_key, ("0" * 32, deps))
+    after = entry._query_content_hash(name)
+    assert after != before
+    # an untouched query's hash is unaffected by the perturbed node
+    assert entry._query_content_hash("tpch_q1") == entry._query_content_hash(
+        "tpch_q1"
+    )
+
+
 def test_oracle_sql_order_matches_queries():
     qs = list(entry.queries())
     osql = list(entry.oracle_sql())
