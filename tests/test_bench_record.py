@@ -190,6 +190,75 @@ def test_normalize_vs_prev_classifies_host_drift(tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_normalize_vs_prev_python_probe_families(tmp_path):
+    """VERDICT r16 #2: Python-heavy families normalize against the
+    Python/numpy probe, whose drift can diverge from the JVM probe's
+    (r15 mm_decode_jpeg; r16's contradictory signature). Shape: the JVM
+    probe reads calm (1.0x) while Python workers ran 3x slower — a
+    py-heavy query nominally 3x slower is FLAT under py normalization
+    (host), while one nominally 6x slower survives as a real flag.
+    JVM-side queries are untouched by the py fields."""
+    prev = {
+        "queries": {
+            "tpch_q1": 1.0,
+            "flat2": 1.0,
+            "flat3": 1.0,
+            "mm_decode_jpeg": 2.0,
+            "dedup_semantic": 1.0,
+        },
+        "calibration_sec": {"start": 0.1, "end": 0.1},
+        "calibration_py_sec": {"start": 0.2, "end": 0.2},
+        "sf": 0.1,
+    }
+    cur = {
+        "queries": {
+            "tpch_q1": 1.0,
+            "flat2": 1.0,
+            "flat3": 1.0,
+            "mm_decode_jpeg": 6.0,
+            "dedup_semantic": 6.0,
+        },
+        "calibration_sec": {"start": 0.1, "end": 0.1},
+        "calibration_py_sec": {"start": 0.6, "end": 0.6},
+        "sf": 0.1,
+    }
+    norm = bench.normalize_vs_prev(cur, prev)
+    assert norm["python_drift_ratio"] == 3.0
+    assert norm["host_drift_ratio"] == 1.0
+    # median nominal is 1.0 (three flat JVM queries), so BOTH py-heavy
+    # queries flag under the median normalization ...
+    assert set(norm["normalized_regressed"]) == {
+        "mm_decode_jpeg",
+        "dedup_semantic",
+    }
+    # ... but the py probe separates throttling from regression:
+    # 3x nominal / 3x py drift = flat; 6x nominal / 3x = real
+    assert norm["py_normalized_vs_prev"] == {
+        "mm_decode_jpeg": 1.0,
+        "dedup_semantic": 2.0,
+    }
+    assert norm["py_normalized_regressed"] == ["dedup_semantic"]
+    # JVM-side queries never appear in the py map
+    assert "tpch_q1" not in norm["py_normalized_vs_prev"]
+    # a reference without the py probe (pre-r17 records) degrades to
+    # the median-only fields, never raises
+    old_ref = {k: v for k, v in prev.items() if k != "calibration_py_sec"}
+    norm2 = bench.normalize_vs_prev(cur, old_ref)
+    assert "python_drift_ratio" not in norm2
+    assert "normalized_vs_prev" in norm2
+
+
+def test_is_py_heavy_classification():
+    assert bench.is_py_heavy("mm_decode_png")
+    assert bench.is_py_heavy("dedup_semantic")
+    assert bench.is_py_heavy("stream_sessionize_stateful")
+    # masked-NFC text_clean and the persisted-index FTS serving paths
+    # are JVM-dominated by design
+    assert not bench.is_py_heavy("text_clean")
+    assert not bench.is_py_heavy("b14_fts_indexed")
+    assert not bench.is_py_heavy("tpch_q5")
+
+
 def test_current_suite_final_line_fits_tail_window(tmp_path, capsys):
     # with the real BENCH_QUERIES list and realistic timing widths, the
     # FINAL printed line (the full record if it fits, else the headline
@@ -422,7 +491,7 @@ def test_build_smoke_record_history_ratios_and_flags():
     # too — the attempt happened), untouched entries carried forward;
     # entries now record the scale factor they were timed at
     assert full["smoke_history"]["flat"] == {
-        "epoch": 4, "sec": 1.1, "cal": 1.25, "sf": 0.1
+        "epoch": 4, "sec": 1.1, "cal": 1.25, "cal_py": None, "sf": 0.1
     }
     assert full["smoke_history"]["boom"]["sec"] == -1.0
     assert full["smoke_history"]["untouched"] == prev["smoke_history"]["untouched"]

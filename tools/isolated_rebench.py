@@ -72,6 +72,10 @@ STREAM_PROBES = (
     "stream_sessionize_multibatch",
     "stream_dedup_multibatch",
 )
+# the dedup/ER blowup probes share their staged-corpus + timed-body
+# implementation with bench.main (module-level in bench.py), so the
+# isolated numbers are comparable to the suite record by construction
+SCALE_PROBES = ("dedup_minhash_10x",) + bench.ER_PAIR_PROBES
 
 
 def run_probes(
@@ -165,6 +169,26 @@ def run_probes(
                     best, best_prog = dt, prog
             timings[name] = round(best, 3)
             probe_info[name] = {"batches": best_prog}
+        elif name == "dedup_minhash_10x":
+            warm_dir = "/root/testdata/sf0.001"
+            if os.path.isdir(warm_dir):
+                try:
+                    bench.time_dedup_minhash_10x(spark, warm_dir)
+                except Exception:
+                    pass
+            timings[name] = bench.time_dedup_minhash_10x(
+                spark, sf_dir, reps=reps
+            )
+        elif name in bench.ER_PAIR_PROBES:
+            warm_dir = "/root/testdata/sf0.001"
+            if os.path.isdir(warm_dir):
+                try:
+                    bench.time_er_pairs_probes(spark, warm_dir, [name])
+                except Exception:
+                    pass
+            timings.update(
+                bench.time_er_pairs_probes(spark, sf_dir, [name], reps=reps)
+            )
         else:
             raise SystemExit(f"unknown probe: {name}")
 
@@ -182,7 +206,8 @@ def main() -> int:
         default="",
         help=(
             "comma-separated bench-main probes (wd_ingest*, "
-            "stream_*_multibatch) to re-bench in isolation"
+            "stream_*_multibatch, dedup_minhash_10x, er_pairs_*) to "
+            "re-bench in isolation"
         ),
     )
     ap.add_argument(
@@ -214,7 +239,9 @@ def main() -> int:
         bad = [
             n
             for n in probe_names
-            if n not in INGEST_PROBES and n not in STREAM_PROBES
+            if n not in INGEST_PROBES
+            and n not in STREAM_PROBES
+            and n not in SCALE_PROBES
         ]
         if bad:
             raise SystemExit(f"unknown probes: {bad}")
@@ -229,6 +256,12 @@ def main() -> int:
     try:
         c = ref["calibration_sec"]
         ref_cal = (float(c["start"]) + float(c["end"])) / 2.0
+    except (KeyError, TypeError, ValueError):
+        pass
+    ref_py_cal = None
+    try:
+        c = ref["calibration_py_sec"]
+        ref_py_cal = (float(c["start"]) + float(c["end"])) / 2.0
     except (KeyError, TypeError, ValueError):
         pass
 
@@ -262,6 +295,7 @@ def main() -> int:
                     pass
 
         cal_start = bench.calibrate(spark)
+        py_cal_start = bench.calibrate_python()
         bench.time_queries(
             spark,
             args.sf_dir,
@@ -291,8 +325,10 @@ def main() -> int:
                     pair[k] = min(pair.get(k, float("inf")), v)
             timings.update({k: round(v, 3) for k, v in pair.items()})
         cal_end = bench.calibrate(spark)
+        py_cal_end = bench.calibrate_python()
 
     cal = (cal_start + cal_end) / 2.0
+    py_cal = (py_cal_start + py_cal_end) / 2.0
     # distinguish "no reference calibration" (None) from "degenerate
     # reference" (<= 0, reported loudly) — and never drop a drift that
     # legitimately rounds to 0.0 (ADVICE r10)
@@ -305,11 +341,20 @@ def main() -> int:
         )
     else:
         cal_drift = round(cal / ref_cal, 3)
+    # the Python-probe twin (VERDICT r16 #2): for is_py_heavy queries
+    # the py drift, not the JVM drift, is the host-weather estimator
+    py_cal_drift = (
+        round(py_cal / ref_py_cal, 3)
+        if isinstance(ref_py_cal, (int, float)) and ref_py_cal > 0
+        else None
+    )
     report = {
         "sf_dir": args.sf_dir,
         "reps": args.reps,
         "calibration_sec": {"start": cal_start, "end": cal_end},
         "cal_drift_vs_ref": cal_drift,
+        "calibration_py_sec": {"start": py_cal_start, "end": py_cal_end},
+        "py_cal_drift_vs_ref": py_cal_drift,
         "isolated": {},
     }
     if probe_names:
@@ -354,6 +399,14 @@ def main() -> int:
             elif cal_drift is not None:
                 entry["normalized_ratio"] = None
                 entry["note"] = f"cal_drift degenerate ({cal_drift})"
+            if (
+                bench.is_py_heavy(n)
+                and py_cal_drift is not None
+                and py_cal_drift > 0
+            ):
+                entry["py_normalized_ratio"] = round(
+                    t / prev / py_cal_drift, 3
+                )
         report["isolated"][n] = entry
     print(json.dumps(report, indent=1))
     spark.stop()
