@@ -961,3 +961,72 @@ def test_auto_band_bits_generalized_to_all_lsh_sites(spark, sf_dir):
             ann_bucketed_pairs(emb, sign_bits=bad)
         with pytest.raises(ValueError, match="bits"):
             diversity_sample(emb, band_bits=bad)
+
+
+def test_max_bucket_guard_fires_on_degenerate_cluster(spark):
+    """VERDICT r16 #3: auto_band_bits bounds MEAN occupancy only — a
+    degenerate sign-pattern cluster (the monokey construction: every
+    vector identical, so ONE bucket holds the whole corpus in every
+    band) still goes quadratic silently in the banded pair stages.
+    The opt-in max_bucket guard fails each site loudly, naming the
+    bucket and its size; the default (None) stays unguarded and
+    result-identical to an armed-but-roomy bound (oracles pinned)."""
+    import pytest
+
+    vec = [1.0] * 64
+    rows = [(i, vec) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    for fn, kwargs in (
+        (similarity.ann_banded_pairs_gemm, {"bands": 2, "band_bits": 4}),
+        (similarity.ann_bucketed_pairs_gemm, {"sign_bits": 4}),
+        (similarity.ann_bucketed_pairs, {"sign_bits": 4}),
+        (similarity.knn_join, {"k": 3, "bands": 2, "band_bits": 4}),
+    ):
+        with pytest.raises(Exception, match="max_bucket=16"):
+            fn(df, max_bucket=16, **kwargs).collect()
+
+    # unarmed (default) == armed-with-headroom, on a NON-degenerate
+    # corpus too: the guard is observability, never a result change
+    rs_rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(64)])
+        for i in range(30)
+    ]
+    mixed = spark.createDataFrame(
+        rs_rows, "vec_id bigint, embedding array<float>"
+    )
+    for fn, kwargs in (
+        (similarity.ann_banded_pairs_gemm, {"bands": 2, "band_bits": 4, "threshold": 0.3}),
+        (similarity.ann_bucketed_pairs_gemm, {"sign_bits": 4, "threshold": 0.3}),
+        (similarity.ann_bucketed_pairs, {"sign_bits": 4, "threshold": 0.3}),
+        (similarity.knn_join, {"k": 3, "bands": 2, "band_bits": 4}),
+    ):
+        unarmed = {tuple(r) for r in fn(mixed, **kwargs).collect()}
+        armed = {
+            tuple(r) for r in fn(mixed, max_bucket=10_000, **kwargs).collect()
+        }
+        assert unarmed == armed and unarmed
+
+
+def test_bucketed_pairs_rejects_sign_bits_with_bucket_expr(spark):
+    """ADVICE r16: a non-default sign_bits alongside an explicit
+    bucket_expr used to be silently ignored; now it raises like every
+    other invalid-geometry shape routed through _resolve_band_bits."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    expr = F.lit("b0")
+    # default sign_bits with bucket_expr stays valid
+    assert (
+        similarity.ann_bucketed_pairs(df, bucket_expr=expr, threshold=0.0)
+        .count()
+        == 1
+    )
+    for bad in (4, "auto", True, "wide"):
+        with pytest.raises(ValueError, match="sign_bits"):
+            similarity.ann_bucketed_pairs(df, sign_bits=bad, bucket_expr=expr)

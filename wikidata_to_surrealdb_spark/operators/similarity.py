@@ -150,6 +150,71 @@ def hyperplane_bucket_sql(
     return out
 
 
+def _oversize_bucket_guard(
+    df: DataFrame, key_col: str, max_bucket: int, site: str
+) -> DataFrame:
+    """In-plan oversized-LSH-bucket raise (VERDICT r16 #3), the LSH twin
+    of ``er.blocked_fuzzy_pairs(oversize="raise")``: ``auto_band_bits``
+    bounds MEAN occupancy only, so a degenerate sign-pattern cluster
+    (every near-identical vector shares every band key — the monokey
+    axis by construction, a natural tight embedding cluster at 100 TB)
+    still piles the corpus into ONE bucket and the within-bucket pair
+    stage goes quadratic silently. Armed via ``max_bucket``, the guard
+    counts occupancy over the bucket key (a window over the same hash
+    partitioning the pair stage needs anyway) and fails the job loudly,
+    naming the bucket and its size, instead of burning a cluster-day.
+    The raise rides the bucket key itself — always consumed by the
+    downstream join/groupBy — so the optimizer cannot prune it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    return (
+        df.withColumn("_occ", F.count(F.lit(1)).over(w))
+        .withColumn(
+            key_col,
+            F.when(
+                F.col("_occ") > int(max_bucket),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{site}: LSH bucket "),
+                        F.coalesce(
+                            F.col(key_col).cast("string"), F.lit("NULL")
+                        ),
+                        F.lit(" holds "),
+                        F.col("_occ").cast("string"),
+                        F.lit(
+                            f" rows > max_bucket={int(max_bucket)} — a "
+                            "degenerate sign-pattern cluster makes the "
+                            "within-bucket pair stage quadratic; widen "
+                            "the bucket (band_bits/sign_bits, or "
+                            "'auto'), pre-collapse exact duplicates, "
+                            "or leave max_bucket=None to accept the "
+                            "quadratic work"
+                        ),
+                    )
+                ),
+            ).otherwise(F.col(key_col)),
+        )
+        .drop("_occ")
+    )
+
+
+def _check_worker_bucket(n: int, max_bucket: int | None, site: str, label):
+    """Worker-side twin of :func:`_oversize_bucket_guard` for the
+    ``applyInPandas`` GEMM paths: the group is already materialized in
+    the worker, so a plain size check before the O(n^2) matrix product
+    is free and needs no extra window exchange."""
+    if max_bucket is not None and n > max_bucket:
+        raise ValueError(
+            f"{site}: LSH bucket {label!r} holds {n} rows > "
+            f"max_bucket={int(max_bucket)} — a degenerate sign-pattern "
+            "cluster makes the within-bucket GEMM quadratic; widen the "
+            "bucket (band_bits/sign_bits, or 'auto'), pre-collapse "
+            "exact duplicates, or leave max_bucket=None to accept the "
+            "quadratic work"
+        )
+
+
 def ann_bucketed_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -157,6 +222,7 @@ def ann_bucketed_pairs(
     sign_bits: int | str = 6,
     threshold: float = 0.9,
     bucket_expr: Column | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket by sign pattern, pair within
     bucket, keep cosine >= threshold. The within-bucket self-join is the
@@ -172,12 +238,27 @@ def ann_bucketed_pairs(
     expected occupancy stays <= 128 (within-bucket pairs grow with
     occupancy SQUARED — the fixed default goes super-linear once the
     corpus passes ~128 x 2^sign_bits rows, i.e. ~8.2 k at the default
-    6 bits); the int default stays for oracle-pinned reproducibility."""
+    6 bits); the int default stays for oracle-pinned reproducibility.
+    The occupancy rule bounds the MEAN only — ``max_bucket`` arms the
+    in-plan oversized-bucket raise (:func:`_oversize_bucket_guard`) for
+    the degenerate-cluster case; None (default) leaves the plan
+    untouched."""
     from wikidata_to_surrealdb_spark.functions import respread
 
     from wikidata_to_surrealdb_spark.functions import fround
 
-    if bucket_expr is None:
+    if bucket_expr is not None:
+        # sign_bits is DEAD with an explicit bucket_expr: reject any
+        # non-default value loudly instead of silently ignoring it
+        # (ADVICE r16 — every other LSH site validates via
+        # _resolve_band_bits on all call shapes)
+        if sign_bits != 6:
+            raise ValueError(
+                "ann_bucketed_pairs: sign_bits is ignored when "
+                f"bucket_expr is given (got sign_bits={sign_bits!r}); "
+                "pass one or the other"
+            )
+    else:
         sign_bits = _resolve_band_bits(
             sign_bits, embeddings, "ann_bucketed_pairs", name="sign_bits"
         )
@@ -195,6 +276,10 @@ def ann_bucketed_pairs(
         _norm(v).alias("nrm"),
         bucket.alias("bucket"),
     )
+    if max_bucket is not None:
+        with_bucket = _oversize_bucket_guard(
+            with_bucket, "bucket", max_bucket, "ann_bucketed_pairs"
+        )
     a = with_bucket.alias("a").hint("shuffle_hash")
     b = with_bucket.alias("b").hint("shuffle_hash")
     return (
@@ -306,6 +391,7 @@ def ann_bucketed_pairs_gemm(
     sign_bits: int = 6,
     threshold: float = 0.9,
     decimals: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """GEMM variant of :func:`ann_bucketed_pairs`: same bucketing, but
     the within-bucket pair cosines are one ``applyInPandas`` matrix
@@ -323,6 +409,9 @@ def ann_bucketed_pairs_gemm(
     Scale: buckets are the unit of parallelism AND of memory — a bucket
     must fit one executor (n_bucket^2 pair scores); tune sign_bits so it
     does, exactly the LSH contract the join form needs anyway.
+    ``max_bucket`` arms a loud worker-side size check before the GEMM
+    (:func:`_check_worker_bucket`) for the degenerate-cluster case the
+    mean-occupancy rule can't bound; None (default) is unguarded.
     """
     import pandas as pd
 
@@ -335,6 +424,12 @@ def ann_bucketed_pairs_gemm(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
+        _check_worker_bucket(
+            len(pdf),
+            max_bucket,
+            "ann_bucketed_pairs_gemm",
+            pdf["bucket"].iloc[0],
+        )
         pdf = pdf.sort_values("_gid")
         ids = pdf["_gid"].to_numpy()
         x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_gv"]])
@@ -369,6 +464,7 @@ def ann_banded_pairs_gemm(
     seed: int = 42,
     threshold: float = 0.9,
     decimals: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Multi-band random-hyperplane LSH near-dup pairs: a pair is a
     candidate if it collides in ANY band, so recall for cosine-``c``
@@ -394,7 +490,11 @@ def ann_banded_pairs_gemm(
     count (occupancy rule, :func:`auto_band_bits`) — per-bucket GEMM
     work grows with occupancy squared, so the fixed default goes
     super-linear past ~128 x 2^band_bits rows (~2 k at the 4-bit
-    default); the int default stays for oracle-pinned runs."""
+    default); the int default stays for oracle-pinned runs. The
+    occupancy rule bounds the MEAN only — ``max_bucket`` arms a loud
+    worker-side size check before the per-bucket GEMM for the
+    degenerate-cluster case (one sign pattern holding the corpus);
+    None (default) is unguarded."""
     import pandas as pd
 
     band_bits = _resolve_band_bits(
@@ -410,6 +510,12 @@ def ann_banded_pairs_gemm(
         )
         if len(pdf) < 2:
             return empty
+        _check_worker_bucket(
+            len(pdf),
+            max_bucket,
+            "ann_banded_pairs_gemm",
+            (int(pdf["band"].iloc[0]), pdf["bucket"].iloc[0]),
+        )
         band = int(pdf["band"].iloc[0])
         pdf = pdf.sort_values("_gid")
         ids = pdf["_gid"].to_numpy()
@@ -1445,7 +1551,14 @@ def _resolve_band_bits(
     — the occupancy rule the r15 sf1 probe proved: fixed bits at
     growing volume is quadratic in bucket occupancy); an explicit int
     stays as-is for oracle-pinned reproducibility; bool (an int
-    subclass) and anything else raise."""
+    subclass) and anything else raise.
+
+    The ``"auto"`` count() executes the UPSTREAM PLAN of ``embeddings``
+    at plan-build time: on a raw table scan that is one cheap metadata
+    pass, but if ``embeddings`` is the output of an expensive pipeline
+    (a join chain, a decode stage) the count is a full recompute — call
+    ``.cache()``/``.localCheckpoint()`` on such an upstream before
+    passing it with ``"auto"``, or pass an explicit int."""
     if band_bits == "auto":
         return auto_band_bits(embeddings.count())
     if isinstance(band_bits, bool) or not isinstance(band_bits, int):
@@ -1464,6 +1577,7 @@ def knn_join(
     band_bits: int | str = 4,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate kNN JOIN: every vector's top-``k`` cosine neighbors
     among LSH candidates — the kNN-graph builder behind graph-based
@@ -1514,6 +1628,11 @@ def knn_join(
         _norm(v).alias("nrm"),
         F.explode(tagged).alias("key"),
     )
+    if max_bucket is not None:
+        # per-(band, bucket) occupancy guard: the keys are
+        # band-prefixed, so one window over the exploded key bounds
+        # every band's buckets (VERDICT r16 #3)
+        side = _oversize_bucket_guard(side, "key", max_bucket, "knn_join")
     a = side.alias("a").hint("shuffle_hash")
     b = side.alias("b").hint("shuffle_hash")
     scored = (
