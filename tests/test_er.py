@@ -72,6 +72,26 @@ def test_blocked_fuzzy_pairs_oversize_raise(spark):
         )
 
 
+def test_oversize_raise_fires_with_all_duplicate_ids(spark):
+    """ADVICE r16: the degenerate block where NO pair survives
+    ``id_a < id_b`` (all rows share one id) must still raise when
+    armed — the guard rides the block-key columns, which the join
+    hashes for every row of both sides, not the match key, which an
+    empty-candidate block might never evaluate. Both join shapes
+    (shuffle and broadcast_build) are pinned."""
+    import pytest
+
+    rows = [(9, f"name {i}", "uk") for i in range(4)]
+    df = spark.createDataFrame(rows, ["id", "name", "country"])
+    for bcast in (False, True):
+        pairs = er.blocked_fuzzy_pairs(
+            df, "id", "name", ["country"], max_dist=1, max_block=3,
+            oversize="raise", broadcast_build=bcast,
+        )
+        with pytest.raises(Exception, match="max_block=3"):
+            pairs.collect()
+
+
 def test_resolve_entities_transitive_and_singletons(spark):
     rows = [
         (10, "aaaa", "x"),

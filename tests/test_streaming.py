@@ -1825,6 +1825,27 @@ def test_fc_availability_detected_positively(spark):
 
     # this container's Hadoop has the classes
     assert _fc_classes_present(spark._jvm) is True
+
+    # ADVICE r16: the probe's own catch is NARROW — a name-resolution
+    # Py4JError reads as "absent", but a gateway/network failure during
+    # the probe propagates instead of silently downgrading write_text
+    # to the non-atomic path
+    import pytest
+    from py4j.protocol import Py4JError, Py4JNetworkError
+
+    class _RaisingJvm:
+        def __init__(self, exc):
+            self._exc = exc
+
+        @property
+        def org(self):
+            raise self._exc
+
+    assert _fc_classes_present(_RaisingJvm(Py4JError("no such name"))) is False
+    with pytest.raises(Py4JNetworkError):
+        _fc_classes_present(_RaisingJvm(Py4JNetworkError("gateway down")))
+    with pytest.raises(TypeError):
+        _fc_classes_present(_RaisingJvm(TypeError("bad arg")))
     # exception matching now only recognizes the per-scheme binding
     # gap; everything else propagates
     assert _fc_unavailable(TypeError("bad arg")) is False
@@ -2078,6 +2099,87 @@ def test_funnel_ttl_eviction_preserves_emitted_set(spark, tmp_path):
             apply_funnel_stateful(
                 df, steps, within_us=86400_000_000, ttl_us=bad
             )
+
+
+def test_funnel_ttl_reemission_after_eviction_is_pinned(spark, tmp_path):
+    """ADVICE r16: the DOCUMENTED open-world trade of ttl_us — an
+    evicted user whose corpus carries a post-horizon step-0 event
+    restarts the funnel and re-emits a (user_id, step_idx) pair with a
+    new timestamp, so ttl runs can diverge from non-TTL/batch runs on
+    exactly this corpus shape. Pinned constructively so the divergence
+    class stays a fixed contract rather than an implied one: without
+    TTL the late view is ignored (step 0 already reached); with TTL the
+    evicted user is a new user and step 0 re-emits."""
+    import glob
+    import shutil
+
+    from wikidata_to_surrealdb_spark.streaming.events import (
+        funnel_stateful_multibatch,
+    )
+
+    S = 1_000_000  # 1 s in micros
+    t0 = 1_700_000_000_000_000
+    batches = [
+        # b0: user 1 reaches view + click inside the 60 s horizon
+        [(1, 1, t0, "view"), (2, 1, t0 + 10 * S, "click")],
+        # b1: unrelated user 2 drives the watermark past
+        # reached[0] + within + ttl = t0 + 61 s
+        [(3, 2, t0 + 200 * S, "view")],
+        # b2: watermark (from b1) now exceeds user 1's timeout — the
+        # eviction fires here, before any new user-1 data arrives
+        [(4, 2, t0 + 300 * S, "click")],
+        # b3: post-horizon step-0 event for the EVICTED user 1
+        [(5, 1, t0 + 400 * S, "view")],
+    ]
+
+    def stage(rows, name, off, root):
+        df = spark.createDataFrame(
+            [(eid, u, us, tp, 0.0, "{}") for eid, u, us, tp in rows],
+            "event_id long, user_id long, us long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        p = tmp_path / f"_fttl_{name}"
+        df.coalesce(1).write.parquet(str(p))
+        f = glob.glob(str(p / "*.parquet"))[0]
+        dst = tmp_path / root / f"{name}.parquet"
+        dst.parent.mkdir(exist_ok=True)
+        shutil.copyfile(f, str(dst))
+        t = time.time() + off
+        os.utime(dst, (t, t))
+
+    for i, rows in enumerate(batches):
+        stage(rows, f"{i:02d}", i, "fttl_syn")
+
+    steps = ["view", "click", "purchase"]
+    plain = {
+        (r.user_id, r.step_idx, r.reached_us)
+        for r in funnel_stateful_multibatch(
+            spark, str(tmp_path / "fttl_syn"), steps, within_seconds=60,
+        ).collect()
+    }
+    ttl = {
+        (r.user_id, r.step_idx, r.reached_us)
+        for r in funnel_stateful_multibatch(
+            spark, str(tmp_path / "fttl_syn"), steps, within_seconds=60,
+            ttl_seconds=1,
+        ).collect()
+    }
+    # without TTL the late view is swallowed by the retained state
+    assert not {(u, s, us) for (u, s, us) in plain if us == t0 + 400 * S}
+    # with TTL the evicted user restarts: exactly ONE extra row — user
+    # 1's step 0 re-emitted at the late timestamp — i.e. a duplicate
+    # (user_id, step_idx) pair differing only in reached_us
+    extra = ttl - plain
+    assert len(extra) == 1, (sorted(plain), sorted(ttl))
+    ((u, s, us),) = extra
+    assert (u, us) == (1, t0 + 400 * S)
+    assert any(pu == 1 and ps == s for (pu, ps, _) in plain)
+    # everything both runs agree on is identical
+    assert plain <= ttl
 
 
 def test_funnel_stateful_tiebreak_and_horizon(spark, tmp_path):

@@ -92,12 +92,17 @@ def blocked_fuzzy_pairs(
         w = Window.partitionBy(*[f"_b_{c}" for c in block_cols])
         side = side.withColumn("_bn", F.count(F.lit(1)).over(w))
         if oversize == "raise":
-            # in-plan guard riding the match key (always consumed by
-            # the join's comparator, so it cannot be pruned away):
-            # raises on the first oversized block with the block's
-            # key values and size in the message
+            # in-plan guard riding the BLOCK KEY (the join's equi-key:
+            # it is hashed for the exchange / broadcast build for every
+            # row of both sides, before any pair-level condition runs —
+            # unlike the match key, which an oversized block whose
+            # pairs all fail id_a < id_b might never evaluate, e.g.
+            # all-duplicate ids; ADVICE r16): raises on the first
+            # oversized block with the block's key values and size in
+            # the message
+            anchor = f"_b_{block_cols[0]}"
             side = side.withColumn(
-                "_key",
+                anchor,
                 F.when(
                     F.col("_bn") > max_block,
                     F.raise_error(
@@ -126,7 +131,7 @@ def blocked_fuzzy_pairs(
                             ),
                         )
                     ),
-                ).otherwise(F.col("_key")),
+                ).otherwise(F.col(anchor)),
             ).drop("_bn")
         else:
             side = side.where(F.col("_bn") <= max_block).drop("_bn")

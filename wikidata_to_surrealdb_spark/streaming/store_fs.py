@@ -121,11 +121,22 @@ def _fc_classes_present(jvm) -> bool:
     we can test for presence BEFORE attempting the rename rather than
     pattern-matching exceptions after the fact (a TypeError from bad
     arguments or a py4j network error must never be mistaken for
-    "class missing" and silently downgrade to the non-atomic path)."""
+    "class missing" and silently downgrade to the non-atomic path).
+
+    Only a py4j NAME-resolution failure may read as "absent"
+    (Py4JError minus its network subclass): a gateway/connection
+    failure during the probe says nothing about the classpath, so it
+    propagates instead of silently downgrading ``write_text`` to the
+    delete-then-rename path — the exact misclassification this
+    positive probe exists to eliminate (ADVICE r16)."""
+    from py4j.protocol import Py4JError, Py4JNetworkError
+
     try:
         fc = jvm.org.apache.hadoop.fs.FileContext
         rename = jvm.org.apache.hadoop.fs.Options.Rename
-    except Exception:
+    except Py4JNetworkError:
+        raise
+    except Py4JError:
         return False
     return (
         type(fc).__name__ != "JavaPackage"
