@@ -179,6 +179,26 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r17_reference_seed": (
+        "The r17 committed reference record (first to carry "
+        "calibration_py_sec, VERDICT r16 #2) normalizes against the "
+        "THROTTLED r16 driver record, so its normalized_vs_prev fields "
+        "inherit that record's bimodal signature (this host's probe "
+        "2.2x faster: host_drift 0.449 vs median 1.112) — its six "
+        "normalized_regressed entries are all within band vs the calm "
+        "r16 reference nominally (curation_repetition 0.463, "
+        "curation_passage_dedup 0.604, dedup_containment 1.082, "
+        "dedup_substring_spans 1.064, curation_nb_classifier 1.182, "
+        "dedup_minhash_lsh 1.264 suite / 1.02 isolated at "
+        "shuffle_write_ratio 1.0), zero shuffle changes, zero spills. "
+        "Smoke residues same-session isolated (reps=4, fresh session): "
+        "mm_binary_meta 0.118 s (the 4.99x smoke flag was "
+        "suite-position variance on a 0.1 s single-rep probe), "
+        "mm_frame_sample 0.467 at record, sim_pq_codes 0.523 and "
+        "text_clean 0.362 both FASTER than their records. r18 ratios "
+        "normalize against THIS record, whose py probe finally makes "
+        "Python-side throttling measurable (py cal 0.148/0.174)"
+    ),
     "r17_r16_driver_flags_batch": (
         "VERDICT r16 #1: the r16 DRIVER bench run landed on a visibly "
         "throttled host (JVM cal 0.279/0.209 vs the calm reference's "
