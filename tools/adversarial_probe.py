@@ -191,6 +191,8 @@ DOC_SQL = {
                                   WHEN 2 THEN 2
                                   ELSE 5 END AS BIGINT) AS n_chars
       FROM read_parquet('{src}/documents.parquet')""",
+    # embedding stress (r17): documents untouched — see EMBED_SQL
+    "vecstress": "SELECT * FROM read_parquet('{src}/documents.parquet')",
 }
 
 EVENT_SQL = {
@@ -252,6 +254,7 @@ EVENT_SQL = {
              event_type, value, props
       FROM read_parquet('{src}/events.parquet')""",
     "microdoc": "SELECT * FROM read_parquet('{src}/events.parquet')",
+    "vecstress": "SELECT * FROM read_parquet('{src}/events.parquet')",
 }
 
 # the monokey axis also rewrites EMBEDDINGS: every vector becomes the
@@ -266,6 +269,34 @@ EMBED_SQL = {
               ORDER BY vec_id LIMIT 1) AS embedding,
              e.label
       FROM read_parquet('{src}/embeddings.parquet') e""",
+    # embedding stress (r17, eleventh axis): the one table the first
+    # ten axes never dirty beyond monokey's single-vector collapse.
+    # Four deterministic residue classes: ZERO vectors (norm 0 — every
+    # cosine becomes a division by zero, where the engines genuinely
+    # disagree: Spark doubles give IEEE NaN/Inf, DuckDB doubles give
+    # NULL, numpy GEMM gives NaN that then fails >= threshold), a NaN
+    # component, a +Inf component (one poisoned coordinate propagating
+    # through every dot product, norm, and quantizer), and NULL
+    # embeddings (the realistic missing-row case). Dims stay correct:
+    # fixed dimensionality is a schema contract, mixed-dim input is
+    # out of scope by design. vec_id/label untouched, so any
+    # divergence is non-finite-vector handling, not content.
+    "vecstress": """
+      SELECT vec_id,
+             CASE
+               WHEN vec_id % 23 = 3 THEN
+                 list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+               WHEN vec_id % 29 = 5 THEN
+                 list_transform(embedding,
+                   (x, i) -> CASE WHEN i = 1 THEN 'nan'::FLOAT ELSE x END)
+               WHEN vec_id % 31 = 7 THEN
+                 list_transform(embedding,
+                   (x, i) -> CASE WHEN i = 1 THEN 'infinity'::FLOAT ELSE x END)
+               WHEN vec_id % 37 = 11 THEN NULL
+               ELSE embedding
+             END AS embedding,
+             label
+      FROM read_parquet('{src}/embeddings.parquet')""",
 }
 
 # documented oracle-scope exceptions per variant (the operator is right;

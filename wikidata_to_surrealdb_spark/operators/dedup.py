@@ -1022,8 +1022,15 @@ def semantic_dedup(
 
     from wikidata_to_surrealdb_spark.operators.similarity import (
         _VI_EXPR,
+        finite_vectors,
         kmeans_train,
     )
+
+    # uniform embedding-validity contract (r17 vecstress): NULL /
+    # non-finite / zero-norm vectors take no part in clustering or
+    # pair scoring (kmeans_train gates too; Catalyst collapses the
+    # duplicate filter)
+    embeddings = finite_vectors(embeddings, vec_col)
 
     assign, _cents = kmeans_train(
         embeddings,

@@ -47,10 +47,64 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _safe_cos(dot: Column, den: Column) -> Column:
+    """Total cosine division: NULL when the norm product is not > 0
+    (zero-norm or NaN-poisoned vectors). The :func:`finite_vectors`
+    gate already EXCLUDES such rows semantically, but a WHERE cannot
+    protect a division under ANSI mode: Catalyst merges the gate with
+    downstream threshold predicates into one Filter, and common-
+    subexpression elimination can evaluate the division eagerly before
+    the short-circuit (observed in the r17 vecstress sweep as
+    DIVIDE_BY_ZERO raised from inside a merged predicate). On gated
+    rows ``den > 0`` always holds, so results are bit-identical."""
+    return F.when(den > 0, dot / den)
+
+
 def cosine_col(a: Column, b: Column, decimals: int = 4) -> Column:
     from wikidata_to_surrealdb_spark.functions import fround
 
-    return fround(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+    return fround(_safe_cos(_dot(a, b), _norm(a) * _norm(b)), decimals)
+
+
+def finite_vector_pred(vec: Column) -> Column:
+    """True iff a vector can participate in similarity math: non-NULL,
+    every component finite and non-NULL, and norm > 0 (some component
+    nonzero). The r17 ``vecstress`` axis showed the three execution
+    paths disagree on anything else — a zero-norm vector is an ANSI
+    DIVIDE_BY_ZERO error in Spark, a silent NULL cosine in DuckDB
+    (double division by zero yields NULL, not IEEE Inf/NaN), and a NaN
+    that fails every threshold in numpy GEMM; a NaN/Inf component
+    poisons dot products in the engines but blows the BIGINT cast on
+    the 1e6 scaled-integer grid in the oracle. The uniform contract:
+    invalid vectors take no part in similarity/dedup/quantization
+    results, like NULL rows in SQL aggregates."""
+    return (
+        vec.isNotNull()
+        & ~F.exists(
+            vec,
+            lambda e: e.isNull()
+            | F.isnan(e)
+            | (F.abs(e) == F.lit(float("inf"))),
+        )
+        & F.exists(vec, lambda e: e != 0)
+    )
+
+
+def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Gate a vector relation to :func:`finite_vector_pred` rows — the
+    entry filter every embedding operator applies (a narrow map fused
+    into the scan; Catalyst collapses the duplicate filter when an
+    already-gated frame is passed down a call chain)."""
+    return df.where(finite_vector_pred(F.col(vec_col)))
+
+
+def finite_vec_sql(vec_expr: str = "embedding") -> str:
+    """DuckDB twin of :func:`finite_vector_pred` for the oracles."""
+    return (
+        f"({vec_expr} IS NOT NULL AND len(list_filter({vec_expr}, "
+        f"x -> x IS NULL OR isnan(x) OR isinf(x))) = 0 AND "
+        f"len(list_filter({vec_expr}, x -> x != 0)) > 0)"
+    )
 
 
 def brute_force_similar(
@@ -62,6 +116,7 @@ def brute_force_similar(
 ) -> DataFrame:
     """All vectors with cosine(query, v) >= threshold. Map-only scan: the
     query vector is a literal array baked into the plan (no join at all)."""
+    embeddings = finite_vectors(embeddings, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return embeddings.select(
@@ -78,6 +133,7 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Top-k by cosine, ties broken by id for determinism."""
+    embeddings = finite_vectors(embeddings, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (
@@ -243,6 +299,7 @@ def ann_bucketed_pairs(
     in-plan oversized-bucket raise (:func:`_oversize_bucket_guard`) for
     the degenerate-cluster case; None (default) leaves the plan
     untouched."""
+    embeddings = finite_vectors(embeddings, vec_col)
     from wikidata_to_surrealdb_spark.functions import respread
 
     from wikidata_to_surrealdb_spark.functions import fround
@@ -292,8 +349,10 @@ def ann_bucketed_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             fround(
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
+                _safe_cos(
+                    _dot(F.col("a.v"), F.col("b.v")),
+                    F.col("a.nrm") * F.col("b.nrm"),
+                ),
                 4,
             ).alias("cosine"),
         )
@@ -413,6 +472,7 @@ def ann_bucketed_pairs_gemm(
     (:func:`_check_worker_bucket`) for the degenerate-cluster case the
     mean-occupancy rule can't bound; None (default) is unguarded.
     """
+    embeddings = finite_vectors(embeddings, vec_col)
     import pandas as pd
 
     f = float(10**decimals)
@@ -495,6 +555,7 @@ def ann_banded_pairs_gemm(
     worker-side size check before the per-bucket GEMM for the
     degenerate-cluster case (one sign pattern holding the corpus);
     None (default) is unguarded."""
+    embeddings = finite_vectors(embeddings, vec_col)
     import pandas as pd
 
     band_bits = _resolve_band_bits(
@@ -636,6 +697,7 @@ def ivf_search(
     Probe-cell selection uses the SAME rounded-cosine + cell tie-break
     arithmetic as the SQL oracle, so both engines probe identical cells.
     """
+    embeddings = finite_vectors(embeddings, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     # rank centroids against the query (tiny driver-side action over a
     # len(centroids)-row frame, same rounded arithmetic as the oracle)
@@ -680,6 +742,7 @@ def ivf_assign(
     (literal centroid array, map-only). Downstream ANN probes only the
     query's nearest cells — at scale, write the output partitioned by
     ``cell`` so probes become partition pruning."""
+    embeddings = finite_vectors(embeddings, vec_col)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     cents = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
@@ -706,7 +769,13 @@ def normalize_quantize(
 
     All array-local higher-order functions — a pure map, no shuffle, no
     Python; the sequential `aggregate` fold gives a deterministic
-    summation order (bit-identical doubles in Spark and DuckDB)."""
+    summation order (bit-identical doubles in Spark and DuckDB).
+    Invalid vectors (NULL / non-finite component / zero norm) are
+    dropped by the :func:`finite_vectors` gate — a zero vector cannot
+    be unit-normalized, and r17's vecstress axis showed the engines
+    disagree on every non-finite form (the in-branch zero guard below
+    stays as defense in depth for ungated callers)."""
+    df = finite_vectors(df, vec_col)
     from wikidata_to_surrealdb_spark.functions import fround
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -790,6 +859,7 @@ def pq_encode(
     shuffle, no Python): quantize to the scaled-int grid, then per
     subspace an exact-integer distance fold + argmin over codebook
     literals embedded in the plan."""
+    embeddings = finite_vectors(embeddings, vec_col)
     exprs = _pq_code_exprs(codebooks)
     return (
         embeddings.select(
@@ -1000,6 +1070,7 @@ def exact_topk_int(
     Full scan but map-only: the distance fold is exact BIGINT
     arithmetic and the (dist, id) top-k compiles to
     TakeOrderedAndProject (parallel partial top-k, no full exchange)."""
+    embeddings = finite_vectors(embeddings, vec_col)
     import math
 
     qi = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query]
@@ -1080,6 +1151,7 @@ def panel_query_vectors(
     as (qid, vector) with qid = the vector's own id. Bounded n-row
     collect (the panel is driver-side by design: query vectors become
     plan literals / closure constants downstream)."""
+    embeddings = finite_vectors(embeddings, vec_col)
     rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(F.desc(id_col))
@@ -1132,6 +1204,7 @@ def exact_topk_int_panel(
     batch and keeps only each batch's top-k per qid, so the follow-up
     per-qid window ranks ~batches*B*k rows. One corpus read for the
     whole panel."""
+    embeddings = finite_vectors(embeddings, vec_col)
     qints = _panel_qi(queries)
     dim = len(qints[0][1]) if qints else 0
 
@@ -1345,6 +1418,7 @@ def ivf_pq_panel_candidates(
     agree on cells and codes), then the panel ADC pass scores each
     query ONLY against vectors in its probed cells. Returns
     (qid, vec_id, adc_dist), ``refine`` rows per qid."""
+    embeddings = finite_vectors(embeddings, vec_col)
     probe = panel_probe_cells(embeddings, centroids, queries, nprobe=nprobe)
     qints = _panel_qi(queries)
     lut_list = _panel_adc_luts(codebooks, qints).tolist() if qints else []
@@ -1442,6 +1516,7 @@ def rerank_panel(
     the query's scaled-int vector attached by the same broadcast (no
     per-query plan literals, no Python). Final per-qid top-k windows
     over <= B*refine rows."""
+    embeddings = finite_vectors(embeddings, vec_col)
     spark = embeddings.sparkSession
     qints = _panel_qi(queries)
     if not qints:
@@ -1609,6 +1684,7 @@ def knn_join(
     reproducibility). SHUFFLE_HASH hints for the fat-vector rows,
     same rationale as ann_bucketed_pairs.
     """
+    embeddings = finite_vectors(embeddings, vec_col)
     from pyspark.sql import Window
 
     from wikidata_to_surrealdb_spark.functions import respread
@@ -1645,8 +1721,10 @@ def knn_join(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             fround(
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
+                _safe_cos(
+                    _dot(F.col("a.v"), F.col("b.v")),
+                    F.col("a.nrm") * F.col("b.nrm"),
+                ),
                 4,
             ).alias("cosine"),
         )
@@ -1719,6 +1797,7 @@ def kmeans_train(
     graph.pagerank). Empty clusters keep their previous centroid (the
     standard Lloyd's fallback), deterministically.
     """
+    embeddings = finite_vectors(embeddings, vec_col)
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
     from pyspark.sql.window import Window
@@ -1826,6 +1905,7 @@ def ivf_trained_search(
     pruning; top-k = TakeOrderedAndProject), but the cells come from
     in-engine training, so the whole index build + search replays
     bit-for-bit in the oracle."""
+    embeddings = finite_vectors(embeddings, vec_col)
     assign, cents = kmeans_train(
         embeddings, k=kcells, iterations=iterations,
         id_col=id_col, vec_col=vec_col, dim=dim,
@@ -1893,6 +1973,7 @@ def hard_negatives(
     fixed default's ~128 x 2^band_bits occupancy bound (~2 k rows at
     4 bits).
     """
+    embeddings = finite_vectors(embeddings, vec_col)
     from pyspark.sql.window import Window
 
     pairs = ann_banded_pairs_gemm(
@@ -1978,6 +2059,7 @@ def diversity_sample(
     the catalog entry's 6 bits). NOTE: unlike the pair operators, the
     bits here CHANGE THE RESULT (they define the strata), so "auto" is
     a scale knob for new pipelines, not a drop-in for pinned runs."""
+    embeddings = finite_vectors(embeddings, vec_col)
     from pyspark.sql import Window
 
     band_bits = _resolve_band_bits(

@@ -88,8 +88,51 @@ class QuerySpec:
                 materialize_hot_ctes,
             )
 
-            self._oracle_emitted = materialize_hot_ctes(self._oracle_src)
+            src = self._oracle_src
+            if "vecgate" in self.tags:
+                src = _gate_embeddings_sql(src)
+            self._oracle_emitted = materialize_hot_ctes(src)
         return self._oracle_emitted
+
+
+def _gate_embeddings_sql(sql: str) -> str:
+    """Oracle-side twin of the engine's embedding-validity gate (r17
+    vecstress axis): rewrite every reference to the ``embeddings`` view
+    to a gated CTE that keeps only vectors passing
+    ``similarity.finite_vec_sql`` (non-NULL, all-finite, norm > 0) —
+    mirroring ``similarity.finite_vectors`` applied at every Spark
+    operator entry. Applied at the oracle accessor for specs tagged
+    ``"vecgate"``, BEFORE ``materialize_hot_ctes`` (multiply-referenced
+    gated reads then materialize automatically). A same-named shadowing
+    CTE would be a circular reference in DuckDB, hence the rename; the
+    word-boundary token rewrite is safe because ``embeddings`` appears
+    in oracles only as the view name (the column is ``embedding``), and
+    the rewritten SQL is re-validated by the shape gate's parser."""
+    import re
+
+    from wikidata_to_surrealdb_spark.operators.similarity import (
+        finite_vec_sql,
+    )
+
+    body = re.sub(r"\bembeddings\b", "__emb_valid", sql)
+    cte = (
+        f"__emb_valid AS (SELECT * FROM embeddings "
+        f"WHERE {finite_vec_sql('embedding')})"
+    )
+    stripped = body.lstrip()
+    lead = body[: len(body) - len(stripped)]
+    if re.match(r"(?is)^with\s+recursive\b", stripped):
+        return lead + re.sub(
+            r"(?is)^with\s+recursive\b",
+            f"WITH RECURSIVE {cte},",
+            stripped,
+            count=1,
+        )
+    if re.match(r"(?is)^with\b", stripped):
+        return lead + re.sub(
+            r"(?is)^with\b", f"WITH {cte},", stripped, count=1
+        )
+    return f"{lead}WITH {cte}\n{stripped}"
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -1798,7 +1841,7 @@ def _diversity_sample_oracle(per_bucket: int, band_bits: int) -> str:
 def sim_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return similarity.diversity_sample(
-        t["embeddings"], per_bucket=4, band_bits=6
+        similarity.finite_vectors(t["embeddings"]), per_bucket=4, band_bits=6
     )
 
 
@@ -1899,7 +1942,7 @@ def _hard_negatives_oracle(k: int) -> str:
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return similarity.hard_negatives(
-        t["embeddings"], k=3,
+        similarity.finite_vectors(t["embeddings"]), k=3,
         bands=_EMB_BANDS, band_bits=_EMB_BAND_BITS, dim=_EMB_DIM,
         seed=_EMB_SEED,
     )
@@ -1917,7 +1960,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     pairs = similarity.ann_banded_pairs_gemm(
-        t["embeddings"],
+        similarity.finite_vectors(t["embeddings"]),
         bands=_EMB_BANDS,
         band_bits=_EMB_BAND_BITS,
         dim=_EMB_DIM,
@@ -1961,7 +2004,7 @@ _COS_SQL = (
 )
 def sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     min_id = emb.agg(F.min("vec_id")).first()[0]
     qv = [float(x) for x in emb.where(F.col("vec_id") == min_id).first()["embedding"]]
     return similarity.brute_force_similar(
@@ -2004,7 +2047,7 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     )
     return similarity.ann_bucketed_pairs(
-        t["embeddings"], threshold=0.35, bucket_expr=bucket
+        similarity.finite_vectors(t["embeddings"]), threshold=0.35, bucket_expr=bucket
     )
 
 
@@ -2028,7 +2071,7 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     min_id = emb.agg(F.min("vec_id")).first()[0]
     qv = [float(x) for x in emb.where(F.col("vec_id") == min_id).first()["embedding"]]
     cand = emb.where(F.col("vec_id") != min_id)
@@ -2085,7 +2128,7 @@ def _ivf_centroids() -> list[list[float]]:
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    return similarity.ivf_assign(t["embeddings"], _ivf_centroids()).select(
+    return similarity.ivf_assign(similarity.finite_vectors(t["embeddings"]), _ivf_centroids()).select(
         "vec_id", F.col("cell").cast("bigint").alias("cell")
     )
 
@@ -2135,7 +2178,7 @@ _IVF_TOPK = 10
 )
 def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     qv = [
         float(x)
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
@@ -2215,7 +2258,7 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
 
     t = register_views(spark, sf_dir)
-    enc = similarity.pq_encode(t["embeddings"], PQ_CODEBOOKS)
+    enc = similarity.pq_encode(similarity.finite_vectors(t["embeddings"]), PQ_CODEBOOKS)
     return enc.select(
         "vec_id", F.concat_ws(",", F.col("codes")).alias("codes_csv")
     )
@@ -2324,7 +2367,7 @@ def _kmeans_assign_oracle(k: int, iterations: int, dim: int = 64) -> str:
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     assign, _cents = similarity.kmeans_train(
-        t["embeddings"], k=4, iterations=2
+        similarity.finite_vectors(t["embeddings"]), k=4, iterations=2
     )
     return assign
 
@@ -2368,7 +2411,7 @@ def _semantic_dedup_oracle(k: int, iterations: int, threshold: float) -> str:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return dedup.semantic_dedup(
-        t["embeddings"], k=8, iterations=2, threshold=0.3
+        similarity.finite_vectors(t["embeddings"]), k=8, iterations=2, threshold=0.3
     )
 
 
@@ -2422,7 +2465,7 @@ def _ivf_trained_oracle(
 )
 def sim_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     qrow = (
         emb.orderBy(F.col("vec_id").desc()).select("embedding").first()
     )
@@ -2480,7 +2523,7 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
 
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     qv = [
         float(x)
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
@@ -2547,7 +2590,7 @@ def sim_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
 
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     qv = [
         float(x)
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
@@ -2636,7 +2679,7 @@ def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
 
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     qv = [
         float(x)
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
@@ -2713,7 +2756,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
 
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     qv = [
         float(x)
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
@@ -2794,7 +2837,7 @@ def sim_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
 
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     qv = [
         float(x)
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
@@ -2955,7 +2998,7 @@ def sim_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.functions import respread
 
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     queries = similarity.panel_query_vectors(emb, n=_PANEL_N)
     truth = similarity.exact_topk_int_panel(emb, queries, k=10)
     # respread BEFORE encode: the per-subspace argmin expressions are
@@ -3090,7 +3133,7 @@ def sim_refine_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.functions import respread
 
     t = register_views(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = similarity.finite_vectors(t["embeddings"])
     queries = similarity.panel_query_vectors(emb, n=_PANEL_N)
     truth = similarity.exact_topk_int_panel(emb, queries, k=10)
     codes = similarity.pq_encode(
@@ -5840,7 +5883,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    return similarity.normalize_quantize(t["embeddings"])
+    return similarity.normalize_quantize(similarity.finite_vectors(t["embeddings"]))
 
 
 @_q(
@@ -9000,7 +9043,7 @@ def _knn_join_oracle(k: int) -> str:
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return similarity.knn_join(
-        t["embeddings"],
+        similarity.finite_vectors(t["embeddings"]),
         k=5,
         bands=_EMB_BANDS,
         band_bits=_EMB_BAND_BITS,
@@ -9358,7 +9401,7 @@ def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_views(spark, sf_dir)
     knn = similarity.knn_join(
-        t["embeddings"],
+        similarity.finite_vectors(t["embeddings"]),
         k=5,
         bands=_EMB_BANDS,
         band_bits=_EMB_BAND_BITS,
@@ -9366,11 +9409,48 @@ def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_EMB_SEED,
     ).where(F.col("cosine") >= 0.35)
     comp = graph.connected_components(knn, src="vec_id", dst="neighbor_id")
-    ids = t["embeddings"].select("vec_id")
+    ids = similarity.finite_vectors(t["embeddings"]).select("vec_id")
     return ids.join(comp, ids["vec_id"] == comp["node"], "left").select(
         "vec_id",
         F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_id"),
     )
+
+
+# Embedding-validity gate (r17 vecstress axis): every catalog query
+# that consumes the embeddings table gets the "vecgate" tag, which
+# makes QuerySpec.oracle rewrite its SQL to read the gated
+# __emb_valid CTE (_gate_embeddings_sql) — the oracle twin of the
+# similarity.finite_vectors filter every Spark-side embedding operator
+# applies at entry. Centralized here, after all registrations, so the
+# set is auditable at a glance and a new embeddings query can't
+# silently skip the gate (pinned by test: every oracle whose text
+# references the embeddings view must carry the tag).
+_VECGATE_QUERIES = (
+    "dedup_embedding",
+    "dedup_semantic",
+    "emb_normalize_quantize",
+    "sim_ann_bucketed",
+    "sim_ann_recall",
+    "sim_ann_recall_panel",
+    "sim_bruteforce",
+    "sim_diversity_sample",
+    "sim_hard_negatives",
+    "sim_ivf",
+    "sim_ivf_pq_search",
+    "sim_ivf_recall_profile",
+    "sim_ivf_search",
+    "sim_ivf_trained_search",
+    "sim_kmeans_assign",
+    "sim_knn_clusters",
+    "sim_knn_join",
+    "sim_pq_codes",
+    "sim_pq_search",
+    "sim_pq_search_rerank",
+    "sim_refine_recall_profile",
+    "sim_topk",
+)
+for _n in _VECGATE_QUERIES:
+    QUERIES[_n].tags = QUERIES[_n].tags + ("vecgate",)
 
 
 def queries() -> dict[str, SparkQuery]:
