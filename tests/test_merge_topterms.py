@@ -77,10 +77,14 @@ def test_top_terms_df_not_tf_and_tiebreak(spark):
 
 
 def test_normalize_quantize_zero_vector_and_clamp(spark):
+    """r17 vecstress contract: a zero vector cannot be unit-normalized
+    and is DROPPED by the validity gate (the pre-r17 keep-with-NULL-
+    checksum behavior was Spark-side only — its oracle hashed zero
+    vectors, a latent divergence the vecstress axis surfaced)."""
     df = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [3.0, 4.0])],
         "vec_id bigint, embedding array<float>",
     )
     out = {r["vec_id"]: r for r in similarity.normalize_quantize(df).collect()}
-    assert out[1]["l2_norm"] == 0.0 and out[1]["q_checksum"] is None
+    assert set(out) == {2}
     assert out[2]["l2_norm"] == 5.0 and out[2]["q_checksum"] is not None
