@@ -179,6 +179,23 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r17_reference_reseed_postgate": (
+        "The FINAL r17 reference record re-seeds after the vecstress "
+        "validity-gate work so r18 compares gated-era to gated-era "
+        "(the mid-round seed predates the gate). Suite healthy: zero "
+        "shuffle changes, zero spills, smoke_regressed EMPTY, cal "
+        "0.124/0.127 + py 0.151/0.182. Its nine normalized_regressed "
+        "entries vs the mid-round seed triaged same-session by the "
+        "isolated protocol on a visibly throttled host (cal_drift "
+        "2.018, py 2.193 — JVM and Python probes agreeing for once, "
+        "the new instrumentation working): every one normalized "
+        "<= 1.11 with shuffle_write_ratio 1.0 (worst scd2_merge 1.111; "
+        "the gated sim entries 0.67-0.74 — the gate's suite-scale cost "
+        "is inside host noise; mm_audio_features py-normalized 0.61). "
+        "sim_bruteforce's step is the pre-registered "
+        "r17_vecgate_preregistration; curation_corpus_mix and "
+        "events_funnel carry standing classifications"
+    ),
     "r17_vecgate_preregistration": (
         "r17 DELIBERATE change: every embedding operator gates invalid "
         "vectors at entry (similarity.finite_vectors — one squared-norm "
