@@ -4,7 +4,8 @@ the changed-query rotation bump (VERDICT r15 #4).
 
 Run at the START of each round, BEFORE making changes (and commit the
 result): the ledger then records each query's implementation hash as of
-the previous round, so any plan-function or oracle edit made DURING the
+the previous round, so any plan-function, transitive-operator, or
+oracle edit made DURING the
 round makes ``__spark_entry__._changed_since_ledger()`` flag the query
 and ``_rotated_names()`` sorts it ahead of the stale cohort — the
 driver's end-of-round correctness run re-hashes every same-round
