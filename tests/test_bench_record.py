@@ -248,6 +248,35 @@ def test_normalize_vs_prev_python_probe_families(tmp_path):
     assert "normalized_vs_prev" in norm2
 
 
+def test_isolated_rebench_probe_registry_matches_bench():
+    """The isolated-rebench tool must be able to re-run every
+    bench-main-only probe the suite records (the r16 flags included two
+    the tool couldn't run in isolation): its scale-probe registry stays
+    derived from bench's own probe set, and the shared timing bodies
+    are the module-level bench functions, not copies."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "isolated_rebench",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "isolated_rebench.py",
+        ),
+    )
+    ir = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ir)
+    assert set(ir.SCALE_PROBES) == {"dedup_minhash_10x", *bench.ER_PAIR_PROBES}
+    assert set(bench.ER_PAIR_PROBES) == {
+        "er_pairs_1x_multipass",
+        "er_pairs_4x_nation",
+        "er_pairs_4x_multipass",
+    }
+    assert callable(bench.time_dedup_minhash_10x)
+    assert callable(bench.time_er_pairs_probes)
+
+
 def test_is_py_heavy_classification():
     assert bench.is_py_heavy("mm_decode_png")
     assert bench.is_py_heavy("dedup_semantic")
