@@ -229,6 +229,24 @@ def _build_hash_node(key: str, obj) -> None:
             dkey = f"{vmod}:{qual}"
             deps.add(dkey)
             _build_hash_node(dkey, v)
+        elif not callable(v) and owner is None:
+            # a module-level literal from the object's OWN module
+            # (e.g. _IVF_NPROBE / _EMB_SEED in plans/queries.py): hash
+            # stable literals so a Spark-side-only constant change not
+            # baked into the oracle still bumps the rotation hash
+            # (ADVICE r17). Non-literal values are skipped — falling
+            # back to the own-module file digest would make every
+            # query depend on all of queries.py and flag the whole
+            # catalog on any edit.
+            if type(v) in _STABLE_LITERALS:
+                oname = globals_dict.get("__name__", "?")
+                dkey = f"{oname}:{n}#const"
+                if dkey not in _HASH_GRAPH:
+                    _HASH_GRAPH[dkey] = (
+                        hashlib.md5(repr(v).encode()).hexdigest(),
+                        (),
+                    )
+                deps.add(dkey)
         elif not callable(v) and owner is not None:
             # a module-level literal pulled from a package module
             # (trained codebooks/centroids, tuning constants)
@@ -304,7 +322,17 @@ def _changed_since_ledger(repo_dir: str = _REPO_DIR) -> set[str]:
         return set()
     if not isinstance(ledger, dict):
         return set()
-    return {
+    # ledger may carry a "_pending" list (r18): changed-in-a-previous-
+    # round queries that MISSED that round's 50-slot driver window. The
+    # refresh tool preserves them across rewrites until a driver full
+    # pass lands, so an unverified behavior change can never silently
+    # lose its queue bump to the round-start ledger refresh.
+    pending = {
+        n
+        for n in ledger.get("_pending", [])
+        if isinstance(n, str) and n in _catalog.QUERIES
+    }
+    return pending | {
         name
         for name in _catalog.QUERIES
         if isinstance(ledger.get(name), str)
@@ -318,12 +346,30 @@ def _rotated_names() -> list[str]:
     last = _last_verified_round()
     changed = _changed_since_ledger()
 
+    # staleness-budget guard (r18): an entry whose staleness would
+    # EXCEED the ceil(N/50) rotation budget after the next driver
+    # round if it misses this window ((latest+1) - last_full > budget)
+    # outranks even changed queries — changed entries, since r18,
+    # survive a missed window via the ledger's _pending carry, while
+    # the stale entry has no second chance before the gate trips.
+    latest = max((max(v) for v in last.values()), default=0)
+    budget = -(-len(names) // 50)  # ceil
+    at_risk = {
+        n
+        for n, v in last.items()
+        if max(v) > 0 and latest - max(v) >= budget
+    }
+
     def key(n: str):
         lf, lw = last.get(n, (-1, -1))
-        # a changed implementation re-verifies NEXT round: sort it with
-        # the never-full-passed (right after brand-new queries — lw=0
-        # is below any real round, rounds start at 1)
-        if n in changed and (lf, lw) != (-1, -1):
+        if n in at_risk:
+            # between never-passed (-1,-1) and changed (-1,0)
+            lf, lw = -1, -0.5
+        elif n in changed and (lf, lw) != (-1, -1):
+            # a changed implementation re-verifies NEXT round: sort it
+            # with the never-full-passed (right after brand-new
+            # queries — lw=0 is below any real round, rounds start
+            # at 1)
             lf, lw = -1, 0
         return (lf, lw, pos[n])
 

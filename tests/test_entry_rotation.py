@@ -56,10 +56,16 @@ def test_rotated_order_puts_unverified_first():
 
     assert sorted(names) == sorted(QUERIES)
     # Every never-verified query precedes every verified one, with
-    # changed-since-ledger queries bumped to (-1, 0) — the effective
-    # rank _rotated_names() sorts on (r16 rotation bump).
+    # budget-risk stale entries at (-1, -0.5) and changed-since-ledger
+    # queries at (-1, 0) — the effective ranks _rotated_names() sorts
+    # on (r16 rotation bump + r18 staleness-budget guard).
+    latest = max((max(v) for v in last.values()), default=0)
+    budget = -(-len(QUERIES) // 50)
+
     def rank(n):
         lf, lw = last.get(n, (-1, -1))
+        if max((lf, lw)) > 0 and latest - max((lf, lw)) >= budget:
+            return (-1, -0.5)
         if n in changed and (lf, lw) != (-1, -1):
             return (-1, 0)
         return (lf, lw)
@@ -81,11 +87,21 @@ def test_changed_queries_jump_the_rotation_queue(monkeypatch):
     monkeypatch.setattr(entry, "_changed_since_ledger", lambda: {victim})
     rotated = entry._rotated_names()
     last = entry._last_verified_round()
-    # the victim now precedes every OTHER full-passed query...
+    latest = max((max(v) for v in last.values()), default=0)
+    budget = -(-len(names) // 50)
+
+    def at_risk(n):
+        lf_lw = last.get(n, (-1, -1))
+        return max(lf_lw) > 0 and latest - max(lf_lw) >= budget
+
+    # the victim now precedes every OTHER full-passed query except the
+    # budget-risk stale cohort (r18 guard: those outrank changed)...
     full_passed = [
         n
         for n in rotated
-        if n != victim and last.get(n, (-1, -1))[0] >= 0
+        if n != victim
+        and last.get(n, (-1, -1))[0] >= 0
+        and not at_risk(n)
     ]
     assert not full_passed or rotated.index(victim) < rotated.index(
         full_passed[0]
@@ -94,12 +110,56 @@ def test_changed_queries_jump_the_rotation_queue(monkeypatch):
     for n in rotated[vi + 1 :]:
         lf, lw = last.get(n, (-1, -1))
         assert (lf, lw) >= (-1, 0), f"{n} should precede the changed {victim}"
-    # ...but never-passed queries (if any) still come first
+    # ...but never-passed and budget-risk queries (if any) still come first
     for n in rotated[:vi]:
         lf, lw = last.get(n, (-1, -1))
-        assert (lf, lw) == (-1, -1) or n == victim
+        assert (lf, lw) == (-1, -1) or at_risk(n) or n == victim
     # set semantics intact
     assert sorted(rotated) == sorted(names)
+
+
+def test_budget_risk_stale_outranks_changed(monkeypatch):
+    """r18 staleness-budget guard: an entry whose staleness would
+    exceed ceil(N/50) after the next driver round if it misses this
+    window sorts BEFORE changed queries — changed entries survive a
+    missed window via the ledger's _pending carry; the stale entry has
+    no second chance before the bandwidth gate trips."""
+    from wikidata_to_surrealdb_spark.plans.queries import QUERIES
+
+    names = list(QUERIES)
+    budget = -(-len(names) // 50)
+    latest = 17
+    # synthetic history: one entry right at the breach edge, everything
+    # else fresh; one fresh entry marked changed
+    risky, fresh_changed = names[5], names[10]
+    hist = {n: (latest, latest) for n in names}
+    hist[risky] = (latest - budget, latest - budget)
+    monkeypatch.setattr(entry, "_last_verified_round", lambda: hist)
+    monkeypatch.setattr(
+        entry, "_changed_since_ledger", lambda: {fresh_changed}
+    )
+    rotated = entry._rotated_names()
+    assert rotated.index(risky) < rotated.index(fresh_changed)
+    assert rotated[0] == risky
+
+
+def test_pending_carry_survives_ledger_rewrite(tmp_path):
+    """r18 _pending carry: a query listed in the ledger's "_pending"
+    stays flagged even when its stored hash matches the current one —
+    the refresh tool parks missed-window changes there so the rewrite
+    cannot erase an unverified behavior change's queue bump."""
+    import json as _json
+
+    from wikidata_to_surrealdb_spark.plans.queries import QUERIES
+
+    some = next(iter(QUERIES))
+    ledger = {n: entry._query_content_hash(n) for n in QUERIES}
+    ledger["_pending"] = [some, "not_a_query"]
+    p = tmp_path / "QUERY_HASHES.json"
+    p.write_text(_json.dumps(ledger))
+    # hash matches, yet the pending entry is still flagged; unknown
+    # names are ignored
+    assert entry._changed_since_ledger(str(tmp_path)) == {some}
 
 
 def test_ledger_hash_tracks_fn_source_and_oracle(tmp_path, monkeypatch):
@@ -156,6 +216,22 @@ def test_hash_covers_transitive_operator_sources():
     assert "wikidata_to_surrealdb_spark.data.pq_codebooks:PQ_CODEBOOKS#const" in pq, (
         "trained codebook literals are behavior: they must be hashed"
     )
+
+
+def test_hash_covers_own_module_constants():
+    """ADVICE r17: constants defined in the plan function's OWN module
+    (e.g. _IVF_NPROBE in plans/queries.py) must appear as #const nodes
+    — a Spark-side-only tuning-constant change not baked into the
+    oracle f-string has to bump the rotation hash too, not only
+    literals reached through a referenced package module."""
+    import hashlib
+
+    from wikidata_to_surrealdb_spark.plans import queries as qmod
+
+    src = entry._query_hash_sources("sim_ivf_search")
+    key = "wikidata_to_surrealdb_spark.plans.queries:_IVF_NPROBE#const"
+    assert key in src, [k for k in sorted(src) if k.endswith("#const")]
+    assert src[key] == hashlib.md5(repr(qmod._IVF_NPROBE).encode()).hexdigest()
 
 
 def test_operator_node_change_changes_query_hash(monkeypatch):
