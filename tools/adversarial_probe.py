@@ -46,6 +46,13 @@ Variants (all deterministic — fixed id residues, so findings reproduce):
            overflow on an empty class; char-LM uniform fallback
            dividing by zero vocab).
 
+  tpchnum  (r18) NaN/+Inf/-Inf/-0.0 + decimal-boundary magnitudes
+           (9.5e11 / 7.5e11 / 1e15) into the TPC-H money columns
+           (lineitem l_quantity/l_extendedprice/l_discount/l_tax,
+           o_totalprice, p_retailprice, c_acctbal, s_acctbal) — the
+           exact-DECIMAL dsum/fround machinery's loud-vs-silent cast
+           asymmetry class. Documents/events/embeddings untouched.
+
 Exit code = number of disagreeing queries (0 = full parity).
 Round-8 provenance: this sweep found 10+ real cross-engine bugs the
 clean driver data could never reach (see COVERAGE.md round-8 delta).
@@ -193,6 +200,8 @@ DOC_SQL = {
       FROM read_parquet('{src}/documents.parquet')""",
     # embedding stress (r17): documents untouched — see EMBED_SQL
     "vecstress": "SELECT * FROM read_parquet('{src}/documents.parquet')",
+    # TPC-H numeric stress (r18): documents untouched — see TPCH_SQL
+    "tpchnum": "SELECT * FROM read_parquet('{src}/documents.parquet')",
 }
 
 EVENT_SQL = {
@@ -255,6 +264,7 @@ EVENT_SQL = {
       FROM read_parquet('{src}/events.parquet')""",
     "microdoc": "SELECT * FROM read_parquet('{src}/events.parquet')",
     "vecstress": "SELECT * FROM read_parquet('{src}/events.parquet')",
+    "tpchnum": "SELECT * FROM read_parquet('{src}/events.parquet')",
 }
 
 # the monokey axis also rewrites EMBEDDINGS: every vector becomes the
@@ -320,6 +330,80 @@ ORDER_SQL = {
 }
 
 
+# TPC-H numeric stress (r18, twelfth axis): the r8 numeric program
+# dirtied events.value/documents.n_chars but never the TPC-H monetary
+# columns, whose ~25 queries run the exact-DECIMAL dsum/fround
+# machinery — the same loud-vs-silent cast asymmetry class vecstress
+# found on the scaled-int grid (DuckDB refuses a non-representable
+# DECIMAL cast loudly; non-ANSI Spark NULLs it silently). Four
+# non-finite classes (NaN / +Inf / -Inf / -0.0) plus a LARGE-FINITE
+# magnitude per money table: 9.5e11 in l_extendedprice is representable
+# in the scale-2 DECIMAL(18,2) sums but NOT at the revenue/charge
+# scales 6/8 (limits 1e12 / 1e10), so one residue class walks the
+# representability boundary inside a single query. Join/group keys and
+# dates untouched — any divergence is money-column handling, not
+# structure. Deterministic residues on the table keys; lineitem keys on
+# l_orderkey*7 + l_linenumber so all seven line numbers of an order
+# don't land in one class.
+_LI_K = "(l_orderkey * 7 + l_linenumber)"
+TPCH_SQL = {
+    "tpchnum": {
+        "lineitem": f"""
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+             CASE WHEN {_LI_K} % 43 = 5 THEN 'nan'::DOUBLE
+                  WHEN {_LI_K} % 43 = 9 THEN 'infinity'::DOUBLE
+                  WHEN {_LI_K} % 43 = 23 THEN -0.0
+                  WHEN {_LI_K} % 43 = 31 THEN 1e15
+                  ELSE l_quantity END AS l_quantity,
+             CASE WHEN {_LI_K} % 41 = 3 THEN 'nan'::DOUBLE
+                  WHEN {_LI_K} % 41 = 7 THEN 'infinity'::DOUBLE
+                  WHEN {_LI_K} % 41 = 11 THEN '-infinity'::DOUBLE
+                  WHEN {_LI_K} % 41 = 13 THEN -0.0
+                  WHEN {_LI_K} % 41 = 17 THEN 9.5e11
+                  ELSE l_extendedprice END AS l_extendedprice,
+             CASE WHEN {_LI_K} % 37 = 5 THEN 'nan'::DOUBLE
+                  WHEN {_LI_K} % 37 = 11 THEN 'infinity'::DOUBLE
+                  ELSE l_discount END AS l_discount,
+             CASE WHEN {_LI_K} % 47 = 7 THEN 'nan'::DOUBLE
+                  WHEN {_LI_K} % 47 = 13 THEN '-infinity'::DOUBLE
+                  ELSE l_tax END AS l_tax,
+             l_returnflag, l_linestatus, l_shipdate
+      FROM read_parquet('{{src}}/lineitem.parquet')""",
+        "orders": """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 31 = 4 THEN 'nan'::DOUBLE
+                  WHEN o_orderkey % 31 = 9 THEN 'infinity'::DOUBLE
+                  WHEN o_orderkey % 31 = 14 THEN '-infinity'::DOUBLE
+                  WHEN o_orderkey % 31 = 19 THEN -0.0
+                  WHEN o_orderkey % 31 = 24 THEN 7.5e11
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM read_parquet('{src}/orders.parquet')""",
+        "part": """
+      SELECT p_partkey, p_name, p_brand, p_type, p_size,
+             CASE WHEN p_partkey % 29 = 3 THEN 'nan'::DOUBLE
+                  WHEN p_partkey % 29 = 8 THEN 'infinity'::DOUBLE
+                  WHEN p_partkey % 29 = 13 THEN -0.0
+                  ELSE p_retailprice END AS p_retailprice
+      FROM read_parquet('{src}/part.parquet')""",
+        "customer": """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 29 = 4 THEN 'nan'::DOUBLE
+                  WHEN c_custkey % 29 = 9 THEN '-infinity'::DOUBLE
+                  WHEN c_custkey % 29 = 14 THEN -0.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM read_parquet('{src}/customer.parquet')""",
+        "supplier": """
+      SELECT s_suppkey, s_name, s_nationkey,
+             CASE WHEN s_suppkey % 23 = 3 THEN 'nan'::DOUBLE
+                  WHEN s_suppkey % 23 = 7 THEN 'infinity'::DOUBLE
+                  ELSE s_acctbal END AS s_acctbal
+      FROM read_parquet('{src}/supplier.parquet')""",
+    },
+}
+
+
 def build_variant(src: str, dst: str, variant: str) -> None:
     import duckdb
 
@@ -345,6 +429,12 @@ def build_variant(src: str, dst: str, variant: str) -> None:
             f"TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"
         )
         rewritten.add("embeddings")
+    for table, sql in TPCH_SQL.get(variant, {}).items():
+        con.sql(
+            f"COPY ({sql.format(src=src)}) "
+            f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        rewritten.add(table)
     con.close()
     for t in TABLES:
         if t not in rewritten:

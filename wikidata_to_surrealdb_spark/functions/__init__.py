@@ -110,20 +110,63 @@ def finite_sql(expr: str) -> str:
     return f"(CASE WHEN isfinite({expr}) THEN ({expr}) ELSE NULL END)"
 
 
+def drep(col: Column, scale: int = 6) -> Column:
+    """Guarded exact-representable DECIMAL(18,`scale`) term — the single
+    entry point for putting a double measure onto the exact-decimal
+    grid (sums, mins, boundary comparisons).
+
+    DOMAIN (r18 tpchnum axis): a value participates only if it is
+    finite AND |x| < 2^53 / 10^scale. Outside that domain the cast
+    itself is the bug, twice over: (a) DuckDB refuses a non-finite or
+    out-of-range DECIMAL cast loudly while non-ANSI Spark NULLs it
+    silently (and ANSI Spark throws mid-query) — the loud-vs-silent
+    asymmetry; (b) even in-range, once |x|*10^scale exceeds 2^53 the
+    scaled value no longer fits a double, and the engines ROUND
+    DIFFERENTLY (DuckDB rounds the binary product x*10^s; Spark
+    re-parses the shortest decimal repr — observed diverging on
+    9.5e11-magnitude revenue products at scale 6). NULL-ing the whole
+    domain violation on BOTH engines makes every decimal consumer
+    total over the double range: aggregates skip the value,
+    comparisons yield NULL and filter the row, identically.
+
+    Within the domain, exactness still assumes inputs carry <= `scale`
+    decimals (the money contract); arbitrary doubles in the top decade
+    of the domain can in principle straddle a half-ulp rounding
+    boundary between the two engines' cast paths — non-constructible
+    from <= scale-decimal inputs, documented here rather than guarded.
+    Cost: ~3 evaluations of ``col`` — apply to cheap columns, like
+    :func:`fround_total`. SQL twin: :func:`drep_sql` (identical
+    threshold literal, same branch on every row)."""
+    lim = float(2**53) / 10**scale
+    d = col.cast("double")
+    return F.when(~F.isnan(d) & (F.abs(d) < F.lit(lim)), col).cast(
+        f"decimal(18,{scale})"
+    )
+
+
+def drep_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of :func:`drep` (identical domain literal, so both
+    engines branch the same on every row)."""
+    lim = repr(float(2**53) / 10**scale)
+    return (
+        f"CAST((CASE WHEN NOT isnan(CAST(({expr}) AS DOUBLE)) AND "
+        f"abs(CAST(({expr}) AS DOUBLE)) < {lim} THEN ({expr}) "
+        f"ELSE NULL END) AS DECIMAL(18,{scale}))"
+    )
+
+
 def dsum(col: Column, scale: int = 6) -> Column:
     """Exact portable sum of a money/measure double column: cast each value
     to DECIMAL (exact, since inputs carry <= `scale` decimals), sum
     exactly (associative — immune to partition order), return DOUBLE.
-    Non-finite inputs are excluded (see :func:`finite`) so the sum is
-    total over the double range on both engines."""
-    return F.sum(finite(col).cast(f"decimal(18,{scale})")).cast("double")
+    Inputs outside the representable domain — non-finite OR
+    |x| >= 2^53/10^scale (see :func:`drep`) — are excluded on both
+    engines, so the sum is total over the double range."""
+    return F.sum(drep(col, scale)).cast("double")
 
 
 def dsum_sql(expr: str, scale: int = 6) -> str:
-    return (
-        f"CAST(sum(CAST({finite_sql(expr)} AS DECIMAL(18,{scale})))"
-        " AS DOUBLE)"
-    )
+    return f"CAST(sum({drep_sql(expr, scale)}) AS DOUBLE)"
 
 
 _PLOG_N = 30  # sqrt-chain depth: |rel err| ~ 3e-7, bit-identical everywhere

@@ -49,8 +49,15 @@ def build_agg(
         if func == "count":
             aggs.append(F.count(F.lit(1)).alias(name))
         elif func == "dsum":
+            from wikidata_to_surrealdb_spark.functions import drep
+
+            # drep, not a raw cast: non-finite or non-representable
+            # measures (|x| >= 2^53/1e6) are excluded identically on
+            # both engines instead of erroring loudly in DuckDB and
+            # silently NULLing (or throwing under ANSI) in Spark
+            # (r18 tpchnum axis)
             aggs.append(
-                F.sum(F.col(col).cast("decimal(18,6)"))
+                F.sum(drep(F.col(col), 6))
                 .cast("decimal(28,6)")
                 .alias(name)
             )

@@ -36,6 +36,8 @@ from wikidata_to_surrealdb_spark.functions import (
     dsum_sql,
     finite,
     finite_sql,
+    drep,
+    drep_sql,
     fround,
     fround_sql,
     fround_total,
@@ -114,6 +116,18 @@ def _gate_embeddings_sql(sql: str) -> str:
         finite_vec_sql,
     )
 
+    # the token rewrite is blind to SQL string literals (ADVICE r17):
+    # an oracle mentioning the word inside a quoted literal would be
+    # corrupted silently — fail loudly instead so the author sees it
+    # at first oracle access, not as a value diff in a sweep. Scan the
+    # PRE-rewrite text span by span ('' doubles as the escape) so
+    # legitimate occurrences between two literals don't false-positive.
+    for lit in re.finditer(r"'(?:[^']|'')*'", sql):
+        if re.search(r"\bembeddings\b", lit.group(0)):
+            raise ValueError(
+                "embeddings-gate rewrite would corrupt a string "
+                "literal: " + lit.group(0)[:80]
+            )
     body = re.sub(r"\bembeddings\b", "__emb_valid", sql)
     cte = (
         f"__emb_valid AS (SELECT * FROM embeddings "
@@ -159,8 +173,8 @@ _CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
     "b01_projection",
     f"""
     SELECT l_orderkey, l_linenumber,
-           {fround_sql(_REVENUE, 2)} AS revenue,
-           {fround_sql(_CHARGE, 2)} AS charge,
+           {fround_total_sql(_REVENUE, 2)} AS revenue,
+           {fround_total_sql(_CHARGE, 2)} AS charge,
            CASE WHEN l_discount > 0.05 THEN 'deep' ELSE 'shallow' END AS discount_band
     FROM lineitem
     """,
@@ -170,11 +184,15 @@ def b01_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     li = t["lineitem"]
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # fround_total, not fround: a PROJECTED raw-measure product can be
+    # NaN/±Inf (r18 tpchnum axis — Spark's floor saturates to LONG_MIN
+    # where DuckDB keeps -inf); the total form passes non-finite and
+    # huge values through unchanged on both engines
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        fround(rev, 2).alias("revenue"),
-        fround(rev * (1 + F.col("l_tax")), 2).alias("charge"),
+        fround_total(rev, 2).alias("revenue"),
+        fround_total(rev * (1 + F.col("l_tax")), 2).alias("charge"),
         F.when(F.col("l_discount") > 0.05, "deep").otherwise("shallow").alias("discount_band"),
     )
 
@@ -4423,12 +4441,12 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN (
       SELECT l_partkey,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             SUM({drep_sql("l_quantity", 2)}) AS sum_qty,
              COUNT(*) AS cnt_qty
       FROM lineitem GROUP BY l_partkey
     ) a ON a.l_partkey = p.p_partkey
     WHERE p.p_brand = 'Brand#23'
-      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * a.cnt_qty < a.sum_qty
+      AND {drep_sql("l.l_quantity", 2)} * 5 * a.cnt_qty < a.sum_qty
     """,
     "TPC-H Q17 small-quantity revenue: correlated scalar-avg subquery "
     "decorrelated to a per-part aggregate join; the 20%%-of-avg threshold "
@@ -4439,7 +4457,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     li = t["lineitem"]
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(drep(F.col("l_quantity"), 2)).alias("sum_qty"),
         F.count("*").alias("cnt_qty"),
     ).withColumnRenamed("l_partkey", "a_partkey")
     p = t["part"].where(F.col("p_brand") == "Brand#23").select("p_partkey")
@@ -4449,7 +4467,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(per_part), F.col("a_partkey") == F.col("p_partkey")
         )
         .where(
-            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("cnt_qty")
+            drep(F.col("l_quantity"), 2) * 5 * F.col("cnt_qty")
             < F.col("sum_qty")
         )
         .agg(
@@ -4557,7 +4575,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22",
     f"""
     WITH avgbal AS (
-      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      SELECT SUM({drep_sql("c_acctbal", 2)}) AS s, COUNT(*) AS n
       FROM customer WHERE c_acctbal > 0
     )
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
@@ -4565,7 +4583,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     JOIN nation n ON n.n_nationkey = c.c_nationkey
     CROSS JOIN avgbal
-    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * avgbal.n > avgbal.s
+    WHERE {drep_sql("c.c_acctbal", 2)} * avgbal.n > avgbal.s
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
@@ -4583,12 +4601,12 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     c = t["customer"]
     avgbal = c.where(F.col("c_acctbal") > 0).agg(
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("_s"),
+        F.sum(drep(F.col("c_acctbal"), 2)).alias("_s"),
         F.count("*").alias("_n"),
     )
     return (
         c.crossJoin(F.broadcast(avgbal))
-        .where(F.col("c_acctbal").cast("decimal(18,2)") * F.col("_n") > F.col("_s"))
+        .where(drep(F.col("c_acctbal"), 2) * F.col("_n") > F.col("_s"))
         .join(
             t["orders"].where(F.col("o_orderstatus") == "F").select("o_custkey"),
             F.col("c_custkey") == F.col("o_custkey"),
@@ -4608,10 +4626,10 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "tpch_q2",
-    """
+    f"""
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+             min({drep_sql("l_extendedprice", 2)}) AS supply_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ), eu AS (
       SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
@@ -4655,7 +4673,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supply_cost")
+        F.min(drep(F.col("l_extendedprice"), 2)).alias("supply_cost")
     )
     pc = cost.join(
         F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")
@@ -4679,7 +4697,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q8_REV = "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))"
+_Q8_REV = drep_sql("l.l_extendedprice * (1 - l.l_discount)", 6)
 
 
 @_q(
@@ -4715,7 +4733,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = t["nation"].select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    rev = drep(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     base = (
         t["lineitem"]
         .join(
@@ -4763,8 +4781,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
            {fround_sql("CAST(sum(amount) AS DOUBLE)", 2)} AS sum_profit
     FROM (
       SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-             CAST(l.l_extendedprice * (1 - l.l_discount)
-                  - p.p_retailprice * l.l_quantity AS DECIMAL(18,6)) AS amount
+             {drep_sql("l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity", 6)} AS amount
       FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -4780,10 +4797,11 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    amount = (
+    amount = drep(
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("p_retailprice") * F.col("l_quantity")
-    ).cast("decimal(18,6)")
+        - F.col("p_retailprice") * F.col("l_quantity"),
+        6,
+    )
     return (
         t["lineitem"]
         .join(
@@ -4805,10 +4823,10 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "tpch_q11",
-    """
+    f"""
     WITH val AS (
       SELECT l_partkey,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+             sum({drep_sql("l_extendedprice", 2)}) AS value
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation ON n_nationkey = s_nationkey
@@ -4835,7 +4853,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey") == F.col("s_nationkey"),
         )
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
+        .agg(F.sum(drep(F.col("l_extendedprice"), 2)).alias("value"))
     )
     total = val.agg(F.sum("value").alias("total"))
     return (
@@ -4897,7 +4915,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+             sum({drep_sql("l_extendedprice * (1 - l_discount)", 6)}) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
       GROUP BY l_suppkey
@@ -4913,7 +4931,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    rev = drep(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     revenue = (
         t["lineitem"]
         .where(
@@ -4940,7 +4958,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "tpch_q20",
-    """
+    f"""
     SELECT s.s_name, s.s_acctbal
     FROM supplier s
     JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -4950,7 +4968,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_name LIKE 'small%' AND year(l_shipdate) = 1997
         GROUP BY l_suppkey, l_partkey
-        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50
+        HAVING sum({drep_sql("l_quantity", 2)}) > 50
       )
     """,
     "TPC-H Q20 excess-stock suppliers (adapted: no partsupp — excess = "
@@ -4968,7 +4986,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .agg(F.sum(drep(F.col("l_quantity"), 2)).alias("q"))
         .where(F.col("q") > 50)
         .select("l_suppkey")
         .distinct()
@@ -8908,10 +8926,10 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "ivm_delta_merge",
-    """
+    f"""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           {dsum_sql("o_totalprice", 6)}
              AS sum_o_totalprice,
            min(o_orderdate) AS min_o_orderdate,
            max(o_totalprice) AS max_o_totalprice
