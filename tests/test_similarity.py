@@ -1027,6 +1027,11 @@ def test_bucketed_pairs_rejects_sign_bits_with_bucket_expr(spark):
         .count()
         == 1
     )
-    for bad in (4, "auto", True, "wide"):
+    # ANY explicit sign_bits is rejected alongside bucket_expr — the
+    # None default distinguishes explicit-from-unset, so even the value
+    # the default resolves to (6) raises (ADVICE r17: a sentinel equal
+    # to the default silently accepted explicit 6 and would shift the
+    # rejected set if the default ever changed)
+    for bad in (4, 6, "auto", True, "wide"):
         with pytest.raises(ValueError, match="sign_bits"):
             similarity.ann_bucketed_pairs(df, sign_bits=bad, bucket_expr=expr)

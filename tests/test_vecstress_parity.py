@@ -207,3 +207,28 @@ def test_gated_oracle_rewrite_shape():
     )
     assert con.sql(plain).fetchone()[0] == 1
     con.close()
+
+
+def test_gated_oracle_rewrite_rejects_literal_corruption():
+    """ADVICE r17: the \\bembeddings\\b token rewrite must not reach
+    inside SQL string literals — a future oracle carrying the word in
+    a literal fails loudly at first access instead of silently
+    corrupting the comparison. Legitimate occurrences BETWEEN two
+    literals (adjacent CASE branches) must not false-positive."""
+    import pytest
+
+    from wikidata_to_surrealdb_spark.plans.queries import (
+        _gate_embeddings_sql,
+    )
+
+    with pytest.raises(ValueError, match="string literal"):
+        _gate_embeddings_sql(
+            "SELECT 'from embeddings view' AS note, count(*) AS n "
+            "FROM embeddings"
+        )
+    # table refs between two harmless literals: rewrites cleanly
+    ok = _gate_embeddings_sql(
+        "SELECT CASE WHEN vec_id > 0 THEN 'a' ELSE 'b' END AS t, "
+        "count(*) AS n FROM embeddings GROUP BY 1"
+    )
+    assert "__emb_valid" in ok

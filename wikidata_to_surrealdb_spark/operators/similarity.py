@@ -86,7 +86,21 @@ def finite_vector_pred(vec: Column) -> Column:
     component makes it NaN, an Inf component makes it +Inf (64 squared
     float32 maxima ~ 7e77 stay finite in double, so no false drops), a
     NULL component makes it NULL, an all-zero or empty vector makes it
-    0 — exactly the oracle twin's per-component predicate."""
+    0 — exactly the oracle twin's per-component predicate.
+
+    PUBLIC CONTRACT (ADVICE r17): the corpus type is ``array<float>``,
+    where fold and per-component classification coincide. The
+    operators also accept ``array<double>``; there the contract is
+    *squared-norm representability* — a vector whose squared norm
+    overflows double (a finite component with |x| > ~1.3e154, or a
+    sum of squares >= DBL_MAX) classifies as INVALID on both engines.
+    This is deliberate, not an approximation: such magnitudes are
+    non-representable in every downstream path (cosine norms, the
+    oracle's 1e6 scaled-integer grid) exactly like NaN/Inf, so
+    dropping them uniformly is the only assignment that keeps
+    engine/oracle parity total over the double range. The SQL twin
+    applies the same fold-overflow rule (same left-to-right
+    summation order, so the same rows classify identically)."""
     vd = F.transform(vec, lambda e: e.cast("double"))
     n2 = F.aggregate(
         F.zip_with(vd, vd, lambda x, y: x * y),
@@ -110,11 +124,25 @@ def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def finite_vec_sql(vec_expr: str = "embedding") -> str:
-    """DuckDB twin of :func:`finite_vector_pred` for the oracles."""
+    """DuckDB twin of :func:`finite_vector_pred` for the oracles.
+
+    Carries the same squared-norm representability rule as the engine
+    predicate (see its PUBLIC CONTRACT note): after the per-component
+    NULL/NaN/Inf checks, a final ``isfinite(sum of squares)`` term
+    drops all-finite vectors whose squared norm overflows double —
+    only reachable on ``array<double>`` input, where the engine's
+    one-fold classifier treats fold overflow as invalid. Both engines
+    sum the identical doubles in array order, so the term decides
+    identically row by row."""
+    sumsq = (
+        f"list_aggregate(list_transform({vec_expr}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+    )
     return (
         f"({vec_expr} IS NOT NULL AND len(list_filter({vec_expr}, "
         f"x -> x IS NULL OR isnan(x) OR isinf(x))) = 0 AND "
-        f"len(list_filter({vec_expr}, x -> x != 0)) > 0)"
+        f"len(list_filter({vec_expr}, x -> x != 0)) > 0 AND "
+        f"isfinite({sumsq}))"
     )
 
 
@@ -286,7 +314,7 @@ def ann_bucketed_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sign_bits: int | str = 6,
+    sign_bits: int | str | None = None,
     threshold: float = 0.9,
     bucket_expr: Column | None = None,
     max_bucket: int | None = None,
@@ -305,7 +333,8 @@ def ann_bucketed_pairs(
     expected occupancy stays <= 128 (within-bucket pairs grow with
     occupancy SQUARED — the fixed default goes super-linear once the
     corpus passes ~128 x 2^sign_bits rows, i.e. ~8.2 k at the default
-    6 bits); the int default stays for oracle-pinned reproducibility.
+    6 bits); unset (None) resolves to the pinned 6-bit geometry for
+    oracle-pinned reproducibility.
     The occupancy rule bounds the MEAN only — ``max_bucket`` arms the
     in-plan oversized-bucket raise (:func:`_oversize_bucket_guard`) for
     the degenerate-cluster case; None (default) leaves the plan
@@ -316,11 +345,12 @@ def ann_bucketed_pairs(
     from wikidata_to_surrealdb_spark.functions import fround
 
     if bucket_expr is not None:
-        # sign_bits is DEAD with an explicit bucket_expr: reject any
-        # non-default value loudly instead of silently ignoring it
-        # (ADVICE r16 — every other LSH site validates via
-        # _resolve_band_bits on all call shapes)
-        if sign_bits != 6:
+        # sign_bits is DEAD with an explicit bucket_expr: reject ANY
+        # explicitly passed value loudly instead of silently ignoring
+        # it (ADVICE r16/r17 — the None default distinguishes
+        # explicit-from-unset, so even an explicit 6 is rejected and a
+        # future default change cannot shift which values raise)
+        if sign_bits is not None:
             raise ValueError(
                 "ann_bucketed_pairs: sign_bits is ignored when "
                 f"bucket_expr is given (got sign_bits={sign_bits!r}); "
@@ -328,7 +358,10 @@ def ann_bucketed_pairs(
             )
     else:
         sign_bits = _resolve_band_bits(
-            sign_bits, embeddings, "ann_bucketed_pairs", name="sign_bits"
+            6 if sign_bits is None else sign_bits,
+            embeddings,
+            "ann_bucketed_pairs",
+            name="sign_bits",
         )
     bucket = (
         bucket_expr if bucket_expr is not None else sign_bucket_expr(vec_col, sign_bits)
