@@ -179,6 +179,24 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r18_drep_preregistration": (
+        "r18 DELIBERATE change: every exact-decimal entry point (dsum "
+        "and the raw DECIMAL(18,s) boundary casts in tpch_q2/q8/q9/"
+        "q11/q15/q17/q20/q22, ivm_delta_merge, the skew joins) now "
+        "routes through functions.drep — finite AND |x| < 2^53/10^s, "
+        "NULL outside on both engines (the tpchnum axis's uniform "
+        "representability contract; outside that domain the cast "
+        "itself is engine-divergent). Expected step change: the guard "
+        "adds an isnan+abs branch per summed value inside whole-stage "
+        "codegen — a visible fraction only on the short pure-scan "
+        "decimal aggregates (tpch_q1/q6-shape, sub-second walls), "
+        "amortized invisible on join-dominated entries. At 100 TB the "
+        "branch is fused into the scan and embarrassingly parallel — "
+        "the cost of money aggregates that cannot silently drop or "
+        "loudly kill a 10^12-row sum on one dirty value. Measured "
+        "in-round at sf0.1 before the reference re-seed; the re-seed "
+        "makes r19 compare guarded-era to guarded-era"
+    ),
     "r17_reference_reseed_postgate": (
         "The FINAL r17 reference record re-seeds after the vecstress "
         "validity-gate work so r18 compares gated-era to gated-era "
