@@ -179,6 +179,29 @@ SMOKE_TIER_SIZE = 34
 # names; values say what was measured and the verdict: plan regression
 # (fix cited) or host drift (re-measure cited).
 DRIFT_CLASSIFICATIONS = {
+    "r18_r17_driver_flags_batch": (
+        "The r17 DRIVER bench run left 11 normalized-regressed suite "
+        "flags (worst sim_ivf_pq_search 3.136) and 8 smoke residues "
+        "(worst wd_surql_parts 3.536), all shuffle-byte-identical, on "
+        "a host whose JVM calibration read calm (host_drift 1.0) while "
+        "the NEW python probe read 1.35x slow at suite start "
+        "(python_drift 1.126 mean) — the r16 pattern again, now "
+        "half-caught by the r17 instrumentation. r18 isolated re-bench "
+        "(fresh sessions, reps=3, vs the committed pre-driver "
+        "reference): every suite flag nominal 0.93-1.26 (sim_ivf_pq_"
+        "search 2.065 s = nominal 1.094; stream_sessionize_stateful "
+        "0.932; dedup_embedding 0.978; tpch_q14 1.086), smoke residues "
+        "vs their epoch-12 records 0.69-1.19 (mm_decode_png 1.447 s = "
+        "0.69x its record, skew_autodetect_join 1.336 s = 0.79x — both "
+        "FASTER than record in isolation; wd_surql_media 1.01, "
+        "episodes 1.15, parts 1.17). The two small-wall residuals "
+        "(mm_decode_features nominal 1.39, dedup_exact 1.26) re-ran "
+        "at reps=6 on a second session: 0.638 s / nominal 1.18 and "
+        "0.214 s / normalized 0.95 at cal_drift 1.454 — sub-second "
+        "walls tracking host burstiness, shuffle_write_ratio 1.0 "
+        "everywhere. ALL 19 flags: host throttling of the r17 driver "
+        "run; no plan or operator change implicated"
+    ),
     "r18_drep_preregistration": (
         "r18 DELIBERATE change: every exact-decimal entry point (dsum "
         "and the raw DECIMAL(18,s) boundary casts in tpch_q2/q8/q9/"
