@@ -520,15 +520,35 @@ def ann_bucketed_pairs_gemm(
     import pandas as pd
 
     f = float(10**decimals)
+    pkg_root = _PKG_ROOT
 
     def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
+
+        # import the bucket guard WORKER-SIDE with the pkg_root
+        # fallback instead of referencing the module-level function
+        # from the closure: cloudpickle pickles such a reference by
+        # module name, and UNPICKLING then fails with
+        # ModuleNotFoundError on any executor whose cwd/sys.path
+        # can't import the package (r18: caught by running the
+        # catalog from a non-repo cwd)
+        try:
+            from wikidata_to_surrealdb_spark.operators.similarity import (
+                _check_worker_bucket as _cwb,
+            )
+        except ModuleNotFoundError:
+            import sys as _sys
+
+            _sys.path.insert(0, pkg_root)
+            from wikidata_to_surrealdb_spark.operators.similarity import (
+                _check_worker_bucket as _cwb,
+            )
 
         if len(pdf) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
-        _check_worker_bucket(
+        _cwb(
             len(pdf),
             max_bucket,
             "ann_bucketed_pairs_gemm",
@@ -610,12 +630,27 @@ def ann_banded_pairs_gemm(
     def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
+        # worker-side fallback import — see ann_bucketed_pairs_gemm:
+        # a closure-level reference to the module function pickles by
+        # module name and fails to UNPICKLE from a non-repo cwd
+        try:
+            from wikidata_to_surrealdb_spark.operators.similarity import (
+                _check_worker_bucket as _cwb,
+            )
+        except ModuleNotFoundError:
+            import sys as _sys
+
+            _sys.path.insert(0, pkg_root)
+            from wikidata_to_surrealdb_spark.operators.similarity import (
+                _check_worker_bucket as _cwb,
+            )
+
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
         )
         if len(pdf) < 2:
             return empty
-        _check_worker_bucket(
+        _cwb(
             len(pdf),
             max_bucket,
             "ann_banded_pairs_gemm",
