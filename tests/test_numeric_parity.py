@@ -70,6 +70,7 @@ def num_sf_dir(tmp_path_factory):
                         WHEN event_id % 31 = 9 THEN 'infinity'::DOUBLE
                         WHEN event_id % 31 = 14 THEN '-infinity'::DOUBLE
                         WHEN event_id % 31 = 19 THEN -0.0
+                        WHEN event_id % 31 = 24 THEN 1e15
                         ELSE value END AS value,
                    props
             FROM read_parquet('{SRC}/events.parquet'))

@@ -18,7 +18,8 @@ Variants (all deterministic — fixed id residues, so findings reproduce):
            events.event_type/value
   unicode  multi-byte text (umlauts, CJK, emoji, combining chars)
            appended/prepended to documents.text
-  numeric  NaN/+Inf/-Inf/-0.0 into events.value; 0 and 1e12 into
+  numeric  NaN/+Inf/-Inf/-0.0 AND 1e15 (beyond the 2^53/10^scale
+           exact-grid domain) into events.value; 0 and 1e12 into
            documents.n_chars
   dupdense every document x4 (2 exact copies + 1 prefixed near-copy,
            fresh ids) — the dedup-family worst case
@@ -222,6 +223,7 @@ EVENT_SQL = {
                   WHEN event_id % 31 = 9 THEN 'infinity'::DOUBLE
                   WHEN event_id % 31 = 14 THEN '-infinity'::DOUBLE
                   WHEN event_id % 31 = 19 THEN -0.0
+                  WHEN event_id % 31 = 24 THEN 1e15
                   ELSE value END AS value,
              props
       FROM read_parquet('{src}/events.parquet')""",

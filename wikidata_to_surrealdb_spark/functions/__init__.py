@@ -110,6 +110,29 @@ def finite_sql(expr: str) -> str:
     return f"(CASE WHEN isfinite({expr}) THEN ({expr}) ELSE NULL END)"
 
 
+def rep(col: Column, scale: int = 6) -> Column:
+    """The representable-domain guard alone (no decimal cast): the
+    value when finite AND |x| < 2^53/10^scale, else NULL — for exact
+    grids that scale by 10^scale WITHOUT a DECIMAL cast (the integer
+    cents/micro-unit paths, where ``floor(x*10^s + 0.5)`` must neither
+    overflow the BIGINT cast nor leave the exactly-representable
+    double range). :func:`drep` composes this with the DECIMAL cast.
+    SQL twin: :func:`rep_sql`."""
+    lim = float(2**53) / 10**scale
+    d = col.cast("double")
+    return F.when(~F.isnan(d) & (F.abs(d) < F.lit(lim)), col)
+
+
+def rep_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of :func:`rep` (identical domain literal)."""
+    lim = repr(float(2**53) / 10**scale)
+    return (
+        f"(CASE WHEN NOT isnan(CAST(({expr}) AS DOUBLE)) AND "
+        f"abs(CAST(({expr}) AS DOUBLE)) < {lim} THEN ({expr}) "
+        f"ELSE NULL END)"
+    )
+
+
 def drep(col: Column, scale: int = 6) -> Column:
     """Guarded exact-representable DECIMAL(18,`scale`) term — the single
     entry point for putting a double measure onto the exact-decimal
@@ -137,22 +160,13 @@ def drep(col: Column, scale: int = 6) -> Column:
     Cost: ~3 evaluations of ``col`` — apply to cheap columns, like
     :func:`fround_total`. SQL twin: :func:`drep_sql` (identical
     threshold literal, same branch on every row)."""
-    lim = float(2**53) / 10**scale
-    d = col.cast("double")
-    return F.when(~F.isnan(d) & (F.abs(d) < F.lit(lim)), col).cast(
-        f"decimal(18,{scale})"
-    )
+    return rep(col, scale).cast(f"decimal(18,{scale})")
 
 
 def drep_sql(expr: str, scale: int = 6) -> str:
     """DuckDB twin of :func:`drep` (identical domain literal, so both
     engines branch the same on every row)."""
-    lim = repr(float(2**53) / 10**scale)
-    return (
-        f"CAST((CASE WHEN NOT isnan(CAST(({expr}) AS DOUBLE)) AND "
-        f"abs(CAST(({expr}) AS DOUBLE)) < {lim} THEN ({expr}) "
-        f"ELSE NULL END) AS DECIMAL(18,{scale}))"
-    )
+    return f"CAST({rep_sql(expr, scale)} AS DECIMAL(18,{scale}))"
 
 
 def dsum(col: Column, scale: int = 6) -> Column:

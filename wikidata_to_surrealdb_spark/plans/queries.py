@@ -34,8 +34,8 @@ from pyspark.sql import functions as F
 from wikidata_to_surrealdb_spark.functions import (
     dsum,
     dsum_sql,
-    finite,
-    finite_sql,
+    rep,
+    rep_sql,
     drep,
     drep_sql,
     fround,
@@ -3351,8 +3351,8 @@ def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, ts_us,
            CAST(count(*) OVER w AS BIGINT) AS trailing_n,
            {fround_sql(
-               "CAST(sum(CAST(" + finite_sql("value")
-               + " AS DECIMAL(18,6))) OVER w AS DOUBLE)", 2
+               "CAST(sum(" + drep_sql("value", 6)
+               + ") OVER w AS DOUBLE)", 2
            )} AS trailing_sum
     FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
                  value FROM events)
@@ -3386,7 +3386,7 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_n"),
         fround(
-            F.sum(finite(F.col("value")).cast("decimal(18,6)"))
+            F.sum(drep(F.col("value"), 6))
             .over(w)
             .cast("double"),
             2,
@@ -3400,8 +3400,8 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, ts_us,
            CAST(count(*) OVER w AS BIGINT) AS trailing_n,
            {fround_sql(
-               "CAST(sum(CAST(" + finite_sql("value")
-               + " AS DECIMAL(18,6))) OVER w AS DOUBLE)", 2
+               "CAST(sum(" + drep_sql("value", 6)
+               + ") OVER w AS DOUBLE)", 2
            )} AS trailing_sum
     FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
                  value FROM events)
@@ -3434,7 +3434,7 @@ def events_trailing_window_bounded(
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
-        finite(F.col("value")).alias("value"),
+        rep(F.col("value"), 6).alias("value"),
     )
     out = bounded_trailing_agg(
         base,
@@ -3461,8 +3461,8 @@ def events_trailing_window_bounded(
     SELECT event_id, user_id, ts_us,
            CAST(count(*) OVER w AS BIGINT) AS trailing_n,
            {fround_sql(
-               "CAST(sum(CAST(" + finite_sql("value")
-               + " AS DECIMAL(18,6))) OVER w AS DOUBLE)", 2
+               "CAST(sum(" + drep_sql("value", 6)
+               + ") OVER w AS DOUBLE)", 2
            )} AS trailing_sum
     FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
                  value FROM events)
@@ -4152,7 +4152,7 @@ def stream_incremental_dedup_remap(
              AS BIGINT) AS total_cents
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1, 2, 3
-    """.replace("{FINITE_VALUE}", finite_sql("e.value")),
+    """.replace("{FINITE_VALUE}", rep_sql("e.value", 2)),
     "STREAM-STATIC enrichment join (the canonical serving shape: an "
     "unbounded fact stream decorated with dimension attributes): "
     "readStream events broadcast-joined to the static customer table — "
@@ -5798,12 +5798,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EV_CUMSUM = (
-    f"CAST(sum(CAST({finite_sql('value')} AS DECIMAL(18,2))) OVER ("
+    f"CAST(sum({drep_sql('value', 2)}) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
 )
 _EV_MA3_SUM = (
-    f"CAST(sum(CAST({finite_sql('value')} AS DECIMAL(18,2))) OVER ("
+    f"CAST(sum({drep_sql('value', 2)}) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)"
 )
@@ -5835,7 +5835,7 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame3 = w.rowsBetween(-2, Window.currentRow)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dec = finite(F.col("value")).cast("decimal(18,2)")
+    dec = drep(F.col("value"), 2)
     return t["events"].select(
         "event_id",
         "user_id",
@@ -9294,7 +9294,7 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT) AS total_cents
     FROM events
     GROUP BY CUBE (event_type, CAST(ts AS DATE))
-    """.replace("{FINITE_VALUE}", finite_sql("value")),
+    """.replace("{FINITE_VALUE}", rep_sql("value", 2)),
     "CUBE aggregation: all four grouping sets of (type, day) in one "
     "pass — Spark expands the cube in a single Expand + hash aggregate "
     "(one shuffle), not four scans; NULL grouping slots labeled '(all)' "
@@ -9302,7 +9302,7 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
-    cents = F.floor(finite(F.col("value")) * 100.0 + 0.5).cast("bigint")
+    cents = F.floor(rep(F.col("value"), 2) * 100.0 + 0.5).cast("bigint")
     return (
         t["events"]
         .withColumn("_cents", cents)

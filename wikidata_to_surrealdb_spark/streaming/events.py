@@ -202,13 +202,18 @@ def apply_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         batch = pd.concat(frames, ignore_index=True).sort_values("us")
         us = batch["us"].to_numpy(dtype=np.int64)
         # exact cents so the decimal-sum oracle reproduces bit-for-bit.
-        # NULL values arrive as NaN, and ±Inf has no cents form; a
+        # NULL values arrive as NaN, ±Inf has no cents form, and a
         # blind astype(int64) would turn either into INT64_MIN and
-        # poison the session sum — accumulate 0 for them and track the
-        # finite count so an all-excluded session emits NULL exactly
-        # like the finite-guarded SQL SUM (the JVM variant's behavior).
+        # poison the session sum — accumulate 0 for out-of-domain
+        # values and track the in-domain count so an all-excluded
+        # session emits NULL exactly like the rep-guarded SQL SUM.
+        # The mask mirrors functions.rep(value, 2) exactly: finite AND
+        # |v| < 2^53/100 — beyond that the oracle's dsum NULLs the
+        # value (r18 representability contract), and the cents grid
+        # here must exclude the same rows or the engines diverge at
+        # legal huge magnitudes.
         vals = batch["value"].to_numpy(dtype=np.float64)
-        present = np.isfinite(vals)
+        present = np.isfinite(vals) & (np.abs(vals) < 2.0**53 / 100.0)
         cents = np.where(present, np.round(np.where(present, vals, 0.0) * 100), 0).astype(
             np.int64
         )
@@ -450,14 +455,12 @@ def trailing_window_stream_df(
     (:func:`slice_events_table`) to pin one slice per micro-batch —
     the arrival contract the eviction logic requires; leaving it None
     relies on the source yielding batches in event-time order."""
-    from wikidata_to_surrealdb_spark.functions import finite, fround
+    from wikidata_to_surrealdb_spark.functions import drep, fround
 
     stream = _event_stream_source(
         spark, events_path, max_files_per_trigger=max_files_per_trigger
     )
-    mic = (
-        finite(F.col("value")).cast("decimal(18,6)") * 1_000_000
-    ).cast("bigint")
+    mic = (drep(F.col("value"), 6) * 1_000_000).cast("bigint")
     ev = stream.select(
         "event_id",
         "user_id",
@@ -897,12 +900,13 @@ def segment_enrich_stream_df(
     dim = spark.read.parquet(customer_path).select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    # non-finite measures carry no cents representation: NULL them so
-    # the sum skips them (matching the batch oracle's isfinite guard)
-    # instead of saturating/throwing mid-stream
-    from wikidata_to_surrealdb_spark.functions import finite
+    # out-of-domain measures (non-finite OR |v| >= 2^53/100) carry no
+    # exact cents representation: NULL them so the sum skips them
+    # (matching the batch oracle's rep_sql guard) instead of
+    # saturating/throwing mid-stream
+    from wikidata_to_surrealdb_spark.functions import rep
 
-    cents = F.floor(finite(F.col("value")) * 100.0 + 0.5).cast("bigint")
+    cents = F.floor(rep(F.col("value"), 2) * 100.0 + 0.5).cast("bigint")
     return (
         stream.withWatermark("ts", watermark)
         .join(F.broadcast(dim), "user_id")
