@@ -1616,8 +1616,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "direct variant for modest cardinalities",
 )
 def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_to_surrealdb_spark.functions import respread
+
     t = register_views(spark, sf_dir)
-    toks = t["documents"].select(
+    # respread the RAW projection before the tokenize/shingle/sort
+    # expansion (r18 opt): the driver testdata is a single-row-group
+    # parquet file, so without it the whole tokenize -> shingle ->
+    # sort -> self-join pipeline ran as ONE task end to end (measured
+    # 5.4 s single-threaded at sf0.1; the localCheckpoint below pins
+    # whatever partitioning the scan had, and the broadcast self-join
+    # adds no exchange that could restore parallelism)
+    toks = respread(t["documents"].select("doc_id", "lang", "text")).select(
         "doc_id", "lang", F.expr(dedup.TOKENS_EXPR.format(text="text")).alias("toks")
     )
     # 2-gram shingles via the zip_with chain (6x the slice/concat_ws
