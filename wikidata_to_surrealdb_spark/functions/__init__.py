@@ -237,6 +237,35 @@ def respread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     return df
 
 
+def pin_cpu_shuffle(df: DataFrame, *keys: str) -> DataFrame:
+    """Pin the next key-clustered exchange's partition count for a
+    CPU-heavy consumer (GEMM bucket joins/groups, per-pair scoring).
+
+    AQE's partition coalescing sizes post-shuffle partitions by BYTES
+    (``minPartitionSize``, default 1 MB with ``parallelismFirst``), which
+    is right for I/O-bound stages but collapses stages whose cost is CPU
+    per row — a few MB of exploded vectors carrying an O(n^2-per-bucket)
+    GEMM — to a handful of tasks (measured: the knn_join bucket join ran
+    its 7.9 s of CPU in 5 tasks at sf0.1). The engine knows these stages'
+    cost-per-byte is ~100x a normal row; the optimizer cannot (guide §8).
+
+    ``repartition(n, keys)`` with an EXPLICIT count both satisfies the
+    consumer's clustering requirement (so it replaces, not adds, the
+    exchange) and is exempt from AQE coalescing. ``n`` is scale-adaptive,
+    never a local constant: ``max(defaultParallelism, upstream partition
+    count)`` — locally that restores one-task-per-core; on a cluster the
+    upstream (byte-derived) scan/shuffle count dominates and grows with
+    the input, so the pin never caps a 100 TB shuffle below what AQE
+    would have chosen. Trade-off: a pinned exchange is skipped by AQE's
+    skew-join splitting — these operators carry their own occupancy
+    bounds (band_bits/auto sizing + max_bucket guards), which is the
+    correct skew control for quadratic per-bucket work anyway.
+    """
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def rolling_expr(arr: str, w: int, combine: str) -> str:
     """SQL-expr text for a width-``w`` rolling combine over array column
     ``arr``: element i of the result combines ``arr[i..i+w-1]`` pairwise

@@ -243,7 +243,18 @@ def pagerank(
     result deterministic and oracle-checkable."""
     from wikidata_to_surrealdb_spark.functions import fround
 
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # ONE materialization of the deduped edge list (r18 opt): e feeds
+    # four evaluations before the loop even starts — nodes reads it
+    # TWICE (the src/dst union), outdeg once, ew once — and without the
+    # checkpoint each evaluation replays the caller's whole edge-
+    # derivation subtree plus the distinct's exchange (profiled at
+    # sf0.1: four identical ~0.75 s map stages, ~3 s of the ~6 s wall).
+    # Same rationale as connected_components' sym_all checkpoint.
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))

@@ -1788,6 +1788,12 @@ def knn_join(
         # band-prefixed, so one window over the exploded key bounds
         # every band's buckets (VERDICT r16 #3)
         side = _oversize_bucket_guard(side, "key", max_bucket, "knn_join")
+    # pin the bucket join's exchange width (r18 opt): the per-candidate
+    # dot-product fold makes this the CPU-dominant stage, and AQE's
+    # byte-based coalescing ran its 7.9 s of CPU in 5 tasks at sf0.1
+    from wikidata_to_surrealdb_spark.functions import pin_cpu_shuffle
+
+    side = pin_cpu_shuffle(side, "key")
     a = side.alias("a").hint("shuffle_hash")
     b = side.alias("b").hint("shuffle_hash")
     scored = (
