@@ -87,7 +87,14 @@ def khop(
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: for each node u with neighborhood N(u)
     (input must be symmetric), connect every strictly larger neighbor
-    to m = min(N(u) + {u}). Output is directed (v -> m)."""
+    to m = min(N(u) + {u}). Output is directed (v -> m).
+
+    The trailing ``distinct`` is LOAD-BEARING for dense graphs (r18
+    opt round, measured): near-clique components emit (v -> m) once
+    per edge, and the distinct collapses that fan-in to unique pairs
+    BEFORE small-star's exchanges — dropping it pushed the un-deduped
+    edge volume through the next two shuffles and slowed the dense
+    knn/minhash cluster graphs, so it stays."""
     mins = (
         e.groupBy("_a")
         .agg(F.min("_b").alias("_mb"))
@@ -151,10 +158,12 @@ def connected_components(
     # pre-round-8 shape) evaluated that upstream subtree twice.
     sym_all = _undirect(edges, src, dst).localCheckpoint()
     # symmetric set => _a alone covers every endpoint, including
-    # self-loop-only nodes (restored at the end as singletons)
-    nodes = (
-        sym_all.select(F.col("_a").alias("node")).distinct().localCheckpoint()
-    )
+    # self-loop-only nodes (restored at the end as singletons). Derived
+    # lazily off the materialized sym_all: it is consumed exactly once,
+    # by the final label-attach join, so its own checkpoint job was pure
+    # overhead (r18 opt — same for the `e` filter below, a cheap map
+    # over sym_all's cached partitions).
+    nodes = sym_all.select(F.col("_a").alias("node")).distinct()
     # loop invariant: `e` is DISTINCT and canonically directed (_a > _b)
     # — true initially (one orientation filtered out of the symmetric
     # set, which also drops self-loops) and preserved by _small_star's
@@ -162,7 +171,7 @@ def connected_components(
     # of the two orientations, which are DISJOINT under the invariant —
     # no distinct, one fewer corpus-wide exchange per round than
     # deduping a doubled edge set.
-    e = sym_all.where(F.col("_a") > F.col("_b")).localCheckpoint()
+    e = sym_all.where(F.col("_a") > F.col("_b"))
     prev_fp = None
     rounds = 0
     converged = False
@@ -171,7 +180,14 @@ def connected_components(
         ls = _large_star(
             e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
         )
-        e = _small_star(ls).localCheckpoint()
+        # LAZY checkpoint + fingerprint in ONE pass (r18 opt): with
+        # eager=False the round's star pipeline is computed by the
+        # fingerprint aggregation below — the marked RDD's partitions
+        # persist as that job computes them — instead of one job to
+        # materialize and a second to fingerprint. Lineage truncation
+        # is unchanged (the logical plan is cut at the checkpoint
+        # either way); the loop ran 2 jobs per round, now 1.
+        e = _small_star(ls).localCheckpoint(eager=False)
         # order-independent fingerprint: count + sum of per-edge crc32.
         # Collision odds are negligible next to max_iter, and a missed
         # stop only costs one extra (idempotent) round.
@@ -345,17 +361,32 @@ def triangle_count(
     """
     u = F.least(F.col(src), F.col(dst)).alias("u")
     v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    # materialize the deduped edge set, the degree relation and the
+    # oriented edge list ONCE (r18 opt): `fwd` feeds THREE consumers
+    # (both wedge legs + the closing-edge side) and `deg` three more
+    # (two ranked joins + the zero-fill spine), and because each
+    # consumer projects/renames differently, physical exchange reuse
+    # cannot unify them — the caller's whole edge-derivation subtree
+    # (for graph_triangles: a lineitem co-order self-join) was being
+    # replanned and re-executed per consumer. Measured at sf0.1: a
+    # 1057-operator plan with 476 Exchanges collapsed to the 3
+    # materialization jobs + the wedge/closing joins; 23.3 s -> ~4 s
+    # wall, 328 s -> ~40 s executor CPU. Same rationale as pagerank's
+    # edge checkpoint; lineage truncation is the documented pattern for
+    # every multi-consumer relation in this module.
     e = (
         edges.select(u, v)
         .where(F.col("u") != F.col("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     ranked = (
         e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
@@ -368,21 +399,44 @@ def triangle_count(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
-    e1 = fwd.select(F.col("a"), F.col("b"), F.col("db"))
-    e2 = fwd.select(
-        F.col("a").alias("a2"), F.col("b").alias("c"), F.col("db").alias("dc")
-    )
-    wedges = e1.join(e2, F.col("a") == F.col("a2")).where(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    ).localCheckpoint()
+    # SELF-join with aliases, not two differently-projected copies
+    # (r18 opt): identical subtrees under both join children let the
+    # planner reuse ONE exchange+sort of `fwd` for the wedge join
+    # instead of shuffling it twice (ReusedExchange in the after-plan).
+    w1, w2 = fwd.alias("_w1"), fwd.alias("_w2")
+    wedges = (
+        w1.join(w2, F.col("_w1.a") == F.col("_w2.a"))
+        .where(
+            (F.col("_w1.db") < F.col("_w2.db"))
+            | (
+                (F.col("_w1.db") == F.col("_w2.db"))
+                & (F.col("_w1.b") < F.col("_w2.b"))
+            )
+        )
+        .select(
+            F.col("_w1.a").alias("a"),
+            F.col("_w1.b").alias("b"),
+            F.col("_w2.b").alias("c"),
+        )
     )
     closing = fwd.select(F.col("a").alias("b"), F.col("b").alias("c"))
     tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    # ONE evaluation of the wedge+closing pipeline (r18 opt): the
+    # previous 3-way unionAll projected a different corner per leg, and
+    # since the legs' plans differ in projection, exchange reuse cannot
+    # unify them — the O(m^1.5) wedge enumeration (the query's entire
+    # cost) executed THREE times. explode(array(a,b,c)) emits the same
+    # 3 rows per triangle from a single pass; per-node counts are
+    # identical by construction. Measured at sf0.1 (1.2M-edge co-order
+    # graph, ~35M wedges): the dominant stage's executor CPU dropped
+    # ~3x with the same aggregate output.
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
