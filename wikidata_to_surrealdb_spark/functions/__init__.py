@@ -252,17 +252,26 @@ def pin_cpu_shuffle(df: DataFrame, *keys: str) -> DataFrame:
     ``repartition(n, keys)`` with an EXPLICIT count both satisfies the
     consumer's clustering requirement (so it replaces, not adds, the
     exchange) and is exempt from AQE coalescing. ``n`` is scale-adaptive,
-    never a local constant: ``max(defaultParallelism, upstream partition
-    count)`` — locally that restores one-task-per-core; on a cluster the
-    upstream (byte-derived) scan/shuffle count dominates and grows with
-    the input, so the pin never caps a 100 TB shuffle below what AQE
-    would have chosen. Trade-off: a pinned exchange is skipped by AQE's
+    never a local constant: ``max(defaultParallelism,
+    spark.sql.shuffle.partitions)`` — locally that restores
+    one-task-per-core; on a cluster the deployment sizes
+    ``shuffle.partitions`` for its data volume (session.py documents it
+    as the per-deployment override), so the pin tracks the cluster, not
+    this machine. The width is read from CONF, never probed off the
+    upstream RDD: ``df.rdd`` on an un-checkpointed plan executes its AQE
+    stages eagerly, and a fresh action then recomputes them — measured
+    as a full double execution of the MinHash banding subtree when this
+    helper briefly probed ``getNumPartitions()`` (r18 opt round).
+    Trade-off: a pinned exchange is skipped by AQE's
     skew-join splitting — these operators carry their own occupancy
     bounds (band_bits/auto sizing + max_bucket guards), which is the
     correct skew control for quadratic per-bucket work anyway.
     """
     spark = df.sparkSession
-    n = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     return df.repartition(n, *[F.col(k) for k in keys])
 
 

@@ -268,9 +268,21 @@ def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     """i<j pairs within each (band_id, band_hash) bucket of an
     already-banded relation — the grouping half of
     :func:`lsh_candidate_pairs`, shared with callers that hold a
-    :func:`band_index` artifact and must not recompute signatures."""
+    :func:`band_index` artifact and must not recompute signatures.
+
+    The bucket exchange is width-pinned (``pin_cpu_shuffle``, r18 opt):
+    its cost is the array-local pair explosion — quadratic CPU per
+    bucket on a few KB of ids — and AQE's byte-based coalescing was
+    collapsing it to ONE task at bench scale (profiled: 1.24 s
+    single-task on dedup_clusters' critical path). The pin replaces,
+    not adds, the groupBy's exchange and is scale-adaptive (max of
+    cluster parallelism and upstream width), same rationale as the
+    knn_join bucket join."""
+    from wikidata_to_surrealdb_spark.functions import pin_cpu_shuffle
+
     buckets = (
-        banded.groupBy("band_id", "band_hash")
+        pin_cpu_shuffle(banded, "band_id", "band_hash")
+        .groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") > 1)
     )

@@ -28,9 +28,20 @@ from pyspark.sql import functions as F
 
 
 def _undirect(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    a, b = F.col(src).alias("_a"), F.col(dst).alias("_b")
-    return edges.select(a, b).union(
-        edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b"))
+    # materialize the caller's edge list ONCE before the two-orientation
+    # union (r18 opt): the union's legs project (src,dst) and (dst,src),
+    # so they are different subtrees — exchange reuse cannot unify them
+    # and BOTH legs re-executed the caller's whole pair pipeline (for
+    # er_resolve that is the blocked levenshtein join; for the dedup
+    # family the MinHash banding — profiled as duplicated banding
+    # stages at sf0.1). One checkpoint of the small (a, b) pair list
+    # halves the upstream compute of every khop/connected_components
+    # call.
+    e0 = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b")
+    ).localCheckpoint()
+    return e0.union(
+        e0.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     ).distinct()
 
 
