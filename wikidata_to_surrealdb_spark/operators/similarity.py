@@ -1911,12 +1911,6 @@ def kmeans_train(
         .localCheckpoint()
     )
 
-    # plain-BIGINT rank key: ||x - m||^2 on the shared integer grid —
-    # 64 squares of ~6e6-scale ints sum to ~2e15, far inside bigint
-    key = F.expr(
-        "aggregate(zip_with(_x, _m, (xi, mi) -> (xi - mi) * (xi - mi)), "
-        "CAST(0 AS BIGINT), (acc, d) -> acc + d)"
-    )
     # grid-rounded integer mean: floor(s/c + 0.5) via the positive-
     # numerator trick so truncating division == floor in both engines
     off = _KMEANS_OFF
@@ -1925,12 +1919,46 @@ def kmeans_train(
     )
     assign = None
     for _ in range(iterations):
-        wa = Window.partitionBy("_id").orderBy(key, F.col("_j"))
-        assign = (
-            vi.crossJoin(F.broadcast(cents))
-            .withColumn("_rk", F.row_number().over(wa))
-            .where(F.col("_rk") == 1)
-            .select("_id", "_x", "_j")
+        # MAP-ONLY argmin over the k collected centroids (r18 opt): the
+        # centroid relation is <= k rows and localCheckpoint-materialized
+        # every round, so collecting it is a bounded driver read (the
+        # module's standard k-centroid pattern, same as ivf_search's
+        # cell ranking) — and compiling the centroids into the argmin
+        # expression removes the per-iteration crossJoin + per-id WINDOW
+        # (an exchange + sort of k x corpus exploded rows). Semantics
+        # are bit-identical: ||x - m_j||^2 is the same plain-BIGINT fold
+        # per centroid, array_min is the same exact integer minimum, and
+        # array_position returns the FIRST minimal index — the
+        # (key, _j) tie-break the window's orderBy encoded. Profiled at
+        # sf0.1: the three trainer-backed queries were driver-dominated
+        # (sim_kmeans_assign 2.77 s wall vs 1.06 s summed stage wall);
+        # this drops 1 exchange + 1 window sort + 1 plan per iteration.
+        crows = sorted(cents.collect(), key=lambda r: r["_j"])
+        assert [r["_j"] for r in crows] == list(range(len(crows)))
+        if not crows:
+            # empty corpus: no centroids, vi has no rows — any constant
+            # cluster id gives the same (empty) assignment relation
+            assign = vi.select(
+                "_id", "_x", F.lit(0).cast("int").alias("_j")
+            )
+            continue
+        darr = F.array(
+            *[
+                F.expr(
+                    "aggregate(zip_with(_x, array("
+                    + ", ".join(f"{int(m)}L" for m in r["_m"])
+                    + "), (xi, mi) -> (xi - mi) * (xi - mi)), "
+                    "CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+                )
+                for r in crows
+            ]
+        )
+        assign = vi.select(
+            "_id",
+            "_x",
+            (F.array_position(darr, F.array_min(darr)) - 1)
+            .cast("int")
+            .alias("_j"),
         )
         sums = assign.groupBy("_j").agg(
             F.count(F.lit(1)).cast("bigint").alias("_c"),
