@@ -794,14 +794,27 @@ def write_tables_bucketed_manifest(
     atomic on object stores where directory rename is not."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    from concurrent.futures import ThreadPoolExecutor
+
     out_dir = _require_local_path(out_dir)
-    for name, df in tables.as_dict().items():
+
+    def _bootstrap(name: str, df: DataFrame) -> None:
         table_dir = f"{out_dir}/{name}.parquet"
         os.makedirs(table_dir, exist_ok=True)
         placed = _place_bucket_generations(
             df.withColumn("_bucket", _id_bucket(n_buckets)), table_dir, n_buckets
         )
         _commit_manifest(table_dir, 1, placed)
+
+    # the 4 table writes are independent jobs on independent table dirs
+    # (separate manifests); running them from a thread pool lets each
+    # job's task tail back-fill the others' idle cores instead of the
+    # cluster draining 4 times — same rule as write_tables' concurrent
+    # writes
+    items = list(tables.as_dict().items())
+    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+        for f in [pool.submit(_bootstrap, n, d) for n, d in items]:
+            f.result()
 
 
 def read_bucketed_manifest(
@@ -845,42 +858,65 @@ def merge_into_bucketed_manifest(
 
     The crash window around the commit is a single file replace; at no
     point can a reader observe a half-merged table."""
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
     out_dir = _require_local_path(out_dir)
-    touched_by_table: dict[str, list[int]] = {}
-    for name, new_df in update.as_dict().items():
+
+    def _merge_one(name: str, new_df: DataFrame) -> list[int]:
         table_dir = f"{out_dir}/{name}.parquet"
         manifest = _read_manifest(table_dir)
-        new_b = new_df.withColumn("_bucket", _id_bucket(n_buckets))
-        touched = sorted(
-            r["_bucket"] for r in new_b.select("_bucket").distinct().collect()
+        # persist the bucketed update: the touched-bucket probe below and
+        # the placement write both consume it, and without the cache each
+        # job replays the update's whole derivation (for the streaming
+        # upsert path, a full re-parse of the batch per job)
+        new_b = new_df.withColumn("_bucket", _id_bucket(n_buckets)).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        touched_by_table[name] = touched
-        if not touched:
-            continue
-        live_touched = [b for b in touched if b in manifest["buckets"]]
-        if live_touched:
-            base = read_bucketed_manifest(spark, table_dir, live_touched).drop(
-                "_bucket"
+        try:
+            touched = sorted(
+                r["_bucket"]
+                for r in new_b.select("_bucket").distinct().collect()
             )
-            merged = _last_wins(base, new_df)
-        else:
-            merged = new_df
-        placed = _place_bucket_generations(
-            merged.withColumn("_bucket", _id_bucket(n_buckets)),
-            table_dir,
-            n_buckets,
-        )
-        old_dirs = [
-            manifest["buckets"][b] for b in touched if b in manifest["buckets"]
-        ]
-        new_map = dict(manifest["buckets"])
-        new_map.update(placed)
-        _commit_manifest(table_dir, manifest["version"] + 1, new_map)
-        import shutil
+            if not touched:
+                return touched
+            live_touched = [b for b in touched if b in manifest["buckets"]]
+            if live_touched:
+                base = read_bucketed_manifest(
+                    spark, table_dir, live_touched
+                ).drop("_bucket")
+                merged = _last_wins(base, new_b.drop("_bucket"))
+            else:
+                merged = new_b.drop("_bucket")
+            placed = _place_bucket_generations(
+                merged.withColumn("_bucket", _id_bucket(n_buckets)),
+                table_dir,
+                n_buckets,
+            )
+            old_dirs = [
+                manifest["buckets"][b]
+                for b in touched
+                if b in manifest["buckets"]
+            ]
+            new_map = dict(manifest["buckets"])
+            new_map.update(placed)
+            _commit_manifest(table_dir, manifest["version"] + 1, new_map)
+            for d in old_dirs:  # superseded generations: best-effort cleanup
+                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+            return touched
+        finally:
+            new_b.unpersist()
 
-        for d in old_dirs:  # superseded generations: best-effort cleanup
-            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
-    return touched_by_table
+    # per-table merges touch disjoint table dirs and commit disjoint
+    # manifests — independent jobs, so overlap them (§ concurrency note
+    # on write_tables): the tiny-batch steady state is job-count bound,
+    # not byte bound
+    items = list(update.as_dict().items())
+    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+        futures = {n: pool.submit(_merge_one, n, d) for n, d in items}
+        return {n: f.result() for n, f in futures.items()}
 
 
 def vacuum_bucketed_manifest(

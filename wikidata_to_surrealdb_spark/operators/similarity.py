@@ -1895,7 +1895,7 @@ def kmeans_train(
             F.col(id_col).alias("_id"),
             F.expr(_VI_EXPR.format(v=vec_col)).alias("_x"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # deterministic init: first k vectors by (md5(id), id) — already on
     # the 1e6 grid
@@ -1908,7 +1908,7 @@ def kmeans_train(
             F.col("_x").alias("_m"),
             F.lit(1).cast("bigint").alias("_c"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # grid-rounded integer mean: floor(s/c + 0.5) via the positive-
@@ -1980,7 +1980,7 @@ def kmeans_train(
                 .alias("_m"),
                 F.coalesce("_c", F.lit(0).cast("bigint")).alias("_c"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     assignments = assign.select(

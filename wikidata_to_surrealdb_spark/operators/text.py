@@ -1012,28 +1012,61 @@ def fts_index_build(
             _shutil.rmtree(final)
         _os.rename(stage, final)
 
-    postings = inverted_index(docs, text_col, id_col).select(
-        F.col("term"),
-        F.col(id_col).alias("doc_id"),
-        F.col("tf").cast("bigint").alias("tf"),
-        tb.alias("_tb"),
-    )
-    _swap_in(postings.repartition("_tb"), "postings", bucketed=True)
-    _swap_in(
-        doc_lengths(docs, text_col, id_col).select(
-            F.col(id_col).alias("doc_id"), F.col("_dl").cast("bigint")
-        ),
-        "doclen",
-        bucketed=False,
-    )
-    if positional:
-        pidx = inverted_index_positional(docs, text_col, id_col).select(
-            F.col("term"),
-            F.col(id_col).alias("doc_id"),
-            F.col("positions"),
-            tb.alias("_tb"),
+    # ONE tokenize+stem pass shared by all three outputs (r18 opt):
+    # postings, doclen and the positional index each re-derived the
+    # analyzed token stream from the raw corpus — three full
+    # tokenization passes per build. The staged relation below is the
+    # same chain every one of them used (lowercase -> ascii fold ->
+    # tokenize -> elementwise suffix stem; explode-then-stem and
+    # stem-then-explode are the same elementwise composition, and
+    # stemming never changes token counts — the doc_lengths
+    # equivalence argument), materialized once by the first write.
+    # The three writes are independent jobs over the staged parent and
+    # run from a thread pool so their task tails overlap.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    folded = ascii_fold(F.lower(F.col(text_col)))
+    toks = tokens_col(folded, lowercase=False)
+    staged = (
+        respread(docs)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .select(
+            "doc_id",
+            F.expr(f"transform(_t, t -> {_stem_sql('t')})").alias("_s"),
         )
-        _swap_in(pidx.repartition("_tb"), "positional", bucketed=True)
+        # eager: materialize once BEFORE the concurrent writes race on
+        # it (same rule as write_tables' staged parent)
+        .localCheckpoint()
+    )
+    postings = (
+        staged.select("doc_id", F.explode("_s").alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .select("term", "doc_id", "tf", tb.alias("_tb"))
+    )
+    doclen = staged.select(
+        "doc_id", F.size("_s").cast("bigint").alias("_dl")
+    ).where(F.col("_dl") > 0)
+    writes = [
+        lambda: _swap_in(postings.repartition("_tb"), "postings", bucketed=True),
+        lambda: _swap_in(doclen, "doclen", bucketed=False),
+    ]
+    if positional:
+        pidx = (
+            staged.select("doc_id", F.posexplode("_s").alias("pos", "term"))
+            .groupBy("term", "doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .select("term", "doc_id", "positions", tb.alias("_tb"))
+        )
+        writes.append(
+            lambda: _swap_in(pidx.repartition("_tb"), "positional", bucketed=True)
+        )
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for f in [pool.submit(w) for w in writes]:
+            f.result()
 
     meta = {
         "version": 1,
@@ -1188,7 +1221,7 @@ def bpe_train(
             ).alias("s"),
             "freq",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # both slices length n-1: zip_with pads the shorter side with nulls
@@ -1223,7 +1256,7 @@ def bpe_train(
                 F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
             ).alias("s"),
             "freq",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     spark = docs.sparkSession
     return spark.createDataFrame(
@@ -1293,7 +1326,7 @@ def bpe_train_batched(
             ).alias("s"),
             "freq",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     pair_expr = (
@@ -1344,7 +1377,7 @@ def bpe_train_batched(
             col = F.replace(
                 col, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
             )
-        cur = cur.select(col.alias("s"), "freq").localCheckpoint()
+        cur = cur.select(col.alias("s"), "freq").localCheckpoint(eager=False)
 
     spark = docs.sparkSession
     return spark.createDataFrame(

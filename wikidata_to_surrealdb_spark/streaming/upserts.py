@@ -87,6 +87,8 @@ def stream_upsert_manifest(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
         line = F.regexp_replace(F.trim(F.col("value")), r",$", "")
         lines = (
             batch_df.select(line.alias("line"))
@@ -94,17 +96,29 @@ def stream_upsert_manifest(
             .where(F.length("line") > 0)
         )
         tables = build_tables(transform_entities(parse_entities(lines), lang))
-        bootstrapped = os.path.exists(
-            os.path.join(out_dir, "Entity.parquet", MANIFEST_NAME)
-        )
-        if bootstrapped:
-            merge_into_bucketed_manifest(
-                spark, out_dir, tables, n_buckets=n_buckets
+        # stage the shared parsed parent for the duration of the batch:
+        # all 4 tables (and, in the merge path, both the touched-bucket
+        # probe and the placement write) derive from ONE parse of the
+        # batch — without the cache each job re-parses the raw JSON.
+        # Cache size is bounded by the micro-batch, not the table, so
+        # per-trigger memory stays proportional to trigger volume.
+        parent = tables.staged_parent
+        parent.persist(StorageLevel.MEMORY_AND_DISK)
+        parent.count()  # materialize once, before the table jobs race on it
+        try:
+            bootstrapped = os.path.exists(
+                os.path.join(out_dir, "Entity.parquet", MANIFEST_NAME)
             )
-        else:
-            write_tables_bucketed_manifest(
-                tables, out_dir, n_buckets=n_buckets
-            )
+            if bootstrapped:
+                merge_into_bucketed_manifest(
+                    spark, out_dir, tables, n_buckets=n_buckets
+                )
+            else:
+                write_tables_bucketed_manifest(
+                    tables, out_dir, n_buckets=n_buckets
+                )
+        finally:
+            parent.unpersist()
 
     checkpoint = os.path.join(out_dir, "_stream_checkpoint")
     with _state_partitions(spark, 8):
