@@ -927,6 +927,14 @@ def containment_pairs(
         F.col(id_col), F.sort_array("sh").alias("_ss")
     )
     sh = ss.select(F.col(id_col), F.explode(sorted_distinct("_ss")).alias("s"))
+    # pin the s-keyed exchange width: its consumers (df window, posting
+    # groupBy, and the array-local pair expansion off the checkpointed
+    # postings) are CPU-per-row heavy, and AQE's byte-based coalescing
+    # ran them in 4 tasks at sf0.1 (profiled 3.1 s executor in the
+    # window/groupBy stage, 1.9 s in the pair explode)
+    from wikidata_to_surrealdb_spark.functions import pin_cpu_shuffle
+
+    sh = pin_cpu_shuffle(sh, "s")
     uni = sh.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("s"))
     ).where(F.col("_df") <= max_df)

@@ -17,9 +17,15 @@ heuristics; this operator makes the technique explicit and portable:
    are removed by the exact join that follows), false negatives are
    impossible, so results are bit-identical to the plain join.
 
-md5 keeps the positions engine-portable, though the oracle doesn't need
-them: the oracle is the PLAIN semi-join — correctness of the
-optimization means being invisible in the result.
+The bit positions are engine-internal by design — the oracle is the
+PLAIN semi-join, and correctness of the optimization means being
+invisible in the result. That freedom is why the position hash is
+xxhash64, not md5 (r18 opt): the membership test runs per FACT row
+before the exchange, so its per-row cost is the operator's dominant
+term at 100 TB, and three md5-of-concat evaluations per row ran the
+sf0.1 probe's filter stage as ~2 s of single-task CPU where xxhash64
+is a cheap JVM hash. Tests pin the statistical contract (no false
+negatives, fp-rate bound), which any independent hash family meets.
 """
 
 from __future__ import annotations
@@ -27,16 +33,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from wikidata_to_surrealdb_spark.operators.sketch import hex12_num_sql
-
 
 def _positions(key_sql: str, bits: int, hashes: int, seed: str) -> list[str]:
     """SQL texts for the k bit positions of one key expression."""
-    out = []
-    for i in range(hashes):
-        salted = "md5(concat('" + seed + ":" + str(i) + ":', " + key_sql + "))"
-        out.append(f"(({hex12_num_sql(salted)}) % {bits})")
-    return out
+    return [
+        f"pmod(xxhash64('{seed}', {i}, {key_sql}), {bits})"
+        for i in range(hashes)
+    ]
 
 
 def bloom_build(

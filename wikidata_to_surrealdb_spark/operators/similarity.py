@@ -940,8 +940,15 @@ def pq_encode(
     literals embedded in the plan."""
     embeddings = finite_vectors(embeddings, vec_col)
     exprs = _pq_code_exprs(codebooks)
+    # the per-row encode is ~16k integer ops (M argmins over K-centroid
+    # literal arrays); a single-row-group parquet scan would run it as
+    # ONE task (profiled: the ADC arms of sim_ann_recall executed as
+    # sequential ~1 s single-task stages) — respread is a no-op once
+    # the input is as parallel as the cluster
+    from wikidata_to_surrealdb_spark.functions import respread
+
     return (
-        embeddings.select(
+        respread(embeddings).select(
             F.col(id_col), F.expr(_VI_EXPR.format(v=vec_col)).alias("_vi")
         )
         .select(
@@ -1093,8 +1100,12 @@ def ivf_pq_search(
     code_exprs = _pq_code_exprs(codebooks)
     # one map-only pass builds the (id, cell, codes) index rows — the
     # relation a serving deployment materializes partitioned by cell
+    # (respread: cell assignment + encode are the same ~16k-op per-row
+    # expressions as pq_encode; see the note there)
+    from wikidata_to_surrealdb_spark.functions import respread
+
     index = (
-        embeddings.select(
+        respread(embeddings).select(
             F.col(id_col),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
             F.expr(_VI_EXPR.format(v=vec_col)).alias("_vi"),
@@ -1158,10 +1169,11 @@ def exact_topk_int(
         f"aggregate(zip_with({_VI_EXPR.format(v=vec_col)}, {qarr}, "
         f"(x, q) -> (x - q) * (x - q)), 0L, (a, t) -> a + t)"
     )
+    from wikidata_to_surrealdb_spark.functions import respread
+
     return (
-        embeddings.select(
-            F.col(id_col), F.expr(exact).cast("bigint").alias("dist")
-        )
+        respread(embeddings)
+        .select(F.col(id_col), F.expr(exact).cast("bigint").alias("dist"))
         .orderBy(F.col("dist").asc(), F.col(id_col))
         .limit(k)
     )
