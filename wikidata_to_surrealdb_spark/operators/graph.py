@@ -70,13 +70,15 @@ def khop(
     # materialize the edge list ONCE: every hop launches a join job (and
     # khop's caller may have built `edges` from an expensive pipeline —
     # e.g. MinHash pair generation); without this each job re-runs that
-    # whole upstream plan
-    e = e.localCheckpoint()
+    # whole upstream plan. Lazy: hop 1's join job materializes it (that
+    # job computes every edge partition), later hops read the cache —
+    # one job saved vs the eager form (r18 opt).
+    e = e.localCheckpoint(eager=False)
     visited = (
         start.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("depth", F.lit(0).cast("bigint"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = visited.select("node")
     for d in range(1, k + 1):
@@ -86,11 +88,16 @@ def khop(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d).cast("bigint"))
+            # eager on purpose: isEmpty() consumes nxt FIRST and a
+            # partial take-style scan would checkpoint-complete in a
+            # second job anyway
             .localCheckpoint()
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint()
+        # lazy: the next hop's join job (or the caller's action on the
+        # last hop) materializes the union of two cached inputs
+        visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited
 

@@ -424,8 +424,26 @@ def apply_incremental_batch(
         )
         idx_out = batch_idx.join(dropped, "doc_id", "left_anti")
         sh_out = batch_sh.join(dropped, "doc_id", "left_anti")
-    idx_out.write.mode("overwrite").parquet(os.path.join(idx_dir, sub))
-    sh_out.write.mode("overwrite").parquet(os.path.join(sh_dir, sub))
+    # the two appends are independent jobs over batch artifacts the
+    # pairs write already checkpoint-materialized (plus, in survivors
+    # mode, the tiny just-written pairs file) — overlap them so the
+    # per-trigger floor pays one write tail, not two (§2.6 of the
+    # optimization playbook; same rule as write_tables)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fidx = pool.submit(
+            lambda: idx_out.write.mode("overwrite").parquet(
+                os.path.join(idx_dir, sub)
+            )
+        )
+        fsh = pool.submit(
+            lambda: sh_out.write.mode("overwrite").parquet(
+                os.path.join(sh_dir, sub)
+            )
+        )
+        fidx.result()
+        fsh.result()
 
 
 def incremental_dedup_multibatch(

@@ -275,20 +275,28 @@ def apply_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
 
 
 def sessionize_stateful_streaming(
-    spark: SparkSession, events_path: str, gap_sec: int = 1800
+    spark: SparkSession,
+    events_path: str,
+    gap_sec: int = 1800,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the stateful sessionizer to completion (availableNow, single
-    batch) into a memory sink and return the materialized sessions."""
+    batch) into a memory sink and return the materialized sessions.
+    ``state_partitions`` pins the state-store width for the run — a
+    state-SIZING knob, not a parallelism knob (:class:`_state_partitions`);
+    production callers size it to expected state volume, ``None`` keeps
+    the session default."""
     table = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stateful_stream_df(spark, events_path, gap_sec)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            sessionize_stateful_stream_df(spark, events_path, gap_sec)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -489,21 +497,24 @@ def trailing_window_streaming(
     events_path: str,
     horizon_us: int = 3_600_000_000,
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the stateful trailing window to completion (availableNow)
-    into a memory sink and return the materialized per-event rows."""
+    into a memory sink and return the materialized per-event rows.
+    ``state_partitions`` as in :func:`sessionize_stateful_streaming`."""
     table = f"stream_trail_{uuid.uuid4().hex[:8]}"
-    q = (
-        trailing_window_stream_df(
-            spark, events_path, horizon_us, max_files_per_trigger
+    with _state_partitions(spark, state_partitions):
+        q = (
+            trailing_window_stream_df(
+                spark, events_path, horizon_us, max_files_per_trigger
+            )
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -722,20 +733,26 @@ def event_dedup_stream_df(
     )
 
 
-def event_dedup_streaming(spark: SparkSession, events_path: str) -> DataFrame:
+def event_dedup_streaming(
+    spark: SparkSession,
+    events_path: str,
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Run the streaming dedup to completion (availableNow, complete
     mode) into a memory sink — batch-equivalent, so the events_dedup
-    oracle applies verbatim."""
+    oracle applies verbatim. ``state_partitions`` as in
+    :func:`sessionize_stateful_streaming`."""
     table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        event_dedup_stream_df(spark, events_path)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            event_dedup_stream_df(spark, events_path)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -765,20 +782,26 @@ def stream_to_parquet(
     q.awaitTermination()
 
 
-def windowed_counts_streaming(spark: SparkSession, events_path: str) -> DataFrame:
+def windowed_counts_streaming(
+    spark: SparkSession,
+    events_path: str,
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Run the stream to completion (availableNow) into a memory sink and
     return the materialized result — batch-equivalent by construction, so
-    the events_window oracle applies."""
+    the events_window oracle applies. ``state_partitions`` as in
+    :func:`sessionize_stateful_streaming`."""
     table = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_counts_stream_df(spark, events_path)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            windowed_counts_stream_df(spark, events_path)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -930,21 +953,26 @@ def segment_enrich_stream_df(
 
 
 def segment_enrich_streaming(
-    spark: SparkSession, events_path: str, customer_path: str
+    spark: SparkSession,
+    events_path: str,
+    customer_path: str,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the stream-static enrichment to completion (availableNow,
     complete mode) into a memory sink — batch-equivalent, so a plain
-    join+group-by oracle applies verbatim."""
+    join+group-by oracle applies verbatim. ``state_partitions`` as in
+    :func:`sessionize_stateful_streaming`."""
     table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        segment_enrich_stream_df(spark, events_path, customer_path)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            segment_enrich_stream_df(spark, events_path, customer_path)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -969,24 +997,33 @@ def hll_registers_stream_df(spark: SparkSession, events_path: str) -> DataFrame:
     )
 
 
-def hll_distinct_streaming(spark: SparkSession, events_path: str) -> DataFrame:
+def hll_distinct_streaming(
+    spark: SparkSession,
+    events_path: str,
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Run the streaming HLL to completion (availableNow, complete mode)
     and estimate: per-event-type approx distinct users plus the '(all)'
     rollup merged from the SAME registers. Equals the batch
     sketch_hll_rollup bit-for-bit (registers are max-merged, order-free),
-    so the identical oracle applies."""
+    so the identical oracle applies. ``state_partitions`` as in
+    :func:`sessionize_stateful_streaming` — the register state is
+    bounded at |types| x 256 rows, so the session-width store only buys
+    per-task overhead (profiled: the 32-partition state stage carried
+    ~22 s of executor time on a 20 KB shuffle)."""
     from wikidata_to_surrealdb_spark.operators.sketch import hll_estimate
 
     table = f"stream_hll_{uuid.uuid4().hex[:8]}"
-    q = (
-        hll_registers_stream_df(spark, events_path)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            hll_registers_stream_df(spark, events_path)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     regs = spark.table(table)
     per = hll_estimate(regs, ["event_type"])
     total = hll_estimate(regs, []).select(
