@@ -307,14 +307,20 @@ def pagerank(
     # out-degree is STATIC across iterations: attach it to the edge list
     # once, outside the loop — one join per iteration instead of two
     # (the edge-sized joins are the whole per-iteration cost)
+    # lazy checkpoints (r18 opt): each iteration's dangling-broadcast
+    # job is the first consumer of the previous round's ranks and
+    # computes every partition (it is an aggregate), so it materializes
+    # the lazy checkpoint in-job — one fewer job per round than the
+    # eager form; `e` above stays EAGER because its first consumer is a
+    # two-leg union whose concurrent tasks would race on first-compute.
     ew = (
         e.join(outdeg, "_s")
         .select("_s", "_d", F.col("_outdeg").cast("double").alias("_od"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.withColumn(
         "rank", fround(F.lit(1.0) / F.lit(float(n)), 12)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(iterations):
         contrib = (
             ew.join(ranks, ew["_s"] == ranks["node"])
@@ -351,7 +357,7 @@ def pagerank(
                     12,
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     nodes.unpersist()
     outdeg.unpersist()
