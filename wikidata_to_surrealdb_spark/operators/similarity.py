@@ -43,6 +43,86 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dlit(x: float) -> str:
+    """SQL text for one exact double literal: ``repr`` (shortest
+    round-trip decimal) + the ``D`` double suffix, so Spark's parser
+    rebuilds the identical IEEE-754 bits ``F.lit(x)`` would embed —
+    verified for -0.0, denormals, and random 63-bit patterns. Finite
+    only (a NaN/Inf literal has no portable SQL text here)."""
+    fx = float(x)
+    if fx != fx or fx in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal: {x!r}")
+    return repr(fx) + "D"
+
+
+def _vector_lit(vec: list[float]) -> Column:
+    """Literal ``array<double>`` column built through ONE ``F.expr``
+    call instead of a per-element ``F.lit`` loop: composing a 64-dim
+    query (or an 8x64 centroid matrix) element by element through the
+    Python Column API is a py4j round-trip per element — measured 0.4 s
+    per centroid-matrix build at plan-construction time, paid on every
+    bench repetition (r18 opt round). The parsed literals are
+    bit-identical to the ``F.lit`` form (see :func:`_dlit`)."""
+    return F.expr("array(" + ", ".join(_dlit(x) for x in vec) + ")")
+
+
+def _matrix_lit(mat: list[list[float]]) -> Column:
+    """Literal ``array<array<double>>`` column via one ``F.expr`` —
+    see :func:`_vector_lit` for why not nested ``F.lit`` loops."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_dlit(x) for x in row) + ")" for row in mat
+        )
+        + ")"
+    )
+
+
+def _probe_cells_py(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Driver-side twin of the probe-cell ranking: rank centroids by
+    ``fround(cos(centroid, query), 4)`` DESC with cell-id tie-break and
+    return the first ``nprobe`` cell ids.
+
+    Replaces a per-query Spark job over a len(centroids)-row local
+    relation (measured ~0.7 s of pure job overhead per bench
+    repetition, r18 opt round) with exact Python arithmetic. Bit-exact
+    by construction: the Spark expression is ``fround(_safe_cos(_dot,
+    _norm*_norm), 4)`` — an elementwise-product array left-folded from
+    0.0, ``sqrt`` of the self-dots, one multiply, one divide, then
+    ``floor(x*1e4 + 0.5)/1e4`` — every step an IEEE-754 double op that
+    Python evaluates identically (products round once, the fold adds
+    left to right, ``math.sqrt``/``math.floor`` are correctly rounded
+    in both runtimes). NULL cosines (``den <= 0``; unreachable for
+    trained centroids against a gated query) sort last exactly like
+    Spark's DESC NULLS LAST. Pinned against the Spark expression over
+    the shipped centroid sets and adversarial vectors in
+    tests/test_similarity_probe_cells.py."""
+    import math
+
+    def dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) * float(y))
+        return acc
+
+    q = [float(x) for x in query_vec]
+    nq = math.sqrt(dot(q, q))
+    ranked: list[tuple[int, int, float, int]] = []
+    for cell, c in enumerate(centroids):
+        cv = [float(x) for x in c]
+        den = math.sqrt(dot(cv, cv)) * nq
+        if den > 0:
+            cos = dot(cv, q) / den
+            cos4 = math.floor(cos * 10000 + 0.5) / 10000
+            ranked.append((0, cell, -cos4, cell))
+        else:
+            ranked.append((1, cell, 0.0, cell))
+    ranked.sort(key=lambda t: (t[0], t[2], t[3]))
+    return [int(t[1]) for t in ranked[:nprobe]]
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
@@ -156,7 +236,7 @@ def brute_force_similar(
     """All vectors with cosine(query, v) >= threshold. Map-only scan: the
     query vector is a literal array baked into the plan (no join at all)."""
     embeddings = finite_vectors(embeddings, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _vector_lit(query_vec)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return embeddings.select(
         F.col(id_col),
@@ -173,7 +253,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k by cosine, ties broken by id for determinism."""
     embeddings = finite_vectors(embeddings, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _vector_lit(query_vec)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (
         embeddings.select(F.col(id_col), cosine_col(cast, q).alias("cosine"))
@@ -777,22 +857,13 @@ def ivf_search(
     arithmetic as the SQL oracle, so both engines probe identical cells.
     """
     embeddings = finite_vectors(embeddings, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    # rank centroids against the query (tiny driver-side action over a
-    # len(centroids)-row frame, same rounded arithmetic as the oracle)
-    cents_df = embeddings.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell bigint, cv array<double>",
-    )
-    probe_cells = [
-        r["cell"]
-        for r in cents_df.select("cell", cosine_col(F.col("cv"), q).alias("cos"))
-        .orderBy(F.desc("cos"), F.col("cell"))
-        .limit(nprobe)
-        .collect()
-    ]
+    q = _vector_lit(query_vec)
+    # rank centroids against the query on the driver (bit-exact Python
+    # twin of the rounded-cosine expression — was a per-query Spark job
+    # over a len(centroids)-row local relation; r18 opt round)
+    probe_cells = _probe_cells_py(centroids, query_vec, nprobe)
     # cell assignment + query cosine in ONE map-only pass (no self-join)
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cents = _matrix_lit(centroids)
     with_v = embeddings.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -823,9 +894,7 @@ def ivf_assign(
     ``cell`` so probes become partition pruning."""
     embeddings = finite_vectors(embeddings, vec_col)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = _matrix_lit(centroids)
     with_v = embeddings.select(F.col(id_col), cast)
     sims = F.transform(cents, lambda c: cosine_col(F.col("v"), c))
     return with_v.select(
@@ -1082,19 +1151,11 @@ def ivf_pq_search(
     m, sub, _k = _pq_geometry(codebooks)
     if len(query_vec) != m * sub:
         raise ValueError(f"query must have {m * sub} dims, got {len(query_vec)}")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cents_df = embeddings.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell bigint, cv array<double>",
-    )
-    probe_cells = [
-        int(r["cell"])
-        for r in cents_df.select("cell", cosine_col(F.col("cv"), q).alias("cos"))
-        .orderBy(F.desc("cos"), F.col("cell"))
-        .limit(nprobe)
-        .collect()
-    ]
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # probe-cell ranking on the driver (bit-exact Python twin of the
+    # rounded-cosine expression — was a per-query Spark job over a
+    # len(centroids)-row local relation; r18 opt round)
+    probe_cells = _probe_cells_py(centroids, query_vec, nprobe)
+    cents = _matrix_lit(centroids)
     sims = F.transform(cents, lambda c: cosine_col(F.col("v"), c))
     cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("bigint")
     code_exprs = _pq_code_exprs(codebooks)
@@ -1519,7 +1580,7 @@ def ivf_pq_panel_candidates(
 
     from wikidata_to_surrealdb_spark.functions import respread
 
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cents = _matrix_lit(centroids)
     sims = F.transform(cents, lambda c: cosine_col(F.col("v"), c))
     cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("bigint")
     code_exprs = _pq_code_exprs(codebooks)
