@@ -65,7 +65,11 @@ def test_connected_components_path_graph_log_rounds(spark):
     stats = {}
     out = {
         r["node"]: r["component"]
-        for r in graph.connected_components(e, _stats=stats).collect()
+        # local_threshold=0: this test pins the DISTRIBUTED loop's
+        # log-round property, so the driver-side finish must stay off
+        for r in graph.connected_components(
+            e, local_threshold=0, _stats=stats
+        ).collect()
     }
     assert out == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 12, f"took {stats['rounds']} rounds for diameter 63"
@@ -85,8 +89,70 @@ def test_connected_components_raises_when_not_converged(spark):
     e = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "src bigint, dst bigint"
     )
+    # local_threshold=0: the convergence guard lives on the distributed
+    # loop; the driver-side finish would solve this 20-edge graph first
     with _pytest.raises(RuntimeError, match="converge"):
-        graph.connected_components(e, max_iter=1)
+        graph.connected_components(e, max_iter=1, local_threshold=0)
+
+
+def test_connected_components_local_finish_matches_distributed(spark):
+    """The r18 driver-side finish (bounded collect + union-find) must
+    label identically to the pure distributed star loop — pre-loop
+    finish, mid-loop finish, and threshold-off all agree, on random
+    graphs, chains, cliques, self-loops, isolated pairs, and string
+    ids."""
+    import random
+
+    rng = random.Random(99)
+    cases = []
+    # random sparse graph (many components)
+    cases.append(
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    )
+    # chain + clique + self loop + isolated pair
+    chain = [(i, i + 1) for i in range(40)]
+    clique = [(100 + i, 100 + j) for i in range(6) for j in range(i)]
+    cases.append(chain + clique + [(500, 500), (600, 601)])
+    for pairs in cases:
+        e = spark.createDataFrame(pairs, "src bigint, dst bigint")
+        stats_loc, stats_dist, stats_mid = {}, {}, {}
+        loc = {
+            r["node"]: r["component"]
+            for r in graph.connected_components(e, _stats=stats_loc).collect()
+        }
+        dist = {
+            r["node"]: r["component"]
+            for r in graph.connected_components(
+                e, local_threshold=0, _stats=stats_dist
+            ).collect()
+        }
+        # mid-loop finish: threshold below the initial edge count but
+        # above the (much smaller) post-round-1 star set
+        mid_thr = max(1, len(set(map(tuple, map(sorted, pairs)))) // 2)
+        mid = {
+            r["node"]: r["component"]
+            for r in graph.connected_components(
+                e, local_threshold=mid_thr, _stats=stats_mid
+            ).collect()
+        }
+        assert loc == dist == mid
+        assert stats_loc["rounds"] == 0
+        assert "local_finish_edges" in stats_loc
+        assert stats_dist["rounds"] >= 1
+
+    # string ids through the local path
+    e = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("z", "z")], "src string, dst string"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(e).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+    # empty graph through the local path
+    e = spark.createDataFrame([], "src bigint, dst bigint")
+    assert graph.connected_components(e).count() == 0
 
 
 def test_kmv_exact_below_k(spark):
@@ -490,10 +556,13 @@ def test_iterative_graph_lineage_is_truncated(spark):
     # a fixed post-loop label-attach join over checkpointed RDD scans —
     # regardless of how many rounds the loop ran
     def cc_plan(n):
+        # local_threshold=0: pin the DISTRIBUTED loop's truncation (the
+        # driver-side finish never builds a per-round plan at all)
         cc = connected_components(
             spark.createDataFrame(
                 [(i, i + 1) for i in range(n)], "src bigint, dst bigint"
-            )
+            ),
+            local_threshold=0,
         )
         return cc._jdf.queryExecution().optimizedPlan().toString()
 

@@ -145,11 +145,52 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_labels(pairs: list[tuple]) -> list[tuple]:
+    """Driver-side finish: min-label connected components over a
+    BOUNDED edge list (see ``connected_components.local_threshold``).
+    Returns (node, component_min) rows for every non-min node — the
+    exact shape a CONVERGED star set has, so the caller's final
+    label-attach join is identical for both finish paths.
+
+    Determinism: the label is the component's minimum node id, which
+    is independent of union order. Python's ``min`` agrees with
+    Spark's: BIGINT ids compare numerically, and string ids compare
+    by code point in both (UTF-8 byte order == code-point order)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so every root IS its component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = []
+    for x in parent:
+        r = find(x)
+        if r != x:
+            out.append((x, r))
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    local_threshold: int = 100_000,
     _stats: dict | None = None,
 ) -> DataFrame:
     """Undirected connected components via alternating large-star /
@@ -167,6 +208,29 @@ def connected_components(
     convergence a RuntimeError is raised rather than returning silently
     wrong labels. Pass a dict as ``_stats`` to receive
     ``{"rounds": n}`` (used by tests to assert round counts).
+
+    ``local_threshold`` (r18 opt): once the canonical edge set has at
+    most this many rows, the remaining rounds finish on the DRIVER — a
+    bounded collect + min-label union-find (:func:`_union_find_labels`)
+    instead of more distributed star rounds. Every star round preserves
+    the partition into components (the algorithm's core invariant) and
+    never drops a non-minimum node from the edge set, so union-find
+    over a mid-loop edge set yields the identical (node, component-min)
+    labels the converged star set would. Why: each distributed round is
+    ~6 exchanges plus an AQE stage-scheduling round-trip per exchange —
+    measured 1.2-2.5 s PER ROUND on a 3,840-edge graph (sf0.1 kNN
+    clusters: 6 rounds, 7-15 s of pure scheduling) — while 100k edges
+    collect in a few MB and union-find in milliseconds. This is the
+    standard hybrid finish for star-contraction (iterate until the
+    graph fits, solve the remainder locally); the collect is BOUNDED by
+    the threshold, which is a per-deployment knob like a broadcast
+    threshold (default 100k edges ~ a few MB of driver memory — far
+    under the 8 GB broadcast-relation class). ``local_threshold=0``
+    disables the local finish (pure distributed loop, used by the
+    convergence/round-count tests). At 100 TB the loop still runs
+    distributed rounds while the edge set is large and saves only the
+    LAST ~log(threshold) latency-bound rounds — the scale posture is
+    unchanged.
     """
     # ONE materialization of the symmetric edge set up front: each round
     # launches join jobs, and without the checkpoint every job re-runs
@@ -190,6 +254,46 @@ def connected_components(
     # no distinct, one fewer corpus-wide exchange per round than
     # deduping a doubled edge set.
     e = sym_all.where(F.col("_a") > F.col("_b"))
+
+    def _attach(labels: DataFrame) -> DataFrame:
+        # converged star set / union-find output is (v -> component
+        # min); star centers appear only on the right side, isolated/
+        # self-loop-only nodes not at all — restore both from the
+        # initial node set
+        return nodes.join(labels, "node", "left").select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+
+    def _local_finish(pair_rows, n_rounds: int) -> DataFrame:
+        from pyspark.sql.types import StructField, StructType
+
+        if _stats is not None:
+            _stats["rounds"] = n_rounds
+            _stats["local_finish_edges"] = len(pair_rows)
+        dt = sym_all.schema["_a"].dataType
+        lab = _union_find_labels([(r["_a"], r["_b"]) for r in pair_rows])
+        labels = edges.sparkSession.createDataFrame(
+            lab,
+            StructType(
+                [
+                    StructField("node", dt),
+                    StructField("component", dt),
+                ]
+            ),
+        )
+        return _attach(labels)
+
+    if local_threshold:
+        # ONE bounded probe job instead of count+collect: take() pulls
+        # at most threshold+1 rows (scanning cached sym_all partitions
+        # incrementally, so at corpus scale it stops after the first
+        # partitions exceed the budget); getting <= threshold rows back
+        # means that WAS the whole canonical edge set
+        head = e.take(local_threshold + 1)
+        if len(head) <= local_threshold:
+            return _local_finish(head, 0)
+
     prev_fp = None
     rounds = 0
     converged = False
@@ -226,6 +330,13 @@ def connected_components(
             converged = True
             break
         prev_fp = fp
+        # the star rounds shrink the edge set geometrically: once it
+        # fits the driver budget, stop paying per-round scheduling and
+        # finish locally (the fingerprint already computed the exact
+        # count, and its job materialized this round's lazy checkpoint,
+        # so the collect below reads cached partitions)
+        if local_threshold and fp_row["n"] <= local_threshold:
+            return _local_finish(e.collect(), rounds)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
@@ -233,17 +344,8 @@ def connected_components(
         )
     if _stats is not None:
         _stats["rounds"] = rounds
-    # converged edge set is a union of stars (v -> component min); star
-    # centers appear only on the right side, isolated/self-loop-only
-    # nodes not at all — restore both from the initial node set
     labels = e.select(F.col("_a").alias("node"), F.col("_b").alias("component"))
-    return (
-        nodes.join(labels, "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("component"), F.col("node")).alias("component"),
-        )
-    )
+    return _attach(labels)
 
 
 def pagerank(
