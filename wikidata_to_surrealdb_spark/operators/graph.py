@@ -391,21 +391,32 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
+    outdeg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
+    # the node relation carries a STATIC dangling flag (r18 opt): the
+    # per-iteration dangling total was previously an anti-join of the
+    # rank relation against outdeg EVERY round (a broadcast build + join
+    # stage per iteration); out-degree membership never changes, so one
+    # pre-loop left join attaches `_has_out` and each round's dangling
+    # aggregation becomes a plain filter over the rank relation's own
+    # cached partitions. Same membership by construction: outdeg holds
+    # exactly the nodes with out-edges.
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
+        .join(outdeg, F.col("node") == F.col("_s"), "left")
+        .select("node", F.col("_outdeg").isNotNull().alias("_has_out"))
         .persist()
     )
     n = nodes.count()
     if n == 0:
         # an empty graph has nothing to rank: return the empty
         # (node, rank) relation instead of dividing by N=0
-        out = nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.select("node").withColumn("rank", F.lit(0.0))
         nodes.unpersist()
+        outdeg.unpersist()
         return out
     base = (1.0 - damping) / float(n)
-    outdeg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
     # out-degree is STATIC across iterations: attach it to the edge list
     # once, outside the loop — one join per iteration instead of two
     # (the edge-sized joins are the whole per-iteration cost)
@@ -435,8 +446,11 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").cast("double").alias("_in"))
         )
+        # dangling total = rank mass on nodes without out-edges: a plain
+        # filter on the carried static flag (was an anti-join vs outdeg
+        # per round — r18 opt), same membership, same decimal sum
         dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["_s"], "left_anti")
+            ranks.where(~F.col("_has_out"))
             .agg(
                 (
                     F.coalesce(
@@ -452,6 +466,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "_has_out",
                 fround(
                     F.lit(base)
                     + F.lit(damping)
@@ -463,7 +478,7 @@ def pagerank(
         )
     nodes.unpersist()
     outdeg.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_count(
