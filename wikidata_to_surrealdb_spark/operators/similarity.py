@@ -1084,6 +1084,7 @@ def pq_search_rerank(
     refine: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ ANN — the production shape: ADC over the compressed
     codes proposes ``refine`` candidates (map-only scan +
@@ -1101,13 +1102,21 @@ def pq_search_rerank(
     for 2x the exact-distance evaluations). On a 4x-grown corpus
     (sf0.1: 72/98/123/144) the curve is still climbing at 400 —
     there the right lever is retraining the codebooks, not widening
-    refine further (see COVERAGE.md's retrain-vs-widen table)."""
+    refine further (see COVERAGE.md's retrain-vs-widen table).
+
+    ``codes``: optionally pass a PRE-BUILT encoded table (the exact
+    :func:`pq_encode` output for these embeddings/codebooks — the
+    relation a serving deployment materializes anyway). A caller that
+    runs several searches over one corpus encodes once instead of
+    per call (the dedup module's ``shingles=`` precedent; r18 opt:
+    sim_ann_recall was encoding the corpus three times)."""
     import math
 
     m, sub, _k = _pq_geometry(codebooks)
     if len(query) != m * sub:
         raise ValueError(f"query must have {m * sub} dims, got {len(query)}")
-    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
     cand = pq_search_adc(codes, codebooks, query, k=refine, id_col=id_col)
     qi = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query]
     qarr = "array(" + ", ".join(f"{v}L" for v in qi) + ")"
@@ -1123,6 +1132,42 @@ def pq_search_rerank(
     )
 
 
+def ivf_pq_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One map-only pass building the (id, cell, codes) IVF+PQ index
+    rows — the relation a serving deployment materializes
+    ``partitionBy(cell)``. Cell assignment uses the same rounded-cosine
+    arithmetic as :func:`ivf_search`; codes the same scaled-int grid as
+    :func:`pq_encode`. Input gating is the CALLER's contract (exactly
+    as the inline index pass it replaces): pass
+    :func:`finite_vectors`-gated embeddings. (respread: cell cosines +
+    per-subspace code argmins are ~16k integer ops per row; see the
+    note in :func:`pq_encode`.)"""
+    cents = _matrix_lit(centroids)
+    sims = F.transform(cents, lambda c: cosine_col(F.col("v"), c))
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("bigint")
+    code_exprs = _pq_code_exprs(codebooks)
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    return (
+        respread(embeddings).select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            F.expr(_VI_EXPR.format(v=vec_col)).alias("_vi"),
+        )
+        .select(
+            id_col,
+            cell.alias("cell"),
+            F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes"),
+        )
+    )
+
+
 def ivf_pq_search(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -1133,6 +1178,7 @@ def ivf_pq_search(
     refine: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ composite ANN — the full production stack: the IVF
     coarse quantizer prunes the corpus to ``nprobe`` cells, ADC over
@@ -1145,7 +1191,12 @@ def ivf_pq_search(
 
     Cell probe + assignment use the SAME rounded-cosine arithmetic as
     :func:`ivf_search` (both engines probe identical cells); ADC and
-    the rerank use the exact scaled-int grid of :func:`pq_encode`."""
+    the rerank use the exact scaled-int grid of :func:`pq_encode`.
+
+    ``index``: optionally pass the PRE-BUILT (id, cell, codes) relation
+    (the exact :func:`ivf_pq_index` output for these embeddings/
+    centroids/codebooks) so a caller running several searches builds
+    it once — at scale this is the serving materialization anyway."""
     import math
 
     m, sub, _k = _pq_geometry(codebooks)
@@ -1155,28 +1206,10 @@ def ivf_pq_search(
     # rounded-cosine expression — was a per-query Spark job over a
     # len(centroids)-row local relation; r18 opt round)
     probe_cells = _probe_cells_py(centroids, query_vec, nprobe)
-    cents = _matrix_lit(centroids)
-    sims = F.transform(cents, lambda c: cosine_col(F.col("v"), c))
-    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("bigint")
-    code_exprs = _pq_code_exprs(codebooks)
-    # one map-only pass builds the (id, cell, codes) index rows — the
-    # relation a serving deployment materializes partitioned by cell
-    # (respread: cell assignment + encode are the same ~16k-op per-row
-    # expressions as pq_encode; see the note there)
-    from wikidata_to_surrealdb_spark.functions import respread
-
-    index = (
-        respread(embeddings).select(
-            F.col(id_col),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-            F.expr(_VI_EXPR.format(v=vec_col)).alias("_vi"),
+    if index is None:
+        index = ivf_pq_index(
+            embeddings, centroids, codebooks, id_col=id_col, vec_col=vec_col
         )
-        .select(
-            id_col,
-            cell.alias("cell"),
-            F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes"),
-        )
-    )
     ints = pq_codebooks_int(codebooks)
     qi = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query_vec]
     dt = [

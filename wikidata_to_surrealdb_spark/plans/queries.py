@@ -2789,7 +2789,17 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
     ]
     truth = similarity.exact_topk_int(emb, qv, k=10)
-    codes = similarity.pq_encode(emb, PQ_CODEBOOKS)
+    # ONE (id, cell, codes) index pass shared by all three arms (r18
+    # opt): the ADC codes and IVF cells were being recomputed per arm —
+    # three ~16k-op-per-row corpus scans for one encode's worth of
+    # information. The eager checkpoint materializes the index once;
+    # each arm then scans the cached rows. Codes/cells are the same
+    # expressions as before (ivf_pq_index == the inline index pass),
+    # so every arm's rows are bit-identical.
+    idx = similarity.ivf_pq_index(
+        emb, _ivf_centroids(), PQ_CODEBOOKS
+    ).localCheckpoint()
+    codes = idx.select("vec_id", "codes")
     # the recall instruments (this, sim_ivf_recall_profile,
     # sim_ann_recall_panel) stay pinned at refine=50 so the per-round
     # trend series in bench_full.json remains comparable; the SERVING
@@ -2797,10 +2807,11 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = {
         "pq_adc": similarity.pq_search_adc(codes, PQ_CODEBOOKS, qv, k=10),
         "pq_rerank": similarity.pq_search_rerank(
-            emb, PQ_CODEBOOKS, qv, k=10, refine=50
+            emb, PQ_CODEBOOKS, qv, k=10, refine=50, codes=codes
         ),
         "ivf_pq": similarity.ivf_pq_search(
-            emb, _ivf_centroids(), PQ_CODEBOOKS, qv, k=10, nprobe=2, refine=50
+            emb, _ivf_centroids(), PQ_CODEBOOKS, qv, k=10, nprobe=2,
+            refine=50, index=idx,
         ),
     }
     return similarity.ann_recall(methods, truth, k=10)
@@ -2870,9 +2881,15 @@ def sim_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
     ]
     truth = similarity.exact_topk_int(emb, qv, k=10)
+    # one shared (id, cell, codes) index for all nprobe arms (r18 opt —
+    # see sim_ann_recall): identical expressions, built/materialized once
+    idx = similarity.ivf_pq_index(
+        emb, _ivf_centroids(), PQ_CODEBOOKS
+    ).localCheckpoint()
     methods = {
         f"nprobe_{np}": similarity.ivf_pq_search(
-            emb, _ivf_centroids(), PQ_CODEBOOKS, qv, k=10, nprobe=np, refine=50
+            emb, _ivf_centroids(), PQ_CODEBOOKS, qv, k=10, nprobe=np,
+            refine=50, index=idx,
         )
         for np in _RECALL_NPROBES
     }
