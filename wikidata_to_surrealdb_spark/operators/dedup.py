@@ -1256,19 +1256,27 @@ def jaccard_prefix_join(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify-join strategy is left to the planner (r18 opt — the
+    # shuffle_hash hints are gone): with the hints, the SECOND attach
+    # join re-exchanged the (pair, sh_a) intermediate — every candidate
+    # pair shipping a full shingle array, measured 386 MB of shuffle at
+    # sf0.1 for a 7.8 MB set-side relation. When the per-doc set
+    # relation fits the broadcast threshold (locally it does; AQE
+    # converts at runtime from accurate LogicalRDD sizes) both attaches
+    # are map-side and the pair stream never carries arrays through an
+    # exchange; at corpus scale the planner falls back to the shuffled
+    # join this code always had. The candidate relation is pinned to
+    # full width (pin_cpu_shuffle) because the verify —
+    # array_intersect/union per pair — is CPU-per-row work AQE's
+    # byte-based coalescing would run in ~4 tasks (measured: broadcast
+    # alone was 2x SLOWER than the hinted join until the pin restored
+    # task width; pinned: 4.96 -> 3.98 s and 386 -> 28 MB shuffled).
+    from wikidata_to_surrealdb_spark.functions import pin_cpu_shuffle
+
     j = (
-        cand.join(
-            sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}).hint(
-                "shuffle_hash"
-            ),
-            "id_a",
-        )
-        .join(
-            sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}).hint(
-                "shuffle_hash"
-            ),
-            "id_b",
-        )
+        pin_cpu_shuffle(cand, "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
         .withColumn(
             "_i", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
         )
