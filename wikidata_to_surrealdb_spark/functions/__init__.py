@@ -275,6 +275,63 @@ def pin_cpu_shuffle(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
+def local_relation(
+    spark: SparkSession, rows: list, schema: str
+) -> DataFrame:
+    """Driver-local relation that executes JVM-side, for bounded learned/
+    decision tables attached to distributed plans (CC labels, BPE merge
+    tables, funnel step lists, probe sets).
+
+    ``spark.createDataFrame(list, schema)`` plans as a pickled
+    ``Scan ExistingRDD`` over ``defaultParallelism`` partitions: EVERY
+    consuming stage launches one Python worker per partition just to
+    unpickle its slice — measured ~1.2 s of blocked (non-CPU) time per
+    task at local[32], i.e. ~1-1.5 s of wall added to every stage that
+    reads the relation, and the same worker fan-out would ride along on
+    a cluster (guide §4: eliminate the Python boundary). The
+    Arrow path (``createDataFrame(pandas)``) converts on the driver and
+    plans as a pure-JVM ``LocalTableScan``; an empty relation comes from
+    a ``WHERE false`` SQL projection (``LocalTableScan <empty>``, zero
+    tasks) because the Arrow path degrades to ExistingRDD on zero rows.
+
+    Columns are built with ``dtype=object`` so pandas never coerces:
+    int64 edge values, exact double bits (-0.0, denormals), None and
+    empty strings all round-trip bit-identically (verified; the Arrow
+    writer casts per the EXPLICIT schema, not pandas inference). Rows
+    may be tuples or lists positionally matching ``schema`` (a DDL
+    string). Falls back to plain ``createDataFrame`` — same rows, same
+    schema, just the slow plan — if pandas/Arrow are unavailable.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    names = [f.name for f in st.fields]
+    if not rows:
+        proj = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in st.fields
+        )
+        return spark.sql(f"SELECT {proj} WHERE false")
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                name: pd.Series([r[i] for r in rows], dtype=object)
+                for i, name in enumerate(names)
+            }
+        )
+        out = spark.createDataFrame(pdf, st)
+        # the Arrow conversion is the point — if Spark silently fell
+        # back to the pickled path (arrow disabled in this session),
+        # the plain form below is no worse
+        if "ExistingRDD" in out._jdf.queryExecution().executedPlan().toString():
+            return spark.createDataFrame(rows, st)
+        return out
+    except ImportError:
+        return spark.createDataFrame(rows, st)
+
+
 def rolling_expr(arr: str, w: int, combine: str) -> str:
     """SQL-expr text for a width-``w`` rolling combine over array column
     ``arr``: element i of the result combines ``arr[i..i+w-1]`` pairwise

@@ -1090,4 +1090,6 @@ def observed_profile(
         (k, int(got[k]) if got[k] is not None else 0)
         for k in ("n_rows", "null_text", "empty_text", "total_chars", "max_doc_id")
     ]
-    return spark.createDataFrame(rows, "metric string, value bigint")
+    from wikidata_to_surrealdb_spark.functions import local_relation
+
+    return local_relation(spark, rows, "metric string, value bigint")

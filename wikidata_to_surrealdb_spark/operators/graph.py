@@ -266,21 +266,24 @@ def connected_components(
         )
 
     def _local_finish(pair_rows, n_rounds: int) -> DataFrame:
-        from pyspark.sql.types import StructField, StructType
+        from wikidata_to_surrealdb_spark.functions import local_relation
 
         if _stats is not None:
             _stats["rounds"] = n_rounds
             _stats["local_finish_edges"] = len(pair_rows)
-        dt = sym_all.schema["_a"].dataType
+        dt = sym_all.schema["_a"].dataType.simpleString()
         lab = _union_find_labels([(r["_a"], r["_b"]) for r in pair_rows])
-        labels = edges.sparkSession.createDataFrame(
-            lab,
-            StructType(
-                [
-                    StructField("node", dt),
-                    StructField("component", dt),
-                ]
-            ),
+        # JVM-side LocalTableScan, not a pickled ExistingRDD whose every
+        # consumer stage fans out Python workers (local_relation doc);
+        # the label table is bounded by local_threshold by construction
+        # (a few MB), so broadcast it — the attach join then needs no
+        # exchange or sort on the big (nodes) side
+        labels = F.broadcast(
+            local_relation(
+                edges.sparkSession,
+                lab,
+                f"node {dt}, component {dt}",
+            )
         )
         return _attach(labels)
 

@@ -1305,7 +1305,9 @@ def ann_recall(
     )
     # left join back onto the method dimension so a 0-recall method
     # still reports (0, k) instead of vanishing from the result
-    dim = spark.createDataFrame([(n,) for n in sorted(methods)], "method string")
+    from wikidata_to_surrealdb_spark.functions import local_relation
+
+    dim = local_relation(spark, [(n,) for n in sorted(methods)], "method string")
     return dim.join(hits, "method", "left").select(
         "method",
         F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),

@@ -302,7 +302,9 @@ def countmin_estimate(
     width with probability 1 - e^-depth). The probe set is a literal
     VALUES relation broadcast against the fixed-size sketch."""
     spark = cm.sparkSession
-    probes = spark.createDataFrame([(v,) for v in values], "value string")
+    from wikidata_to_surrealdb_spark.functions import local_relation
+
+    probes = local_relation(spark, [(v,) for v in values], "value string")
     cells = probes.select(
         "value",
         F.explode(

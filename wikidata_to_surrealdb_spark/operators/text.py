@@ -1237,6 +1237,7 @@ def bpe_train(
     below corpus size, so the collect stays bounded at 100 TB — the
     distributed loop remains for unbounded-vocabulary deployments.
     """
+    from wikidata_to_surrealdb_spark.functions import local_relation
     if merges < 1:
         raise ValueError("merges must be >= 1")
     from wikidata_to_surrealdb_spark.functions import respread
@@ -1289,7 +1290,8 @@ def bpe_train(
                 learned.append((step, a, b, a + b, c))
                 old, new = f"|{a}||{b}|", f"|{a}{b}|"
                 vocab = [(s.replace(old, new), f) for s, f in vocab]
-            return docs.sparkSession.createDataFrame(
+            return local_relation(
+                docs.sparkSession,
                 learned,
                 "step int, pair_a string, pair_b string, merged string, "
                 "pair_count bigint",
@@ -1322,9 +1324,11 @@ def bpe_train(
             "freq",
         ).localCheckpoint(eager=False)
 
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        learned, "step int, pair_a string, pair_b string, merged string, pair_count bigint"
+    return local_relation(
+        docs.sparkSession,
+        learned,
+        "step int, pair_a string, pair_b string, merged string, "
+        "pair_count bigint",
     )
 
 
@@ -1368,6 +1372,7 @@ def bpe_train_batched(
     pool ranking and disjointness filter were already Python, so the
     local path reuses them verbatim.
     """
+    from wikidata_to_surrealdb_spark.functions import local_relation
     if rounds < 1 or batch < 1:
         raise ValueError("rounds and batch must be >= 1")
     from wikidata_to_surrealdb_spark.functions import respread
@@ -1438,7 +1443,8 @@ def bpe_train_batched(
                     learned.append((step, rnd, a, b, a + b, c))
                     old, new = f"|{a}||{b}|", f"|{a}{b}|"
                     vocab = [(s.replace(old, new), f) for s, f in vocab]
-            return docs.sparkSession.createDataFrame(
+            return local_relation(
+                docs.sparkSession,
                 learned,
                 "step int, round int, pair_a string, pair_b string, "
                 "merged string, pair_count bigint",
@@ -1476,8 +1482,8 @@ def bpe_train_batched(
             )
         cur = cur.select(col.alias("s"), "freq").localCheckpoint(eager=False)
 
-    spark = docs.sparkSession
-    return spark.createDataFrame(
+    return local_relation(
+        docs.sparkSession,
         learned,
         "step int, round int, pair_a string, pair_b string, "
         "merged string, pair_count bigint",

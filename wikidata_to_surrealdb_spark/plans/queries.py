@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wikidata_to_surrealdb_spark.functions import (
+    local_relation,
     dsum,
     dsum_sql,
     rep,
@@ -5157,8 +5158,8 @@ def _snowball_vocab_oracle() -> str:
 def b14_fts_snowball(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_to_surrealdb_spark.functions.porter2 import SNOWBALL_GOLDEN
 
-    words = spark.createDataFrame(
-        [(w,) for w, _ in SNOWBALL_GOLDEN], "word string"
+    words = local_relation(
+        spark, [(w,) for w, _ in SNOWBALL_GOLDEN], "word string"
     )
     return words.select(
         "word", text.snowball_udf()(F.col("word")).alias("stemmed")
@@ -5631,7 +5632,7 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
     ).distinct()
-    start = spark.createDataFrame([("p:1",)], "node string")
+    start = local_relation(spark, [("p:1",)], "node string")
     return graph.khop(edges, start, k=2)
 
 
@@ -6474,7 +6475,7 @@ def wd_surql_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         (f"{r['tb']}:{r['id']}",) for r in results[-1]
     ]
-    return spark.createDataFrame(parts, "part string")
+    return local_relation(spark, parts, "part string")
 
 
 @_q(
@@ -8364,7 +8365,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # step list so a step no user converts to emits users=0 instead of
     # vanishing (preepoch sweep r15: the oracle's UNION ALL always
     # emits 3 rows; the groupBy-only form dropped the empty step)
-    all_steps = spark.createDataFrame(
+    all_steps = local_relation(
+        spark,
         [(s, i + 1) for i, s in enumerate(steps)],
         "step string, step_idx int",
     )
@@ -8405,7 +8407,8 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_seconds=86400,
     )
     counts = reached.groupBy("step_idx").agg(F.count(F.lit(1)).alias("n"))
-    all_steps = spark.createDataFrame(
+    all_steps = local_relation(
+        spark,
         [(s, i + 1) for i, s in enumerate(steps)],
         "step string, step_idx int",
     )

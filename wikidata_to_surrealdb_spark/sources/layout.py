@@ -78,7 +78,10 @@ def partition_file_profile(spark: SparkSession, path: str) -> DataFrame:
         rel = os.path.relpath(dirpath, path)
         sizes = [os.path.getsize(os.path.join(dirpath, f)) for f in data]
         rows.append((rel, len(sizes), sum(sizes), min(sizes), max(sizes)))
-    return spark.createDataFrame(
+    from wikidata_to_surrealdb_spark.functions import local_relation
+
+    return local_relation(
+        spark,
         rows,
         "partition_dir string, n_files bigint, total_bytes bigint, "
         "min_file_bytes bigint, max_file_bytes bigint",

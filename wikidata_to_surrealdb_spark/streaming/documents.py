@@ -135,7 +135,13 @@ def _read_or_empty(
             .option("recursiveFileLookup", "true")
             .parquet(path)
         )
-    return spark.createDataFrame([], schema)
+    from wikidata_to_surrealdb_spark.functions import local_relation
+
+    # empty case: a pickled empty ExistingRDD still fans out one Python
+    # worker per default-parallelism partition in every consuming stage;
+    # local_relation's WHERE-false projection is a zero-task
+    # LocalTableScan <empty> instead (first batch of every stream)
+    return local_relation(spark, [], schema)
 
 
 # parameters added to _store_params AFTER stores already existed in
