@@ -2036,59 +2036,55 @@ def kmeans_train(
         .localCheckpoint(eager=False)
     )
     # deterministic init: first k vectors by (md5(id), id) — already on
-    # the 1e6 grid
+    # the 1e6 grid. Collected directly: the centroid table is <= k rows
+    # EVERY round, so it lives on the DRIVER for the whole training loop
+    # (r18 opt, second pass). The previous shape kept it as a DataFrame
+    # — per iteration a k-row join + a localCheckpoint + a collect — and
+    # the checkpoint/planning py4j calls blocked the driver ~0.75 s/run
+    # at sf0.1 (sampled: localCheckpoint inside this loop was the single
+    # hottest driver frame of dedup_semantic). Now each iteration is ONE
+    # distributed job (the argmin assignment's map-side-combined
+    # aggregation, collected at k rows) and pure exact integer math on
+    # the driver; Python ints replay the BIGINT arithmetic identically
+    # (the positive-numerator floor-division trick makes Spark's
+    # truncating div equal Python's // — both are floor there).
     w0 = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-    cents = (
+    init_rows = (
         vi.withColumn("_rn", F.row_number().over(w0))
         .where(F.col("_rn") <= k)
-        .select(
-            (F.col("_rn") - 1).cast("int").alias("_j"),
-            F.col("_x").alias("_m"),
-            F.lit(1).cast("bigint").alias("_c"),
-        )
-        .localCheckpoint(eager=False)
+        .select((F.col("_rn") - 1).cast("int").alias("_j"), "_x")
+        .collect()
     )
+    # (centroid ints, count) per cluster index, driver-resident
+    cents_list: list[tuple[list[int], int]] = [
+        ([int(m) for m in r["_x"]], 1)
+        for r in sorted(init_rows, key=lambda r: r["_j"])
+    ]
 
-    # grid-rounded integer mean: floor(s/c + 0.5) via the positive-
-    # numerator trick so truncating division == floor in both engines
     off = _KMEANS_OFF
-    mean_m = F.expr(
-        f"transform(_s, s -> (2 * s + 2 * _c * {off} + _c) div (2 * _c) - {off})"
-    )
     assign = None
     for _ in range(iterations):
-        # MAP-ONLY argmin over the k collected centroids (r18 opt): the
-        # centroid relation is <= k rows and localCheckpoint-materialized
-        # every round, so collecting it is a bounded driver read (the
-        # module's standard k-centroid pattern, same as ivf_search's
-        # cell ranking) — and compiling the centroids into the argmin
-        # expression removes the per-iteration crossJoin + per-id WINDOW
-        # (an exchange + sort of k x corpus exploded rows). Semantics
-        # are bit-identical: ||x - m_j||^2 is the same plain-BIGINT fold
-        # per centroid, array_min is the same exact integer minimum, and
-        # array_position returns the FIRST minimal index — the
-        # (key, _j) tie-break the window's orderBy encoded. Profiled at
-        # sf0.1: the three trainer-backed queries were driver-dominated
-        # (sim_kmeans_assign 2.77 s wall vs 1.06 s summed stage wall);
-        # this drops 1 exchange + 1 window sort + 1 plan per iteration.
-        crows = sorted(cents.collect(), key=lambda r: r["_j"])
-        assert [r["_j"] for r in crows] == list(range(len(crows)))
-        if not crows:
+        if not cents_list:
             # empty corpus: no centroids, vi has no rows — any constant
             # cluster id gives the same (empty) assignment relation
             assign = vi.select(
                 "_id", "_x", F.lit(0).cast("int").alias("_j")
             )
             continue
+        # MAP-ONLY argmin over the k driver centroids: bit-identical to
+        # the window form — ||x - m_j||^2 is the same plain-BIGINT fold
+        # per centroid, array_min the same exact integer minimum, and
+        # array_position returns the FIRST minimal index (the (key, _j)
+        # tie-break the original window encoded)
         darr = F.array(
             *[
                 F.expr(
                     "aggregate(zip_with(_x, array("
-                    + ", ".join(f"{int(m)}L" for m in r["_m"])
+                    + ", ".join(f"{int(m)}L" for m in mvec)
                     + "), (xi, mi) -> (xi - mi) * (xi - mi)), "
                     "CAST(0 AS BIGINT), (acc, d) -> acc + d)"
                 )
-                for r in crows
+                for mvec, _ in cents_list
             ]
         )
         assign = vi.select(
@@ -2098,38 +2094,57 @@ def kmeans_train(
             .cast("int")
             .alias("_j"),
         )
-        sums = assign.groupBy("_j").agg(
-            F.count(F.lit(1)).cast("bigint").alias("_c"),
-            F.array(
-                *[
-                    F.sum(F.element_at("_x", i + 1)).cast("bigint")
-                    for i in range(dim)
-                ]
-            ).alias("_s"),
-        )
-        # empty clusters keep their previous centroid
-        cents = (
-            cents.select("_j", F.col("_m").alias("_pm"))
-            .join(sums, "_j", "left")
-            .select(
-                "_j",
-                F.when(F.col("_s").isNotNull(), mean_m)
-                .otherwise(F.col("_pm"))
-                .alias("_m"),
-                F.coalesce("_c", F.lit(0).cast("bigint")).alias("_c"),
+        sum_rows = (
+            assign.groupBy("_j")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("_c"),
+                F.array(
+                    *[
+                        F.sum(F.element_at("_x", i + 1)).cast("bigint")
+                        for i in range(dim)
+                    ]
+                ).alias("_s"),
             )
-            .localCheckpoint(eager=False)
+            .collect()
         )
+        by_j = {int(r["_j"]): r for r in sum_rows}
+        new_list: list[tuple[list[int], int]] = []
+        for j, (prev_m, _prev_c) in enumerate(cents_list):
+            r = by_j.get(j)
+            if r is None:
+                # empty clusters keep their previous centroid
+                new_list.append((prev_m, 0))
+                continue
+            c = int(r["_c"])
+            # grid-rounded integer mean: floor(s/c + 0.5) via the
+            # positive-numerator trick — numerator >= 0 because
+            # |component| <= OFF, so // (floor) == Spark div (trunc)
+            new_list.append(
+                (
+                    [
+                        (2 * int(s) + 2 * c * off + c) // (2 * c) - off
+                        for s in r["_s"]
+                    ],
+                    c,
+                )
+            )
+        cents_list = new_list
 
     assignments = assign.select(
         F.col("_id").alias(id_col), F.col("_j").cast("int").alias("cluster")
     )
-    centroids = cents.select(
-        F.col("_j").cast("int").alias("cluster"),
-        F.col("_c").alias("cnt"),
-        F.expr(
-            "transform(_m, m -> CAST(m AS DOUBLE) / 1000000.0)"
-        ).alias("centroid"),
+    from wikidata_to_surrealdb_spark.functions import local_relation
+
+    # float centroids for consumers: float(m)/1e6 is the identical IEEE
+    # division CAST(m AS DOUBLE)/1000000.0 performed (m is exact in a
+    # double — grid values are ~6e6, far under 2^53)
+    centroids = local_relation(
+        embeddings.sparkSession,
+        [
+            (j, cnt, [float(m) / 1000000.0 for m in mvec])
+            for j, (mvec, cnt) in enumerate(cents_list)
+        ],
+        "cluster int, cnt bigint, centroid array<double>",
     )
     return assignments, centroids
 
