@@ -6938,8 +6938,15 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     # png_auto: native codec when Pillow is present (bit-identical
     # for these 8-bit gray rasters — PNG is lossless), from-spec
     # fallback otherwise; the pixel_hash oracle holds on either path
-    return multimodal.decode_features(assets, decoder="png_auto").orderBy(
-        "asset_id"
+    # lazy checkpoint before orderBy (r18 opt): a range sort SAMPLES its
+    # child to pick partition bounds, then shuffles it — without the
+    # checkpoint the Arrow decode pipeline executes TWICE (profiled as two
+    # ~12 s-exec stages per run on mm_audio_features); the sampling job
+    # materializes the cached partitions and the sort reads them back
+    return (
+        multimodal.decode_features(assets, decoder="png_auto")
+        .localCheckpoint(eager=False)
+        .orderBy("asset_id")
     )
 
 
@@ -7084,6 +7091,9 @@ def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_min",
             "pixel_max",
         )
+        # lazy checkpoint before orderBy: see mm_decode_png (the range
+        # sort otherwise samples + re-executes the decode pipeline)
+        .localCheckpoint(eager=False)
         .orderBy("asset_id")
     )
 
@@ -7137,8 +7147,15 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_views(spark, sf_dir)
     assets = multimodal.documents_as_pcm_assets(t["documents"])
-    return multimodal.audio_features(assets, sample_rate=16000).orderBy(
-        "asset_id"
+    # lazy checkpoint before orderBy (r18 opt): a range sort SAMPLES its
+    # child to pick partition bounds, then shuffles it — without the
+    # checkpoint the Arrow decode pipeline executes TWICE (profiled as two
+    # ~12 s-exec stages per run on mm_audio_features); the sampling job
+    # materializes the cached partitions and the sort reads them back
+    return (
+        multimodal.audio_features(assets, sample_rate=16000)
+        .localCheckpoint(eager=False)
+        .orderBy("asset_id")
     )
 
 
@@ -7207,9 +7224,14 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_views(spark, sf_dir)
     assets = multimodal.documents_as_pcm_assets(t["documents"])
-    return multimodal.audio_resample_features(
-        assets, factor=2, sample_rate=16000
-    ).orderBy("asset_id")
+    # lazy checkpoint before orderBy: see mm_audio_features
+    return (
+        multimodal.audio_resample_features(
+            assets, factor=2, sample_rate=16000
+        )
+        .localCheckpoint(eager=False)
+        .orderBy("asset_id")
+    )
 
 
 @_q(
@@ -7245,7 +7267,12 @@ def mm_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_views(spark, sf_dir)
     assets = multimodal.documents_as_jpeg_assets(t["documents"])
-    return multimodal.jpeg_meta(assets).orderBy("asset_id")
+    # lazy checkpoint before orderBy: see mm_audio_features
+    return (
+        multimodal.jpeg_meta(assets)
+        .localCheckpoint(eager=False)
+        .orderBy("asset_id")
+    )
 
 
 @_q(
@@ -7295,6 +7322,8 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_depth",
             F.col("pixel_bytes").cast("bigint").alias("pixel_bytes"),
         )
+        # lazy checkpoint before orderBy: see mm_audio_features
+        .localCheckpoint(eager=False)
         .orderBy("asset_id")
     )
 
