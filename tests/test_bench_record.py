@@ -87,11 +87,14 @@ def test_emit_record_compact_line_and_full_file(tmp_path, capsys):
     assert full["queries"] == record["queries"]
 
 
-def test_emit_record_oversized_line_appends_headline(tmp_path, capsys):
-    # a queries map big enough to blow the 1900-byte budget must be
-    # followed by a final headline-only line that fits the tail window
+def test_emit_record_oversized_line_appends_fitted_tail(tmp_path, capsys):
+    # a queries map big enough to blow the tail budget must be followed
+    # by a final FITTED line that fits the window and still carries the
+    # per-query map for every BENCH_QUERIES entry (VERDICT r18 #1: the
+    # old headline-only fallback left PERF per_query empty); probe
+    # entries outside the suite may be dropped to a bench_full pointer
     record = {
-        "queries": {f"very_long_query_name_{i:04d}": 0.123 for i in range(200)},
+        "queries": {name: 12.345 for name in bench.BENCH_QUERIES},
         "stream_batches": {},
         "metric": "m",
         "value": 24.6,
@@ -101,14 +104,39 @@ def test_emit_record_oversized_line_appends_headline(tmp_path, capsys):
         "ingest_10x_entities_per_sec": 180882.0,
         "calibration_sec": {"start": 0.1, "end": 0.1},
     }
+    # probe-tier entries big enough that the full map cannot fit
+    for i in range(60):
+        record["queries"][f"very_long_probe_entry_name_{i:04d}"] = 0.123
     bench.emit_record(record, None, out_path=str(tmp_path / "bench_full.json"))
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 2
     tail = json.loads(lines[-1])
-    assert len(lines[-1]) < 1900
+    assert len(lines[-1]) <= bench.TAIL_BUDGET
     assert tail["value"] == 24.6
     assert tail["ingest_entities_per_sec"] == 66742.0
-    assert tail["queries_in"] == "bench_full.json"
+    # every suite query survives on the final line (2-decimal precision
+    # is acceptable; absence is not)
+    for name in bench.BENCH_QUERIES:
+        assert tail["queries"][name] in (12.345, 12.34, 12.35)
+    assert tail["probes_in"] == "bench_full.json"
+
+
+def test_fit_tail_line_prefers_full_map_when_it_fits():
+    # when the complete map fits the window, no entry is dropped and no
+    # pointer is emitted
+    record = {
+        "queries": {"q1": 1.234, "wd_probe_x": 0.5},
+        "metric": "m",
+        "value": 2.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "ingest_entities_per_sec": 1000.0,
+        "smoke": {"n": 3, "fail": 0, "regressed": 0},
+    }
+    tail = json.loads(bench.fit_tail_line(record))
+    assert tail["queries"] == {"q1": 1.234, "wd_probe_x": 0.5}
+    assert "probes_in" not in tail
+    assert tail["smoke"] == {"n": 3, "fail": 0, "regressed": 0}
 
 
 def test_normalize_vs_prev_classifies_host_drift(tmp_path, capsys):
@@ -290,9 +318,9 @@ def test_is_py_heavy_classification():
 
 def test_current_suite_final_line_fits_tail_window(tmp_path, capsys):
     # with the real BENCH_QUERIES list and realistic timing widths, the
-    # FINAL printed line (the full record if it fits, else the headline
-    # fallback) must be valid JSON inside the driver's 2000-char tail
-    # capture and carry the headline fields
+    # FINAL printed line (the full record if it fits, else the fitted
+    # tail line) must be valid JSON inside the driver's 2000-char tail
+    # capture and carry the headline fields AND the per-query suite map
     record = {
         "queries": {name: 12.345 for name in bench.BENCH_QUERIES},
         "stream_batches": {
@@ -330,21 +358,24 @@ def test_current_suite_final_line_fits_tail_window(tmp_path, capsys):
         record["queries"][name] = 12.345
     bench.emit_record(record, None, out_path=str(tmp_path / "b.json"))
     final = capsys.readouterr().out.strip().splitlines()[-1]
-    assert len(final) <= 1900, (
+    assert len(final) <= bench.TAIL_BUDGET, (
         f"final bench line is {len(final)} chars — over the driver tail "
-        "budget; the headline fallback in emit_record must kick in"
+        "budget; the fitted-tail fallback in emit_record must kick in"
     )
     tail = json.loads(final)
     for key in (
         "value",
         "sf",
+        # the baseline-gate rate must always survive the fallback
         "ingest_entities_per_sec",
-        "calibration_sec",
         # VERDICT r14 #4: the split headline must survive the fallback
         "query_suite_sec",
         "deliberate_probes_sec",
     ):
         assert key in tail, final
+    # VERDICT r18 #1: so must the per-query suite map
+    for name in bench.BENCH_QUERIES:
+        assert name in tail["queries"], name
     # the full query map stays recoverable from the bench_full.json file
     full = json.loads((tmp_path / "b.json").read_text())
     assert full["queries"] == record["queries"]

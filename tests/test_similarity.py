@@ -1035,3 +1035,43 @@ def test_bucketed_pairs_rejects_sign_bits_with_bucket_expr(spark):
     for bad in (4, 6, "auto", True, "wide"):
         with pytest.raises(ValueError, match="sign_bits"):
             similarity.ann_bucketed_pairs(df, sign_bits=bad, bucket_expr=expr)
+
+
+def test_dot_known_dim_wide_vectors_build_and_match_fold(spark):
+    """ADVICE r18: the unrolled dot-product expression crashed plan
+    CONSTRUCTION for wide vectors (SQL parser FAILED_TO_PARSE_TOO_COMPLEX
+    around dim 256-512, JVM StackOverflowError by dim 1024) although
+    knn_join exposes dim publicly and common embedding widths are
+    256/384/768/1536. Past _UNROLL_MAX_DIM the builder must return the
+    plain fold — same result, valid at any width."""
+    from pyspark.sql import functions as F
+
+    for dim in (256, 768, 1536):
+        rows = [
+            (
+                [float((i * 31 + 7) % 13) / 8.0 for i in range(dim)],
+                [float((i * 17 + 3) % 11) / 8.0 for i in range(dim)],
+            )
+        ]
+        df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+        # plan build must not raise
+        unrolled = df.select(
+            similarity._dot_known_dim("a", "b", dim).alias("d")
+        ).collect()[0]["d"]
+        fold = df.select(
+            similarity._dot(F.col("a"), F.col("b")).alias("d")
+        ).collect()[0]["d"]
+        # identical operation sequence => identical bits
+        assert unrolled == fold
+
+
+def test_dot_known_dim_narrow_stays_unrolled(spark):
+    """Below the cutoff the fast path is still the unrolled CASE (the
+    r18 §22 codegen win must not silently regress to the fold)."""
+    df = spark.createDataFrame(
+        [([1.0] * 64, [2.0] * 64)], "a array<double>, b array<double>"
+    )
+    col = similarity._dot_known_dim("a", "b", 64)
+    plan = df.select(col.alias("d"))._jdf.queryExecution().analyzed().toString()
+    assert "CASE WHEN" in plan
+    assert df.select(col.alias("d")).collect()[0]["d"] == 128.0

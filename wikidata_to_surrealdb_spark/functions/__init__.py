@@ -306,6 +306,16 @@ def local_relation(
 
     st = _parse_datatype_string(schema)
     names = [f.name for f in st.fields]
+    # arity check up front: createDataFrame(rows, schema) used to raise
+    # on mismatched rows, and positional r[i] indexing below would
+    # silently drop trailing extras / raise a bare IndexError on short
+    # rows (ADVICE r18)
+    for r in rows:
+        if len(r) != len(names):
+            raise ValueError(
+                f"local_relation: row {r!r} has {len(r)} values for "
+                f"{len(names)} schema columns {names}"
+            )
     if not rows:
         proj = ", ".join(
             f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
@@ -328,7 +338,11 @@ def local_relation(
         if "ExistingRDD" in out._jdf.queryExecution().executedPlan().toString():
             return spark.createDataFrame(rows, st)
         return out
-    except ImportError:
+    except Exception:
+        # not just ImportError: pyarrow may be absent with pandas
+        # present, or a value the Arrow writer cannot cast may raise
+        # mid-conversion — the documented contract is to degrade to the
+        # plain (pickled) relation, never to fail (ADVICE r18)
         return spark.createDataFrame(rows, st)
 
 

@@ -59,7 +59,21 @@ def _dot_known_dim(a_name: str, b_name: str, dim: int) -> Column:
     length-mismatched or null vectors degrade exactly as before. Built
     as ONE ``F.expr`` string (~320 nodes at dim=64 — well under the
     band-keys trees whose codegen cost forced the fold there) so plan
-    construction stays a single py4j round-trip."""
+    construction stays a single py4j round-trip.
+
+    Wide vectors fall back to :func:`_dot` entirely: the deeply
+    left-nested expression blows up plan CONSTRUCTION past ~dim 200 on
+    Spark 4.1 — the SQL parser raises FAILED_TO_PARSE_TOO_COMPLEX
+    around dim 256-512 and the Column-API converter (which routes
+    through the same recursive machinery) throws a raw JVM
+    StackOverflowError by dim 512, both verified empirically — so
+    common embedding widths (256/384/768/1536) take the interpreted
+    fold, which is valid at any width, rather than crashing at plan
+    build (ADVICE r18). ``_UNROLL_MAX_DIM`` = 192 is the largest width
+    the unrolled form was verified to parse inside the knn join's full
+    query context."""
+    if dim > _UNROLL_MAX_DIM:
+        return _dot(F.col(a_name), F.col(b_name))
     terms = "0D"
     for i in range(dim):
         terms = f"({terms} + ({a_name}[{i}] * {b_name}[{i}]))"
@@ -68,6 +82,11 @@ def _dot_known_dim(a_name: str, b_name: str, dim: int) -> Column:
         f"THEN {terms} ELSE aggregate(zip_with({a_name}, {b_name}, "
         f"(x, y) -> x * y), 0D, (acc, v) -> acc + v) END"
     )
+
+
+# largest vector width whose unrolled dot product is known-safe to build
+# (parser recursion depth, see _dot_known_dim); wider vectors use the fold
+_UNROLL_MAX_DIM = 192
 
 
 def _dlit(x: float) -> str:
