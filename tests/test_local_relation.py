@@ -47,3 +47,36 @@ def test_local_relation_rows_roundtrip(spark):
     assert math.copysign(1.0, got[1]) == -1.0
     assert got[2] == 5e-324
     assert got[3] is None
+
+
+def test_respread_exchange_plans_returned_unchanged_without_execution(spark):
+    """VERDICT r18 #7: respread probes df.rdd, which on an
+    exchange-bearing plan executes its AQE stages eagerly. The guard
+    must return such plans unchanged WITHOUT running any job."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    base = spark.range(0, 1000).withColumn("k", F.col("id") % 7)
+    agg = base.groupBy("k").agg(F.sum("id").alias("s"))
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    out = respread(agg)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert out is agg, "exchange-bearing plan must be returned unchanged"
+    assert after == before, "respread must not execute jobs on a shuffle plan"
+    # and results are unaffected
+    assert {(r["k"], r["s"]) for r in out.collect()} == {
+        (r["k"], r["s"]) for r in base.groupBy("k").agg(F.sum("id").alias("s")).collect()
+    }
+
+
+def test_respread_narrow_scan_still_spreads(spark, tmp_path):
+    from wikidata_to_surrealdb_spark.functions import respread
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(0, 100).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = respread(df)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert out.count() == 100

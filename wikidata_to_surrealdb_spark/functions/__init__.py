@@ -229,8 +229,25 @@ def respread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     as the cluster (any real multi-split dataset — the 100 TB case), this
     is a no-op, so the extra exchange does not survive a scale-up. Apply it
     *after* scan-adjacent filters so parquet pushdown is unaffected.
+
+    SCAN-ADJACENT ONLY, now enforced (VERDICT r18 #7): the probe below
+    reads ``df.rdd``, and on a plan that carries an Exchange that call
+    EXECUTES the plan's AQE stages eagerly — a fresh action then
+    recomputes them (measured as a full double execution of the MinHash
+    banding subtree when ``pin_cpu_shuffle`` briefly probed partition
+    counts this way, r18). If the input's physical plan contains any
+    Exchange, the helper returns it UNCHANGED without probing: a
+    post-shuffle plan's parallelism is already governed by
+    ``spark.sql.shuffle.partitions``/AQE (use :func:`pin_cpu_shuffle`
+    to control it), so the single-row-group scan problem this helper
+    exists for cannot apply. Inspecting ``executedPlan`` only PREPARES
+    the physical plan (EnsureRequirements has inserted the exchanges;
+    with AQE it prints the isFinalPlan=false initial plan) — verified
+    to launch zero jobs, unlike ``df.rdd``.
     """
     spark = df.sparkSession
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     target = min_parallelism or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

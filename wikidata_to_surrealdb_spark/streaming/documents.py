@@ -416,27 +416,54 @@ def apply_incremental_batch(
     # per-batch subdirs make a foreachBatch replay overwrite its
     # own previous partial output (effectively-once), and keep
     # appends from ever rewriting earlier batches' files
-    pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, sub))
-    idx_out, sh_out = batch_idx, batch_sh
-    if survivors_only:
-        # read the batch's own just-written pairs back (bounded,
-        # and cheaper than recomputing the verification) and drop
-        # every paired doc before the append
-        dropped = (
-            spark.read.schema(_PAIRS_SCHEMA)
-            .parquet(os.path.join(pairs_dir, sub))
-            .select(F.col("new_id").alias("doc_id"))
-            .dropDuplicates(["doc_id"])
-        )
-        idx_out = batch_idx.join(dropped, "doc_id", "left_anti")
-        sh_out = batch_sh.join(dropped, "doc_id", "left_anti")
-    # the two appends are independent jobs over batch artifacts the
-    # pairs write already checkpoint-materialized (plus, in survivors
-    # mode, the tiny just-written pairs file) — overlap them so the
-    # per-trigger floor pays one write tail, not two (§2.6 of the
-    # optimization playbook; same rule as write_tables)
     from concurrent.futures import ThreadPoolExecutor
 
+    if not survivors_only:
+        # base mode: the index/shingle appends are the raw batch
+        # artifacts — independent of the pairs result — so ALL THREE
+        # writes overlap (r19 opt, guide §2.6): the pairs write's
+        # verification joins and the two appends back-fill each other's
+        # stage tails instead of paying one write tail after another
+        # (the artifacts' exchange stages were already pre-executed by
+        # their checkpoint calls, so concurrent first-reads re-read
+        # shuffle output rather than re-tokenizing)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fp = pool.submit(
+                lambda: pairs.write.mode("overwrite").parquet(
+                    os.path.join(pairs_dir, sub)
+                )
+            )
+            fidx = pool.submit(
+                lambda: batch_idx.write.mode("overwrite").parquet(
+                    os.path.join(idx_dir, sub)
+                )
+            )
+            fsh = pool.submit(
+                lambda: batch_sh.write.mode("overwrite").parquet(
+                    os.path.join(sh_dir, sub)
+                )
+            )
+            fp.result()
+            fidx.result()
+            fsh.result()
+        return
+    pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, sub))
+    # read the batch's own just-written pairs back (bounded,
+    # and cheaper than recomputing the verification) and drop
+    # every paired doc before the append
+    dropped = (
+        spark.read.schema(_PAIRS_SCHEMA)
+        .parquet(os.path.join(pairs_dir, sub))
+        .select(F.col("new_id").alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+    )
+    idx_out = batch_idx.join(dropped, "doc_id", "left_anti")
+    sh_out = batch_sh.join(dropped, "doc_id", "left_anti")
+    # the two appends are independent jobs over batch artifacts the
+    # pairs write already checkpoint-materialized (plus the tiny
+    # just-written pairs file) — overlap them so the per-trigger floor
+    # pays one write tail, not two (§2.6 of the optimization playbook;
+    # same rule as write_tables)
     with ThreadPoolExecutor(max_workers=2) as pool:
         fidx = pool.submit(
             lambda: idx_out.write.mode("overwrite").parquet(
