@@ -40,19 +40,9 @@ def _undirect(edges: DataFrame, src: str, dst: str) -> DataFrame:
     e0 = edges.select(
         F.col(src).alias("_a"), F.col(dst).alias("_b")
     ).localCheckpoint()
-    # pin the dedup exchange's width (r19 opt, VERDICT r18 #6): the
-    # distinct's post-shuffle side is AQE-coalesced by BYTES (a few MB
-    # of pairs -> 3 tasks), which narrows the consumer that materializes
-    # it — for connected_components that is sym_all's checkpoint WRITE,
-    # serializing the whole symmetric pair set through 3 tasks. The
-    # explicit repartition REPLACES the distinct's exchange (same keys)
-    # and is exempt from coalescing, same recipe as the LSH bucket pins.
-    from wikidata_to_surrealdb_spark.functions import pin_cpu_shuffle
-
-    u = e0.union(
+    return e0.union(
         e0.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
-    )
-    return pin_cpu_shuffle(u, "_a", "_b").dropDuplicates(["_a", "_b"])
+    ).distinct()
 
 
 def khop(
